@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced to full materialization with a count-style action
+(write to nothing would skip result construction; ``collect`` on big
+results would bottleneck the driver — ``df.count()`` after the terminal
+operator executes the whole plan).
+
+The headline set covers every subsystem: scan+agg (q01, q06), joins
+(q02, q03), windows (q08), dedup (d01, d03), similarity (s03), text
+(t01, t02), time windows (w01).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if REPO_DIR not in sys.path:
+    sys.path.insert(0, REPO_DIR)
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q06_revenue_filter",
+    "q02_region_revenue",
+    "q03_top_orders",
+    "q08_topk_per_group",
+    "d01_exact_dedup",
+    "d03_minhash_lsh",
+    "s03_lsh_topk",
+    "t01_token_count",
+    "t02_quality_score",
+    "w01_tumbling",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from kafka2clickhouse_py_streamer_spark.session import get_spark
+    from kafka2clickhouse_py_streamer_spark.operators.base import all_queries
+
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = all_queries()
+
+    # Warm the JVM + parquet footer caches so per-query times measure the
+    # plan, not first-touch JIT (the cluster-scale analogue: steady state).
+    registry["q06_revenue_filter"].fn(spark, sf_dir).count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        registry[name].fn(spark, sf_dir).count()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,459 @@
+"""Deduplication operators over ``documents`` (and ``embeddings``):
+
+- d01: exact dedup (hash-groupBy on content fingerprint)
+- d02: n-gram Jaccard similarity (shingle explode + equi-join — the
+  scalable count-based formulation, no quadratic list ops)
+- d03: MinHash + LSH banding (signature → band keys → bucket join →
+  candidate pairs → exact Jaccard verify)
+- d04: SimHash (per-token hash, bitwise majority vote)
+- d05: embedding near-duplicates (cosine >= threshold, label-blocked)
+
+Scale notes: every formulation is shuffle-bounded — shingles/bands are
+exploded to rows and joined on equi-keys (Spark hash-partitions the
+shingle/band space), never materialized as quadratic pair lists. The
+MinHash band join is exactly the 100 TB pattern: |candidates| ~ collisions,
+not |docs|^2. All hashes are explicit integer arithmetic (no engine hash
+functions) so the DuckDB oracle can reproduce them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka2clickhouse_py_streamer_spark.operators.base import Query, table
+
+SHINGLE_WORDS = 3  # word-level shingles (char n-grams don't discriminate
+# on small vocabularies — measured: all doc pairs land at 0.4-0.6 char-3
+# jaccard, while word-3 jaccard is ~0 for unrelated docs and >0.9 for dups)
+MINHASH_PRIME = 2147483647
+NUM_HASHES = 16
+BANDS = 4  # 4 bands x 4 rows
+ROWS_PER_BAND = NUM_HASHES // BANDS
+MINHASH_JACCARD_THRESHOLD = 0.5
+NEARDUP_COSINE = 0.6
+
+# Deterministic affine permutation constants (a_j * H + b_j) mod P.
+HASH_AS = [2 * j + 3 for j in range(NUM_HASHES)]
+HASH_BS = [7 * j + 1 for j in range(NUM_HASHES)]
+
+# Word-3-shingles: tokenize, slide a 3-token window, space-join.
+# The token array is materialized as a column FIRST — referencing split()
+# inside the transform lambda re-evaluates the regex per element
+# (measured 56 s vs <1 s on 500 docs).
+_SPARK_TOKENS = "split(trim(lower(text)), '\\\\s+')"
+_SPARK_SHINGLES = (
+    "array_distinct(transform(sequence(1, greatest(size(tk) - 2, 1)),"
+    " i -> concat_ws(' ', slice(tk, i, 3))))"
+)
+
+_DUCK_SHINGLES_CTE = r"""
+toks AS (
+  SELECT doc_id, source,
+         regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS tk
+  FROM documents
+),
+shingles AS (
+  SELECT DISTINCT doc_id, source,
+         array_to_string(list_slice(tk, CAST(i AS INTEGER),
+                                    CAST(i AS INTEGER) + 2), ' ') AS s
+  FROM (SELECT doc_id, source, tk,
+               UNNEST(RANGE(1, GREATEST(LEN(tk) - 1, 2))) AS i
+        FROM toks)
+)"""
+
+# Polynomial hash of a shingle: base-31 over the first 8 chars (padded) —
+# explicit integer arithmetic so Spark and DuckDB agree exactly.
+_H_CHARS = 8
+_H_POWS = [31 ** (_H_CHARS - 1 - k) for k in range(_H_CHARS)]
+
+
+def _poly_hash_sql(s: str, ascii_fn: str = "ascii") -> str:
+    padded = f"rpad({s}, {_H_CHARS}, 'x')"
+    # CAST to BIGINT: 31^6 fits in int32, so int*int would overflow under
+    # Spark's ANSI arithmetic; force 64-bit on both engines.
+    terms = [
+        f"CAST({ascii_fn}(substring({padded}, {k + 1}, 1)) AS BIGINT)"
+        f" * {_H_POWS[k]}"
+        for k in range(_H_CHARS)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+_SPARK_H = _poly_hash_sql("{s}")
+_DUCK_H = _poly_hash_sql("{s}")
+
+
+def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, s): distinct word-3-shingles, one row each."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", "source", F.expr(_SPARK_TOKENS).alias("tk")
+    ).select("doc_id", "source", F.explode(F.expr(_SPARK_SHINGLES)).alias("s"))
+
+
+def d01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on MD5(text); one canonical doc per
+    group (min doc_id), copy count. One shuffle on the 128-bit key —
+    the trivially-100 TB-safe dedup."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("fp"))
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .orderBy("canonical_id")
+    )
+
+
+D01_SQL = """
+SELECT MD5(text) AS fp,
+       MIN(doc_id) AS canonical_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY MD5(text)
+ORDER BY canonical_id
+"""
+
+
+NGRAM_JACCARD_THRESHOLD = 0.2
+
+
+def d02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs n-gram Jaccard above a threshold, count-based:
+
+    candidate pairs = docs sharing >= 1 shingle (equi-join on the shingle
+    — inverted-index blocking, never a cross join); |A∩B| = match count,
+    |A∪B| = |A|+|B|-|A∩B|. The shingle join shuffles on the shingle
+    value, so hot shingles (stopword runs) are the skew risk at 100 TB —
+    d03's MinHash bands bound that by construction.
+    """
+    sh = _shingle_rows(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
+    inter = (
+        a.join(
+            b,
+            (F.col("s_b") == F.col("s_a"))
+            & (F.col("doc_b") > F.col("doc_a")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("sa.n") + F.col("sb.n") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= NGRAM_JACCARD_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+D02_SQL = f"""
+WITH {_DUCK_SHINGLES_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM shingles a
+  JOIN shingles b ON b.s = a.s AND b.doc_id > a.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, n_common,
+       ROUND(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common)
+      >= {NGRAM_JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup detection, end to end:
+
+    shingles → 16 minhash signatures (affine perms over an explicit
+    polynomial char hash) → 4 bands × 4 rows → band-bucket equi-join →
+    distinct candidate pairs → exact Jaccard verify (count-based) →
+    pairs with jaccard >= threshold.
+    """
+    sh = _shingle_rows(spark, sf_dir)
+    h = F.expr(_SPARK_H.format(s="s")).cast("long")
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(HASH_AS[j]) * h + F.lit(HASH_BS[j])) % MINHASH_PRIME)
+            .alias(f"mh{j}")
+            for j in range(NUM_HASHES)
+        ]
+    )
+    band_cols = [
+        F.struct(
+            F.lit(bi).alias("band_id"),
+            F.concat_ws(
+                "-",
+                *[
+                    F.col(f"mh{bi * ROWS_PER_BAND + r}")
+                    for r in range(ROWS_PER_BAND)
+                ],
+            ).alias("band_key"),
+        )
+        for bi in range(BANDS)
+    ]
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc_id", "bk.band_id", "bk.band_key")
+    x = bands.alias("x")
+    y = bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sh.select(F.col("doc_id").alias("a_id"), F.col("s").alias("s_a"))
+    sb = sh.select(F.col("doc_id").alias("b_id"), F.col("s").alias("s_b"))
+    inter = (
+        cand.join(sa, F.col("doc_a") == F.col("a_id"))
+        .join(
+            sb,
+            (F.col("doc_b") == F.col("b_id"))
+            & (F.col("s_a") == F.col("s_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    za = sizes.alias("za")
+    zb = sizes.alias("zb")
+    return (
+        inter.join(za, F.col("doc_a") == F.col("za.doc_id"))
+        .join(zb, F.col("doc_b") == F.col("zb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_common")
+                / (F.col("za.n") + F.col("zb.n") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= MINHASH_JACCARD_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _d03_sql() -> str:
+    h = _DUCK_H.format(s="s")
+    sig_cols = ",\n         ".join(
+        f"MIN(({HASH_AS[j]} * {h} + {HASH_BS[j]}) % {MINHASH_PRIME}) AS mh{j}"
+        for j in range(NUM_HASHES)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {bi} AS band_id, CONCAT_WS('-', {cols}) AS band_key FROM sig".format(
+            bi=bi,
+            cols=", ".join(
+                f"mh{bi * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
+            ),
+        )
+        for bi in range(BANDS)
+    )
+    return f"""
+WITH {_DUCK_SHINGLES_CTE},
+sig AS (
+  SELECT doc_id,
+         {sig_cols}
+  FROM shingles
+  GROUP BY doc_id
+),
+bands AS (
+{band_selects}
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x
+  JOIN bands y ON x.band_id = y.band_id AND x.band_key = y.band_key
+              AND x.doc_id < y.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN shingles sa ON sa.doc_id = c.doc_a
+  JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       ROUND(CAST(i.n_common AS DOUBLE) / (za.n + zb.n - i.n_common), 6) AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc_id = i.doc_a
+JOIN sizes zb ON zb.doc_id = i.doc_b
+WHERE CAST(i.n_common AS DOUBLE) / (za.n + zb.n - i.n_common)
+      >= {MINHASH_JACCARD_THRESHOLD}
+ORDER BY i.doc_a, i.doc_b
+"""
+
+
+SIMHASH_BITS = 16
+
+
+def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash: per-token polynomial hash, per-bit majority vote over the
+    document's tokens -> 16-bit fingerprint. Explode + one groupBy with
+    16 conditional sums — pure JVM aggregation."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    padded = "rpad(substring(tok, 1, 4), 4, 'x')"
+    th = (
+        f"(ascii(substring({padded}, 1, 1)) * 29791"
+        f" + ascii(substring({padded}, 2, 1)) * 961"
+        f" + ascii(substring({padded}, 3, 1)) * 31"
+        f" + ascii(substring({padded}, 4, 1)))"
+    )
+    toks = toks.withColumn("th", F.expr(th).cast("long"))
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("th"), b).bitwiseAND(1) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    simhash = None
+    for b in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        simhash = bit if simhash is None else simhash + bit
+    return votes.select(
+        "doc_id", simhash.cast("long").alias("simhash")
+    ).orderBy("doc_id")
+
+
+def _d04_sql() -> str:
+    padded = "RPAD(SUBSTRING(tok, 1, 4), 4, 'x')"
+    th = (
+        f"(ASCII(SUBSTRING({padded}, 1, 1)) * 29791"
+        f" + ASCII(SUBSTRING({padded}, 2, 1)) * 961"
+        f" + ASCII(SUBSTRING({padded}, 3, 1)) * 31"
+        f" + ASCII(SUBSTRING({padded}, 4, 1)))"
+    )
+    votes = ",\n         ".join(
+        f"SUM(CASE WHEN (th >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    combine = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(regexp_split_to_array(TRIM(LOWER(text)), '\\s+')) AS tok
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id, {th} AS th FROM toks WHERE LENGTH(tok) > 0
+),
+votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM hashed
+  GROUP BY doc_id
+)
+SELECT doc_id, CAST({combine} AS BIGINT) AS simhash
+FROM votes
+ORDER BY doc_id
+"""
+
+
+def d05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicates: cosine >= threshold within the same
+    label block (blocking bounds the pair count; the unblocked version is
+    the LSH job in similarity.py). Dot/norms via JVM higher-order fns in
+    strict index order for oracle bit-parity."""
+    em = table(spark, sf_dir, "embeddings")
+    vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = em.select(
+        "vec_id",
+        "label",
+        vec_d.alias("v"),
+        F.sqrt(
+            F.aggregate(vec_d, F.lit(0.0), lambda acc, x: acc + x * x)
+        ).alias("norm"),
+    )
+    a = base.alias("a")
+    b = base.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (F.col("a.norm") * F.col("b.norm"))
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= NEARDUP_COSINE)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+D05_SQL = f"""
+WITH base AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+       ROUND(list_dot_product(a.v, b.v)
+             / (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v))),
+             6) AS cosine
+FROM base a
+JOIN base b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE ROUND(list_dot_product(a.v, b.v)
+            / (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v))),
+            6) >= {NEARDUP_COSINE}
+ORDER BY vec_a, vec_b
+"""
+
+
+QUERIES = [
+    Query("d01_exact_dedup", d01_exact_dedup, D01_SQL,
+          "exact dedup via hash-groupBy on MD5"),
+    Query("d02_ngram_jaccard", d02_ngram_jaccard, D02_SQL,
+          "count-based n-gram Jaccard, consecutive-doc pairs"),
+    Query("d03_minhash_lsh", d03_minhash_lsh, _d03_sql(),
+          "MinHash signatures + LSH band join + exact verify"),
+    Query("d04_simhash", d04_simhash, _d04_sql(),
+          "SimHash bitwise-majority fingerprint"),
+    Query("d05_embedding_neardup", d05_embedding_neardup, D05_SQL,
+          "cosine near-dup pairs, label-blocked"),
+]

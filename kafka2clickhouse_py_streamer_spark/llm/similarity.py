@@ -1,0 +1,263 @@
+"""Similarity search over ``embeddings.embedding`` (array<float>, 64-dim):
+
+- s01: brute-force cosine top-k (exact baseline) — cross join of a small
+  query set against the corpus, per-query top-k via window. At 100 TB the
+  query side is broadcast and the corpus side streams: cost is one scan,
+  no shuffle of the corpus.
+- s02: hyperplane-LSH bucketed ANN — deterministic pseudo-random planes,
+  sign-bit bucket key, candidates = same-bucket rows only. The scale
+  path: bucket key is computed in the scan projection, the join is an
+  equi-join on the bucket id.
+
+All vector math is JVM higher-order functions (zip_with/aggregate) in
+strict index order so the DuckDB oracle (list_dot_product on DOUBLE[])
+matches bit-for-bit before rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka2clickhouse_py_streamer_spark.operators.base import Query, table
+
+N_QUERIES = 10  # vec_id < 10 are the query vectors
+TOP_K = 3
+N_PLANES = 8
+DIM = 64
+
+
+def _plane_coeff(plane: int, i: int) -> int:
+    """Deterministic pseudo-random plane coefficient in [-3, 3]."""
+    return ((i + 1) * (plane + 3) * 2654435761 % 7) - 3
+
+
+def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = table(spark, sf_dir, "embeddings")
+    vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return em.select(
+        "vec_id",
+        vec_d.alias("v"),
+        F.sqrt(
+            F.aggregate(vec_d, F.lit(0.0), lambda acc, x: acc + x * x)
+        ).alias("norm"),
+    )
+
+
+def _cosine(a_col: str, b_col: str, a_norm: str, b_norm: str):
+    dot = F.aggregate(
+        F.zip_with(F.col(a_col), F.col(b_col), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return dot / (F.col(a_norm) * F.col(b_norm))
+
+
+def s01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k: brute-force cosine of each query vs whole corpus."""
+    base = _base(spark, sf_dir)
+    q = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    c = base.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("cnorm"),
+    )
+    scored = F.broadcast(q).crossJoin(c).select(
+        "query_id",
+        "cand_id",
+        F.round(_cosine("qv", "cv", "qnorm", "cnorm"), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= TOP_K)
+        .orderBy("query_id", "rk")
+    )
+
+
+S01_SQL = f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         ROUND(list_dot_product(q.v, c.v)
+               / (SQRT(list_dot_product(q.v, q.v)) * SQRT(list_dot_product(c.v, c.v))),
+               6) AS cosine
+  FROM base q, base c
+  WHERE q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
+),
+ranked AS (
+  SELECT query_id, cand_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, cand_id ASC) AS rk
+  FROM scored
+)
+SELECT query_id, cand_id, cosine, rk
+FROM ranked WHERE rk <= {TOP_K}
+ORDER BY query_id, rk
+"""
+
+
+def s02_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN: 8 deterministic planes -> 8 sign bits ->
+    bucket id; report per-bucket membership stats (the candidate
+    generation stage — top-k within bucket composes with s01's scorer).
+    """
+    base = _base(spark, sf_dir)
+    bucket = None
+    for p in range(N_PLANES):
+        coeffs = F.array(
+            *[F.lit(float(_plane_coeff(p, i))) for i in range(DIM)]
+        )
+        dot = F.aggregate(
+            F.zip_with(F.col("v"), coeffs, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    tagged = base.select("vec_id", bucket.cast("long").alias("bucket"))
+    return (
+        tagged.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.min("vec_id").alias("min_vec_id"),
+            F.max("vec_id").alias("max_vec_id"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _s02_sql() -> str:
+    bits = []
+    for p in range(N_PLANES):
+        coeffs = ", ".join(
+            str(float(_plane_coeff(p, i))) for i in range(DIM)
+        )
+        bits.append(
+            f"(CASE WHEN list_dot_product(v, [{coeffs}]) > 0"
+            f" THEN {1 << p} ELSE 0 END)"
+        )
+    combine = "\n         + ".join(bits)
+    return f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+tagged AS (
+  SELECT vec_id,
+         CAST({combine} AS BIGINT) AS bucket
+  FROM base
+)
+SELECT bucket, COUNT(*) AS n_vectors,
+       MIN(vec_id) AS min_vec_id, MAX(vec_id) AS max_vec_id
+FROM tagged
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+def s03_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN end-to-end: LSH bucket equi-join (candidates = same bucket)
+    then exact cosine re-rank, top-k per query. The equi-join on bucket
+    replaces s01's cross join — this is the shape that survives a
+    billion-vector corpus."""
+    base = _base(spark, sf_dir)
+    bucket = None
+    for p in range(N_PLANES):
+        coeffs = F.array(
+            *[F.lit(float(_plane_coeff(p, i))) for i in range(DIM)]
+        )
+        dot = F.aggregate(
+            F.zip_with(F.col("v"), coeffs, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    tagged = base.withColumn("bucket", bucket.cast("long"))
+    q = tagged.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+        "bucket",
+    )
+    c = tagged.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("cnorm"),
+        "bucket",
+    )
+    scored = F.broadcast(q).join(c, "bucket").select(
+        "query_id",
+        "cand_id",
+        F.round(_cosine("qv", "cv", "qnorm", "cnorm"), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= TOP_K)
+        .orderBy("query_id", "rk")
+    )
+
+
+def _s03_sql() -> str:
+    bits = []
+    for p in range(N_PLANES):
+        coeffs = ", ".join(
+            str(float(_plane_coeff(p, i))) for i in range(DIM)
+        )
+        bits.append(
+            f"(CASE WHEN list_dot_product(v, [{coeffs}]) > 0"
+            f" THEN {1 << p} ELSE 0 END)"
+        )
+    combine = "\n         + ".join(bits)
+    return f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+tagged AS (
+  SELECT vec_id, v,
+         CAST({combine} AS BIGINT) AS bucket
+  FROM base
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         ROUND(list_dot_product(q.v, c.v)
+               / (SQRT(list_dot_product(q.v, q.v)) * SQRT(list_dot_product(c.v, c.v))),
+               6) AS cosine
+  FROM tagged q
+  JOIN tagged c ON q.bucket = c.bucket
+  WHERE q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
+),
+ranked AS (
+  SELECT query_id, cand_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, cand_id ASC) AS rk
+  FROM scored
+)
+SELECT query_id, cand_id, cosine, rk
+FROM ranked WHERE rk <= {TOP_K}
+ORDER BY query_id, rk
+"""
+
+
+QUERIES = [
+    Query("s01_cosine_topk", s01_cosine_topk, S01_SQL,
+          "exact brute-force cosine top-k"),
+    Query("s02_lsh_buckets", s02_lsh_buckets, _s02_sql(),
+          "hyperplane-LSH bucket assignment"),
+    Query("s03_lsh_topk", s03_lsh_topk, _s03_sql(),
+          "LSH-bucketed ANN + exact re-rank"),
+]

@@ -1,0 +1,188 @@
+"""Text analysis over the ``documents`` table: token counting, quality
+scoring, language ID (n-gram/marker-word heuristic), document
+fingerprinting.
+
+Everything is whole-stage-codegen JVM expressions (regexp_count, split,
+md5) — a 100 TB corpus scan stays Python-free. Each op has an exact
+DuckDB oracle twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka2clickhouse_py_streamer_spark.operators.base import Query, table
+
+# Marker words per language for the heuristic language-ID scorer.
+# (Checked in this precedence order; ties go to the earlier language.)
+LANG_MARKERS = [
+    ("en", r"\b(the|and|of|to|is)\b"),
+    ("es", r"\b(el|la|los|que|de)\b"),
+    ("de", r"\b(der|die|das|und|ist)\b"),
+    ("fr", r"\b(le|les|des|et|est)\b"),
+]
+
+PUNCT_RE = r"[.,;:!?]"
+STOPWORD_RE = r"\b(the|a|an|and|or|of|to|in|is)\b"
+
+
+def t01_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokenization + a BPE-ish subword proxy (runs of
+    letters / digits / single punctuation), per document."""
+    d = table(spark, sf_dir, "documents")
+    trimmed = F.trim(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.when(F.length(trimmed) == 0, F.lit(0))
+        .otherwise(F.size(F.split(trimmed, r"\s+")))
+        .cast("long")
+        .alias("n_tokens"),
+        F.regexp_count(F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
+        .cast("long")
+        .alias("n_subwords"),
+        F.length("text").cast("long").alias("n_chars_computed"),
+    ).orderBy("doc_id")
+
+
+T01_SQL = r"""
+SELECT doc_id,
+       CAST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                 ELSE LEN(regexp_split_to_array(TRIM(text), '\s+')) END AS BIGINT) AS n_tokens,
+       CAST(LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_subwords,
+       CAST(LENGTH(text) AS BIGINT) AS n_chars_computed
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def t02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality: length band + punctuation density +
+    stopword ratio -> [0,1] score. Mirrors the C4/Gopher-style rule
+    filters used for LLM corpus cleaning."""
+    d = table(spark, sf_dir, "documents")
+    n_tokens = F.when(F.length(F.trim("text")) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim("text"), r"\s+"))
+    )
+    n_punct = F.regexp_count(F.col("text"), F.lit(PUNCT_RE))
+    n_stop = F.regexp_count(F.lower(F.col("text")), F.lit(STOPWORD_RE))
+    tok = n_tokens.cast("double")
+    score = (
+        F.when((tok >= 10) & (tok <= 1000), F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when((n_stop.cast("double") / F.greatest(tok, F.lit(1.0))) > 0.05,
+                 F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.when((n_punct.cast("double") / F.greatest(F.length("text").cast("double"), F.lit(1.0))) < 0.1,
+                 F.lit(0.3)).otherwise(F.lit(0.0))
+    )
+    return d.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        n_punct.cast("long").alias("n_punct"),
+        n_stop.cast("long").alias("n_stopwords"),
+        F.round(score, 2).alias("quality_score"),
+    ).orderBy("doc_id")
+
+
+T02_SQL = rf"""
+WITH feats AS (
+  SELECT doc_id,
+         CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+              ELSE LEN(regexp_split_to_array(TRIM(text), '\s+')) END AS n_tokens,
+         LEN(regexp_extract_all(text, '{PUNCT_RE}')) AS n_punct,
+         LEN(regexp_extract_all(LOWER(text), '{STOPWORD_RE}')) AS n_stopwords,
+         LENGTH(text) AS n_chars
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_punct AS BIGINT) AS n_punct,
+       CAST(n_stopwords AS BIGINT) AS n_stopwords,
+       ROUND(
+         (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 0.4 ELSE 0.0 END)
+         + (CASE WHEN CAST(n_stopwords AS DOUBLE) / GREATEST(CAST(n_tokens AS DOUBLE), 1.0) > 0.05 THEN 0.3 ELSE 0.0 END)
+         + (CASE WHEN CAST(n_punct AS DOUBLE) / GREATEST(CAST(n_chars AS DOUBLE), 1.0) < 0.1 THEN 0.3 ELSE 0.0 END),
+       2) AS quality_score
+FROM feats
+ORDER BY doc_id
+"""
+
+
+def t03_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID: count per-language marker hits, argmax
+    with fixed precedence; no hits -> 'unk'."""
+    d = table(spark, sf_dir, "documents")
+    lowered = F.lower(F.col("text"))
+    counts = {
+        lang: F.regexp_count(lowered, F.lit(pat)) for lang, pat in LANG_MARKERS
+    }
+    best = F.greatest(*counts.values())
+    pred = F.when(best == 0, F.lit("unk"))
+    for lang, _ in LANG_MARKERS:
+        pred = pred.when(counts[lang] == best, F.lit(lang))
+    sel = [F.col("doc_id"), F.col("lang").alias("labeled_lang"),
+           pred.alias("pred_lang")]
+    sel += [counts[lang].cast("long").alias(f"hits_{lang}")
+            for lang, _ in LANG_MARKERS]
+    return d.select(*sel).orderBy("doc_id")
+
+
+def _t03_sql() -> str:
+    cols = ",\n         ".join(
+        f"LEN(regexp_extract_all(LOWER(text), '{pat}')) AS hits_{lang}"
+        for lang, pat in LANG_MARKERS
+    )
+    best = "GREATEST(" + ", ".join(f"hits_{lang}" for lang, _ in LANG_MARKERS) + ")"
+    whens = "\n            ".join(
+        f"WHEN hits_{lang} = {best} THEN '{lang}'" for lang, _ in LANG_MARKERS
+    )
+    hit_cols = ", ".join(
+        f"CAST(hits_{lang} AS BIGINT) AS hits_{lang}" for lang, _ in LANG_MARKERS
+    )
+    return f"""
+WITH feats AS (
+  SELECT doc_id, lang,
+         {cols}
+  FROM documents
+)
+SELECT doc_id, lang AS labeled_lang,
+       CASE WHEN {best} = 0 THEN 'unk'
+            {whens}
+       END AS pred_lang,
+       {hit_cols}
+FROM feats
+ORDER BY doc_id
+"""
+
+
+def t04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: full-text MD5 plus a normalized
+    fingerprint (lowercase, collapsed whitespace) that catches
+    formatting-only near-dups."""
+    d = table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+    return d.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("fp_exact"),
+        F.md5(norm).alias("fp_norm"),
+    ).orderBy("doc_id")
+
+
+T04_SQL = r"""
+SELECT doc_id,
+       MD5(text) AS fp_exact,
+       MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS fp_norm
+FROM documents
+ORDER BY doc_id
+"""
+
+
+QUERIES = [
+    Query("t01_token_count", t01_token_count, T01_SQL,
+          "whitespace + subword-proxy token counts"),
+    Query("t02_quality_score", t02_quality_score, T02_SQL,
+          "heuristic quality scoring (C4/Gopher-style)"),
+    Query("t03_langid", t03_langid, _t03_sql(),
+          "marker-word language ID"),
+    Query("t04_fingerprint", t04_fingerprint, T04_SQL,
+          "exact + normalized MD5 fingerprints"),
+]

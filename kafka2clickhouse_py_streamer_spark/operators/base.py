@@ -1,0 +1,85 @@
+"""Shared plumbing for the query registry.
+
+Oracle-parity rules (every query in the registry follows these):
+
+- Alias every computed column identically in Spark and SQL (the driver
+  sorts columns by name before hashing values).
+- Computed integers are cast to BIGINT on both sides (Spark's
+  ``row_number``/``month`` return INT, DuckDB's return BIGINT; DuckDB's
+  ``SUM(int)`` returns HUGEINT — normalize everything to long).
+- Floating aggregates are ``round()``-ed to a fixed scale on both sides
+  (summation order differs between engines; rounding absorbs the ulp-level
+  drift).
+- Timestamp semantics pinned to UTC (session conf) so Spark and DuckDB
+  (UTC-naive) agree.
+- Every query orders deterministically or is order-insensitive (the
+  driver's compare sorts rows anyway; determinism matters for ``LIMIT``).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class Query:
+    """One verifiable operator: Spark program + optional DuckDB oracle."""
+
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # ANSI SQL for DuckDB; None => rows-only check
+    doc: str = ""
+
+
+# events.ts is parquet timestamp[ns], which Spark's vectorized reader
+# rejects. Read it as long (legacy conf, set at runtime so it also works
+# under a session we didn't build) and truncate to microseconds. Every
+# oracle on events uses EVENTS_US_CTE so DuckDB sees the identical
+# microsecond-truncated timestamps (DuckDB CAST ns->us truncates too).
+EVENTS_US_CTE = """
+events AS (
+  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+         value, props
+  FROM events
+)"""
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.expr("timestamp_micros(ts div 1000)")
+            )
+        return df
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def all_queries() -> dict[str, Query]:
+    """Merge every operator module's registry. Import here (not at module
+    top) so a bug in one module doesn't take down the whole registry at
+    import time of the package."""
+    from kafka2clickhouse_py_streamer_spark.operators import (
+        aggregates,
+        joins,
+        scalar_fns,
+        windows,
+    )
+    from kafka2clickhouse_py_streamer_spark.llm import dedup, similarity, text
+    from kafka2clickhouse_py_streamer_spark.streaming import batch_windows
+
+    merged: dict[str, Query] = {}
+    for mod in (aggregates, joins, windows, scalar_fns,
+                dedup, similarity, text, batch_windows):
+        for q in mod.QUERIES:
+            if q.name in merged:
+                raise ValueError(f"duplicate query name: {q.name}")
+            merged[q.name] = q
+    return merged

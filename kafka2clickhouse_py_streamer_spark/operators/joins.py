@@ -1,0 +1,291 @@
+"""Join operators: broadcast + shuffle equi-joins, semi/anti, outer,
+non-equi (theta), and an as-of join built from Spark primitives.
+
+Scale notes: dimension tables (region/nation/supplier/part at TPC-H
+ratios) are broadcast — zero shuffle of the fact side. Fact-to-fact joins
+(orders⋈lineitem) shuffle both sides on the key; at 100 TB that is the
+dominant cost, so both sides are pre-filtered/pruned before the join and
+AQE handles skew. The as-of join is the window-function formulation: one
+shuffle + one sort, no per-row Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka2clickhouse_py_streamer_spark.operators.base import Query, table
+
+
+def q02_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per region: fact table joined through two broadcast dims.
+
+    nation (25 rows) and region (5 rows) are broadcast explicitly; the
+    customer⋈orders join shuffles on custkey.
+    """
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("r_name")
+    )
+
+
+Q02_SQL = """
+SELECT r_name,
+       ROUND(SUM(o_totalprice), 2) AS revenue,
+       COUNT(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY r_name
+"""
+
+
+def q03_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-alike: 3-way join, groupBy, top-10 by revenue.
+
+    orderBy+limit compiles to TakeOrderedAndProject — each partition keeps
+    only its top 10, the driver merges; no global sort materialization.
+    """
+    c = table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+Q03_SQL = """
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def q04_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI: orders that have at least one big-quantity lineitem.
+
+    Semi-join ships only the join key of the probe side and stops at first
+    match — the right plan shape for EXISTS at scale.
+    """
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+Q04_SQL = """
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+ORDER BY o_orderkey
+"""
+
+
+def q05_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI: customers with no orders (NOT EXISTS)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+Q05_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+ORDER BY c_custkey
+"""
+
+
+def q07_left_join_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER + count: order count per customer including zeros.
+
+    COUNT(o_orderkey) (not COUNT(*)) so unmatched customers count 0.
+    """
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .orderBy("c_custkey")
+    )
+
+
+Q07_SQL = """
+SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders
+FROM customer c
+LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c_custkey, c_name
+ORDER BY c_custkey
+"""
+
+
+def q25_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi + non-equi (theta) join: lineitems whose quantity exceeds the
+    part's size. The equi key carries the shuffle; the theta predicate is
+    evaluated as a post-join filter inside the same join operator."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    return (
+        li.join(
+            F.broadcast(p),
+            (li.l_partkey == p.p_partkey) & (li.l_quantity > p.p_size),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_over"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+Q25_SQL = """
+SELECT p_brand,
+       COUNT(*) AS n_over,
+       ROUND(SUM(l_extendedprice), 2) AS sum_price
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND l_quantity > p_size
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+def q26_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark has no native one): for each event, the latest
+    order of the same key at-or-before the event date.
+
+    Built as equi-join on key + range predicate + row_number()==1 — one
+    shuffle, one per-key sort. At 100 TB the alternative is the
+    union-and-sort trick or ``merge_asof`` in applyInPandas per key
+    bucket; the window formulation stays fully in the JVM and is the
+    default. (Reference has no joins at all — SURVEY.md §2b.)
+    """
+    e = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.col("ts").alias("event_ts")
+    )
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    # user_id spans a smaller range than custkey; join key = user_id
+    joined = e.join(
+        o,
+        (e.user_id == o.o_custkey)
+        & (o.o_orderdate <= F.date_trunc("second", e.event_ts)),
+        "inner",
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+        )
+        .orderBy("event_id")
+    )
+
+
+Q26_SQL = """
+WITH j AS (
+  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+  FROM events e
+  JOIN orders o ON e.user_id = o.o_custkey
+               AND o.o_orderdate <= date_trunc('second', e.ts)
+)
+SELECT event_id, user_id, o_orderkey, o_orderdate, o_totalprice
+FROM j WHERE rn = 1
+ORDER BY event_id
+"""
+
+
+def q21_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery via the SQL API: orders above their
+    customer's average price. Catalyst de-correlates this into an
+    aggregate + join."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_cs")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey,
+               ROUND(o_totalprice, 2) AS price
+        FROM orders_cs o1
+        WHERE o_totalprice > (SELECT 1.5 * AVG(o_totalprice)
+                              FROM orders_cs o2
+                              WHERE o2.o_custkey = o1.o_custkey)
+        ORDER BY o_orderkey
+        """
+    )
+
+
+Q21_SQL = """
+SELECT o_orderkey, o_custkey,
+       ROUND(o_totalprice, 2) AS price
+FROM orders o1
+WHERE o_totalprice > (SELECT 1.5 * AVG(o_totalprice)
+                      FROM orders o2
+                      WHERE o2.o_custkey = o1.o_custkey)
+ORDER BY o_orderkey
+"""
+
+
+QUERIES = [
+    Query("q02_region_revenue", q02_region_revenue, Q02_SQL,
+          "fact⋈broadcast-dims revenue rollup"),
+    Query("q03_top_orders", q03_top_orders, Q03_SQL,
+          "3-way join + top-10 (TPC-H Q3-alike)"),
+    Query("q04_semi_join", q04_semi_join, Q04_SQL, "LEFT SEMI / EXISTS"),
+    Query("q05_anti_join", q05_anti_join, Q05_SQL, "LEFT ANTI / NOT EXISTS"),
+    Query("q07_left_join_count", q07_left_join_count, Q07_SQL,
+          "LEFT OUTER + count with zeros"),
+    Query("q21_correlated_subquery", q21_correlated_subquery, Q21_SQL,
+          "correlated scalar subquery (SQL API)"),
+    Query("q25_theta_join", q25_theta_join, Q25_SQL,
+          "equi+theta join on broadcast dim"),
+    Query("q26_asof_join", q26_asof_join, Q26_SQL,
+          "as-of join via window formulation"),
+]

@@ -1,0 +1,326 @@
+"""Scalar-function surface (string / date / JSON / array / conditional),
+sort+limit, set operations, pivot.
+
+All expressions are JVM built-ins inside whole-stage codegen — no Python
+on the hot path. JSON access uses ``get_json_object`` (no full parse /
+schema inference); array math uses higher-order functions
+(transform/aggregate) which execute vectorized in the JVM.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka2clickhouse_py_streamer_spark.operators.base import Query, table
+
+
+def q11_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-20 (TakeOrderedAndProject: per-partition top-k + merge,
+    no full sort)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round("l_extendedprice", 2).alias("price"),
+        )
+        .orderBy(
+            F.col("price").desc(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+        )
+        .limit(20)
+    )
+
+
+Q11_SQL = """
+SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice, 2) AS price
+FROM lineitem
+ORDER BY price DESC, l_orderkey ASC, l_linenumber ASC
+LIMIT 20
+"""
+
+
+def q15_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT over customer-key sets."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    big_spenders = (
+        o.groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("t"))
+        .filter(F.col("t") > 300000)
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    machinery = c.filter(F.col("c_mktsegment") == "MACHINERY").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    return (
+        big_spenders.intersect(building.unionByName(machinery))
+        .exceptAll(machinery)
+        .orderBy("custkey")
+    )
+
+
+Q15_SQL = """
+WITH big_spenders AS (
+  SELECT o_custkey AS custkey FROM orders
+  GROUP BY o_custkey HAVING SUM(o_totalprice) > 300000
+), building AS (
+  SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+), machinery AS (
+  SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+)
+(SELECT custkey FROM big_spenders
+ INTERSECT
+ (SELECT custkey FROM building UNION SELECT custkey FROM machinery))
+EXCEPT ALL
+SELECT custkey FROM machinery
+ORDER BY custkey
+"""
+
+
+def q16_string_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String kernel: lower/upper, substring, concat, regexp_extract,
+    length, replace, split. NULLIF('') normalizes the engines' no-match
+    conventions."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.nullif(F.regexp_extract("p_brand", r"#(\d+)", 1), F.lit("")).alias(
+            "brand_num"
+        ),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.regexp_replace("p_type", r"\s+", "_").alias("type_snake"),
+        F.size(F.split("p_name", " ")).cast("long").alias("name_words"),
+    ).orderBy("p_partkey")
+
+
+Q16_SQL = r"""
+SELECT p_partkey,
+       LOWER(p_name) AS name_lower,
+       UPPER(p_brand) AS brand_upper,
+       SUBSTRING(p_type, 1, 5) AS type_prefix,
+       CONCAT_WS('|', p_brand, p_type) AS brand_type,
+       NULLIF(REGEXP_EXTRACT(p_brand, '#(\d+)', 1), '') AS brand_num,
+       CAST(LENGTH(p_name) AS BIGINT) AS name_len,
+       REGEXP_REPLACE(p_type, '\s+', '_', 'g') AS type_snake,
+       CAST(LEN(STRING_SPLIT(p_name, ' ')) AS BIGINT) AS name_words
+FROM part
+ORDER BY p_partkey
+"""
+
+
+def q17_date_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date kernel: year/month/day extraction, date_trunc, datediff,
+    date arithmetic, dayofweek."""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+        F.dayofmonth("o_orderdate").cast("long").alias("order_day"),
+        F.to_date(F.date_trunc("month", "o_orderdate")).alias("month_start"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date"))
+        .cast("long")
+        .alias("days_to_2002"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
+        F.dayofweek("o_orderdate").cast("long").alias("dow"),
+    ).orderBy("o_orderkey")
+
+
+# DuckDB: dayofweek/ isodow differ from Spark's dayofweek (Sun=1..Sat=7).
+# DuckDB dayofweek(ts) = 0..6 with Sunday=0 -> +1 aligns with Spark.
+Q17_SQL = """
+SELECT o_orderkey,
+       CAST(YEAR(o_orderdate) AS BIGINT) AS order_year,
+       CAST(MONTH(o_orderdate) AS BIGINT) AS order_month,
+       CAST(DAYOFMONTH(o_orderdate) AS BIGINT) AS order_day,
+       CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month_start,
+       CAST(DATEDIFF('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS BIGINT) AS days_to_2002,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS due_date,
+       CAST(DAYOFWEEK(o_orderdate) + 1 AS BIGINT) AS dow
+FROM orders
+ORDER BY o_orderkey
+"""
+
+
+def q18_json_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path access on the events.props string column — no schema
+    inference, single-field extraction (the 100 TB-safe way to touch
+    semi-structured columns)."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.withColumn(
+            "k", F.get_json_object("props", "$.k").cast("long")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q18_SQL = """
+SELECT event_type,
+       ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def q19_array_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array kernel over embeddings: size, element access, higher-order
+    aggregate (sum/mean of elements) — all JVM higher-order functions,
+    identical element iteration order to the oracle."""
+    em = table(spark, sf_dir, "embeddings")
+    vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return em.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(F.element_at(vec_d, 1), 6).alias("first_elem"),
+        F.round(
+            F.aggregate(vec_d, F.lit(0.0), lambda acc, x: acc + x), 6
+        ).alias("elem_sum"),
+        F.round(
+            F.aggregate(vec_d, F.lit(0.0), lambda acc, x: acc + x * x), 6
+        ).alias("elem_sq_sum"),
+    ).orderBy("vec_id")
+
+
+Q19_SQL = """
+SELECT vec_id,
+       CAST(LEN(embedding) AS BIGINT) AS dim,
+       ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_elem,
+       ROUND(list_reduce(list_prepend(0.0, list_transform(embedding, x -> CAST(x AS DOUBLE))),
+                         (acc, x) -> acc + x), 6) AS elem_sum,
+       ROUND(list_reduce(list_prepend(0.0, list_transform(embedding, x -> CAST(x AS DOUBLE))),
+                         (acc, x) -> acc + x * x), 6) AS elem_sq_sum
+FROM embeddings
+ORDER BY vec_id
+"""
+
+
+def q20_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional kernel: CASE WHEN, coalesce, nullif, try_cast,
+    greatest/least."""
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "overdrawn")
+        .when(F.col("c_acctbal") < 5000, "standard")
+        .otherwise("premium")
+        .alias("tier"),
+        F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("(b)")).alias(
+            "seg_masked"
+        ),
+        F.expr("try_cast(c_name AS BIGINT)").alias("name_as_num"),
+        F.expr("try_cast(substring(c_name, 10, 18) AS BIGINT)").alias(
+            "name_suffix_num"
+        ),
+        F.round(F.greatest(F.col("c_acctbal"), F.lit(0.0)), 2).alias(
+            "bal_floor0"
+        ),
+        F.round(F.least(F.col("c_acctbal"), F.lit(1000.0)), 2).alias(
+            "bal_cap1k"
+        ),
+    ).orderBy("c_custkey")
+
+
+Q20_SQL = """
+SELECT c_custkey,
+       CASE WHEN c_acctbal < 0 THEN 'overdrawn'
+            WHEN c_acctbal < 5000 THEN 'standard'
+            ELSE 'premium' END AS tier,
+       COALESCE(NULLIF(c_mktsegment, 'BUILDING'), '(b)') AS seg_masked,
+       TRY_CAST(c_name AS BIGINT) AS name_as_num,
+       TRY_CAST(SUBSTRING(c_name, 10, 18) AS BIGINT) AS name_suffix_num,
+       ROUND(GREATEST(c_acctbal, 0.0), 2) AS bal_floor0,
+       ROUND(LEAST(c_acctbal, 1000.0), 2) AS bal_cap1k
+FROM customer
+ORDER BY c_custkey
+"""
+
+
+def q22_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide conditional aggregation): order totals by priority ×
+    status. Explicit value list so no extra distinct-values job runs."""
+    o = table(spark, sf_dir, "orders")
+    pv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.round(F.sum("o_totalprice"), 2))
+    )
+    return pv.select(
+        "o_orderpriority",
+        F.col("O").alias("total_open"),
+        F.col("F").alias("total_filled"),
+        F.col("P").alias("total_pending"),
+    ).orderBy("o_orderpriority")
+
+
+Q22_SQL = """
+SELECT o_orderpriority,
+       ROUND(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS total_open,
+       ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS total_filled,
+       ROUND(SUM(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS total_pending
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q30_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot via stack(): long-format (metric, value) rows per part."""
+    p = table(spark, sf_dir, "part")
+    return (
+        p.selectExpr(
+            "p_partkey",
+            "stack(2, 'size', CAST(p_size AS DOUBLE), "
+            "'retailprice', p_retailprice) AS (metric, metric_value)",
+        )
+        .withColumn("metric_value", F.round("metric_value", 2))
+        .orderBy("p_partkey", "metric")
+    )
+
+
+Q30_SQL = """
+SELECT p_partkey, metric, ROUND(metric_value, 2) AS metric_value
+FROM (
+  SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS metric_value FROM part
+  UNION ALL
+  SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS metric_value FROM part
+)
+ORDER BY p_partkey, metric
+"""
+
+
+QUERIES = [
+    Query("q11_sort_limit", q11_sort_limit, Q11_SQL,
+          "global top-k (TakeOrderedAndProject)"),
+    Query("q15_set_ops", q15_set_ops, Q15_SQL,
+          "UNION/INTERSECT/EXCEPT ALL"),
+    Query("q16_string_fns", q16_string_fns, Q16_SQL, "string kernel"),
+    Query("q17_date_fns", q17_date_fns, Q17_SQL, "date kernel"),
+    Query("q18_json_fns", q18_json_fns, Q18_SQL,
+          "JSON path extraction on props"),
+    Query("q19_array_fns", q19_array_fns, Q19_SQL,
+          "array higher-order functions"),
+    Query("q20_conditional", q20_conditional, Q20_SQL,
+          "CASE/coalesce/nullif/try_cast"),
+    Query("q22_pivot", q22_pivot, Q22_SQL, "pivot with explicit values"),
+    Query("q30_unpivot", q30_unpivot, Q30_SQL, "unpivot via stack()"),
+]

@@ -1,0 +1,210 @@
+"""Window-function operators: ranking, running aggregates, lag/lead,
+sessionization, keep-first dedup.
+
+Scale notes: each window is one shuffle on partitionBy keys + a per-key
+sort. Ordering keys always include a unique tiebreak column so results
+are deterministic (and RANGE vs ROWS framing cannot diverge between
+engines — frames are declared ROWS explicitly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka2clickhouse_py_streamer_spark.operators.base import Query, table
+
+
+def q08_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by price (row_number ≤ 3).
+
+    The canonical top-K-per-group: shuffle on the group key, per-key sort,
+    early filter on rank. AQE coalesces the tiny post-filter partitions.
+    """
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("price"),
+            "rn",
+        )
+        .orderBy("o_custkey", "rn")
+    )
+
+
+Q08_SQL = """
+SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS price, rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+)
+WHERE rn <= 3
+ORDER BY o_custkey, rn
+"""
+
+
+def q09_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running revenue per customer over order date (explicit ROWS frame)."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+Q09_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       ROUND(SUM(o_totalprice) OVER (
+         PARTITION BY o_custkey
+         ORDER BY o_orderdate ASC, o_orderkey ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+FROM orders
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+def q10_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead + rank family over the events stream table."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round("value", 4).alias("value"),
+        F.round(F.lag("value", 1).over(w), 4).alias("prev_value"),
+        F.round(F.lead("value", 1).over(w), 4).alias("next_value"),
+        F.rank().over(
+            Window.partitionBy("user_id").orderBy(
+                F.col("value").desc(), F.col("event_id").asc()
+            )
+        ).cast("long").alias("value_rank"),
+    ).orderBy("user_id", "event_id")
+
+
+Q10_SQL = """
+SELECT user_id, event_id,
+       ROUND(value, 4) AS value,
+       ROUND(LAG(value, 1) OVER w, 4) AS prev_value,
+       ROUND(LEAD(value, 1) OVER w, 4) AS next_value,
+       RANK() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS value_rank
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+ORDER BY user_id, event_id
+"""
+
+
+def q28_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: gap > 30 min starts a new session.
+
+    lag(ts) → gap flag → cumulative sum = session id; then per-session
+    rollup. Two window passes over one shuffle partitioning + one agg.
+    This is the batch twin of streaming ``session_window`` (see
+    streaming/windows.py).
+    """
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    gap = F.when(
+        F.col("ts").cast("double")
+        - F.lag(F.col("ts").cast("double"), 1).over(w)
+        > 1800.0,
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    sessions = e.withColumn("new_sess", gap).withColumn(
+        "session_id",
+        F.sum("new_sess")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"),
+    )
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+Q28_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, value,
+         CASE WHEN epoch(ts) - LAG(epoch(ts), 1) OVER w > 1800.0
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), sess AS (
+  SELECT user_id, event_id, value,
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY event_id ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS session_value
+FROM sess
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""
+
+
+def q29_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first dedup: earliest event per (user_id, event_type).
+
+    Deterministic alternative to dropDuplicates (which keeps an arbitrary
+    row): rank by (ts, event_id), keep rank 1.
+    """
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts")
+        .orderBy("user_id", "event_type")
+    )
+
+
+Q29_SQL = """
+SELECT user_id, event_type, event_id, ts
+FROM (
+  SELECT user_id, event_type, event_id, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts ASC, event_id ASC) AS rn
+  FROM events
+)
+WHERE rn = 1
+ORDER BY user_id, event_type
+"""
+
+
+QUERIES = [
+    Query("q08_topk_per_group", q08_topk_per_group, Q08_SQL,
+          "row_number top-K per group"),
+    Query("q09_running_sum", q09_running_sum, Q09_SQL,
+          "running aggregate, explicit ROWS frame"),
+    Query("q10_lag_lead", q10_lag_lead, Q10_SQL, "lag/lead/rank"),
+    Query("q28_sessionization", q28_sessionization, Q28_SQL,
+          "gap-based sessionization (batch twin of session_window)"),
+    Query("q29_keep_first", q29_keep_first, Q29_SQL,
+          "deterministic keep-first dedup"),
+]

@@ -1,0 +1,61 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local testing runs ``local[N]`` but every conf here is chosen to also be
+the right default on a large cluster:
+
+- AQE on (runtime coalescing of shuffle partitions, skew-join splitting,
+  dynamic join-strategy switch) so plans self-correct at 100 TB.
+- ``spark.sql.session.timeZone=UTC`` so timestamp semantics are stable and
+  match the DuckDB oracle (DuckDB timestamps are UTC-naive).
+- Arrow enabled for any pandas-UDF path (the only sanctioned Python hot
+  path).
+- Shuffle partitions default to cores locally; on a real cluster AQE's
+  coalescing makes the initial number far less critical.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "kafka2clickhouse-py-streamer-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    Parameters are env-overridable (reference parity: the reference is
+    fully env-driven, main.py:542-578): ``SPARK_GRAFT_CPUS`` sets local
+    parallelism, ``SPARK_GRAFT_SHUFFLE_PARTITIONS`` the shuffle width.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+        )
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # fixture events.parquet stores timestamp[ns]; read as long and
+        # convert (see operators/base.table)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

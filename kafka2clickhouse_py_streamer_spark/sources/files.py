@@ -1,0 +1,55 @@
+"""Batch file sources.
+
+Parquet is the primary batch source (columnar, predicate pushdown, column
+pruning — verify with ``df.explain`` that filters appear as
+``PushedFilters`` and the read schema is pruned). JSON/CSV readers take an
+explicit schema: schema inference is a full extra pass over 100 TB and is
+never acceptable in production paths.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table (TESTDATA.md) as a DataFrame."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Read every fixture table present in ``sf_dir``."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            out[name] = spark.read.parquet(path)
+    return out
+
+
+def read_json(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    """JSON source with mandatory explicit schema (no inference pass)."""
+    return spark.read.schema(schema).json(path)
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: StructType, header: bool = True
+) -> DataFrame:
+    """CSV source with mandatory explicit schema (no inference pass)."""
+    return spark.read.schema(schema).csv(path, header=header)

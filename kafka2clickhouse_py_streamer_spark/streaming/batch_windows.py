@@ -1,0 +1,135 @@
+"""Time-window operators on the ``events`` table — the batch twins of the
+Structured Streaming windowed aggregations (Structured Streaming's core
+guarantee is batch/stream semantic equivalence, so these same aggregation
+expressions run under ``readStream`` in streaming/job.py; here they are
+verified against the DuckDB oracle in batch mode).
+
+- w01 tumbling window (1 h)
+- w02 sliding window (1 h size, 30 min slide — each event in 2 windows)
+- w03 session window (30 min gap)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka2clickhouse_py_streamer_spark.operators.base import Query, table
+
+
+def w01_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows: F.window() aligned to the epoch, so the
+    window start equals date_trunc('hour') for hour-sized windows."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+W01_SQL = """
+SELECT DATE_TRUNC('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS sum_value
+FROM events
+GROUP BY DATE_TRUNC('hour', ts), event_type
+ORDER BY window_start, event_type
+"""
+
+
+def w02_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h / 30 min): every event lands in exactly two
+    windows; Spark's window() expands rows internally (an Expand node —
+    row growth is size/slide, bounded and predictable at scale)."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "avg_value")
+        .orderBy("window_start")
+    )
+
+
+# Oracle expands each event into its two enclosing windows explicitly:
+# starts at trunc-to-30min and trunc-to-30min minus 30min.
+W02_SQL = """
+WITH expanded AS (
+  SELECT ts, value,
+         UNNEST([to_timestamp(FLOOR(epoch(ts) / 1800) * 1800),
+                 to_timestamp(FLOOR(epoch(ts) / 1800) * 1800 - 1800)]) AS window_start
+  FROM events
+)
+SELECT CAST(window_start AS TIMESTAMP) AS window_start,
+       COUNT(*) AS n_events,
+       ROUND(AVG(value), 4) AS avg_value
+FROM expanded
+WHERE ts >= window_start AND ts < window_start + INTERVAL 1 HOUR
+GROUP BY window_start
+ORDER BY window_start
+"""
+
+
+def w03_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30 min gap) per user via F.session_window — the
+    same expression works under readStream with a watermark. A new
+    session starts when the gap is >= 30 min (windows merge only on
+    strict overlap)."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+W03_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER w >= 1800.0
+              OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+sess AS (
+  SELECT user_id, ts, value,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, MIN(ts) AS session_start,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS session_value
+FROM sess
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+"""
+
+
+QUERIES = [
+    Query("w01_tumbling", w01_tumbling, W01_SQL, "tumbling 1h windows"),
+    Query("w02_sliding", w02_sliding, W02_SQL, "sliding 1h/30m windows"),
+    Query("w03_session_window", w03_session_window, W03_SQL,
+          "session windows, 30min gap"),
+]
