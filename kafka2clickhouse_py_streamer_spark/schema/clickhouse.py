@@ -78,8 +78,10 @@ def ch_type_to_spark(
                               is_string_enum=True)
         return ColumnMeta(name, ch_type, ShortType(), 127, "enum")
 
-    for key in ("int8", "int16", "int32", "int64",
-                "uint8", "uint16", "uint32", "uint64",
+    # unsigned before signed ("uint64" contains "int64"); datetime
+    # before date ("datetime" contains "date")
+    for key in ("uint8", "uint16", "uint32", "uint64",
+                "int8", "int16", "int32", "int64",
                 "float32", "float64", "datetime", "date"):
         if key in low:
             spark_type, default, json_type = _TYPE_TABLE[key]

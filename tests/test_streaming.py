@@ -1,0 +1,146 @@
+"""Streaming shell tests (SURVEY.md §5.3): sink/DLQ routing, schema-
+drift retry, empty-batch short-circuit, and an end-to-end file-stream
+run through foreachBatch (at-least-once semantics)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from kafka2clickhouse_py_streamer_spark.schema.clickhouse import build_table_schema
+from kafka2clickhouse_py_streamer_spark.streaming.job import (
+    PipelineJob,
+    StaticSchemaProvider,
+)
+
+SCHEMA = build_table_schema(
+    [("device_id", "UInt32"), ("speed", "Float32"), ("note", "String")],
+    required_columns=["device_id"],
+)
+
+GOOD = '{"device_id": 1, "speed": 3.5, "note": "ok"}'
+BAD = '{"speed": 1.0}'  # missing required device_id
+
+
+class ListSink:
+    def __init__(self, fail_times: int = 0):
+        self.rows: list = []
+        self.calls = 0
+        self._fail_times = fail_times
+
+    def __call__(self, df):
+        self.calls += 1
+        if self.calls <= self._fail_times:
+            raise RuntimeError("sink unavailable")
+        self.rows.extend(df.collect())
+
+
+def make_batch(spark, payloads):
+    return spark.createDataFrame([(p,) for p in payloads], "value string")
+
+
+def test_routing_valid_and_dlq(spark):
+    sink, dlq = ListSink(), ListSink()
+    job = PipelineJob(StaticSchemaProvider(SCHEMA), sink, dlq)
+    job.run_batch(make_batch(spark, [GOOD, BAD, ""]))
+    assert [r.device_id for r in sink.rows] == [1]
+    assert len(dlq.rows) == 1 and "device_id" in dlq.rows[0].error
+
+
+def test_empty_batch_short_circuit(spark):
+    sink, dlq = ListSink(), ListSink()
+    provider = StaticSchemaProvider(SCHEMA)
+    job = PipelineJob(provider, sink, dlq)
+    job.run_batch(make_batch(spark, []))
+    assert sink.calls == 0 and dlq.calls == 0
+    assert provider.fetch_count == 0  # schema not even fetched
+
+
+def test_schema_cached_across_batches(spark):
+    sink, dlq = ListSink(), ListSink()
+    provider = StaticSchemaProvider(SCHEMA)
+    job = PipelineJob(provider, sink, dlq)
+    job.run_batch(make_batch(spark, [GOOD]))
+    job.run_batch(make_batch(spark, [GOOD]))
+    assert provider.fetch_count == 1  # cache hit on second batch
+
+
+def test_drift_retry_once_then_success(spark):
+    sink, dlq = ListSink(fail_times=1), ListSink()
+    provider = StaticSchemaProvider(SCHEMA)
+    job = PipelineJob(provider, sink, dlq)
+    job.run_batch(make_batch(spark, [GOOD]))
+    assert sink.calls == 2  # failed once, refetched schema, retried
+    assert provider.fetch_count == 2
+    assert [r.device_id for r in sink.rows] == [1]
+    assert dlq.rows == []
+
+
+def test_double_failure_routes_valid_to_dlq(spark):
+    sink, dlq = ListSink(fail_times=2), ListSink()
+    job = PipelineJob(StaticSchemaProvider(SCHEMA), sink, dlq)
+    job.run_batch(make_batch(spark, [GOOD, BAD]))
+    assert sink.rows == []
+    errors = sorted(r.error for r in dlq.rows)
+    assert len(errors) == 2
+    assert any("insert failed after retry" in e for e in errors)
+    assert any("device_id" in e for e in errors)
+
+
+def test_file_stream_end_to_end(spark, tmp_path):
+    """Real Structured Streaming run: text-file source → foreachBatch →
+    memory sinks, with checkpointing (the at-least-once WAL)."""
+    src = tmp_path / "in"
+    src.mkdir()
+    with open(src / "batch0.txt", "w") as f:
+        f.write("\n".join([GOOD, BAD, '{"device_id": 2}']))
+
+    stream = (
+        spark.readStream.format("text")
+        .load(str(src))
+        .withColumnRenamed("value", "value")
+    )
+    sink, dlq = ListSink(), ListSink()
+    job = PipelineJob(StaticSchemaProvider(SCHEMA), sink, dlq)
+    q = job.start(stream, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(r.device_id for r in sink.rows)
+    assert got == [1, 2]
+    assert sink.rows[0].__fields__ == ["device_id", "speed", "note"]
+    # missing optional cols filled with sentinels even via the stream
+    row2 = next(r for r in sink.rows if r.device_id == 2)
+    assert row2.speed == pytest.approx(2000000000.0) and row2.note == ""
+    assert len(dlq.rows) == 1
+
+
+def test_file_stream_resume_no_reprocess(spark, tmp_path):
+    """Checkpoint resume: a restarted query only reads NEW files — the
+    Structured Streaming twin of the reference's offset commit."""
+    src = tmp_path / "in"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    with open(src / "a.txt", "w") as f:
+        f.write(GOOD)
+
+    def run_once():
+        stream = spark.readStream.format("text").load(str(src))
+        sink, dlq = ListSink(), ListSink()
+        job = PipelineJob(StaticSchemaProvider(SCHEMA), sink, dlq)
+        q = job.start(stream, ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return sink.rows
+
+    first = run_once()
+    assert len(first) == 1
+    with open(src / "b.txt", "w") as f:
+        f.write(json.dumps({"device_id": 9}))
+    second = run_once()
+    assert [r.device_id for r in second] == [9]  # a.txt not replayed
