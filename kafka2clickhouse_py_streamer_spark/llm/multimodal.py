@@ -1,0 +1,217 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` payloads
+with typed metadata, processed via Arrow-batched ``mapInPandas``.
+
+The container has no image/audio codecs, so the DECODE step is stubbed
+(import-try for PIL/real codecs → NotImplementedError, else a
+deterministic fake decode) — but all Spark-side plumbing is real and
+tested: schema shape, binary column handling, mapInPandas batch
+iteration, explode-based frame sampling, and feature aggregation.
+
+There is no media fixture table; payloads are derived deterministically
+from ``documents`` (MD5 bytes of the text, repeated to a per-doc length)
+so every operator has a stable oracle. At 100 TB the same plan applies
+to real parquet binary columns: payloads stay in Arrow buffers end to
+end (no JVM<->Python row serialization), and mapInPandas processes one
+batch per task — partition count, not row count, bounds peak memory.
+
+Reference: the reference pipeline has no media path at all (SURVEY.md
+§2b — north-star extension).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka2clickhouse_py_streamer_spark.operators.base import Query, table
+
+FRAME_SIZE = 4  # bytes per fake "frame" of the fake video payload
+N_SAMPLED_FRAMES = 3
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (doc_id, media_type, payload binary, n_bytes).
+
+    Deterministic fake payload: MD5(text) raw bytes repeated
+    (1 + doc_id % 4) times — varying length exercises the metadata path.
+    """
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        # concat keeps BINARY (repeat() would coerce to invalid UTF-8
+        # string); k = 1 + doc_id % 4 copies of the 16 MD5 bytes
+        F.expr(
+            "element_at(array(unhex(md5(text)),"
+            " concat(unhex(md5(text)), unhex(md5(text))),"
+            " concat(unhex(md5(text)), unhex(md5(text)), unhex(md5(text))),"
+            " concat(unhex(md5(text)), unhex(md5(text)), unhex(md5(text)),"
+            "        unhex(md5(text)))),"
+            " cast(1 + doc_id % 4 as int))"
+        ).alias("payload"),
+    ).withColumn("n_bytes", F.octet_length("payload").cast("long"))
+
+
+def decode_media(df: DataFrame, use_real_codec: bool = False) -> DataFrame:
+    """Decode stage via mapInPandas: payload → (doc_id, media_type,
+    n_bytes, checksum, width, height).
+
+    ``use_real_codec=True`` requires PIL (absent here → clearly-marked
+    NotImplementedError). The fake decode derives dimensions from the
+    payload deterministically. Arrow carries binary as zero-copy buffers;
+    the batch shape (pdf per partition-batch) is the real contract.
+    """
+    if use_real_codec:
+        try:
+            import PIL  # noqa: F401
+        except ImportError as exc:
+            raise NotImplementedError(
+                "real image decode needs PIL, which is not installed; "
+                "use use_real_codec=False for the deterministic fake"
+            ) from exc
+
+    out_schema = (
+        "doc_id long, media_type string, n_bytes long, checksum long, "
+        "width int, height int"
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": payloads.map(len),
+                    # first-4-bytes big-endian int: a stand-in for the
+                    # codec's header parse
+                    "checksum": payloads.map(
+                        lambda b: int.from_bytes(b[:4], "big")
+                    ),
+                    "width": payloads.map(lambda b: 1 + b[0] % 64),
+                    "height": payloads.map(lambda b: 1 + b[1] % 64),
+                }
+            )
+
+    return df.mapInPandas(decode, out_schema)
+
+
+def sample_frames(df: DataFrame) -> DataFrame:
+    """Frame sampling: slice the payload into FRAME_SIZE-byte frames,
+    keep the first N_SAMPLED_FRAMES — pure JVM (sequence + explode +
+    substr on binary), no Python. The explode bounds row growth at
+    N_SAMPLED_FRAMES×, independent of payload size."""
+    n_frames = F.floor(F.col("n_bytes") / FRAME_SIZE).cast("int")
+    take = F.least(n_frames, F.lit(N_SAMPLED_FRAMES))
+    return (
+        df.filter(F.col("media_type") == "video")
+        .select(
+            "doc_id",
+            "n_bytes",
+            F.explode(F.sequence(F.lit(0), take - 1)).alias("frame_idx"),
+        )
+        .withColumn("frame_offset", (F.col("frame_idx") * FRAME_SIZE).cast("long"))
+    )
+
+
+def m01_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata scan over the media table: per-type counts + byte stats.
+    All JVM expressions — the 'how big is the corpus' query."""
+    m = media_table(spark, sf_dir)
+    return (
+        m.groupBy("media_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.min("n_bytes").alias("min_bytes"),
+            F.max("n_bytes").alias("max_bytes"),
+        )
+        .orderBy("media_type")
+    )
+
+
+M01_SQL = """
+WITH media AS (
+  SELECT doc_id,
+         ['image','audio','video'][CAST(doc_id % 3 + 1 AS INTEGER)] AS media_type,
+         16 * (1 + doc_id % 4) AS n_bytes
+  FROM documents
+)
+SELECT media_type,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(MIN(n_bytes) AS BIGINT) AS min_bytes,
+       CAST(MAX(n_bytes) AS BIGINT) AS max_bytes
+FROM media
+GROUP BY media_type
+ORDER BY media_type
+"""
+
+
+def m02_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas decode (fake codec) → aggregate decoded dimensions.
+    The checksum equals the first 4 MD5 bytes as a big-endian int, so
+    DuckDB reproduces it from md5(text) — verifying the Python decode
+    stage bit-for-bit against SQL."""
+    decoded = decode_media(media_table(spark, sf_dir))
+    return decoded.select(
+        "doc_id", "media_type", "n_bytes", "checksum", "width", "height"
+    ).orderBy("doc_id")
+
+
+M02_SQL = """
+SELECT doc_id,
+       ['image','audio','video'][CAST(doc_id % 3 + 1 AS INTEGER)] AS media_type,
+       CAST(16 * (1 + doc_id % 4) AS BIGINT) AS n_bytes,
+       CAST('0x' || substring(md5(text), 1, 8) AS BIGINT) AS checksum,
+       CAST(1 + CAST('0x' || substring(md5(text), 1, 2) AS BIGINT) % 64 AS INTEGER) AS width,
+       CAST(1 + CAST('0x' || substring(md5(text), 3, 2) AS BIGINT) % 64 AS INTEGER) AS height
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def m03_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: per-video exploded frame rows."""
+    frames = sample_frames(media_table(spark, sf_dir))
+    return frames.select(
+        "doc_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        "frame_offset",
+    ).orderBy("doc_id", "frame_idx")
+
+
+M03_SQL = f"""
+WITH media AS (
+  SELECT doc_id, 16 * (1 + doc_id % 4) AS n_bytes
+  FROM documents
+  WHERE doc_id % 3 = 2  -- media_type = 'video' (array index 3)
+),
+frames AS (
+  SELECT doc_id,
+         UNNEST(RANGE(0, LEAST(n_bytes // {FRAME_SIZE},
+                               {N_SAMPLED_FRAMES}))) AS frame_idx
+  FROM media
+)
+SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(frame_idx * {FRAME_SIZE} AS BIGINT) AS frame_offset
+FROM frames
+ORDER BY doc_id, frame_idx
+"""
+
+
+QUERIES = [
+    Query("m01_media_metadata", m01_media_metadata, M01_SQL,
+          "binary media metadata scan"),
+    Query("m02_decode_stats", m02_decode_stats, M02_SQL,
+          "mapInPandas decode stage (fake codec, oracle-checked)"),
+    Query("m03_frame_sample", m03_frame_sample, M03_SQL,
+          "video frame sampling via sequence+explode"),
+]

@@ -72,12 +72,17 @@ def all_queries() -> dict[str, Query]:
         scalar_fns,
         windows,
     )
-    from kafka2clickhouse_py_streamer_spark.llm import dedup, similarity, text
+    from kafka2clickhouse_py_streamer_spark.llm import (
+        dedup,
+        multimodal,
+        similarity,
+        text,
+    )
     from kafka2clickhouse_py_streamer_spark.streaming import batch_windows
 
     merged: dict[str, Query] = {}
     for mod in (aggregates, joins, windows, scalar_fns,
-                dedup, similarity, text, batch_windows):
+                dedup, similarity, text, multimodal, batch_windows):
         for q in mod.QUERIES:
             if q.name in merged:
                 raise ValueError(f"duplicate query name: {q.name}")
