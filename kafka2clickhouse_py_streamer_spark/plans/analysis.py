@@ -1,0 +1,80 @@
+"""Physical-plan inspection: the 100 TB efficiency contract, testable.
+
+A query that is correct at sf0.01 but scans all columns, skips predicate
+pushdown, or shuffles a broadcastable dimension is wrong at scale even
+though the oracle passes. These helpers parse ``explain("formatted")``
+output so tests can pin the plan shape itself:
+
+- filters reach the parquet scan (``PushedFilters``),
+- scans read only the projected columns (``ReadSchema``),
+- small dimensions broadcast (``BroadcastHashJoin``),
+- the shuffle count matches the operator's minimum,
+- hot paths stay inside whole-stage codegen.
+
+(The reference has no optimizer to compare against — SURVEY.md §4; this
+is the Catalyst-native replacement for eyeballing ``df.explain()``.)
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """All PushedFilters entries across the plan's file scans."""
+    plan = formatted_plan(df)
+    out: list[str] = []
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", plan):
+        entry = m.group(1).strip()
+        if entry:
+            out.extend(p.strip() for p in entry.split(","))
+    return out
+
+
+def read_schema_columns(df: DataFrame) -> list[list[str]]:
+    """Column lists actually read by each parquet scan (pruning check)."""
+    plan = formatted_plan(df)
+    schemas = []
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        cols = [
+            c.split(":")[0].strip()
+            for c in m.group(1).split(",")
+            if c.strip()
+        ]
+        schemas.append(cols)
+    return schemas
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in formatted_plan(df)
+
+
+def count_exchanges(df: DataFrame) -> int:
+    """Number of shuffle exchanges (excludes broadcast exchanges)."""
+    plan = formatted_plan(df)
+    return len(re.findall(r"\bExchange hashpartitioning|\bExchange rangepartitioning|\bExchange SinglePartition", plan))
+
+
+def whole_stage_codegen_spans(df: DataFrame) -> int:
+    """Distinct codegen spans. NOTE: with AQE on, codegen ids only
+    appear once the plan is final (isFinalPlan=true) — call after an
+    action, or expect 0 on a never-executed frame."""
+    plan = formatted_plan(df)
+    ids = re.findall(r"\[codegen id : (\d+)\]", plan)
+    return len(set(ids))
+
+
+def python_row_ops(df: DataFrame) -> int:
+    """Row-at-a-time Python operators in the plan (BatchEvalPython) —
+    the hot-path smell. Arrow-batched pandas UDFs (ArrowEvalPython /
+    MapInPandas) are the sanctioned Python path and not counted."""
+    plan = formatted_plan(df)
+    return len(re.findall(r"\bBatchEvalPython\b", plan))

@@ -1,0 +1,76 @@
+"""Plan-shape tests: pin the physical properties that make queries
+viable at 100 TB — pushdown, pruning, broadcast, shuffle counts,
+codegen. A regression here is a performance bug even when results stay
+correct."""
+
+from __future__ import annotations
+
+from kafka2clickhouse_py_streamer_spark.operators.aggregates import (
+    q01_pricing_summary,
+    q06_revenue_filter,
+)
+from kafka2clickhouse_py_streamer_spark.operators.joins import (
+    q02_region_revenue,
+    q03_top_orders,
+)
+from kafka2clickhouse_py_streamer_spark.plans import (
+    count_exchanges,
+    formatted_plan,
+    has_broadcast_join,
+    pushed_filters,
+    python_row_ops,
+    read_schema_columns,
+)
+
+
+def test_q06_filters_reach_parquet_scan(spark, sf_dir):
+    df = q06_revenue_filter(spark, sf_dir)
+    pushed = " ".join(pushed_filters(df))
+    # all three predicate families must be pushed to the scan
+    assert "l_shipdate" in pushed
+    assert "l_discount" in pushed
+    assert "l_quantity" in pushed
+
+
+def test_q06_scan_is_column_pruned(spark, sf_dir):
+    df = q06_revenue_filter(spark, sf_dir)
+    [cols] = read_schema_columns(df)
+    # 4 needed columns only — not lineitem's 11
+    assert set(cols) == {
+        "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"
+    }
+
+
+def test_q01_pruned_and_single_agg_shuffle(spark, sf_dir):
+    df = q01_pricing_summary(spark, sf_dir)
+    [cols] = read_schema_columns(df)
+    assert len(cols) == 7  # 11-column table pruned to the needed 7
+    # partial+final hash agg = ONE hash exchange (+1 range for orderBy)
+    assert count_exchanges(df) <= 2
+    assert python_row_ops(df) == 0  # pure JVM hot path
+
+
+def test_q02_dimensions_broadcast(spark, sf_dir):
+    df = q02_region_revenue(spark, sf_dir)
+    assert has_broadcast_join(df)
+    plan = formatted_plan(df)
+    # nation and region must NOT arrive via shuffle: at most the
+    # customer⋈orders shuffle pair + agg + sort exchanges
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_q03_no_cartesian_and_codegen(spark, sf_dir):
+    df = q03_top_orders(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-10 never global-sorts
+    assert python_row_ops(df) == 0
+
+
+def test_row_scan_defaults(spark, sf_dir):
+    # a bare projection reads only the selected columns
+    from kafka2clickhouse_py_streamer_spark.operators.base import table
+
+    df = table(spark, sf_dir, "orders").select("o_orderkey")
+    [cols] = read_schema_columns(df)
+    assert cols == ["o_orderkey"]
