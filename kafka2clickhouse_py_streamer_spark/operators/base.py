@@ -70,6 +70,7 @@ def all_queries() -> dict[str, Query]:
         aggregates,
         joins,
         scalar_fns,
+        statistics,
         windows,
     )
     from kafka2clickhouse_py_streamer_spark.llm import (
@@ -81,7 +82,7 @@ def all_queries() -> dict[str, Query]:
     from kafka2clickhouse_py_streamer_spark.streaming import batch_windows
 
     merged: dict[str, Query] = {}
-    for mod in (aggregates, joins, windows, scalar_fns,
+    for mod in (aggregates, joins, windows, scalar_fns, statistics,
                 dedup, similarity, text, multimodal, batch_windows):
         for q in mod.QUERIES:
             if q.name in merged:

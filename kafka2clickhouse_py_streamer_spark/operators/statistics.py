@@ -1,0 +1,307 @@
+"""Statistical + advanced aggregation operators: stddev/variance/
+correlation, exact percentiles, arg-min/arg-max, filtered aggregation,
+IN-subqueries, RANGE window frames.
+
+Scale notes: all single-shuffle hash aggregations (moments and
+percentiles included — Spark's percentile is an exact aggregate whose
+per-group state is the value multiset, so for 100 TB hot groups the
+approx variant in aggregates.q27 is the default; this exact form is for
+bounded-cardinality groups). RANGE frames sort within the partition key
+shuffle, same cost envelope as ROWS.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka2clickhouse_py_streamer_spark.operators.base import Query, table
+
+
+def q31_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample stddev/variance + Pearson correlation + covariance per
+    group — the moments family (all partial-aggregatable: one shuffle)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev("l_quantity"), 6).alias("sd_qty"),
+            F.round(F.variance("l_extendedprice"), 2).alias("var_price"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+                "corr_qty_price"
+            ),
+            F.round(F.covar_samp("l_discount", "l_tax"), 8).alias(
+                "cov_disc_tax"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q31_SQL = """
+SELECT l_returnflag,
+       ROUND(STDDEV_SAMP(l_quantity), 6) AS sd_qty,
+       ROUND(VAR_SAMP(l_extendedprice), 2) AS var_price,
+       ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       ROUND(COVAR_SAMP(l_discount, l_tax), 8) AS cov_disc_tax
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def q32_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (continuous interpolation): median + p90 per
+    order status. Spark ``percentile`` ≡ SQL PERCENTILE_CONT ≡ DuckDB
+    quantile_cont."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("median_price"),
+            F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+Q32_SQL = """
+SELECT o_orderstatus,
+       ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+       ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+def q33_argmin_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_by/max_by: the order id carrying each customer-segment's
+    extreme price (DuckDB arg_min/arg_max). Ties broken by keying the
+    comparison on (price, orderkey) so both engines pick the same row."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    j = o.join(c, o.o_custkey == c.c_custkey)
+    key = F.struct(F.col("o_totalprice"), F.col("o_orderkey"))
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.min_by("o_orderkey", key).alias("cheapest_order"),
+            F.max_by("o_orderkey", key).alias("priciest_order"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# DuckDB's arg_min/arg_max take only scalar comparators, so the oracle
+# expresses the same tie-broken extremes via row_number.
+Q33_SQL = """
+WITH j AS (
+  SELECT c_mktsegment, o_orderkey, o_totalprice
+  FROM orders JOIN customer ON o_custkey = c_custkey
+), r AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                            ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn_min,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                            ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn_max
+  FROM j
+)
+SELECT c_mktsegment,
+       MAX(CASE WHEN rn_min = 1 THEN o_orderkey END) AS cheapest_order,
+       MAX(CASE WHEN rn_max = 1 THEN o_orderkey END) AS priciest_order,
+       ROUND(MIN(o_totalprice), 2) AS min_price,
+       ROUND(MAX(o_totalprice), 2) AS max_price
+FROM r
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+def q34_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (FILTER clause / count_if): per-flag
+    return rates in one pass — no self-join, no second scan."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_if(F.col("l_returnflag") == "R").alias("n_returned"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("l_returnflag") == "R", F.col("l_extendedprice")
+                    ).otherwise(F.lit(0.0))
+                ),
+                2,
+            ).alias("returned_value"),
+            F.round(
+                F.avg(
+                    F.when(F.col("l_quantity") > 25, F.col("l_discount"))
+                ),
+                6,
+            ).alias("avg_disc_bigqty"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+Q34_SQL = """
+SELECT l_linestatus,
+       COUNT(*) AS n_rows,
+       COUNT(*) FILTER (WHERE l_returnflag = 'R') AS n_returned,
+       ROUND(COALESCE(SUM(l_extendedprice) FILTER (WHERE l_returnflag = 'R'), 0.0), 2)
+         AS returned_value,
+       ROUND(AVG(l_discount) FILTER (WHERE l_quantity > 25), 6) AS avg_disc_bigqty
+FROM lineitem
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+def q35_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated IN subquery via the SQL API: orders from nations in
+    one region. Catalyst rewrites to a left-semi join chain."""
+    for t in ("orders", "customer", "nation", "region"):
+        table(spark, sf_dir, t).createOrReplaceTempView(f"{t}_q35")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS price
+        FROM orders_q35
+        WHERE o_custkey IN (
+            SELECT c_custkey FROM customer_q35
+            WHERE c_nationkey IN (
+                SELECT n_nationkey FROM nation_q35
+                WHERE n_regionkey IN (
+                    SELECT r_regionkey FROM region_q35 WHERE r_name = 'ASIA'
+                )
+            )
+        )
+        ORDER BY o_orderkey
+        """
+    )
+
+
+Q35_SQL = """
+SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS price
+FROM orders
+WHERE o_custkey IN (
+    SELECT c_custkey FROM customer
+    WHERE c_nationkey IN (
+        SELECT n_nationkey FROM nation
+        WHERE n_regionkey IN (
+            SELECT r_regionkey FROM region WHERE r_name = 'ASIA'
+        )
+    )
+)
+ORDER BY o_orderkey
+"""
+
+
+def q36_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame over a numeric ordering key: for each order,
+    total revenue of same-customer orders within ±1000.0 of its price
+    (value-based frame, unlike the ROWS frames in windows.py). The
+    DataFrame rangeBetween API only takes integer offsets, so the
+    fractional frame is declared through the SQL surface."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_q36")
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey,
+               ROUND(o_totalprice, 2) AS price,
+               COUNT(*) OVER w AS n_near,
+               ROUND(SUM(o_totalprice) OVER w, 2) AS near_revenue
+        FROM orders_q36
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice
+                     RANGE BETWEEN 1000.0 PRECEDING AND 1000.0 FOLLOWING)
+        ORDER BY o_custkey, o_orderkey
+        """
+    )
+
+
+Q36_SQL = """
+SELECT o_custkey, o_orderkey,
+       ROUND(o_totalprice, 2) AS price,
+       COUNT(*) OVER w AS n_near,
+       ROUND(SUM(o_totalprice) OVER w, 2) AS near_revenue
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice
+             RANGE BETWEEN 1000.0 PRECEDING AND 1000.0 FOLLOWING)
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+def q37_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: quartiles + cumulative
+    distribution + percent_rank of order prices per status."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderstatus",
+        "o_orderkey",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    ).orderBy("o_orderstatus", "o_orderkey")
+
+
+Q37_SQL = """
+SELECT o_orderstatus, o_orderkey,
+       CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+       ROUND(CUME_DIST() OVER w, 6) AS cume,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus
+             ORDER BY o_totalprice ASC, o_orderkey ASC)
+ORDER BY o_orderstatus, o_orderkey
+"""
+
+
+def q38_collect_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection aggregates: sorted value list + distinct set per
+    group (array_agg / list). Deterministic via array_sort."""
+    n = table(spark, sf_dir, "nation")
+    return (
+        n.groupBy("n_regionkey")
+        .agg(
+            F.array_sort(F.collect_list("n_name")).alias("nations"),
+            F.size(F.collect_set("n_name")).cast("long").alias("n_distinct"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+Q38_SQL = """
+SELECT n_regionkey,
+       list_sort(list(n_name)) AS nations,
+       CAST(COUNT(DISTINCT n_name) AS BIGINT) AS n_distinct
+FROM nation
+GROUP BY n_regionkey
+ORDER BY n_regionkey
+"""
+
+
+QUERIES = [
+    Query("q31_moment_stats", q31_moment_stats, Q31_SQL,
+          "stddev/variance/corr/covar moments"),
+    Query("q32_exact_percentiles", q32_exact_percentiles, Q32_SQL,
+          "exact continuous percentiles"),
+    Query("q33_argmin_argmax", q33_argmin_argmax, Q33_SQL,
+          "min_by/max_by with deterministic ties"),
+    Query("q34_filtered_agg", q34_filtered_agg, Q34_SQL,
+          "FILTER-clause conditional aggregation"),
+    Query("q35_in_subquery", q35_in_subquery, Q35_SQL,
+          "nested uncorrelated IN subqueries"),
+    Query("q36_range_frame", q36_range_frame, Q36_SQL,
+          "RANGE value-based window frame"),
+    Query("q37_ntile_cume", q37_ntile_cume, Q37_SQL,
+          "ntile/cume_dist/percent_rank"),
+    Query("q38_collect_agg", q38_collect_agg, Q38_SQL,
+          "array_agg collection aggregates"),
+]
