@@ -1,0 +1,21 @@
+from kafka2clickhouse_py_streamer_spark.functions.vectors import (
+    cosine,
+    dot,
+    l2_norm,
+    to_double_vec,
+)
+from kafka2clickhouse_py_streamer_spark.functions.hashing import (
+    poly_hash_sql,
+    shingles_expr,
+    tokens_expr,
+)
+
+__all__ = [
+    "cosine",
+    "dot",
+    "l2_norm",
+    "poly_hash_sql",
+    "shingles_expr",
+    "to_double_vec",
+    "tokens_expr",
+]

@@ -1,0 +1,43 @@
+"""Text hashing / shingling builders shared by the dedup and text
+operators.
+
+Hashes are explicit integer arithmetic (base-31 polynomial over a fixed
+char prefix) rather than engine hash functions, so Spark and the DuckDB
+oracle reproduce them bit-for-bit. All builders emit SQL-expression
+strings usable on BOTH engines (the dialects agree on ascii/substring/
+rpad/lower/trim).
+"""
+
+from __future__ import annotations
+
+POLY_CHARS = 8  # chars hashed (padded with 'x')
+_POWS = [31 ** (POLY_CHARS - 1 - k) for k in range(POLY_CHARS)]
+
+
+def poly_hash_sql(s: str) -> str:
+    """Base-31 polynomial hash of the first POLY_CHARS chars of ``s``
+    (an SQL expression string), as 64-bit arithmetic on both engines.
+    CAST to BIGINT: 31^6 fits int32, so int*int would overflow under
+    Spark's ANSI arithmetic."""
+    padded = f"rpad({s}, {POLY_CHARS}, 'x')"
+    terms = [
+        f"CAST(ascii(substring({padded}, {k + 1}, 1)) AS BIGINT)"
+        f" * {_POWS[k]}"
+        for k in range(POLY_CHARS)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def tokens_expr(text_col: str = "text") -> str:
+    """Spark SQL: lowercased whitespace tokens of a text column."""
+    return f"split(trim(lower({text_col})), '\\\\s+')"
+
+
+def shingles_expr(tokens_col: str = "tk", n: int = 3) -> str:
+    """Spark SQL: distinct word-``n``-shingles from a token-array
+    column. The token array must be materialized as a column first —
+    inlining split() here re-evaluates the regex per element."""
+    return (
+        f"array_distinct(transform(sequence(1, greatest(size({tokens_col})"
+        f" - {n - 1}, 1)), i -> concat_ws(' ', slice({tokens_col}, i, {n}))))"
+    )

@@ -21,6 +21,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kafka2clickhouse_py_streamer_spark.functions import (
+    cosine,
+    l2_norm,
+    poly_hash_sql,
+    shingles_expr,
+    to_double_vec,
+    tokens_expr,
+)
 from kafka2clickhouse_py_streamer_spark.operators.base import Query, table
 
 SHINGLE_WORDS = 3  # word-level shingles (char n-grams don't discriminate
@@ -38,14 +46,11 @@ HASH_AS = [2 * j + 3 for j in range(NUM_HASHES)]
 HASH_BS = [7 * j + 1 for j in range(NUM_HASHES)]
 
 # Word-3-shingles: tokenize, slide a 3-token window, space-join.
-# The token array is materialized as a column FIRST — referencing split()
-# inside the transform lambda re-evaluates the regex per element
-# (measured 56 s vs <1 s on 500 docs).
-_SPARK_TOKENS = "split(trim(lower(text)), '\\\\s+')"
-_SPARK_SHINGLES = (
-    "array_distinct(transform(sequence(1, greatest(size(tk) - 2, 1)),"
-    " i -> concat_ws(' ', slice(tk, i, 3))))"
-)
+# (Token array is materialized as a column FIRST — see functions.hashing:
+# inlining split() re-evaluates the regex per element; measured 56 s vs
+# <1 s on 500 docs.)
+_SPARK_TOKENS = tokens_expr("text")
+_SPARK_SHINGLES = shingles_expr("tk", SHINGLE_WORDS)
 
 _DUCK_SHINGLES_CTE = r"""
 toks AS (
@@ -62,26 +67,10 @@ shingles AS (
         FROM toks)
 )"""
 
-# Polynomial hash of a shingle: base-31 over the first 8 chars (padded) —
-# explicit integer arithmetic so Spark and DuckDB agree exactly.
-_H_CHARS = 8
-_H_POWS = [31 ** (_H_CHARS - 1 - k) for k in range(_H_CHARS)]
-
-
-def _poly_hash_sql(s: str, ascii_fn: str = "ascii") -> str:
-    padded = f"rpad({s}, {_H_CHARS}, 'x')"
-    # CAST to BIGINT: 31^6 fits in int32, so int*int would overflow under
-    # Spark's ANSI arithmetic; force 64-bit on both engines.
-    terms = [
-        f"CAST({ascii_fn}(substring({padded}, {k + 1}, 1)) AS BIGINT)"
-        f" * {_H_POWS[k]}"
-        for k in range(_H_CHARS)
-    ]
-    return "(" + " + ".join(terms) + ")"
-
-
-_SPARK_H = _poly_hash_sql("{s}")
-_DUCK_H = _poly_hash_sql("{s}")
+# Polynomial hash of a shingle (functions.hashing): explicit integer
+# arithmetic so Spark and DuckDB agree exactly.
+_SPARK_H = poly_hash_sql("{s}")
+_DUCK_H = poly_hash_sql("{s}")
 
 
 def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -392,23 +381,13 @@ def d05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the LSH job in similarity.py). Dot/norms via JVM higher-order fns in
     strict index order for oracle bit-parity."""
     em = table(spark, sf_dir, "embeddings")
-    vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    vec_d = to_double_vec("embedding")
     base = em.select(
-        "vec_id",
-        "label",
-        vec_d.alias("v"),
-        F.sqrt(
-            F.aggregate(vec_d, F.lit(0.0), lambda acc, x: acc + x * x)
-        ).alias("norm"),
+        "vec_id", "label", vec_d.alias("v"), l2_norm(vec_d).alias("norm")
     )
     a = base.alias("a")
     b = base.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    cos = dot / (F.col("a.norm") * F.col("b.norm"))
+    cos = cosine("a.v", "b.v", "a.norm", "b.norm")
     return (
         a.join(
             b,

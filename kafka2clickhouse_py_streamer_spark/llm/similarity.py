@@ -19,6 +19,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kafka2clickhouse_py_streamer_spark.functions import (
+    cosine as cosine_fn,
+    dot,
+    l2_norm,
+    to_double_vec,
+)
 from kafka2clickhouse_py_streamer_spark.operators.base import Query, table
 
 N_QUERIES = 10  # vec_id < 10 are the query vectors
@@ -34,23 +40,14 @@ def _plane_coeff(plane: int, i: int) -> int:
 
 def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = table(spark, sf_dir, "embeddings")
-    vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    vec_d = to_double_vec("embedding")
     return em.select(
-        "vec_id",
-        vec_d.alias("v"),
-        F.sqrt(
-            F.aggregate(vec_d, F.lit(0.0), lambda acc, x: acc + x * x)
-        ).alias("norm"),
+        "vec_id", vec_d.alias("v"), l2_norm(vec_d).alias("norm")
     )
 
 
 def _cosine(a_col: str, b_col: str, a_norm: str, b_norm: str):
-    dot = F.aggregate(
-        F.zip_with(F.col(a_col), F.col(b_col), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    return dot / (F.col(a_norm) * F.col(b_norm))
+    return cosine_fn(a_col, b_col, a_norm, b_norm)
 
 
 def s01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -117,12 +114,7 @@ def s02_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         coeffs = F.array(
             *[F.lit(float(_plane_coeff(p, i))) for i in range(DIM)]
         )
-        dot = F.aggregate(
-            F.zip_with(F.col("v"), coeffs, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bit = F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bit = F.when(dot("v", coeffs) > 0, F.lit(1 << p)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
     tagged = base.select("vec_id", bucket.cast("long").alias("bucket"))
     return (
@@ -176,12 +168,7 @@ def s03_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         coeffs = F.array(
             *[F.lit(float(_plane_coeff(p, i))) for i in range(DIM)]
         )
-        dot = F.aggregate(
-            F.zip_with(F.col("v"), coeffs, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bit = F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bit = F.when(dot("v", coeffs) > 0, F.lit(1 << p)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
     tagged = base.withColumn("bucket", bucket.cast("long"))
     q = tagged.filter(F.col("vec_id") < N_QUERIES).select(
