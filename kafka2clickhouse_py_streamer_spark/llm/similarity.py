@@ -240,6 +240,117 @@ ORDER BY query_id, rk
 """
 
 
+N_CENTROIDS = 4
+
+
+def _centroid_coeff(c: int, i: int) -> int:
+    """Deterministic pseudo-random centroid coordinate in [-6, 6]."""
+    return ((i + 7) * (c + 11) * 2654435761 % 13) - 6
+
+
+def s04_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse-quantize every vector to its nearest of
+    N_CENTROIDS fixed centroids (argmax inner product, ties to the
+    lowest id), then exact cosine re-rank within the query's cell.
+
+    The 100 TB shape: centroids come from a sampled k-means in practice
+    (fixed pseudo-random here for determinism); assignment is a scan
+    projection, candidate generation an equi-join on cell id — corpus
+    shuffles once on a small int key instead of N×M scoring. Compared
+    with s03's LSH: IVF gives controllable cell counts (K) at the cost
+    of training; the plan shape downstream is identical.
+    """
+    base = _base(spark, sf_dir)
+    dots = [
+        dot(
+            "v",
+            F.array(*[F.lit(float(_centroid_coeff(c, i))) for i in range(DIM)]),
+        )
+        for c in range(N_CENTROIDS)
+    ]
+    best = F.greatest(*dots)
+    cell = F.lit(None)
+    for c in range(N_CENTROIDS - 1, -1, -1):
+        cell = F.when(dots[c] == best, F.lit(c)).otherwise(cell)
+    tagged = base.withColumn("cell", cell.cast("long"))
+    q = tagged.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+        "cell",
+    )
+    c_ = tagged.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("cnorm"),
+        "cell",
+    )
+    scored = F.broadcast(q).join(c_, "cell").select(
+        "query_id",
+        "cand_id",
+        "cell",
+        F.round(_cosine("qv", "cv", "qnorm", "cnorm"), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= TOP_K)
+        .orderBy("query_id", "rk")
+    )
+
+
+def _s04_sql() -> str:
+    dots = []
+    for c in range(N_CENTROIDS):
+        coeffs = ", ".join(
+            str(float(_centroid_coeff(c, i))) for i in range(DIM)
+        )
+        dots.append(f"list_dot_product(v, [{coeffs}])")
+    best = "GREATEST(" + ", ".join(f"d{c}" for c in range(N_CENTROIDS)) + ")"
+    whens = "\n              ".join(
+        f"WHEN d{c} = {best} THEN {c}" for c in range(N_CENTROIDS)
+    )
+    dcols = ",\n         ".join(
+        f"{d} AS d{c}" for c, d in enumerate(dots)
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+dotted AS (
+  SELECT vec_id, v,
+         {dcols}
+  FROM base
+),
+tagged AS (
+  SELECT vec_id, v,
+         CAST(CASE {whens} END AS BIGINT) AS cell
+  FROM dotted
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, q.cell,
+         ROUND(list_dot_product(q.v, c.v)
+               / (SQRT(list_dot_product(q.v, q.v)) * SQRT(list_dot_product(c.v, c.v))),
+               6) AS cosine
+  FROM tagged q
+  JOIN tagged c ON q.cell = c.cell
+  WHERE q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
+),
+ranked AS (
+  SELECT query_id, cand_id, cell, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, cand_id ASC) AS rk
+  FROM scored
+)
+SELECT query_id, cand_id, cell, cosine, rk
+FROM ranked WHERE rk <= {TOP_K}
+ORDER BY query_id, rk
+"""
+
+
 QUERIES = [
     Query("s01_cosine_topk", s01_cosine_topk, S01_SQL,
           "exact brute-force cosine top-k"),
@@ -247,4 +358,6 @@ QUERIES = [
           "hyperplane-LSH bucket assignment"),
     Query("s03_lsh_topk", s03_lsh_topk, _s03_sql(),
           "LSH-bucketed ANN + exact re-rank"),
+    Query("s04_ivf_topk", s04_ivf_topk, _s04_sql(),
+          "IVF-cell ANN + exact re-rank"),
 ]

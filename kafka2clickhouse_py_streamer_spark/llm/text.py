@@ -176,6 +176,49 @@ ORDER BY doc_id
 """
 
 
+ROLL_BASE = 31
+ROLL_MOD = 1_000_000_007
+ROLL_PREFIX = 16  # chars covered by the rolling window scan
+
+
+def t05_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling (Rabin-Karp-style) hash over the first ROLL_PREFIX chars
+    of the normalized text: H = Σ ascii(c_k)·B^(n-1-k) mod M, built via
+    aggregate() over the char positions — the per-window primitive a
+    content-defined-chunking fingerprinter uses, in pure JVM exprs with
+    an exact DuckDB twin (explicit mod at each step keeps every
+    intermediate < 2^63 on both engines)."""
+    d = table(spark, sf_dir, "documents")
+    norm = "rpad(substring(regexp_replace(lower(trim(text)), '\\\\s+', ' '), 1, 16), 16, 'x')"
+    expr = (
+        f"aggregate(sequence(1, {ROLL_PREFIX}), CAST(0 AS BIGINT), "
+        f"(acc, k) -> (acc * {ROLL_BASE} + ascii(substring({norm}, k, 1)))"
+        f" % {ROLL_MOD})"
+    )
+    return d.select(
+        "doc_id", F.expr(expr).alias("roll_hash")
+    ).orderBy("doc_id")
+
+
+T05_SQL = rf"""
+WITH norm AS (
+  SELECT doc_id,
+         RPAD(SUBSTRING(REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g'),
+                        1, {ROLL_PREFIX}), {ROLL_PREFIX}, 'x') AS s
+  FROM documents
+)
+SELECT doc_id,
+       -- DuckDB reduce has no seed argument: the prepended 0 plays the
+       -- role of Spark's CAST(0 AS BIGINT) initial accumulator
+       REDUCE(list_prepend(CAST(0 AS BIGINT),
+                           RANGE(1, {ROLL_PREFIX} + 1)),
+              (acc, k) -> (acc * {ROLL_BASE} + ASCII(SUBSTRING(s, CAST(k AS INTEGER), 1)))
+                          % {ROLL_MOD}) AS roll_hash
+FROM norm
+ORDER BY doc_id
+"""
+
+
 QUERIES = [
     Query("t01_token_count", t01_token_count, T01_SQL,
           "whitespace + subword-proxy token counts"),
@@ -185,4 +228,6 @@ QUERIES = [
           "marker-word language ID"),
     Query("t04_fingerprint", t04_fingerprint, T04_SQL,
           "exact + normalized MD5 fingerprints"),
+    Query("t05_rolling_hash", t05_rolling_hash, T05_SQL,
+          "Rabin-Karp rolling hash prefix fingerprint"),
 ]
