@@ -181,7 +181,14 @@ def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     sh = _shingle_rows(spark, sf_dir)
     h = F.expr(_SPARK_H.format(s="s")).cast("long")
+    # ONE aggregation of the shingle frame produces everything the rest
+    # of the pipeline needs: shingle count, the shingle set (for the
+    # exact verify via array_intersect — no re-explode, no second big
+    # join), and the 16 minhash components. One shuffle on doc_id;
+    # everything downstream operates on |docs|-sized frames.
     sig = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.collect_list("s").alias("ss"),
         *[
             F.min((F.lit(HASH_AS[j]) * h + F.lit(HASH_BS[j])) % MINHASH_PRIME)
             .alias(f"mh{j}")
@@ -218,31 +225,29 @@ def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    sa = sh.select(F.col("doc_id").alias("a_id"), F.col("s").alias("s_a"))
-    sb = sh.select(F.col("doc_id").alias("b_id"), F.col("s").alias("s_b"))
-    inter = (
-        cand.join(sa, F.col("doc_a") == F.col("a_id"))
-        .join(
-            sb,
-            (F.col("doc_b") == F.col("b_id"))
-            & (F.col("s_a") == F.col("s_b")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    # exact verify: two |docs|-sized joins bring each side's shingle
+    # set to the candidate pair; intersection is a codegen'd
+    # array_intersect per pair (shingles are distinct per doc, so set
+    # semantics equal count semantics)
+    za = sig.select(
+        F.col("doc_id").alias("za_id"),
+        F.col("n").alias("na"),
+        F.col("ss").alias("ssa"),
     )
-    za = sizes.alias("za")
-    zb = sizes.alias("zb")
+    zb = sig.select(
+        F.col("doc_id").alias("zb_id"),
+        F.col("n").alias("nb"),
+        F.col("ss").alias("ssb"),
+    )
+    n_common = F.size(F.array_intersect(F.col("ssa"), F.col("ssb")))
     return (
-        inter.join(za, F.col("doc_a") == F.col("za.doc_id"))
-        .join(zb, F.col("doc_b") == F.col("zb.doc_id"))
+        cand.join(za, F.col("doc_a") == F.col("za_id"))
+        .join(zb, F.col("doc_b") == F.col("zb_id"))
         .select(
             "doc_a",
             "doc_b",
             F.round(
-                F.col("n_common")
-                / (F.col("za.n") + F.col("zb.n") - F.col("n_common")),
-                6,
+                n_common / (F.col("na") + F.col("nb") - n_common), 6
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= MINHASH_JACCARD_THRESHOLD)
