@@ -1,0 +1,92 @@
+"""Config assembly + sink library tests (reference S3/K1 parity)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from kafka2clickhouse_py_streamer_spark.config import JobConfig, load_env_file
+from kafka2clickhouse_py_streamer_spark.sinks import (
+    clickhouse_connect_sink,
+    jdbc_sink,
+    parquet_sink,
+    partitioned_parquet_sink,
+)
+
+BASE_ENV = {
+    "KAFKA_BOOTSTRAP_SERVERS": "broker:9092",
+    "KAFKA_TOPIC": "events",
+    "SINK_URL": "jdbc:ch://host:8123/db",
+    "SINK_TABLE": "t",
+}
+
+
+def test_config_from_env_defaults():
+    cfg = JobConfig.from_env(BASE_ENV, env_file="/nonexistent")
+    assert cfg.max_offsets_per_trigger == 25000  # reference NUM_MESSAGES
+    assert cfg.string_enum_columns == ["gps_validity", "incognito_mode"]
+    assert cfg.required_columns == []
+
+
+def test_config_fail_fast_on_missing():
+    env = dict(BASE_ENV)
+    del env["SINK_TABLE"]
+    with pytest.raises(ValueError, match="SINK_TABLE"):
+        JobConfig.from_env(env, env_file="/nonexistent")
+
+
+def test_config_empty_list_var_not_fatal_and_empty():
+    env = {**BASE_ENV, "REQUIRED_COLUMNS": ""}
+    cfg = JobConfig.from_env(env, env_file="/nonexistent")
+    assert cfg.required_columns == []  # NOT [''] (reference bug avoided)
+
+
+def test_config_env_file_fallback(tmp_path):
+    envf = tmp_path / ".env"
+    envf.write_text(
+        "KAFKA_BOOTSTRAP_SERVERS=b:9092\nKAFKA_TOPIC=t\n"
+        "SINK_URL=jdbc:x\nSINK_TABLE=tt\n# comment\nNUM_MESSAGES=100\n"
+    )
+    cfg = JobConfig.from_env({}, env_file=str(envf))
+    assert cfg.kafka_topic == "t"
+    assert cfg.max_offsets_per_trigger == 100
+
+
+def test_env_file_parser(tmp_path):
+    envf = tmp_path / ".env"
+    envf.write_text('A=1\nB="quoted"\nbad line\n# c\n')
+    assert load_env_file(str(envf)) == {"A": "1", "B": "quoted"}
+
+
+def test_parquet_sinks_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a", "2024-01-01"), (2, "b", "2024-01-02")],
+        "id long, v string, day string",
+    )
+    plain = str(tmp_path / "plain")
+    parquet_sink(plain)(df)
+    assert spark.read.parquet(plain).count() == 2
+
+    parts = str(tmp_path / "parts")
+    partitioned_parquet_sink(parts, ["day"])(df)
+    # directory-partitioned layout → partition pruning on read
+    assert os.path.isdir(os.path.join(parts, "day=2024-01-01"))
+    pruned = spark.read.parquet(parts).filter("day = '2024-01-01'")
+    assert pruned.count() == 1
+
+
+def test_jdbc_sink_appends_async_settings():
+    sink = jdbc_sink("jdbc:ch://h:8123/db", "t")
+    # the callable closes over the rewritten URL
+    url = next(
+        c.cell_contents
+        for c in sink.__closure__
+        if isinstance(c.cell_contents, str) and c.cell_contents.startswith("jdbc:")
+    )
+    assert "async_insert=1" in url and "?" in url
+
+
+def test_clickhouse_connect_sink_gated():
+    with pytest.raises(NotImplementedError, match="jdbc_sink"):
+        clickhouse_connect_sink("h", 8123, "t")
