@@ -308,6 +308,99 @@ ORDER BY p_partkey, metric
 """
 
 
+def q39_math_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math kernel: abs/ceil/floor/sqrt/ln/exp/power/mod over prices —
+    all whole-stage-codegen JVM intrinsics."""
+    o = table(spark, sf_dir, "orders")
+    p = F.col("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        F.round(F.abs(p - 150000), 2).alias("abs_dev"),
+        F.ceil(p / 1000).cast("long").alias("price_ceil_k"),
+        F.floor(p / 1000).cast("long").alias("price_floor_k"),
+        F.round(F.sqrt(p), 6).alias("sqrt_price"),
+        F.round(F.log(p), 6).alias("ln_price"),
+        F.round(F.exp(p / 500000), 6).alias("exp_scaled"),
+        F.round(F.pow(p, F.lit(0.25)), 6).alias("price_4th_root"),
+        (F.col("o_orderkey") % 7).cast("long").alias("key_mod7"),
+    ).orderBy("o_orderkey")
+
+
+Q39_SQL = """
+SELECT o_orderkey,
+       ROUND(ABS(o_totalprice - 150000), 2) AS abs_dev,
+       CAST(CEIL(o_totalprice / 1000) AS BIGINT) AS price_ceil_k,
+       CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS price_floor_k,
+       ROUND(SQRT(o_totalprice), 6) AS sqrt_price,
+       ROUND(LN(o_totalprice), 6) AS ln_price,
+       ROUND(EXP(o_totalprice / 500000), 6) AS exp_scaled,
+       ROUND(POWER(o_totalprice, 0.25), 6) AS price_4th_root,
+       CAST(o_orderkey % 7 AS BIGINT) AS key_mod7
+FROM orders
+ORDER BY o_orderkey
+"""
+
+
+def q40_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join: reconcile per-nation customer and supplier
+    counts — rows survive from either side, nulls coalesced."""
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    cn = c.groupBy(F.col("c_nationkey").alias("ckey")).agg(
+        F.count(F.lit(1)).alias("n_cust")
+    )
+    sn = s.groupBy(F.col("s_nationkey").alias("skey")).agg(
+        F.count(F.lit(1)).alias("n_supp")
+    )
+    return (
+        cn.join(sn, cn.ckey == sn.skey, "full_outer")
+        .select(
+            F.coalesce("ckey", "skey").alias("nationkey"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+Q40_SQL = """
+WITH cn AS (
+  SELECT c_nationkey AS ckey, COUNT(*) AS n_cust FROM customer GROUP BY c_nationkey
+), sn AS (
+  SELECT s_nationkey AS skey, COUNT(*) AS n_supp FROM supplier GROUP BY s_nationkey
+)
+SELECT COALESCE(ckey, skey) AS nationkey,
+       COALESCE(n_cust, 0) AS n_cust,
+       COALESCE(n_supp, 0) AS n_supp
+FROM cn FULL OUTER JOIN sn ON ckey = skey
+ORDER BY nationkey
+"""
+
+
+def q41_map_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type kernel: build a map from entries, access by key, list
+    keys — exercises MapType end to end (the events.props JSON string
+    parsed into map<string,string>)."""
+    e = table(spark, sf_dir, "events")
+    m = F.from_json(F.col("props"), "map<string,string>")
+    return e.select(
+        "event_id",
+        m.getItem("k").cast("long").alias("prop_k"),
+        F.map_keys(m).alias("prop_keys"),
+        F.size(F.map_keys(m)).cast("long").alias("n_props"),
+    ).orderBy("event_id")
+
+
+Q41_SQL = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k,
+       json_keys(props) AS prop_keys,
+       CAST(LEN(json_keys(props)) AS BIGINT) AS n_props
+FROM events
+ORDER BY event_id
+"""
+
+
 QUERIES = [
     Query("q11_sort_limit", q11_sort_limit, Q11_SQL,
           "global top-k (TakeOrderedAndProject)"),
@@ -323,4 +416,9 @@ QUERIES = [
           "CASE/coalesce/nullif/try_cast"),
     Query("q22_pivot", q22_pivot, Q22_SQL, "pivot with explicit values"),
     Query("q30_unpivot", q30_unpivot, Q30_SQL, "unpivot via stack()"),
+    Query("q39_math_fns", q39_math_fns, Q39_SQL, "math kernel"),
+    Query("q40_full_outer", q40_full_outer, Q40_SQL,
+          "FULL OUTER join with coalesced sides"),
+    Query("q41_map_fns", q41_map_fns, Q41_SQL,
+          "MapType kernel over parsed JSON props"),
 ]
