@@ -380,6 +380,81 @@ ORDER BY doc_id
 """
 
 
+SIMHASH_HAMMING_MAX = 3
+SIMHASH_BANDS = 4  # pigeonhole: hamming<=3 ⇒ ≥1 of 4 bands identical
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
+
+
+def d06_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairing: candidates block on 4-bit fingerprint
+    bands (pigeonhole guarantees recall for hamming ≤ 3), verified with
+    exact popcount(xor). Same LSH-banding plan shape as d03 but over a
+    16-bit integer — the cheapest near-dup join there is: the shuffle
+    key is 2 bytes and verify is two ALU ops."""
+    fp = d04_simhash(spark, sf_dir)
+    band_cols = [
+        F.struct(
+            F.lit(bi).alias("band_id"),
+            F.shiftright(F.col("simhash"), bi * SIMHASH_BAND_BITS)
+            .bitwiseAND((1 << SIMHASH_BAND_BITS) - 1)
+            .alias("band_val"),
+        )
+        for bi in range(SIMHASH_BANDS)
+    ]
+    bands = fp.select(
+        "doc_id", "simhash", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc_id", "simhash", "bk.band_id", "bk.band_val")
+    x = bands.alias("x")
+    y = bands.alias("y")
+    hamming = F.bit_count(
+        F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))
+    ).cast("long")
+    return (
+        x.join(
+            y,
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.band_val") == F.col("y.band_val"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _d06_sql() -> str:
+    d04_core = _d04_sql().strip().rstrip()
+    # reuse d04's CTE chain, re-rooted as a fingerprint relation
+    core = d04_core[: d04_core.rindex("SELECT doc_id")]
+    bands = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, simhash, {bi} AS band_id,"
+        f" (simhash >> {bi * SIMHASH_BAND_BITS}) & {(1 << SIMHASH_BAND_BITS) - 1}"
+        f" AS band_val FROM fp"
+        for bi in range(SIMHASH_BANDS)
+    )
+    return f"""{core.rstrip()},
+fp AS (
+  SELECT doc_id, CAST({'+'.join(f'(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)' for b in range(SIMHASH_BITS))} AS BIGINT) AS simhash
+  FROM votes
+),
+bands AS (
+{bands}
+)
+SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+FROM bands x
+JOIN bands y ON x.band_id = y.band_id AND x.band_val = y.band_val
+            AND x.doc_id < y.doc_id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= {SIMHASH_HAMMING_MAX}
+ORDER BY doc_a, doc_b
+"""
+
+
 def d05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicates: cosine >= threshold within the same
     label block (blocking bounds the pair count; the unblocked version is
@@ -440,4 +515,6 @@ QUERIES = [
           "SimHash bitwise-majority fingerprint"),
     Query("d05_embedding_neardup", d05_embedding_neardup, D05_SQL,
           "cosine near-dup pairs, label-blocked"),
+    Query("d06_simhash_pairs", d06_simhash_pairs, _d06_sql(),
+          "SimHash banded near-dup pairs, popcount-verified"),
 ]
