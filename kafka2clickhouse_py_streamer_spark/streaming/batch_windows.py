@@ -56,7 +56,11 @@ def w02_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            # +1e-7 before rounding: AVG of limited-decimal inputs lands
+            # exactly on decimal half-points, where ~1e-12 summation-
+            # order noise flips ROUND between engines; the shared shift
+            # moves the boundary off the half-point for both
+            F.round(F.avg("value") + 1e-7, 4).alias("avg_value"),
         )
         .select(F.col("w.start").alias("window_start"), "n_events", "avg_value")
         .orderBy("window_start")
@@ -74,7 +78,7 @@ WITH expanded AS (
 )
 SELECT CAST(window_start AS TIMESTAMP) AS window_start,
        COUNT(*) AS n_events,
-       ROUND(AVG(value), 4) AS avg_value
+       ROUND(AVG(value) + 1e-7, 4) AS avg_value
 FROM expanded
 WHERE ts >= window_start AND ts < window_start + INTERVAL 1 HOUR
 GROUP BY window_start
