@@ -121,6 +121,54 @@ def sample_frames(df: DataFrame) -> DataFrame:
     )
 
 
+def extract_features(df: DataFrame) -> DataFrame:
+    """Feature extraction via mapInPandas: payload bytes → fixed-width
+    numeric features (mean/min/max byte value) — the stand-in for a
+    real embedding model; the batch shape (binary in, float vector out,
+    one Arrow batch per partition) is exactly the production contract."""
+    out_schema = "doc_id long, byte_mean double, byte_min long, byte_max long"
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "byte_mean": payloads.map(lambda b: sum(b) / len(b)),
+                    "byte_min": payloads.map(min),
+                    "byte_max": payloads.map(max),
+                }
+            )
+
+    return df.mapInPandas(feats, out_schema)
+
+
+def resize_media(
+    df: DataFrame, target_bytes: int, use_real_codec: bool = False
+) -> DataFrame:
+    """Resize stage: real image resize needs PIL (absent → clearly-
+    marked NotImplementedError); the fake resize truncates/zero-pads the
+    payload to ``target_bytes`` — pure JVM binary ops, so the plumbing
+    (binary in/out, metadata update) runs without any codec."""
+    if use_real_codec:
+        try:
+            import PIL  # noqa: F401
+        except ImportError as exc:
+            raise NotImplementedError(
+                "real resize needs PIL, which is not installed; "
+                "use use_real_codec=False for the truncate/pad fake"
+            ) from exc
+    # zero-pad with unhex(repeat('00', n)) — string repeat then unhex
+    # keeps BINARY (repeat on binary coerces to string, see media_table)
+    padded = F.expr(
+        f"substring(concat(payload, unhex(repeat('00', {target_bytes}))),"
+        f" 1, {target_bytes})"
+    )
+    return df.withColumn("payload", padded).withColumn(
+        "n_bytes", F.octet_length("payload").cast("long")
+    )
+
+
 def m01_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata scan over the media table: per-type counts + byte stats.
     All JVM expressions — the 'how big is the corpus' query."""
@@ -207,6 +255,38 @@ ORDER BY doc_id, frame_idx
 """
 
 
+def m04_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas feature extraction over the payload bytes. The
+    payload is k identical MD5 blocks, so mean/min/max equal those of
+    the 16 MD5 bytes — reproducible in SQL from the hex digest."""
+    feats = extract_features(media_table(spark, sf_dir))
+    return feats.select(
+        "doc_id",
+        F.round("byte_mean", 6).alias("byte_mean"),
+        "byte_min",
+        "byte_max",
+    ).orderBy("doc_id")
+
+
+def _m04_sql() -> str:
+    bytes_ = [
+        f"CAST('0x' || substring(md5(text), {2 * k + 1}, 2) AS BIGINT)"
+        for k in range(16)
+    ]
+    return f"""
+WITH b AS (
+  SELECT doc_id, [{', '.join(bytes_)}] AS bs
+  FROM documents
+)
+SELECT doc_id,
+       ROUND(list_sum(bs) / 16.0, 6) AS byte_mean,
+       list_min(bs) AS byte_min,
+       list_max(bs) AS byte_max
+FROM b
+ORDER BY doc_id
+"""
+
+
 QUERIES = [
     Query("m01_media_metadata", m01_media_metadata, M01_SQL,
           "binary media metadata scan"),
@@ -214,4 +294,6 @@ QUERIES = [
           "mapInPandas decode stage (fake codec, oracle-checked)"),
     Query("m03_frame_sample", m03_frame_sample, M03_SQL,
           "video frame sampling via sequence+explode"),
+    Query("m04_feature_extract", m04_feature_extract, _m04_sql(),
+          "mapInPandas byte-feature extraction (oracle-checked)"),
 ]

@@ -8,6 +8,7 @@ import pytest
 from kafka2clickhouse_py_streamer_spark.llm.multimodal import (
     decode_media,
     media_table,
+    resize_media,
 )
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -17,6 +18,19 @@ def test_real_codec_is_stubbed(spark):
     m = media_table(spark, SF_DIR)
     with pytest.raises(NotImplementedError, match="PIL"):
         decode_media(m, use_real_codec=True)
+    with pytest.raises(NotImplementedError, match="PIL"):
+        resize_media(m, 8, use_real_codec=True)
+
+
+def test_fake_resize_truncates_and_pads(spark):
+    m = media_table(spark, SF_DIR)
+    small = resize_media(m, 8)
+    big = resize_media(m, 100)
+    assert dict(small.dtypes)["payload"] == "binary"
+    assert {r.n_bytes for r in small.select("n_bytes").distinct().collect()} == {8}
+    assert {r.n_bytes for r in big.select("n_bytes").distinct().collect()} == {100}
+    r = big.orderBy("doc_id").first()
+    assert bytes(r.payload).endswith(b"\x00" * 4)  # zero-padded tail
 
 
 def test_payload_is_binary(spark):
