@@ -43,9 +43,12 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 2,
             ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            # +1e-9 before rounding: averages of limited-decimal data
+            # can sit exactly on decimal half-points, where engine
+            # summation-order noise flips ROUND (see w02_sliding fix)
+            F.round(F.avg("l_quantity") + 1e-9, 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice") + 1e-9, 6).alias("avg_price"),
+            F.round(F.avg("l_discount") + 1e-9, 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -58,9 +61,9 @@ SELECT l_returnflag, l_linestatus,
        ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
        ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
        ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-       ROUND(AVG(l_quantity), 6) AS avg_qty,
-       ROUND(AVG(l_extendedprice), 6) AS avg_price,
-       ROUND(AVG(l_discount), 6) AS avg_disc,
+       ROUND(AVG(l_quantity) + 1e-9, 6) AS avg_qty,
+       ROUND(AVG(l_extendedprice) + 1e-9, 6) AS avg_price,
+       ROUND(AVG(l_discount) + 1e-9, 6) AS avg_disc,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '{SHIP_CUTOFF} 00:00:00'

@@ -142,7 +142,8 @@ def q34_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.avg(
                     F.when(F.col("l_quantity") > 25, F.col("l_discount"))
-                ),
+                )
+                + 1e-9,  # half-point guard, see q01
                 6,
             ).alias("avg_disc_bigqty"),
         )
@@ -156,7 +157,7 @@ SELECT l_linestatus,
        COUNT(*) FILTER (WHERE l_returnflag = 'R') AS n_returned,
        ROUND(COALESCE(SUM(l_extendedprice) FILTER (WHERE l_returnflag = 'R'), 0.0), 2)
          AS returned_value,
-       ROUND(AVG(l_discount) FILTER (WHERE l_quantity > 25), 6) AS avg_disc_bigqty
+       ROUND(AVG(l_discount) FILTER (WHERE l_quantity > 25) + 1e-9, 6) AS avg_disc_bigqty
 FROM lineitem
 GROUP BY l_linestatus
 ORDER BY l_linestatus
