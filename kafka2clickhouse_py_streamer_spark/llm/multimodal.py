@@ -27,7 +27,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kafka2clickhouse_py_streamer_spark.operators.base import Query, table
+from kafka2clickhouse_py_streamer_spark.operators.base import Query, spread, table
 
 FRAME_SIZE = 4  # bytes per fake "frame" of the fake video payload
 N_SAMPLED_FRAMES = 3
@@ -39,7 +39,7 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deterministic fake payload: MD5(text) raw bytes repeated
     (1 + doc_id % 4) times — varying length exercises the metadata path.
     """
-    d = table(spark, sf_dir, "documents")
+    d = spread(table(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         F.element_at(

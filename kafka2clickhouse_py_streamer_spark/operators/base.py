@@ -62,6 +62,23 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Repartition a narrow scan up to the session's parallelism.
+
+    Single-file parquet tables (documents/embeddings/events fixtures)
+    arrive as ONE partition, serializing every CPU-heavy downstream
+    operator (tokenize/shingle/hash/vector math) onto one core. A
+    round-robin repartition costs one shuffle of the raw rows — trivial
+    next to the per-row compute it parallelizes 32×. At 100 TB inputs
+    arrive in thousands of splits and this is a no-op (we only widen,
+    never coalesce).
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def all_queries() -> dict[str, Query]:
     """Merge every operator module's registry. Import here (not at module
     top) so a bug in one module doesn't take down the whole registry at
