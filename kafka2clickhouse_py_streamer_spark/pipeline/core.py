@@ -120,6 +120,39 @@ def _make_validator(cols: dict[str, str], required: list[str], drop: str):
     return validate_row
 
 
+def tag_errors(
+    raw_df: DataFrame, schema: TableSchema, value_col: str = "value"
+) -> DataFrame:
+    """P1+P2 tagging stage: adds an ``_err`` column (NULL = valid, the
+    drop marker, or the validation error). Callers that consume BOTH
+    splits more than once (the streaming job: valid write + DLQ write)
+    should persist this frame so the validation UDF runs once per
+    batch instead of once per downstream action."""
+    validate_row = _make_validator(
+        {c.name: c.json_type for c in schema.columns},
+        list(schema.required),
+        _DROP,
+    )
+
+    @F.pandas_udf(StringType())
+    def _validate(vals: pd.Series) -> pd.Series:
+        return vals.map(validate_row)
+
+    return raw_df.withColumn("_err", _validate(F.col(value_col)))
+
+
+def split_tagged(
+    tagged: DataFrame, value_col: str = "value"
+) -> tuple[DataFrame, DataFrame]:
+    """Split a tagged frame into (valid_raw, dlq)."""
+    valid = tagged.filter(F.col("_err").isNull()).drop("_err")
+    dlq = (
+        tagged.filter(F.col("_err").isNotNull() & (F.col("_err") != _DROP))
+        .select(F.col(value_col).alias("row"), F.col("_err").alias("error"))
+    )
+    return valid, dlq
+
+
 def validate_split(
     raw_df: DataFrame, schema: TableSchema, value_col: str = "value"
 ) -> tuple[DataFrame, DataFrame]:
@@ -131,23 +164,7 @@ def validate_split(
     (main.py:227). Empty/whitespace/malformed messages appear in
     neither (main.py:516-520).
     """
-    validate_row = _make_validator(
-        {c.name: c.json_type for c in schema.columns},
-        list(schema.required),
-        _DROP,
-    )
-
-    @F.pandas_udf(StringType())
-    def _validate(vals: pd.Series) -> pd.Series:
-        return vals.map(validate_row)
-
-    tagged = raw_df.withColumn("_err", _validate(F.col(value_col)))
-    valid = tagged.filter(F.col("_err").isNull()).drop("_err")
-    dlq = (
-        tagged.filter(F.col("_err").isNotNull() & (F.col("_err") != _DROP))
-        .select(F.col(value_col).alias("row"), F.col("_err").alias("error"))
-    )
-    return valid, dlq
+    return split_tagged(tag_errors(raw_df, schema, value_col), value_col)
 
 
 def _cast_expr(meta: ColumnMeta, present: bool):

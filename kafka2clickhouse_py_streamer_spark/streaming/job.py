@@ -75,42 +75,54 @@ class PipelineJob:
     def run_batch(self, batch_df: DataFrame, batch_id: int = 0) -> None:
         if batch_df.isEmpty():  # main.py:254-255, 337-339
             return
-        valid_raw, typed, dlq = self._process(batch_df)
+        tagged, valid_raw, typed, dlq = self._process(batch_df)
         try:
-            self._sink(typed)
-        except Exception:
-            # schema drift suspected: re-fetch, re-process, retry once
-            # (main.py:433-445)
-            self.invalidate_schema()
-            valid_raw, typed, dlq = self._process(batch_df)
             try:
                 self._sink(typed)
-            except Exception as exc:
-                # second failure → only the VALID rows go to the DLQ with
-                # the insert error; invalid rows keep their validation
-                # error (main.py:446-456)
-                failed = valid_raw.select(
-                    F.col(self._value_col).alias("row"),
-                    F.lit(f"insert failed after retry: {exc}").alias("error"),
-                )
-                dlq = dlq.unionByName(failed)
-        if not dlq.isEmpty():
-            self._dlq_sink(dlq)
+            except Exception:
+                # schema drift suspected: re-fetch, re-process, retry
+                # once (main.py:433-445)
+                tagged.unpersist()
+                self.invalidate_schema()
+                tagged, valid_raw, typed, dlq = self._process(batch_df)
+                try:
+                    self._sink(typed)
+                except Exception as exc:
+                    # second failure → only the VALID rows go to the DLQ
+                    # with the insert error; invalid rows keep their
+                    # validation error (main.py:446-456)
+                    failed = valid_raw.select(
+                        F.col(self._value_col).alias("row"),
+                        F.lit(f"insert failed after retry: {exc}").alias(
+                            "error"
+                        ),
+                    )
+                    dlq = dlq.unionByName(failed)
+            if not dlq.isEmpty():
+                self._dlq_sink(dlq)
+        finally:
+            tagged.unpersist()
 
     def _process(self, batch_df: DataFrame):
         from kafka2clickhouse_py_streamer_spark.pipeline.core import (
             cast_project,
             receiving_schema,
-            validate_split,
+            split_tagged,
+            tag_errors,
         )
 
         schema = self._get_schema()
-        valid_raw, dlq = validate_split(batch_df, schema, self._value_col)
+        # persist the tagged frame: the validation UDF would otherwise
+        # re-run for every downstream action (valid write, DLQ empty
+        # check, DLQ write) — the reference validates each batch once
+        # (main.py:428)
+        tagged = tag_errors(batch_df, schema, self._value_col).persist()
+        valid_raw, dlq = split_tagged(tagged, self._value_col)
         parsed = valid_raw.withColumn(
             "_parsed",
             F.from_json(F.col(self._value_col), receiving_schema(schema)),
         ).select("_parsed.*")
-        return valid_raw, cast_project(parsed, schema), dlq
+        return tagged, valid_raw, cast_project(parsed, schema), dlq
 
     def start(
         self,
