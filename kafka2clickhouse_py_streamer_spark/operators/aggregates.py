@@ -32,15 +32,21 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            # +1e-9 guards: these sums live on 1e-4/1e-6 decimal grids,
+            # so ROUND(...,2) can sit exactly on a half-point where
+            # partition-merge order decides the side (see w02 fix)
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                + 1e-9,
+                2,
             ).alias("sum_disc_price"),
             F.round(
                 F.sum(
                     F.col("l_extendedprice")
                     * (1 - F.col("l_discount"))
                     * (1 + F.col("l_tax"))
-                ),
+                )
+                + 1e-9,
                 2,
             ).alias("sum_charge"),
             # +1e-9 before rounding: averages of limited-decimal data
@@ -59,8 +65,8 @@ Q01_SQL = f"""
 SELECT l_returnflag, l_linestatus,
        ROUND(SUM(l_quantity), 2) AS sum_qty,
        ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)) + 1e-9, 2) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)) + 1e-9, 2) AS sum_charge,
        ROUND(AVG(l_quantity) + 1e-9, 6) AS avg_qty,
        ROUND(AVG(l_extendedprice) + 1e-9, 6) AS avg_price,
        ROUND(AVG(l_discount) + 1e-9, 6) AS avg_disc,
@@ -86,15 +92,15 @@ def q06_revenue_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_discount") <= 0.07)
         & (F.col("l_quantity") < 24)
     ).agg(
-        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-            "revenue"
-        ),
+        F.round(
+            F.sum(F.col("l_extendedprice") * F.col("l_discount")) + 1e-9, 2
+        ).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
 
 
 Q06_SQL = """
-SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+SELECT ROUND(SUM(l_extendedprice * l_discount) + 1e-9, 2) AS revenue,
        COUNT(*) AS n_items
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'

@@ -70,7 +70,9 @@ def q03_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                + 1e-9,  # half-point guard, see q01
+                2,
             ).alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
@@ -80,7 +82,7 @@ def q03_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q03_SQL = """
 SELECT o_orderkey, o_orderdate, o_orderpriority,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       ROUND(SUM(l_extendedprice * (1 - l_discount)) + 1e-9, 2) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
