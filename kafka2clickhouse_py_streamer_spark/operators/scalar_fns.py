@@ -9,7 +9,7 @@ schema inference); array math uses higher-order functions
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka2clickhouse_py_streamer_spark.operators.base import Query, table
@@ -401,6 +401,58 @@ ORDER BY event_id
 """
 
 
+def q42_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional explode (LATERAL VIEW posexplode): tokenize each
+    document's first words with their ordinal — the order-preserving
+    flatten that plain explode loses."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.slice(F.split(F.trim(F.lower("text")), r"\s+"), 1, 5)
+    return (
+        d.select("doc_id", F.posexplode(toks).alias("pos", "tok"))
+        .select(
+            "doc_id", (F.col("pos") + 1).cast("long").alias("pos"), "tok"
+        )
+        .orderBy("doc_id", "pos")
+    )
+
+
+# DuckDB has no WITH ORDINALITY: index positions explicitly
+Q42_SQL = r"""
+WITH arr AS (
+  SELECT doc_id,
+         list_slice(regexp_split_to_array(TRIM(LOWER(text)), '\s+'), 1, 5) AS tk
+  FROM documents
+)
+SELECT doc_id,
+       CAST(pos AS BIGINT) AS pos,
+       tk[CAST(pos AS INTEGER)] AS tok
+FROM (SELECT doc_id, tk, UNNEST(RANGE(1, LEN(tk) + 1)) AS pos FROM arr)
+ORDER BY doc_id, pos
+"""
+
+
+def q43_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total via an unbounded window over the whole
+    partition: each order's share of its status group's revenue."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus")
+    return o.select(
+        "o_orderstatus",
+        "o_orderkey",
+        F.round(
+            F.col("o_totalprice") / F.sum("o_totalprice").over(w), 8
+        ).alias("share"),
+    ).orderBy("o_orderstatus", "o_orderkey")
+
+
+Q43_SQL = """
+SELECT o_orderstatus, o_orderkey,
+       ROUND(o_totalprice / SUM(o_totalprice) OVER (PARTITION BY o_orderstatus), 8) AS share
+FROM orders
+ORDER BY o_orderstatus, o_orderkey
+"""
+
+
 QUERIES = [
     Query("q11_sort_limit", q11_sort_limit, Q11_SQL,
           "global top-k (TakeOrderedAndProject)"),
@@ -421,4 +473,8 @@ QUERIES = [
           "FULL OUTER join with coalesced sides"),
     Query("q41_map_fns", q41_map_fns, Q41_SQL,
           "MapType kernel over parsed JSON props"),
+    Query("q42_posexplode", q42_posexplode, Q42_SQL,
+          "LATERAL posexplode with ordinals"),
+    Query("q43_ratio_to_report", q43_ratio_to_report, Q43_SQL,
+          "percent-of-total unbounded window"),
 ]

@@ -69,6 +69,36 @@ def dedup_within_watermark(
     )
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts_r",
+    watermark: str = "1 hour",
+    max_delay: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time range constraint.
+
+    Both sides carry watermarks and the join condition bounds how far
+    the right event may trail the left one — the two ingredients that
+    let Spark EVICT join state (unbounded stream-stream joins never
+    ship, same discipline as everything else in this module). State per
+    side ≈ events within (watermark + max_delay) of the front."""
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    return lw.join(
+        rw,
+        (lw[key] == rw[key])
+        & (F.col(right_ts) >= F.col(left_ts))
+        & (
+            F.col(right_ts)
+            <= F.col(left_ts) + F.expr(f"INTERVAL {max_delay}")
+        ),
+        "inner",
+    ).drop(rw[key])
+
+
 def sessionized(
     events: DataFrame,
     gap: str = "30 minutes",

@@ -1,0 +1,74 @@
+"""Stream-stream join tests: matches within the time bound join;
+too-late arrivals beyond the watermark+bound don't."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+from kafka2clickhouse_py_streamer_spark.streaming.watermark import (
+    stream_stream_join,
+)
+
+RAW = StructType([StructField("value", StringType())])
+
+
+def _src(spark, path, ts_name):
+    return (
+        spark.readStream.schema(RAW)
+        .json(path)
+        .select(
+            F.get_json_object("value", "$.user_id").cast("long").alias("user_id"),
+            F.get_json_object("value", "$.ts").cast("timestamp").alias(ts_name),
+            F.get_json_object("value", "$.tag").alias(
+                "tag_l" if ts_name == "ts" else "tag_r"
+            ),
+        )
+    )
+
+
+def test_stream_stream_join_within_bound(spark, tmp_path):
+    lsrc = str(tmp_path / "l")
+    rsrc = str(tmp_path / "r")
+    os.makedirs(lsrc)
+    os.makedirs(rsrc)
+
+    left = _src(spark, lsrc, "ts")
+    right = _src(spark, rsrc, "ts_r")
+    joined = stream_stream_join(left, right)
+
+    batches: list[list] = []
+    q = (
+        joined.writeStream.outputMode("append")
+        .foreachBatch(lambda df, _id: batches.append(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+
+    def push(src, n, rows):
+        with open(os.path.join(src, f"b{n}.txt"), "w") as f:
+            for r in rows:
+                f.write(json.dumps({"value": json.dumps(r)}) + "\n")
+        q.processAllAvailable()
+
+    try:
+        # click at 10:00, view 10 min later (within 30-min bound) and a
+        # different user's view (no match)
+        push(lsrc, 0, [{"user_id": 1, "ts": "2024-01-01 10:00:00", "tag": "click"}])
+        push(rsrc, 0, [
+            {"user_id": 1, "ts": "2024-01-01 10:10:00", "tag": "view"},
+            {"user_id": 2, "ts": "2024-01-01 10:10:00", "tag": "view"},
+        ])
+        # view 2 hours later for the same user: outside the 30-min bound
+        push(rsrc, 1, [{"user_id": 1, "ts": "2024-01-01 12:00:00", "tag": "late"}])
+    finally:
+        q.stop()
+
+    rows = [r for b in batches for r in b]
+    pairs = {(r.user_id, r.tag_l, r.tag_r) for r in rows}
+    assert (1, "click", "view") in pairs
+    assert all(t != "late" for _, _, t in pairs)
+    assert all(u == 1 for u, _, _ in pairs)
