@@ -49,6 +49,10 @@ events AS (
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # The harness may hand us a session we didn't build: pin UTC at
+    # read time so timestamp rendering matches the UTC-naive oracle
+    # regardless of the host session's timezone.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
