@@ -455,6 +455,92 @@ ORDER BY doc_a, doc_b
 """
 
 
+DEDUP_CC_MAX_ITERS = 20
+
+
+def d07_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: connected components over the d06 SimHash
+    pair graph, by iterative min-label propagation. Every document gets
+    ``cluster_id`` = the smallest doc_id reachable through near-dup
+    edges; keeping one doc per cluster is the dedup policy step.
+
+    Each round is two shuffles (edge join + min-agg) and labels are
+    monotonically non-increasing, so convergence is O(component
+    diameter) rounds; ``localCheckpoint`` truncates lineage per round so
+    plans don't snowball. At 100 TB the same loop runs with the
+    large-star/small-star optimization (alternate join directions) to
+    cut round count; the per-round plan shape is unchanged. Convergence
+    is detected via the label sum (strictly decreases iff any label
+    moved) — one lightweight agg instead of a diff join.
+    """
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    pairs = d06_simhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    labels = docs.select(
+        "doc_id", F.col("doc_id").alias("cluster_id")
+    ).localCheckpoint(eager=True)
+    prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+    for _ in range(DEDUP_CC_MAX_ITERS):
+        nbr_min = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        labels = (
+            labels.withColumnRenamed("cluster_id", "old_id")
+            .join(nbr_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("old_id"),
+                    F.coalesce("nbr_min", F.col("old_id")),
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        new_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return labels.orderBy("doc_id")
+
+
+def _d07_sql() -> str:
+    """Oracle: transitive closure via a recursive CTE over the same d06
+    pair graph; MIN(reachable label) per node = the component id."""
+    d06 = _d06_sql().strip()
+    cut = d06.rindex("SELECT DISTINCT")
+    ctes = d06[len("WITH"):cut].rstrip()
+    pair_select = d06[cut:].split("ORDER BY")[0].rstrip()
+    return f"""
+WITH RECURSIVE {ctes},
+pairs AS (
+  {pair_select}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.lbl
+  FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS doc_id, MIN(lbl) AS cluster_id
+FROM reach
+GROUP BY node
+ORDER BY doc_id
+"""
+
+
 def d05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicates: cosine >= threshold within the same
     label block (blocking bounds the pair count; the unblocked version is
@@ -517,4 +603,6 @@ QUERIES = [
           "cosine near-dup pairs, label-blocked"),
     Query("d06_simhash_pairs", d06_simhash_pairs, _d06_sql(),
           "SimHash banded near-dup pairs, popcount-verified"),
+    Query("d07_dedup_clusters", d07_dedup_clusters, _d07_sql(),
+          "near-dup connected components (min-label propagation)"),
 ]

@@ -1,0 +1,199 @@
+"""Sampling / split / packing operators for training-data pipelines.
+
+The reference has none of these (it is a streaming ETL service,
+main.py:468-534); they are north-star extensions (SURVEY.md §2b) that a
+100 TB corpus pipeline needs between "cleaned documents" and "training
+shards":
+
+- p01: deterministic train/val/test split (hash of the stable key, not
+  rand() — reproducible across runs, engines, and re-partitions)
+- p02: stratified sampling with per-stratum rates (the distributed
+  analogue of ``df.sampleBy`` but deterministic, so the oracle can
+  reproduce it bit-for-bit)
+- p03: sequence packing — assign documents to fixed token-budget packs
+  (the concat-and-chunk step before tokenizer sharding)
+
+Scale notes: p01/p02 are embarrassingly parallel (pure row-local
+expressions over one scan — no shuffle at all; the md5 bucket is
+whole-stage-codegen JVM work). p03 as written uses a single global
+running sum (one window over a global order) which is the correct
+*definition*; at 100 TB you run it per shard key (add
+``partitionBy(shard)`` to the window) so each task packs its own range
+— the docstring plan, not a different operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kafka2clickhouse_py_streamer_spark.operators.base import Query, table
+
+SPLIT_BUCKETS = 100
+TRAIN_END = 80  # [0,80) train, [80,90) val, [90,100) test
+VAL_END = 90
+
+# Per-stratum keep-rates for p02 (percent of the bucket space).
+STRATA_RATES = {"en": 50, "es": 25, "de": 25, "fr": 10}
+DEFAULT_RATE = 5
+
+PACK_BUDGET = 512  # tokens per pack for p03
+
+
+def _bucket(col):
+    """Deterministic bucket in [0, SPLIT_BUCKETS): first 8 hex chars of
+    md5(key) as an integer, mod bucket count. Identical arithmetic on
+    DuckDB via CAST('0x…' AS BIGINT)."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % SPLIT_BUCKETS
+    )
+
+
+def _bucket_sql(key: str) -> str:
+    return (
+        f"CAST('0x' || SUBSTRING(md5(CAST({key} AS VARCHAR)), 1, 8)"
+        f" AS BIGINT) % {SPLIT_BUCKETS}"
+    )
+
+
+def p01_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-deterministic train/val/test assignment per document.
+
+    rand()-based splits are irreproducible across retries and engines;
+    hashing the stable key means a document lands in the same split on
+    every run, every cluster size, and in the oracle. No shuffle: the
+    assignment is a row-local projection."""
+    d = table(spark, sf_dir, "documents")
+    b = _bucket(F.col("doc_id"))
+    return d.select(
+        "doc_id",
+        b.alias("bucket"),
+        F.when(b < TRAIN_END, F.lit("train"))
+        .when(b < VAL_END, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    ).orderBy("doc_id")
+
+
+P01_SQL = f"""
+SELECT doc_id,
+       {_bucket_sql('doc_id')} AS bucket,
+       CASE WHEN {_bucket_sql('doc_id')} < {TRAIN_END} THEN 'train'
+            WHEN {_bucket_sql('doc_id')} < {VAL_END} THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def p02_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-language keep-rates applied
+    as a bucket threshold. The distributed form of ``sampleBy`` with
+    exact reproducibility — keep iff bucket(doc_id) < rate(lang). Pure
+    filter over one scan (predicate pushes to the parquet reader for the
+    lang column at scale)."""
+    d = table(spark, sf_dir, "documents")
+    b = _bucket(F.col("doc_id"))
+    rate = F.lit(DEFAULT_RATE)
+    for lang, r in STRATA_RATES.items():
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    return (
+        d.select("doc_id", "lang", b.alias("bucket"), rate.alias("keep_rate"))
+        .filter(F.col("bucket") < F.col("keep_rate"))
+        .orderBy("doc_id")
+    )
+
+
+def _p02_sql() -> str:
+    whens = "\n            ".join(
+        f"WHEN lang = '{lang}' THEN {r}" for lang, r in STRATA_RATES.items()
+    )
+    return f"""
+WITH tagged AS (
+  SELECT doc_id, lang,
+         {_bucket_sql('doc_id')} AS bucket,
+         CASE {whens} ELSE {DEFAULT_RATE} END AS keep_rate
+  FROM documents
+)
+SELECT doc_id, lang, bucket, CAST(keep_rate AS INTEGER) AS keep_rate
+FROM tagged
+WHERE bucket < keep_rate
+ORDER BY doc_id
+"""
+
+
+def p03_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: lay documents end-to-end in
+    doc_id order and cut every PACK_BUDGET tokens. Each doc gets the
+    pack it *starts* in and its token offset within the stream — the
+    bookkeeping a pretraining shard writer needs.
+
+    The running sum is one window over the global doc order; at 100 TB
+    the window gains a ``partitionBy(shard_key)`` so each shard packs
+    independently (no global sort, no single-reducer window)."""
+    d = table(spark, sf_dir, "documents")
+    trimmed = F.trim(F.col("text"))
+    n_tokens = (
+        F.when(F.length(trimmed) == 0, F.lit(0))
+        .otherwise(F.size(F.split(trimmed, r"\s+")))
+        .cast("long")
+    )
+    w = (
+        Window.orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        d.select("doc_id", n_tokens.alias("n_tokens"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            cum_before.alias("stream_offset"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "stream_offset",
+            F.floor(F.col("stream_offset") / PACK_BUDGET)
+            .cast("long")
+            .alias("pack_id"),
+            (F.col("stream_offset") % PACK_BUDGET).alias("offset_in_pack"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+P03_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                   ELSE LEN(regexp_split_to_array(TRIM(text), '\s+'))
+              END AS BIGINT) AS n_tokens
+  FROM documents
+),
+packed AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS stream_offset
+  FROM toks
+)
+SELECT doc_id, n_tokens, stream_offset,
+       CAST(FLOOR(stream_offset / {PACK_BUDGET}) AS BIGINT) AS pack_id,
+       stream_offset % {PACK_BUDGET} AS offset_in_pack
+FROM packed
+ORDER BY doc_id
+"""
+
+
+QUERIES = [
+    Query("p01_train_test_split", p01_train_test_split, P01_SQL,
+          "hash-deterministic train/val/test split"),
+    Query("p02_stratified_sample", p02_stratified_sample, _p02_sql(),
+          "deterministic stratified sampling (sampleBy twin)"),
+    Query("p03_sequence_packing", p03_sequence_packing, P03_SQL,
+          "token-budget sequence packing (concat-and-chunk)"),
+]

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kafka2clickhouse_py_streamer_spark.functions import tokens_expr
 from kafka2clickhouse_py_streamer_spark.operators.base import Query, table
 
 # Marker words per language for the heuristic language-ID scorer.
@@ -219,6 +220,65 @@ ORDER BY doc_id
 """
 
 
+def t06_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter signal: fraction of duplicate
+    word-2-grams per document. High duplicate-2-gram fraction flags
+    boilerplate / spam / templated text. All array ops on a
+    materialized token column — no explode, no shuffle: one codegen'd
+    scan per document."""
+    d = table(spark, sf_dir, "documents")
+    grams = (
+        "CASE WHEN size(tk) < 2 THEN CAST(array() AS ARRAY<STRING>) "
+        "ELSE transform(sequence(1, size(tk) - 1), "
+        "i -> concat_ws(' ', slice(tk, i, 2))) END"
+    )
+    g = (
+        d.select("doc_id", F.expr(tokens_expr("text")).alias("tk"))
+        .select("doc_id", F.expr(grams).alias("grams"))
+        .select(
+            "doc_id",
+            F.size("grams").cast("long").alias("n_2grams"),
+            F.size(F.array_distinct("grams")).cast("long").alias("n_distinct"),
+        )
+    )
+    dup_frac = F.when(
+        F.col("n_2grams") > 0,
+        F.round(
+            F.lit(1.0) - F.col("n_distinct") / F.col("n_2grams"), 6
+        ),
+    ).otherwise(F.lit(0.0))
+    return g.select(
+        "doc_id", "n_2grams", "n_distinct", dup_frac.alias("dup_frac")
+    ).orderBy("doc_id")
+
+
+T06_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS tk
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN LEN(tk) < 2 THEN []::VARCHAR[]
+              ELSE list_transform(RANGE(1, LEN(tk)),
+                     i -> array_to_string(
+                            list_slice(tk, CAST(i AS INTEGER),
+                                       CAST(i AS INTEGER) + 1), ' '))
+         END AS g
+  FROM toks
+)
+SELECT doc_id,
+       CAST(LEN(g) AS BIGINT) AS n_2grams,
+       CAST(LEN(list_distinct(g)) AS BIGINT) AS n_distinct,
+       CASE WHEN LEN(g) > 0
+            THEN ROUND(1.0 - CAST(LEN(list_distinct(g)) AS DOUBLE) / LEN(g), 6)
+            ELSE 0.0 END AS dup_frac
+FROM grams
+ORDER BY doc_id
+"""
+
+
 QUERIES = [
     Query("t01_token_count", t01_token_count, T01_SQL,
           "whitespace + subword-proxy token counts"),
@@ -230,4 +290,6 @@ QUERIES = [
           "exact + normalized MD5 fingerprints"),
     Query("t05_rolling_hash", t05_rolling_hash, T05_SQL,
           "Rabin-Karp rolling hash prefix fingerprint"),
+    Query("t06_repetition", t06_repetition, T06_SQL,
+          "duplicate word-2-gram fraction (Gopher repetition rule)"),
 ]

@@ -97,6 +97,7 @@ def all_queries() -> dict[str, Query]:
     from kafka2clickhouse_py_streamer_spark.llm import (
         dedup,
         multimodal,
+        sampling,
         similarity,
         text,
     )
@@ -104,7 +105,8 @@ def all_queries() -> dict[str, Query]:
 
     merged: dict[str, Query] = {}
     for mod in (aggregates, joins, windows, scalar_fns, statistics,
-                dedup, similarity, text, multimodal, batch_windows):
+                dedup, similarity, text, multimodal, sampling,
+                batch_windows):
         for q in mod.QUERIES:
             if q.name in merged:
                 raise ValueError(f"duplicate query name: {q.name}")
