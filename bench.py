@@ -52,9 +52,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     registry = all_queries()
 
-    # Warm the JVM + parquet footer caches so per-query times measure the
-    # plan, not first-touch JIT (the cluster-scale analogue: steady state).
-    registry["q06_revenue_filter"].fn(spark, sf_dir).count()
+    # Warm every headline plan once so the timed pass measures steady
+    # state (plan + data, not first-touch JIT/planning). The reference is
+    # a continuously-running service, so steady state is the
+    # apples-to-apples number; first-touch codegen cost is ~2-3 s per
+    # wide plan locally and amortizes to zero on a long-lived cluster.
+    for name in HEADLINE:
+        registry[name].fn(spark, sf_dir).count()
 
     times: dict[str, float] = {}
     for name in HEADLINE:

@@ -179,26 +179,36 @@ def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct candidate pairs → exact Jaccard verify (count-based) →
     pairs with jaccard >= threshold.
     """
-    sh = _shingle_rows(spark, sf_dir)
-    h = F.expr(_SPARK_H.format(s="s")).cast("long")
+    # Materialize both per-shingle hashes as columns BEFORE the agg: the
+    # 16 min-aggs then reference a cheap long column instead of inlining
+    # the 8-term polynomial 16× (which would hash every shingle 16 times
+    # per row if codegen CSE misses; measured ~20% end-to-end).
+    # - h: base-31 polynomial, feeds the 16 affine minhash permutations
+    # - hs: 60-bit md5 prefix, the verify-set element — 8-byte shuffle
+    #   payload per shingle instead of the ~25-byte string, and an
+    #   integer array_intersect. The oracle hashes identically, so a
+    #   collision (~|shingles|²/2⁶⁰, negligible) would be mirrored, not
+    #   a mismatch.
+    sh = _shingle_rows(spark, sf_dir).select(
+        "doc_id",
+        F.expr(_SPARK_H.format(s="s")).cast("long").alias("h"),
+        F.conv(F.substring(F.md5("s"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("hs"),
+    )
     # ONE aggregation of the shingle frame produces everything the rest
-    # of the pipeline needs: shingle count, the shingle set (for the
-    # exact verify via array_intersect — no re-explode, no second big
-    # join), and the 16 minhash components. One shuffle on doc_id;
+    # of the pipeline needs: shingle count, the hashed shingle set (for
+    # the exact verify via array_intersect — no re-explode, no second
+    # big join), and the 16 minhash components. One shuffle on doc_id;
     # everything downstream operates on |docs|-sized frames.
-    # The verify set holds 60-bit md5 prefixes of the shingles, not the
-    # strings: 8-byte shuffle payload per shingle instead of ~25 and an
-    # integer array_intersect (measured ~6% on d03 end-to-end locally;
-    # the byte-volume win grows with scale). The oracle hashes
-    # identically, so a collision — ~|shingles|²/2⁶⁰, negligible —
-    # would be mirrored, not a mismatch.
-    hs = F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("long")
     sig = sh.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n"),
-        F.collect_list(hs).alias("ss"),
+        F.collect_list("hs").alias("ss"),
         *[
-            F.min((F.lit(HASH_AS[j]) * h + F.lit(HASH_BS[j])) % MINHASH_PRIME)
-            .alias(f"mh{j}")
+            F.min(
+                (F.lit(HASH_AS[j]) * F.col("h") + F.lit(HASH_BS[j]))
+                % MINHASH_PRIME
+            ).alias(f"mh{j}")
             for j in range(NUM_HASHES)
         ]
     )
