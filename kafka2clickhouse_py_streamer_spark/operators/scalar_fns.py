@@ -152,6 +152,74 @@ ORDER BY o_orderkey
 """
 
 
+def q45_calendar_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar arithmetic kernel: month-offset with end-of-month
+    clamping (add_months), last_day, quarter, ISO week number, and
+    string formatting — the pieces q17's day-grain kernel doesn't cover.
+    Deterministic 1-in-97 key subsample keeps the result compact."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 97 == 0)
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        d.alias("order_date"),
+        F.add_months(d, 3).alias("plus_3m"),
+        F.last_day(d).alias("month_end"),
+        F.quarter(d).cast("long").alias("qtr"),
+        F.weekofyear(d).cast("long").alias("iso_week"),
+        F.date_format(d, "yyyy-MM").alias("ym"),
+    ).orderBy("o_orderkey")
+
+
+# DuckDB date + INTERVAL yields TIMESTAMP -> cast back to DATE (both
+# engines clamp end-of-month on month addition); WEEK() is ISO week,
+# matching Spark's weekofyear.
+Q45_SQL = """
+SELECT o_orderkey,
+       CAST(o_orderdate AS DATE) AS order_date,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus_3m,
+       LAST_DAY(CAST(o_orderdate AS DATE)) AS month_end,
+       CAST(QUARTER(o_orderdate) AS BIGINT) AS qtr,
+       CAST(WEEK(o_orderdate) AS BIGINT) AS iso_week,
+       STRFTIME(CAST(o_orderdate AS DATE), '%Y-%m') AS ym
+FROM orders
+WHERE o_orderkey % 97 = 0
+ORDER BY o_orderkey
+"""
+
+
+def q46_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG / string_agg): nation names
+    per region, comma-joined in alphabetical order. collect_list order
+    is nondeterministic after a shuffle, so the list is array_sort-ed
+    before joining — the only way a distributed string_agg is
+    reproducible. Small-dim tables; the groupBy is a broadcast-scale
+    agg."""
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_list("n_name")), ","
+            ).alias("nations"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+        .orderBy("region")
+    )
+
+
+Q46_SQL = """
+SELECT r.r_name AS region,
+       STRING_AGG(n.n_name, ',' ORDER BY n.n_name) AS nations,
+       COUNT(*) AS n_nations
+FROM nation n
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+ORDER BY region
+"""
+
+
 def q18_json_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON path access on the events.props string column — no schema
     inference, single-field extraction (the 100 TB-safe way to touch
@@ -477,4 +545,8 @@ QUERIES = [
           "LATERAL posexplode with ordinals"),
     Query("q43_ratio_to_report", q43_ratio_to_report, Q43_SQL,
           "percent-of-total unbounded window"),
+    Query("q45_calendar_arithmetic", q45_calendar_arithmetic, Q45_SQL,
+          "add_months/last_day/quarter/ISO-week/date_format kernel"),
+    Query("q46_string_agg", q46_string_agg, Q46_SQL,
+          "ordered string aggregation (LISTAGG twin)"),
 ]

@@ -197,6 +197,44 @@ ORDER BY user_id, event_type
 """
 
 
+def q44_frame_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value over an explicit full-frame
+    window (ROWS UNBOUNDED PRECEDING..UNBOUNDED FOLLOWING — the default
+    running frame would make last_value degenerate and engines disagree).
+    One shuffle on the partition key; the unique o_orderkey tiebreak
+    keeps nth-value deterministic."""
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-03-01")
+        & (F.col("o_orderdate") < "1995-04-01")
+    )
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.first_value("o_totalprice").over(w), 2).alias("first_price"),
+        F.round(F.last_value("o_totalprice").over(w), 2).alias("last_price"),
+        F.round(F.nth_value("o_totalprice", 2).over(w), 2).alias("second_price"),
+    ).orderBy("o_orderkey")
+
+
+Q44_SQL = """
+SELECT o_orderkey, o_orderpriority,
+       ROUND(FIRST_VALUE(o_totalprice) OVER w, 2) AS first_price,
+       ROUND(LAST_VALUE(o_totalprice) OVER w, 2) AS last_price,
+       ROUND(NTH_VALUE(o_totalprice, 2) OVER w, 2) AS second_price
+FROM orders
+WHERE o_orderdate >= DATE '1995-03-01' AND o_orderdate < DATE '1995-04-01'
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+ORDER BY o_orderkey
+"""
+
+
 QUERIES = [
     Query("q08_topk_per_group", q08_topk_per_group, Q08_SQL,
           "row_number top-K per group"),
@@ -207,4 +245,6 @@ QUERIES = [
           "gap-based sessionization (batch twin of session_window)"),
     Query("q29_keep_first", q29_keep_first, Q29_SQL,
           "deterministic keep-first dedup"),
+    Query("q44_frame_navigation", q44_frame_navigation, Q44_SQL,
+          "first/last/nth_value over explicit full frame"),
 ]
