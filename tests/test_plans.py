@@ -67,6 +67,39 @@ def test_q03_no_cartesian_and_codegen(spark, sf_dir):
     assert python_row_ops(df) == 0
 
 
+def test_p01_split_is_shuffle_free_scan(spark, sf_dir):
+    # train/test split must be a row-local projection: one scan pruned
+    # to the key column, no exchange except the final presentation sort
+    from kafka2clickhouse_py_streamer_spark.llm.sampling import (
+        p01_train_test_split,
+    )
+
+    df = p01_train_test_split(spark, sf_dir)
+    [cols] = read_schema_columns(df)
+    assert cols == ["doc_id"]
+    assert count_exchanges(df) <= 1  # range exchange for orderBy only
+    assert python_row_ops(df) == 0
+
+
+def test_q46_dim_join_broadcasts(spark, sf_dir):
+    from kafka2clickhouse_py_streamer_spark.operators.scalar_fns import (
+        q46_string_agg,
+    )
+
+    df = q46_string_agg(spark, sf_dir)
+    assert has_broadcast_join(df)
+
+
+def test_d03_hot_path_is_jvm(spark, sf_dir):
+    # the whole minhash pipeline (shingle, hash, band join, verify)
+    # must stay out of Python row ops
+    from kafka2clickhouse_py_streamer_spark.llm.dedup import d03_minhash_lsh
+
+    df = d03_minhash_lsh(spark, sf_dir)
+    assert python_row_ops(df) == 0
+    assert "CartesianProduct" not in formatted_plan(df)
+
+
 def test_row_scan_defaults(spark, sf_dir):
     # a bare projection reads only the selected columns
     from kafka2clickhouse_py_streamer_spark.operators.base import table
