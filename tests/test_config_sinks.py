@@ -74,6 +74,14 @@ def test_parquet_sinks_roundtrip(spark, tmp_path):
     assert os.path.isdir(os.path.join(parts, "day=2024-01-01"))
     pruned = spark.read.parquet(parts).filter("day = '2024-01-01'")
     assert pruned.count() == 1
+    # the filter must prune at the scan (PartitionFilters), not post-scan:
+    # at 100 TB this is the difference between reading one day and all
+    from kafka2clickhouse_py_streamer_spark.plans import formatted_plan
+
+    plan = formatted_plan(pruned)
+    assert "PartitionFilters" in plan
+    lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("day" in ln for ln in lines)
 
 
 def test_jdbc_sink_appends_async_settings():
