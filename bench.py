@@ -60,11 +60,19 @@ def main() -> None:
     for name in HEADLINE:
         registry[name].fn(spark, sf_dir).count()
 
+    # Median of 3 timed reps per query: the host shows 2-3× wall-time
+    # variance across identical runs, and a single sample would grade
+    # noise, not the engine. Reps are interleaved per query (not
+    # back-to-back whole-suite passes) to keep cache states comparable.
+    REPS = 3
     times: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        registry[name].fn(spark, sf_dir).count()
-        times[name] = round(time.perf_counter() - t0, 3)
+        samples = []
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            registry[name].fn(spark, sf_dir).count()
+            samples.append(time.perf_counter() - t0)
+        times[name] = round(sorted(samples)[REPS // 2], 3)
 
     total = round(sum(times.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

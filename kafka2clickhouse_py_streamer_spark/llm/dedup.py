@@ -557,6 +557,53 @@ ORDER BY doc_id
 """
 
 
+def d08_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup *policy* step, end to end: cluster near-dups (d07),
+    keep exactly one document per cluster (the smallest doc_id — the
+    cluster label itself), and report per-source retention. This is the
+    operator a corpus pipeline actually runs; d03-d07 are its stages.
+
+    Plan shape: d07's labels frame (|docs| rows) joins documents on
+    doc_id — one shuffle — then a hash agg on source. The keep
+    predicate ``doc_id = cluster_id`` needs no extra pass because the
+    canonical member IS the label."""
+    labels = d07_dedup_clusters(spark, sf_dir)
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    kept = F.when(F.col("doc_id") == F.col("cluster_id"), 1).otherwise(0)
+    return (
+        d.join(labels, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(kept).cast("long").alias("n_kept"),
+            (F.count(F.lit(1)) - F.sum(kept)).cast("long").alias("n_removed"),
+        )
+        .orderBy("source")
+    )
+
+
+def _d08_sql() -> str:
+    d07 = _d07_sql().strip()
+    cc = d07[: d07.rindex("SELECT node")].rstrip()
+    return f"""{cc},
+cc AS (
+  SELECT node AS doc_id, MIN(lbl) AS cluster_id
+  FROM reach
+  GROUP BY node
+)
+SELECT d.source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN d.doc_id = cc.cluster_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+       CAST(COUNT(*) - SUM(CASE WHEN d.doc_id = cc.cluster_id
+                                THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+FROM documents d
+JOIN cc ON cc.doc_id = d.doc_id
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
 def d05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicates: cosine >= threshold within the same
     label block (blocking bounds the pair count; the unblocked version is
@@ -621,4 +668,6 @@ QUERIES = [
           "SimHash banded near-dup pairs, popcount-verified"),
     Query("d07_dedup_clusters", d07_dedup_clusters, _d07_sql(),
           "near-dup connected components (min-label propagation)"),
+    Query("d08_canonical_corpus", d08_canonical_corpus, _d08_sql(),
+          "dedup policy: keep one doc per cluster, retention stats"),
 ]
