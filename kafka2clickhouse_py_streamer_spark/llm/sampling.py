@@ -189,6 +189,34 @@ ORDER BY doc_id
 """
 
 
+def p04_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle: order documents by
+    md5(doc_id) and assign the shuffled position. rand()-ordering is
+    irreproducible; hash-ordering gives the same permutation on every
+    run and engine. Spark executes the ORDER BY as a range-partitioned
+    total order (sampled range boundaries, per-partition sorts) — the
+    shuffle a pretraining shard writer needs before packing, with no
+    single-reducer sort."""
+    d = table(spark, sf_dir, "documents")
+    key = F.md5(F.col("doc_id").cast("string"))
+    w = Window.orderBy(key, "doc_id")
+    return d.select(
+        "doc_id",
+        key.alias("shuffle_key"),
+        F.row_number().over(w).cast("long").alias("shuffle_pos"),
+    ).orderBy("shuffle_pos")
+
+
+P04_SQL = """
+SELECT doc_id,
+       md5(CAST(doc_id AS VARCHAR)) AS shuffle_key,
+       CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+            AS BIGINT) AS shuffle_pos
+FROM documents
+ORDER BY shuffle_pos
+"""
+
+
 QUERIES = [
     Query("p01_train_test_split", p01_train_test_split, P01_SQL,
           "hash-deterministic train/val/test split"),
@@ -196,4 +224,6 @@ QUERIES = [
           "deterministic stratified sampling (sampleBy twin)"),
     Query("p03_sequence_packing", p03_sequence_packing, P03_SQL,
           "token-budget sequence packing (concat-and-chunk)"),
+    Query("p04_global_shuffle", p04_global_shuffle, P04_SQL,
+          "deterministic hash-ordered global corpus shuffle"),
 ]
