@@ -193,10 +193,15 @@ def p04_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global corpus shuffle: order documents by
     md5(doc_id) and assign the shuffled position. rand()-ordering is
     irreproducible; hash-ordering gives the same permutation on every
-    run and engine. Spark executes the ORDER BY as a range-partitioned
-    total order (sampled range boundaries, per-partition sorts) — the
-    shuffle a pretraining shard writer needs before packing, with no
-    single-reducer sort."""
+    run and engine.
+
+    Scale note: the global row_number window here funnels to a single
+    partition (fine at fixture scale, correct by definition). At
+    100 TB the shard writer needs only the ORDER BY — which Spark
+    executes as a range-partitioned total order — plus per-partition
+    positions; a truly global contiguous rank, if required, is the
+    two-pass pattern: per-partition counts → broadcast prefix offsets
+    → partition-local row_number + offset."""
     d = table(spark, sf_dir, "documents")
     key = F.md5(F.col("doc_id").cast("string"))
     w = Window.orderBy(key, "doc_id")
