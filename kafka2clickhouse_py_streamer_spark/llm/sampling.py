@@ -195,21 +195,49 @@ def p04_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     irreproducible; hash-ordering gives the same permutation on every
     run and engine.
 
-    Scale note: the global row_number window here funnels to a single
-    partition (fine at fixture scale, correct by definition). At
-    100 TB the shard writer needs only the ORDER BY — which Spark
-    executes as a range-partitioned total order — plus per-partition
-    positions; a truly global contiguous rank, if required, is the
-    two-pass pattern: per-partition counts → broadcast prefix offsets
-    → partition-local row_number + offset."""
+    The global contiguous rank is computed with the distributed
+    two-pass pattern, NOT a global window (which would funnel every
+    row through one partition): range-repartition on the sort key →
+    per-partition counts (tiny driver collect, one row per partition)
+    → prefix offsets joined back → partition-local row_number +
+    offset. Every partition ranks independently; the only global
+    coordination is the |partitions|-row offset table. Ranks are
+    independent of where the sampled range boundaries fall because the
+    (key, doc_id) order is total."""
     d = table(spark, sf_dir, "documents")
     key = F.md5(F.col("doc_id").cast("string"))
-    w = Window.orderBy(key, "doc_id")
-    return d.select(
-        "doc_id",
-        key.alias("shuffle_key"),
-        F.row_number().over(w).cast("long").alias("shuffle_pos"),
-    ).orderBy("shuffle_pos")
+    parts = spark.sparkContext.defaultParallelism
+    # localCheckpoint pins the sampled range boundaries: the counts job
+    # and the rank job must see the SAME partitioning, and it saves the
+    # second scan.
+    ranged = (
+        d.select("doc_id", key.alias("shuffle_key"))
+        .repartitionByRange(parts, "shuffle_key", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = (
+        ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("pid")
+        .collect()
+    )
+    offsets, acc = [], 0
+    for row in counts:
+        offsets.append((row["pid"], acc))
+        acc += row["n"]
+    off = spark.createDataFrame(offsets or [(0, 0)], "pid int, off long")
+    w = Window.partitionBy("pid").orderBy("shuffle_key", "doc_id")
+    return (
+        ranged.join(F.broadcast(off), "pid")
+        .select(
+            "doc_id",
+            "shuffle_key",
+            (F.row_number().over(w) + F.col("off")).cast("long").alias(
+                "shuffle_pos"
+            ),
+        )
+        .orderBy("shuffle_pos")
+    )
 
 
 P04_SQL = """

@@ -275,6 +275,42 @@ ORDER BY o_orderkey
 """
 
 
+def q47_exists_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS + NOT EXISTS in one predicate, via the SQL
+    API: customers with at least one large order but no failed ('F')
+    order. Catalyst decorrelates the pair into a left-semi join
+    followed by a left-anti join — two shuffles on the correlation
+    key, no per-row subquery execution anywhere."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer_ex")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_ex")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer_ex c
+        WHERE EXISTS (SELECT 1 FROM orders_ex o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 250000)
+          AND NOT EXISTS (SELECT 1 FROM orders_ex o2
+                          WHERE o2.o_custkey = c.c_custkey
+                            AND o2.o_orderstatus = 'F')
+        ORDER BY c_custkey
+        """
+    )
+
+
+Q47_SQL = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_totalprice > 250000)
+  AND NOT EXISTS (SELECT 1 FROM orders o2
+                  WHERE o2.o_custkey = c.c_custkey
+                    AND o2.o_orderstatus = 'F')
+ORDER BY c_custkey
+"""
+
+
 QUERIES = [
     Query("q02_region_revenue", q02_region_revenue, Q02_SQL,
           "fact⋈broadcast-dims revenue rollup"),
@@ -290,4 +326,6 @@ QUERIES = [
           "equi+theta join on broadcast dim"),
     Query("q26_asof_join", q26_asof_join, Q26_SQL,
           "as-of join via window formulation"),
+    Query("q47_exists_pair", q47_exists_pair, Q47_SQL,
+          "correlated EXISTS + NOT EXISTS (semi ⋈ anti decorrelation)"),
 ]
