@@ -100,6 +100,17 @@ def test_d03_hot_path_is_jvm(spark, sf_dir):
     assert "CartesianProduct" not in formatted_plan(df)
 
 
+def test_p04_global_rank_never_single_partition(spark, sf_dir):
+    # the two-pass rank must not funnel rows through one partition:
+    # no SinglePartition exchange anywhere in the plan
+    from kafka2clickhouse_py_streamer_spark.llm.sampling import (
+        p04_global_shuffle,
+    )
+
+    plan = formatted_plan(p04_global_shuffle(spark, sf_dir))
+    assert "SinglePartition" not in plan
+
+
 def test_row_scan_defaults(spark, sf_dir):
     # a bare projection reads only the selected columns
     from kafka2clickhouse_py_streamer_spark.operators.base import table
