@@ -85,3 +85,60 @@ def running_totals(
     return events.groupBy(key_col).applyInPandasWithState(
         update, RUNNING_OUTPUT, RUNNING_STATE, "update", timeout
     )
+
+
+PACK_OUTPUT = StructType(
+    [
+        StructField("shard", LongType()),
+        StructField("doc_id", LongType()),
+        StructField("n_tokens", LongType()),
+        StructField("stream_offset", LongType()),
+        StructField("pack_id", LongType()),
+        StructField("offset_in_pack", LongType()),
+    ]
+)
+PACK_STATE = StructType([StructField("offset", LongType())])
+
+
+def streaming_packer(
+    docs: DataFrame,
+    budget: int = 512,
+    key_col: str = "shard",
+) -> DataFrame:
+    """Streaming twin of the batch sequence packer (llm/sampling p03):
+    per-shard concat-and-chunk that keeps the running token offset in
+    user state, so packing positions are contiguous ACROSS micro-batches
+    — the bookkeeping a continuously-fed shard writer needs, and
+    something no built-in windowed aggregation expresses.
+
+    Within a batch, docs are packed in doc_id order (the shard's
+    deterministic intake order). State per key is a single long; one
+    state-store row per shard, bounded by shard count, not stream
+    length. Input needs (shard, doc_id, n_tokens) columns."""
+
+    def update(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (off,) = state.get if state.exists else (0,)
+        for pdf in pdfs:
+            pdf = pdf.sort_values("doc_id")
+            starts = pdf["n_tokens"].cumsum().shift(fill_value=0) + off
+            out = pd.DataFrame(
+                {
+                    "shard": key[0],
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "n_tokens": pdf["n_tokens"].to_numpy(),
+                    "stream_offset": starts.to_numpy(),
+                    "pack_id": (starts // budget).to_numpy(),
+                    "offset_in_pack": (starts % budget).to_numpy(),
+                }
+            )
+            off = int(starts.iloc[-1] + pdf["n_tokens"].iloc[-1]) if len(pdf) else off
+            yield out
+        state.update((int(off),))
+
+    return docs.groupBy(key_col).applyInPandasWithState(
+        update, PACK_OUTPUT, PACK_STATE, "append", GroupStateTimeout.NoTimeout
+    )
