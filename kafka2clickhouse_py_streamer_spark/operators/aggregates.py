@@ -248,11 +248,14 @@ def q27_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     results are approximate, so no SQL oracle (rows-only check).
     """
     li = table(spark, sf_dir, "lineitem")
+    # Two scalar quantile columns, not one array<double>: the driver's
+    # pandas canonicalizer cannot sort/hash list cells.
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000).alias(
-            "price_quantiles"
-        ),
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000))
+        .alias("price_p50"),
+        F.percentile_approx("l_extendedprice", F.lit(0.95), F.lit(10000))
+        .alias("price_p95"),
     ).orderBy("l_returnflag")
 
 

@@ -83,6 +83,28 @@ def spread(df: DataFrame) -> DataFrame:
     return df
 
 
+# Verification priority: the driver walks ``queries()`` in dict order and
+# round 1 recorded rows for exactly the first 50 entries, leaving the LLM
+# pipeline family (d04+, s*, t*, m*, p*, w*) unproven. List the queries
+# that still need a green CORRECTNESS row FIRST so a capped run covers
+# them; previously-green queries follow (their r01 rows already stand).
+_VERIFY_FIRST = [
+    # LLM pipeline: dedup, similarity, text, multimodal, sampling, stream
+    "d04_simhash", "d05_embedding_neardup", "d06_simhash_pairs",
+    "d07_dedup_clusters", "d08_canonical_corpus",
+    "s01_cosine_topk", "s02_lsh_buckets", "s03_lsh_topk", "s04_ivf_topk",
+    "t01_token_count", "t02_quality_score", "t03_langid",
+    "t04_fingerprint", "t05_rolling_hash", "t06_repetition",
+    "m01_media_metadata", "m02_decode_stats", "m03_frame_sample",
+    "m04_feature_extract",
+    "p01_train_test_split", "p02_stratified_sample",
+    "p03_sequence_packing", "p04_global_shuffle",
+    "w01_tumbling", "w02_sliding", "w03_session_window",
+    # fixed this round (array->scalar canon)
+    "q27_approx_stats", "q38_collect_agg", "q41_map_fns",
+]
+
+
 def all_queries() -> dict[str, Query]:
     """Merge every operator module's registry. Import here (not at module
     top) so a bug in one module doesn't take down the whole registry at
@@ -111,4 +133,9 @@ def all_queries() -> dict[str, Query]:
             if q.name in merged:
                 raise ValueError(f"duplicate query name: {q.name}")
             merged[q.name] = q
-    return merged
+    ordered: dict[str, Query] = {}
+    for name in _VERIFY_FIRST:
+        if name in merged:
+            ordered[name] = merged.pop(name)
+    ordered.update(merged)
+    return ordered

@@ -451,10 +451,12 @@ def q41_map_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsed into map<string,string>)."""
     e = table(spark, sf_dir, "events")
     m = F.from_json(F.col("props"), "map<string,string>")
+    # Keys serialized to one sorted string (not array<string>): the
+    # driver's pandas canonicalizer cannot sort/hash list cells.
     return e.select(
         "event_id",
         m.getItem("k").cast("long").alias("prop_k"),
-        F.map_keys(m).alias("prop_keys"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("prop_keys"),
         F.size(F.map_keys(m)).cast("long").alias("n_props"),
     ).orderBy("event_id")
 
@@ -462,7 +464,7 @@ def q41_map_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q41_SQL = """
 SELECT event_id,
        CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k,
-       json_keys(props) AS prop_keys,
+       array_to_string(list_sort(json_keys(props)), ',') AS prop_keys,
        CAST(LEN(json_keys(props)) AS BIGINT) AS n_props
 FROM events
 ORDER BY event_id

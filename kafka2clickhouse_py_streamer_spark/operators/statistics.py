@@ -268,10 +268,13 @@ def q38_collect_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collection aggregates: sorted value list + distinct set per
     group (array_agg / list). Deterministic via array_sort."""
     n = table(spark, sf_dir, "nation")
+    # Serialize the sorted list to one string column: the driver's pandas
+    # canonicalizer cannot sort/hash list cells.
     return (
         n.groupBy("n_regionkey")
         .agg(
-            F.array_sort(F.collect_list("n_name")).alias("nations"),
+            F.concat_ws(",", F.array_sort(F.collect_list("n_name")))
+            .alias("nations"),
             F.size(F.collect_set("n_name")).cast("long").alias("n_distinct"),
         )
         .orderBy("n_regionkey")
@@ -280,7 +283,7 @@ def q38_collect_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q38_SQL = """
 SELECT n_regionkey,
-       list_sort(list(n_name)) AS nations,
+       array_to_string(list_sort(list(n_name)), ',') AS nations,
        CAST(COUNT(DISTINCT n_name) AS BIGINT) AS n_distinct
 FROM nation
 GROUP BY n_regionkey
