@@ -133,20 +133,22 @@ def d02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
+    # Filter on the RAW ratio (the oracle does too); round only for
+    # display — filtering the rounded value would keep pairs the oracle
+    # drops when the true jaccard sits within 5e-7 below the threshold.
+    raw = F.col("n_common") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("n_common")
+    )
     return (
         inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(raw >= NGRAM_JACCARD_THRESHOLD)
         .select(
             "doc_a",
             "doc_b",
             "n_common",
-            F.round(
-                F.col("n_common")
-                / (F.col("sa.n") + F.col("sb.n") - F.col("n_common")),
-                6,
-            ).alias("jaccard"),
+            F.round(raw, 6).alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= NGRAM_JACCARD_THRESHOLD)
         .orderBy("doc_a", "doc_b")
     )
 
@@ -257,17 +259,17 @@ def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ss").alias("ssb"),
     )
     n_common = F.size(F.array_intersect(F.col("ssa"), F.col("ssb")))
+    # Raw-ratio filter mirrors the oracle exactly (see d02 note).
+    raw = n_common / (F.col("na") + F.col("nb") - n_common)
     return (
         cand.join(za, F.col("doc_a") == F.col("za_id"))
         .join(zb, F.col("doc_b") == F.col("zb_id"))
+        .filter(raw >= MINHASH_JACCARD_THRESHOLD)
         .select(
             "doc_a",
             "doc_b",
-            F.round(
-                n_common / (F.col("na") + F.col("nb") - n_common), 6
-            ).alias("jaccard"),
+            F.round(raw, 6).alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= MINHASH_JACCARD_THRESHOLD)
         .orderBy("doc_a", "doc_b")
     )
 
@@ -502,6 +504,7 @@ def d07_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("doc_id").alias("cluster_id")
     ).localCheckpoint(eager=True)
     prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+    converged = False
     for _ in range(DEDUP_CC_MAX_ITERS):
         nbr_min = (
             edges.join(labels, edges.src == labels.doc_id)
@@ -522,8 +525,18 @@ def d07_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         new_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
+    if not converged:
+        # Never truncate silently: a component whose diameter exceeds the
+        # iteration cap would get partial clusters (and corrupt d08's
+        # retention stats) while the oracle computes the full closure.
+        raise RuntimeError(
+            "d07_dedup_clusters: min-label propagation did not converge "
+            f"within DEDUP_CC_MAX_ITERS={DEDUP_CC_MAX_ITERS} rounds; "
+            "raise the cap (component diameter exceeds it)"
+        )
     return labels.orderBy("doc_id")
 
 

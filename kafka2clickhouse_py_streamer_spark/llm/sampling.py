@@ -15,11 +15,11 @@ shards":
 
 Scale notes: p01/p02 are embarrassingly parallel (pure row-local
 expressions over one scan — no shuffle at all; the md5 bucket is
-whole-stage-codegen JVM work). p03 as written uses a single global
-running sum (one window over a global order) which is the correct
-*definition*; at 100 TB you run it per shard key (add
-``partitionBy(shard)`` to the window) so each task packs its own range
-— the docstring plan, not a different operator.
+whole-stage-codegen JVM work). p03's global running sum uses the same
+distributed two-pass rank pattern as p04 (range partition →
+per-partition totals → broadcast prefix offsets), so no partition ever
+sees more than its own range; pass ``shard_col`` to pack each shard's
+stream independently instead.
 """
 
 from __future__ import annotations
@@ -125,15 +125,26 @@ ORDER BY doc_id
 """
 
 
-def p03_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+def p03_sequence_packing(
+    spark: SparkSession, sf_dir: str, shard_col: str | None = None
+) -> DataFrame:
     """Concat-and-chunk sequence packing: lay documents end-to-end in
     doc_id order and cut every PACK_BUDGET tokens. Each doc gets the
     pack it *starts* in and its token offset within the stream — the
     bookkeeping a pretraining shard writer needs.
 
-    The running sum is one window over the global doc order; at 100 TB
-    the window gains a ``partitionBy(shard_key)`` so each shard packs
-    independently (no global sort, no single-reducer window)."""
+    Scale shape: a naive global ``Window.orderBy`` funnels every row
+    through ONE partition. Instead the global running sum uses the same
+    distributed two-pass pattern as p04: range-repartition on doc_id →
+    per-partition token totals (a |partitions|-row driver collect) →
+    broadcast prefix offsets → partition-local running sum + offset.
+    Every partition packs independently; no SinglePartition exchange
+    (pinned in tests/test_plans.py).
+
+    With ``shard_col`` the stream restarts per shard (each shard packs
+    its own contiguous token stream): one hash shuffle on the shard key,
+    window-partitioned running sum — the per-shard form for clusters
+    that write one shard per task."""
     d = table(spark, sf_dir, "documents")
     trimmed = F.trim(F.col("text"))
     n_tokens = (
@@ -141,19 +152,9 @@ def p03_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.size(F.split(trimmed, r"\s+")))
         .cast("long")
     )
-    w = (
-        Window.orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
-    return (
-        d.select("doc_id", n_tokens.alias("n_tokens"))
-        .select(
-            "doc_id",
-            "n_tokens",
-            cum_before.alias("stream_offset"),
-        )
-        .select(
+
+    def finish(df: DataFrame) -> DataFrame:
+        return df.select(
             "doc_id",
             "n_tokens",
             "stream_offset",
@@ -161,8 +162,54 @@ def p03_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("pack_id"),
             (F.col("stream_offset") % PACK_BUDGET).alias("offset_in_pack"),
+        ).orderBy("doc_id")
+
+    if shard_col is not None:
+        w = (
+            Window.partitionBy(shard_col)
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1)
         )
+        return finish(
+            d.select(shard_col, "doc_id", n_tokens.alias("n_tokens"))
+            .withColumn(
+                "stream_offset",
+                F.coalesce(F.sum("n_tokens").over(w), F.lit(0)),
+            )
+        )
+
+    parts = spark.sparkContext.defaultParallelism
+    # localCheckpoint pins the sampled range boundaries so the totals
+    # job and the offset job see the identical partitioning (and the
+    # second scan is saved) — same trick as p04.
+    ranged = (
+        d.select("doc_id", n_tokens.alias("n_tokens"))
+        .repartitionByRange(parts, "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    totals = (
+        ranged.groupBy("pid")
+        .agg(F.sum("n_tokens").alias("tok"))
+        .orderBy("pid")
+        .collect()
+    )
+    offsets, acc = [], 0
+    for row in totals:
+        offsets.append((row["pid"], acc))
+        acc += row["tok"]
+    off = spark.createDataFrame(offsets or [(0, 0)], "pid int, off long")
+    w = (
+        Window.partitionBy("pid")
         .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return finish(
+        ranged.join(F.broadcast(off), "pid")
+        .withColumn(
+            "stream_offset",
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) + F.col("off"),
+        )
     )
 
 

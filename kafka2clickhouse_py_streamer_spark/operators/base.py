@@ -37,15 +37,11 @@ class Query:
 
 # events.ts is parquet timestamp[ns], which Spark's vectorized reader
 # rejects. Read it as long (legacy conf, set at runtime so it also works
-# under a session we didn't build) and truncate to microseconds. Every
-# oracle on events uses EVENTS_US_CTE so DuckDB sees the identical
-# microsecond-truncated timestamps (DuckDB CAST ns->us truncates too).
-EVENTS_US_CTE = """
-events AS (
-  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
-         value, props
-  FROM events
-)"""
+# under a session we didn't build) and truncate to microseconds via
+# timestamp_micros(ts div 1000). No oracle-side wrapper is needed:
+# DuckDB reads the ns column natively and its ns->us conversion
+# truncates identically, so both engines see the same microsecond
+# timestamps.
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

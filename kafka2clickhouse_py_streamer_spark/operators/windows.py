@@ -146,14 +146,16 @@ def q28_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q28_SQL = """
 WITH flagged AS (
-  SELECT user_id, event_id, value,
+  SELECT user_id, ts, event_id, value,
          CASE WHEN epoch(ts) - LAG(epoch(ts), 1) OVER w > 1800.0
               THEN 1 ELSE 0 END AS new_sess
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
 ), sess AS (
+  -- running sum ordered exactly like the Spark window: (ts, event_id)
   SELECT user_id, event_id, value,
-         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY event_id ASC
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id
+              ORDER BY ts ASC, event_id ASC
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
   FROM flagged
 )

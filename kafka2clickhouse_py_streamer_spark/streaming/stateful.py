@@ -122,10 +122,15 @@ def streaming_packer(
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         (off,) = state.get if state.exists else (0,)
-        for pdf in pdfs:
-            pdf = pdf.sort_values("doc_id")
+        # Materialize the WHOLE group before sorting: the runtime hands a
+        # group's micro-batch as multiple Arrow chunks (~10k rows each),
+        # and sorting chunks independently would make offsets depend on
+        # chunk boundaries — non-deterministic under batch replay.
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values("doc_id")
             starts = pdf["n_tokens"].cumsum().shift(fill_value=0) + off
-            out = pd.DataFrame(
+            yield pd.DataFrame(
                 {
                     "shard": key[0],
                     "doc_id": pdf["doc_id"].to_numpy(),
@@ -135,8 +140,7 @@ def streaming_packer(
                     "offset_in_pack": (starts % budget).to_numpy(),
                 }
             )
-            off = int(starts.iloc[-1] + pdf["n_tokens"].iloc[-1]) if len(pdf) else off
-            yield out
+            off = int(starts.iloc[-1] + pdf["n_tokens"].iloc[-1])
         state.update((int(off),))
 
     return docs.groupBy(key_col).applyInPandasWithState(

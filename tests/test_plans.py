@@ -111,6 +111,30 @@ def test_p04_global_rank_never_single_partition(spark, sf_dir):
     assert "SinglePartition" not in plan
 
 
+def test_p03_packing_never_single_partition(spark, sf_dir):
+    # the packing running-sum must use the distributed two-pass offsets,
+    # not a global Window.orderBy (one-reducer funnel)
+    from kafka2clickhouse_py_streamer_spark.llm.sampling import (
+        p03_sequence_packing,
+    )
+
+    plan = formatted_plan(p03_sequence_packing(spark, sf_dir))
+    assert "SinglePartition" not in plan
+
+
+def test_p03_shard_variant_partitions_by_shard(spark, sf_dir):
+    # per-shard packing windows over the shard key — still no global
+    # single-partition window
+    from kafka2clickhouse_py_streamer_spark.llm.sampling import (
+        p03_sequence_packing,
+    )
+
+    df = p03_sequence_packing(spark, sf_dir, shard_col="lang")
+    plan = formatted_plan(df)
+    assert "SinglePartition" not in plan
+    assert "lang" in plan  # window keyed on the shard column
+
+
 def test_row_scan_defaults(spark, sf_dir):
     # a bare projection reads only the selected columns
     from kafka2clickhouse_py_streamer_spark.operators.base import table
