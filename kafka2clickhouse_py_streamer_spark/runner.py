@@ -55,9 +55,29 @@ class EnvSchemaProvider:
         )
 
 
+def pick_schema_provider(spark, cfg: JobConfig):
+    """Live DESCRIBE TABLE when SINK_SCHEMA_SOURCE=describe (the
+    reference's S2 behavior, main.py:29-60 — drift-retry re-fetch sees
+    the warehouse's current schema); env-frozen SINK_COLUMNS otherwise
+    (offline/dev deployments)."""
+    if os.environ.get("SINK_SCHEMA_SOURCE", "env").lower() == "describe":
+        from kafka2clickhouse_py_streamer_spark.schema.describe import (
+            DescribeTableSchemaProvider,
+            jdbc_describe,
+        )
+
+        return DescribeTableSchemaProvider(
+            jdbc_describe(spark, cfg.sink_url, cfg.sink_table),
+            required_columns=cfg.required_columns,
+            string_enum_columns=cfg.string_enum_columns,
+            datetime_columns=cfg.datetime_columns,
+        )
+    return EnvSchemaProvider(cfg)
+
+
 def build_query(spark, cfg: JobConfig) -> StreamingQuery:
     job = PipelineJob(
-        EnvSchemaProvider(cfg),
+        pick_schema_provider(spark, cfg),
         sink=jdbc_sink(cfg.sink_url, cfg.sink_table),
         dlq_sink=kafka_dlq_writer(cfg.kafka_bootstrap_servers, cfg.dlq_topic)
         if cfg.dlq_topic

@@ -144,3 +144,62 @@ def test_file_stream_resume_no_reprocess(spark, tmp_path):
         f.write(json.dumps({"device_id": 9}))
     second = run_once()
     assert [r.device_id for r in second] == [9]  # a.txt not replayed
+
+
+def test_describe_provider_drift_retry_sees_new_schema(spark):
+    """C1 end-to-end with a schema that actually CHANGES between
+    fetches: the warehouse gains a column, the sink rejects writes
+    built against the stale schema, and the retry's re-fetch (via the
+    DESCRIBE-backed provider) heals the batch."""
+    from kafka2clickhouse_py_streamer_spark.schema.describe import (
+        DescribeTableSchemaProvider,
+    )
+
+    v1 = [("device_id", "UInt32"), ("speed", "Float32")]
+    v2 = v1 + [("note", "String")]  # drift: column added
+    fetched: list[list[tuple[str, str]]] = [v1, v2]
+
+    def describe():
+        return fetched.pop(0) if len(fetched) > 1 else fetched[0]
+
+    provider = DescribeTableSchemaProvider(
+        describe, required_columns=["device_id"]
+    )
+
+    class StrictSink(ListSink):
+        """Accepts only writes matching the CURRENT warehouse schema."""
+
+        def __call__(self, df):
+            self.calls += 1
+            if df.columns != ["device_id", "speed", "note"]:
+                raise RuntimeError(f"schema mismatch: {df.columns}")
+            self.rows.extend(df.collect())
+
+    sink, dlq = StrictSink(), ListSink()
+    job = PipelineJob(provider, sink, dlq)
+    job.run_batch(make_batch(spark, [GOOD]))
+
+    assert provider.fetch_count == 2  # initial + drift re-fetch
+    assert sink.calls == 2  # stale write failed, healed write landed
+    assert [r.device_id for r in sink.rows] == [1]
+    assert sink.rows[0].note == "ok"
+    assert dlq.rows == []
+
+
+def test_describe_provider_rejects_empty_result():
+    from kafka2clickhouse_py_streamer_spark.schema.describe import (
+        DescribeTableSchemaProvider,
+    )
+
+    provider = DescribeTableSchemaProvider(lambda: [])
+    with pytest.raises(ValueError, match="no columns"):
+        provider.fetch()
+
+
+def test_jdbc_describe_rejects_suspicious_identifier(spark):
+    from kafka2clickhouse_py_streamer_spark.schema.describe import (
+        jdbc_describe,
+    )
+
+    with pytest.raises(ValueError, match="suspicious"):
+        jdbc_describe(spark, "jdbc:fake", "events; DROP TABLE x")
