@@ -59,23 +59,58 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("n_bytes", F.octet_length("payload").cast("long"))
 
 
-def decode_media(df: DataFrame, use_real_codec: bool = False) -> DataFrame:
+# A codec maps one raw payload to decoded (width, height). Injectable so
+# a cluster that HAS imaging libraries runs the identical operator with
+# a real decoder — only this per-payload function changes; the Spark
+# plan, Arrow batching, and output schema stay fixed.
+Codec = "Callable[[bytes], tuple[int, int]]"
+
+
+def fake_codec(payload: bytes) -> tuple[int, int]:
+    """Deterministic stand-in decode (no imaging libs in this
+    container): dimensions derived from the first payload bytes."""
+    return 1 + payload[0] % 64, 1 + payload[1] % 64
+
+
+def pil_codec():
+    """Real-image codec factory: returns a payload→(w,h) decoder backed
+    by PIL. Import-gated — on hosts without PIL this raises a clearly
+    marked NotImplementedError instead of failing mid-job."""
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError as exc:
+        raise NotImplementedError(
+            "real image decode needs PIL, which is not installed; "
+            "inject your own codec or use the default fake_codec"
+        ) from exc
+
+    def decode(payload: bytes) -> tuple[int, int]:
+        with Image.open(io.BytesIO(payload)) as im:
+            return im.size
+
+    return decode
+
+
+def decode_media(
+    df: DataFrame, use_real_codec: bool = False, codec=None
+) -> DataFrame:
     """Decode stage via mapInPandas: payload → (doc_id, media_type,
     n_bytes, checksum, width, height).
 
-    ``use_real_codec=True`` requires PIL (absent here → clearly-marked
-    NotImplementedError). The fake decode derives dimensions from the
-    payload deterministically. Arrow carries binary as zero-copy buffers;
-    the batch shape (pdf per partition-batch) is the real contract.
+    ``codec`` is the injection seam: any ``bytes -> (width, height)``
+    callable (a real decoder on clusters that have one; defaults to the
+    deterministic :func:`fake_codec`). ``use_real_codec=True`` is
+    shorthand for ``codec=pil_codec()`` (raises NotImplementedError here
+    — no PIL in this container). Arrow carries binary as zero-copy
+    buffers; the batch shape (pdf per partition-batch) is the real
+    contract either way.
     """
-    if use_real_codec:
-        try:
-            import PIL  # noqa: F401
-        except ImportError as exc:
-            raise NotImplementedError(
-                "real image decode needs PIL, which is not installed; "
-                "use use_real_codec=False for the deterministic fake"
-            ) from exc
+    if use_real_codec and codec is None:
+        codec = pil_codec()
+    if codec is None:
+        codec = fake_codec
 
     out_schema = (
         "doc_id long, media_type string, n_bytes long, checksum long, "
@@ -85,6 +120,7 @@ def decode_media(df: DataFrame, use_real_codec: bool = False) -> DataFrame:
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"]
+            dims = payloads.map(codec)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -95,8 +131,8 @@ def decode_media(df: DataFrame, use_real_codec: bool = False) -> DataFrame:
                     "checksum": payloads.map(
                         lambda b: int.from_bytes(b[:4], "big")
                     ),
-                    "width": payloads.map(lambda b: 1 + b[0] % 64),
-                    "height": payloads.map(lambda b: 1 + b[1] % 64),
+                    "width": dims.map(lambda wh: wh[0]),
+                    "height": dims.map(lambda wh: wh[1]),
                 }
             )
 

@@ -98,6 +98,8 @@ _VERIFY_FIRST = [
     "w01_tumbling", "w02_sliding", "w03_session_window",
     # fixed this round (array->scalar canon)
     "q27_approx_stats", "q38_collect_agg", "q41_map_fns",
+    # new this round
+    "q48_salted_join",
 ]
 
 

@@ -311,6 +311,49 @@ ORDER BY c_custkey
 """
 
 
+def q48_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key join under salting: events has only 5 distinct
+    event_type values, so each join key is ~20% of the fact table — the
+    classic hot spot where a plain shuffle join lands a whole key's rows
+    (20 TB of a 100 TB table) on ONE task. ``salted_join``
+    (functions/skew.py) spreads each key over 8 salts; the small side is
+    hinted shuffle_hash to exercise the non-broadcast path salting
+    exists for (a broadcastable dim wouldn't need salt). Result is
+    bit-identical to the unsalted join — the oracle proves it."""
+    from kafka2clickhouse_py_streamer_spark.functions.skew import salted_join
+
+    e = table(spark, sf_dir, "events")
+    stats = (
+        e.groupBy(F.col("event_type").alias("et"))
+        .agg(F.avg("value").alias("type_avg"))
+        .hint("shuffle_hash")
+    )
+    joined = salted_join(
+        e,
+        stats,
+        F.col("event_type") == F.col("et"),
+        salt_n=8,
+        large_stable_cols=["event_id"],
+    )
+    return joined.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") - F.col("type_avg"), 4).alias("value_dev"),
+    ).orderBy("event_id")
+
+
+Q48_SQL = """
+WITH stats AS (
+  SELECT event_type AS et, AVG(value) AS type_avg
+  FROM events GROUP BY event_type
+)
+SELECT event_id, event_type,
+       ROUND(value - type_avg, 4) AS value_dev
+FROM events JOIN stats ON event_type = et
+ORDER BY event_id
+"""
+
+
 QUERIES = [
     Query("q02_region_revenue", q02_region_revenue, Q02_SQL,
           "fact⋈broadcast-dims revenue rollup"),
@@ -328,4 +371,6 @@ QUERIES = [
           "as-of join via window formulation"),
     Query("q47_exists_pair", q47_exists_pair, Q47_SQL,
           "correlated EXISTS + NOT EXISTS (semi ⋈ anti decorrelation)"),
+    Query("q48_salted_join", q48_salted_join, Q48_SQL,
+          "hot-key join spread over salts (skew mitigation)"),
 ]

@@ -40,3 +40,25 @@ def test_payload_is_binary(spark):
     assert isinstance(row.payload, bytearray | bytes)
     assert row.n_bytes == len(row.payload)
     assert row.n_bytes % 16 == 0  # whole MD5 copies
+
+
+def test_codec_injection_seam(spark):
+    """A cluster WITH an imaging library injects its decoder through the
+    ``codec`` parameter and the same operator runs unchanged — verified
+    with a stub codec whose output is distinguishable from the fake."""
+    m = media_table(spark, SF_DIR)
+
+    def stub_codec(payload: bytes) -> tuple[int, int]:
+        return len(payload), 7  # "decoded" dims no fake would produce
+
+    rows = (
+        decode_media(m, codec=stub_codec)
+        .orderBy("doc_id")
+        .limit(4)
+        .collect()
+    )
+    assert all(r.height == 7 for r in rows)
+    assert all(r.width == r.n_bytes for r in rows)
+    # default (no injection) still yields the deterministic fake dims
+    fake = decode_media(m).orderBy("doc_id").limit(4).collect()
+    assert all(1 <= r.width <= 64 and 1 <= r.height <= 64 for r in fake)

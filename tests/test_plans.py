@@ -135,6 +135,19 @@ def test_p03_shard_variant_partitions_by_shard(spark, sf_dir):
     assert "lang" in plan  # window keyed on the shard column
 
 
+def test_q48_salted_join_spreads_hot_keys(spark, sf_dir):
+    # the join key must include the salt (hot keys spread over sub-keys)
+    # and the small side must NOT be broadcast — salting exists for the
+    # shuffle-join case a broadcast can't reach at scale
+    from kafka2clickhouse_py_streamer_spark.operators.joins import (
+        q48_salted_join,
+    )
+
+    plan = formatted_plan(q48_salted_join(spark, sf_dir))
+    assert "__salt" in plan
+    assert "ShuffledHashJoin" in plan
+
+
 def test_row_scan_defaults(spark, sf_dir):
     # a bare projection reads only the selected columns
     from kafka2clickhouse_py_streamer_spark.operators.base import table
