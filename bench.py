@@ -13,8 +13,8 @@ results would bottleneck the driver — ``df.count()`` after the terminal
 operator executes the whole plan).
 
 The headline set covers every subsystem: scan+agg (q01, q06), joins
-(q02, q03), windows (q08), dedup (d01, d03), similarity (s03), text
-(t01, t02), time windows (w01).
+(q02, q03, q48 salted), windows (q08), dedup (d01, d03), similarity
+(s03), text (t01, t02), time windows (w01, w02, w03), sampling (p04).
 """
 
 from __future__ import annotations
@@ -40,6 +40,12 @@ HEADLINE = [
     "t01_token_count",
     "t02_quality_score",
     "w01_tumbling",
+    # added in round 2: streaming twins, global shuffle, salted join —
+    # regressions in windows/sampling/skew paths show up round-over-round
+    "w02_sliding",
+    "w03_session_window",
+    "p04_global_shuffle",
+    "q48_salted_join",
 ]
 
 
