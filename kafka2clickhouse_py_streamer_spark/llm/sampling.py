@@ -297,6 +297,70 @@ ORDER BY shuffle_pos
 """
 
 
+def p05_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed cleaning pipeline a training-data user actually
+    runs as ONE job: quality gate (token-count band, t02's first rule)
+    → exact-dedup keep-first (d01's md5 key, min-doc_id policy) →
+    deterministic split assignment (p01's hash bucket).
+
+    Scale shape: one scan with the quality predicate applied row-local,
+    ONE shuffle (the dedup window on the 128-bit content hash), then
+    the split is again row-local — the whole corpus clean is a single
+    exchange end to end."""
+    d = table(spark, sf_dir, "documents")
+    trimmed = F.trim(F.col("text"))
+    n_tokens = (
+        F.when(F.length(trimmed) == 0, F.lit(0))
+        .otherwise(F.size(F.split(trimmed, r"\s+")))
+        .cast("long")
+    )
+    quality = d.select(
+        "doc_id", "text", n_tokens.alias("n_tokens")
+    ).filter((F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 1000))
+    keeper = F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+    b = _bucket(F.col("doc_id"))
+    return (
+        quality.withColumn("keeper", keeper)
+        .filter(F.col("doc_id") == F.col("keeper"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.when(b < TRAIN_END, F.lit("train"))
+            .when(b < VAL_END, F.lit("val"))
+            .otherwise(F.lit("test"))
+            .alias("split"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+P05_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, text,
+         CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+              ELSE LEN(regexp_split_to_array(TRIM(text), '\s+'))
+         END AS n_tokens
+  FROM documents
+),
+quality AS (
+  SELECT * FROM toks WHERE n_tokens BETWEEN 10 AND 1000
+),
+kept AS (
+  SELECT doc_id, n_tokens,
+         MIN(doc_id) OVER (PARTITION BY MD5(text)) AS keeper
+  FROM quality
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CASE WHEN {_bucket_sql('doc_id')} < {TRAIN_END} THEN 'train'
+            WHEN {_bucket_sql('doc_id')} < {VAL_END} THEN 'val'
+            ELSE 'test' END AS split
+FROM kept
+WHERE doc_id = keeper
+ORDER BY doc_id
+"""
+
+
 QUERIES = [
     Query("p01_train_test_split", p01_train_test_split, P01_SQL,
           "hash-deterministic train/val/test split"),
@@ -306,4 +370,6 @@ QUERIES = [
           "token-budget sequence packing (concat-and-chunk)"),
     Query("p04_global_shuffle", p04_global_shuffle, P04_SQL,
           "deterministic hash-ordered global corpus shuffle"),
+    Query("p05_clean_corpus", p05_clean_corpus, P05_SQL,
+          "composed quality→dedup→split corpus clean (one exchange)"),
 ]

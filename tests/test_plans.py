@@ -148,6 +148,18 @@ def test_q48_salted_join_spreads_hot_keys(spark, sf_dir):
     assert "ShuffledHashJoin" in plan
 
 
+def test_p05_clean_corpus_single_shuffle(spark, sf_dir):
+    # quality filter and split are row-local; the only data shuffle is
+    # the dedup window on the content hash (+1 range for the final sort)
+    from kafka2clickhouse_py_streamer_spark.llm.sampling import (
+        p05_clean_corpus,
+    )
+
+    df = p05_clean_corpus(spark, sf_dir)
+    assert count_exchanges(df) <= 2
+    assert "SinglePartition" not in formatted_plan(df)
+
+
 def test_row_scan_defaults(spark, sf_dir):
     # a bare projection reads only the selected columns
     from kafka2clickhouse_py_streamer_spark.operators.base import table
