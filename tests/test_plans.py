@@ -160,6 +160,22 @@ def test_p05_clean_corpus_single_shuffle(spark, sf_dir):
     assert "SinglePartition" not in formatted_plan(df)
 
 
+def test_time_windows_one_hash_exchange(spark, sf_dir):
+    # tumbling/sliding/session windows are each a single hash
+    # aggregation (+1 range exchange for presentation order); the Expand
+    # node for sliding windows must not add a shuffle
+    from kafka2clickhouse_py_streamer_spark.streaming.batch_windows import (
+        w01_tumbling,
+        w02_sliding,
+        w03_session_window,
+    )
+
+    for fn in (w01_tumbling, w02_sliding, w03_session_window):
+        df = fn(spark, sf_dir)
+        assert count_exchanges(df) <= 2, fn.__name__
+        assert "SinglePartition" not in formatted_plan(df), fn.__name__
+
+
 def test_row_scan_defaults(spark, sf_dir):
     # a bare projection reads only the selected columns
     from kafka2clickhouse_py_streamer_spark.operators.base import table
