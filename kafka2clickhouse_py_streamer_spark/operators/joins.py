@@ -354,6 +354,66 @@ ORDER BY event_id
 """
 
 
+def q49_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE / SCD-1 upsert as a relational plan: apply a change set
+    (update existing keys, insert new ones) onto a base table in ONE
+    full-outer join — the pattern for CDC apply on engines without a
+    native MERGE INTO. Tagging rows updated/inserted/unchanged needs no
+    extra pass; at scale this is a single shuffle on the merge key
+    (or zero with both sides bucketed on it).
+
+    The change set is derived deterministically: per-customer order
+    totals above a threshold become balance updates; keys ≡ 0 (mod 97)
+    are shifted out of the base key space to exercise the insert path.
+    """
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    delta = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("tot"))
+        .filter(F.col("tot") > 400000.005)
+        .select(
+            F.when(
+                F.col("o_custkey") % 97 == 0, F.col("o_custkey") + 1000000
+            )
+            .otherwise(F.col("o_custkey"))
+            .alias("c_custkey"),
+            F.round(F.col("tot") / 1000, 2).alias("new_bal"),
+        )
+    )
+    merged = c.join(delta, "c_custkey", "full")
+    return merged.select(
+        "c_custkey",
+        F.round(F.coalesce("new_bal", "c_acctbal"), 2).alias("acctbal"),
+        F.when(F.col("c_name").isNull(), F.lit("inserted"))
+        .when(F.col("new_bal").isNotNull(), F.lit("updated"))
+        .otherwise(F.lit("unchanged"))
+        .alias("merge_action"),
+    ).orderBy("c_custkey")
+
+
+Q49_SQL = """
+WITH delta AS (
+  SELECT CASE WHEN o_custkey % 97 = 0 THEN o_custkey + 1000000
+              ELSE o_custkey END AS c_custkey,
+         ROUND(SUM(o_totalprice) / 1000, 2) AS new_bal
+  FROM orders
+  GROUP BY o_custkey
+  HAVING SUM(o_totalprice) > 400000.005
+)
+SELECT COALESCE(c.c_custkey, d.c_custkey) AS c_custkey,
+       ROUND(COALESCE(d.new_bal, c.c_acctbal), 2) AS acctbal,
+       CASE WHEN c.c_name IS NULL THEN 'inserted'
+            WHEN d.new_bal IS NOT NULL THEN 'updated'
+            ELSE 'unchanged' END AS merge_action
+FROM customer c
+FULL OUTER JOIN delta d ON d.c_custkey = c.c_custkey
+ORDER BY c_custkey
+"""
+
+
 QUERIES = [
     Query("q02_region_revenue", q02_region_revenue, Q02_SQL,
           "fact⋈broadcast-dims revenue rollup"),
@@ -373,4 +433,6 @@ QUERIES = [
           "correlated EXISTS + NOT EXISTS (semi ⋈ anti decorrelation)"),
     Query("q48_salted_join", q48_salted_join, Q48_SQL,
           "hot-key join spread over salts (skew mitigation)"),
+    Query("q49_upsert_merge", q49_upsert_merge, Q49_SQL,
+          "CDC upsert (MERGE twin) via one full-outer join"),
 ]
