@@ -53,3 +53,21 @@ def read_csv(
 ) -> DataFrame:
     """CSV source with mandatory explicit schema (no inference pass)."""
     return spark.read.schema(schema).csv(path, header=header)
+
+
+def rate_stream(
+    spark: SparkSession,
+    rows_per_second: int = 100,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Synthetic streaming source (``rate`` format): monotonically
+    increasing ``value`` with an event ``timestamp`` — the standard
+    load generator for exercising watermarks, windows, and sink
+    throughput without a broker. ``numPartitions`` controls source
+    parallelism (defaults to the session's)."""
+    reader = spark.readStream.format("rate").option(
+        "rowsPerSecond", str(rows_per_second)
+    )
+    if num_partitions is not None:
+        reader = reader.option("numPartitions", str(num_partitions))
+    return reader.load()

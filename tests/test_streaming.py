@@ -203,3 +203,37 @@ def test_jdbc_describe_rejects_suspicious_identifier(spark):
 
     with pytest.raises(ValueError, match="suspicious"):
         jdbc_describe(spark, "jdbc:fake", "events; DROP TABLE x")
+
+
+def test_rate_source_drives_windowed_agg(spark, tmp_path):
+    """The rate synthetic source feeds a windowed count end to end —
+    the broker-free load generator for streaming benchmarks."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from kafka2clickhouse_py_streamer_spark.sources.files import rate_stream
+
+    src = rate_stream(spark, rows_per_second=200, num_partitions=2)
+    assert src.isStreaming
+    assert [f.name for f in src.schema.fields] == ["timestamp", "value"]
+
+    agg = src.groupBy(F.window("timestamp", "1 second")).count()
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("rate_windows")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        rows = 0
+        for _ in range(20):  # up to ~10 s for the first non-empty batch
+            time.sleep(0.5)
+            q.processAllAvailable()
+            rows = spark.sql("SELECT COUNT(*) FROM rate_windows").first()[0]
+            if rows > 0:
+                break
+        assert rows > 0
+    finally:
+        q.stop()
