@@ -351,6 +351,129 @@ ORDER BY query_id, rk
 """
 
 
+def s05_trained_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with TRAINED centroids (s04 uses fixed pseudo-random ones):
+    centroid k = the element-wise mean of the corpus vectors whose
+    vec_id ≡ k (mod K) — a deterministic stand-in for sampled k-means
+    seeding, so both engines train identically. Assignment, cell join,
+    and exact re-rank are then s04's plan.
+
+    The train step is 64 avg aggregates per cell (pure JVM hash agg,
+    one shuffle on the K-value cell key); its output is K×64 doubles —
+    collected to the driver and inlined as literals, the real-world
+    'train small, broadcast into the scan projection' IVF shape (at
+    100 TB the corpus never reshuffles for assignment)."""
+    base = _base(spark, sf_dir)
+    corpus = base.filter(F.col("vec_id") >= N_QUERIES)
+    seeds = (
+        corpus.withColumn(
+            "g", (F.col("vec_id") % N_CENTROIDS).cast("int")
+        )
+        .groupBy("g")
+        .agg(
+            *[
+                F.avg(F.element_at("v", i + 1)).alias(f"m{i}")
+                for i in range(DIM)
+            ]
+        )
+        .orderBy("g")
+        .collect()
+    )
+    cents = {
+        row["g"]: [row[f"m{i}"] for i in range(DIM)] for row in seeds
+    }
+    dots = [
+        dot("v", F.array(*[F.lit(cents[c][i]) for i in range(DIM)]))
+        for c in range(N_CENTROIDS)
+    ]
+    best = F.greatest(*dots)
+    cell = F.lit(None)
+    for c in range(N_CENTROIDS - 1, -1, -1):
+        cell = F.when(dots[c] == best, F.lit(c)).otherwise(cell)
+    tagged = base.withColumn("cell", cell.cast("long"))
+    q = tagged.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+        "cell",
+    )
+    c_ = tagged.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("cnorm"),
+        "cell",
+    )
+    scored = F.broadcast(q).join(c_, "cell").select(
+        "query_id",
+        "cand_id",
+        "cell",
+        F.round(_cosine("qv", "cv", "qnorm", "cnorm"), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= TOP_K)
+        .orderBy("query_id", "rk")
+    )
+
+
+def _s05_sql() -> str:
+    means = ",\n         ".join(
+        f"AVG(v[{i + 1}]) AS m{i}" for i in range(DIM)
+    )
+    centv = "[" + ", ".join(f"m{i}" for i in range(DIM)) + "]"
+    return f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+seeds AS (
+  SELECT CAST(vec_id % {N_CENTROIDS} AS INTEGER) AS g,
+         {means}
+  FROM base
+  WHERE vec_id >= {N_QUERIES}
+  GROUP BY CAST(vec_id % {N_CENTROIDS} AS INTEGER)
+),
+centv AS (
+  SELECT g, {centv} AS cv FROM seeds
+),
+dotted AS (
+  SELECT b.vec_id, b.v, c.g, list_dot_product(b.v, c.cv) AS d
+  FROM base b CROSS JOIN centv c
+),
+assigned AS (
+  SELECT vec_id, v, CAST(g AS BIGINT) AS cell
+  FROM (
+    SELECT vec_id, v, g,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY d DESC, g ASC) AS rn
+    FROM dotted
+  )
+  WHERE rn = 1
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, q.cell,
+         ROUND(list_dot_product(q.v, c.v)
+               / (SQRT(list_dot_product(q.v, q.v)) * SQRT(list_dot_product(c.v, c.v))),
+               6) AS cosine
+  FROM assigned q
+  JOIN assigned c ON q.cell = c.cell
+  WHERE q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
+),
+ranked AS (
+  SELECT query_id, cand_id, cell, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, cand_id ASC) AS rk
+  FROM scored
+)
+SELECT query_id, cand_id, cell, cosine, rk
+FROM ranked WHERE rk <= {TOP_K}
+ORDER BY query_id, rk
+"""
+
+
 QUERIES = [
     Query("s01_cosine_topk", s01_cosine_topk, S01_SQL,
           "exact brute-force cosine top-k"),
@@ -360,4 +483,6 @@ QUERIES = [
           "LSH-bucketed ANN + exact re-rank"),
     Query("s04_ivf_topk", s04_ivf_topk, _s04_sql(),
           "IVF-cell ANN + exact re-rank"),
+    Query("s05_trained_ivf", s05_trained_ivf, _s05_sql(),
+          "IVF with trained (data-dependent) centroids"),
 ]

@@ -100,6 +100,7 @@ _VERIFY_FIRST = [
     "q27_approx_stats", "q38_collect_agg", "q41_map_fns",
     # new this round
     "q48_salted_join", "p05_clean_corpus", "q49_upsert_merge",
+    "s05_trained_ivf",
 ]
 
 
