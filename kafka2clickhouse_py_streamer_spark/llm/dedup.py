@@ -687,6 +687,89 @@ ORDER BY vec_a, vec_b
 """
 
 
+# --- d09: benchmark contamination check -----------------------------
+#
+# Decontamination is the dedup family's sibling in a training pipeline:
+# before training, every corpus document is screened for n-gram overlap
+# against the evaluation/benchmark set, and contaminated documents are
+# dropped so benchmark scores measure generalization, not memorization.
+# Here the "benchmark" is the src0 slice of ``documents`` (a stand-in
+# for an eval suite); the corpus is everything else.
+
+CONTAM_MIN_OVERLAP = 0.05  # report floor (keeps the noise tail out)
+CONTAM_FLAG = 0.5  # contamination verdict threshold
+
+
+def d09_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination screen: for each corpus doc, the
+    benchmark doc sharing the most word-3-shingles, with overlap =
+    |shared| / |corpus doc shingles|; flagged when overlap >= 0.5.
+
+    Scale shape: the corpus↔benchmark shingle equi-join is an
+    inverted-index probe — the benchmark side is tiny relative to the
+    corpus (an eval suite is KBs-to-MBs against 100 TB), so Spark
+    broadcasts it and the corpus NEVER shuffles: one scan, a broadcast
+    hash join on the shingle, one partial+final agg on (doc, bench)
+    pairs bounded by actual collisions. The best-match pick is a
+    row_number over the per-doc candidate list (small), never a global
+    sort."""
+    sh = _shingle_rows(spark, sf_dir)
+    bench = sh.filter(F.col("source") == "src0").select(
+        F.col("doc_id").alias("bench_id"), "s"
+    )
+    corpus = sh.filter(F.col("source") != "src0").select("doc_id", "s")
+    sizes = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        corpus.join(F.broadcast(bench), "s")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    from pyspark.sql.window import Window
+
+    raw = F.col("n_common") / F.col("n")
+    best = Window.partitionBy("doc_id").orderBy(
+        F.col("n_common").desc(), F.col("bench_id").asc()
+    )
+    return (
+        inter.join(sizes, "doc_id")
+        .withColumn("rk", F.row_number().over(best))
+        .filter((F.col("rk") == 1) & (raw >= CONTAM_MIN_OVERLAP))
+        .select(
+            "doc_id",
+            "bench_id",
+            "n_common",
+            F.round(raw, 6).alias("overlap"),
+            (raw >= CONTAM_FLAG).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+D09_SQL = f"""
+WITH {_DUCK_SHINGLES_CTE},
+bench AS (SELECT doc_id AS bench_id, s FROM shingles WHERE source = 'src0'),
+corpus AS (SELECT doc_id, s FROM shingles WHERE source <> 'src0'),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM corpus GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_id, b.bench_id, COUNT(*) AS n_common
+  FROM corpus c JOIN bench b ON b.s = c.s
+  GROUP BY c.doc_id, b.bench_id
+),
+ranked AS (
+  SELECT i.doc_id, i.bench_id, i.n_common, sz.n,
+         ROW_NUMBER() OVER (PARTITION BY i.doc_id
+                            ORDER BY i.n_common DESC, i.bench_id ASC) AS rk
+  FROM inter i JOIN sizes sz ON sz.doc_id = i.doc_id
+)
+SELECT doc_id, bench_id, n_common,
+       ROUND(CAST(n_common AS DOUBLE) / n, 6) AS overlap,
+       CAST(n_common AS DOUBLE) / n >= {CONTAM_FLAG} AS contaminated
+FROM ranked
+WHERE rk = 1 AND CAST(n_common AS DOUBLE) / n >= {CONTAM_MIN_OVERLAP}
+ORDER BY doc_id
+"""
+
+
 QUERIES = [
     Query("d01_exact_dedup", d01_exact_dedup, D01_SQL,
           "exact dedup via hash-groupBy on MD5"),
@@ -704,4 +787,6 @@ QUERIES = [
           "near-dup connected components (min-label propagation)"),
     Query("d08_canonical_corpus", d08_canonical_corpus, _d08_sql(),
           "dedup policy: keep one doc per cluster, retention stats"),
+    Query("d09_contamination", d09_contamination, D09_SQL,
+          "benchmark decontamination screen (n-gram overlap vs eval set)"),
 ]

@@ -361,6 +361,51 @@ ORDER BY doc_id
 """
 
 
+DOMAIN_CAP = 15  # max docs kept per source for the balanced mix
+
+
+def p06_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-balanced corpus mixing: cap every source (domain) at
+    DOMAIN_CAP documents, picking each domain's docs in deterministic
+    md5(doc_id) order — the downsampling step that rebalances a corpus
+    dominated by a few giant domains (the Pile/Dolma-style mixture
+    weights, expressed as a hard per-domain cap).
+
+    Scale shape: one hash shuffle on the domain key, then a
+    partition-local row_number and filter. A 100 TB corpus has a
+    heavy-tailed domain distribution — the win is that only the
+    SELECTION shuffles domain-wise; and because the keep-set is the
+    cap-smallest hash values per domain, a giant domain can pre-filter
+    with a bucket predicate (p02's trick) before the window, so the
+    skewed window input stays bounded. rand()-free: the same mix on
+    every run, cluster size, and engine."""
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("doc_id", "source")
+        .withColumn("domain_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("domain_rank") <= DOMAIN_CAP)
+        .orderBy("source", "domain_rank")
+    )
+
+
+P06_SQL = f"""
+WITH ranked AS (
+  SELECT doc_id, source,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+           AS domain_rank
+  FROM documents
+)
+SELECT doc_id, source, domain_rank
+FROM ranked
+WHERE domain_rank <= {DOMAIN_CAP}
+ORDER BY source, domain_rank
+"""
+
+
 QUERIES = [
     Query("p01_train_test_split", p01_train_test_split, P01_SQL,
           "hash-deterministic train/val/test split"),
@@ -372,4 +417,6 @@ QUERIES = [
           "deterministic hash-ordered global corpus shuffle"),
     Query("p05_clean_corpus", p05_clean_corpus, P05_SQL,
           "composed quality→dedup→split corpus clean (one exchange)"),
+    Query("p06_domain_mix", p06_domain_mix, P06_SQL,
+          "domain-balanced mixing: deterministic per-source cap"),
 ]

@@ -474,6 +474,83 @@ ORDER BY query_id, rk
 """
 
 
+# --- s06: int8 embedding quantization -------------------------------
+#
+# The storage half of an ANN system: per-vector symmetric int8
+# quantization (scale = max|x| / 127) shrinks a float32 embedding
+# column 4x, which at 100 TB is the difference between an index that
+# fits in cluster memory and one that doesn't. The operator reports the
+# quantization quality per vector (max reconstruction error + cosine
+# between the original and the dequantized vector) — the check a
+# pipeline runs before committing to the compressed representation.
+# floor(x + 0.5) rather than round(): Spark rounds HALF_UP and DuckDB
+# half-even, so an explicit floor keeps the two engines bit-identical.
+
+
+def s06_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization + reconstruction audit, all JVM
+    higher-order functions — one codegen'd scan, zero shuffle, zero
+    Python: the shape that streams 100 TB of vectors through
+    whole-stage codegen untouched."""
+    e = _base(spark, sf_dir)
+    max_abs = F.aggregate(
+        F.col("v"), F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+    )
+    df = e.select("vec_id", "v", max_abs.alias("max_abs"))
+    scale = F.col("max_abs") / F.lit(127.0)
+    dq = F.transform(
+        F.col("v"), lambda x: F.floor(x / scale + F.lit(0.5)) * scale
+    )
+    df = df.select(
+        "vec_id",
+        "v",
+        F.round(scale, 6).alias("scale"),
+        dq.alias("dq"),
+    )
+    max_err = F.aggregate(
+        F.zip_with(F.col("v"), F.col("dq"), lambda x, y: F.abs(x - y)),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    cos = dot("v", "dq") / (l2_norm("v") * l2_norm("dq"))
+    return df.select(
+        "vec_id",
+        "scale",
+        F.round(max_err, 6).alias("max_abs_err"),
+        F.round(cos, 6).alias("cos_recon"),
+    ).orderBy("vec_id")
+
+
+S06_SQL = """
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+scaled AS (
+  SELECT vec_id, v,
+         list_aggregate(list_transform(v, x -> ABS(x)), 'max') / 127.0
+           AS scale
+  FROM base
+),
+quant AS (
+  SELECT vec_id, v, scale,
+         list_transform(v, x -> FLOOR(x / scale + 0.5) * scale) AS dq
+  FROM scaled
+)
+SELECT vec_id,
+       ROUND(scale, 6) AS scale,
+       ROUND(list_aggregate(
+               list_transform(list_zip(v, dq),
+                              p -> ABS(p[1] - p[2])), 'max'), 6)
+         AS max_abs_err,
+       ROUND(list_dot_product(v, dq)
+             / (SQRT(list_dot_product(v, v)) * SQRT(list_dot_product(dq, dq))),
+             6) AS cos_recon
+FROM quant
+ORDER BY vec_id
+"""
+
+
 QUERIES = [
     Query("s01_cosine_topk", s01_cosine_topk, S01_SQL,
           "exact brute-force cosine top-k"),
@@ -485,4 +562,6 @@ QUERIES = [
           "IVF-cell ANN + exact re-rank"),
     Query("s05_trained_ivf", s05_trained_ivf, _s05_sql(),
           "IVF with trained (data-dependent) centroids"),
+    Query("s06_quantize", s06_quantize, S06_SQL,
+          "symmetric int8 quantization + reconstruction audit"),
 ]

@@ -279,6 +279,67 @@ ORDER BY doc_id
 """
 
 
+VOCAB_TOP = 100  # vocabulary rows reported
+
+
+def t07_vocab_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary with document frequencies and IDF — the term
+    table behind TF-IDF quality scoring, stopword discovery, and
+    tokenizer-vocab seeding. Top VOCAB_TOP terms by collection
+    frequency (ties broken by token).
+
+    Scale shape: explode to (doc, token) rows, ONE shuffle on the token
+    key with partial (map-side) aggregation — exactly a distributed
+    word count; the corpus-size scalar joins back as a broadcast of one
+    row, and the top-k is TakeOrderedAndProject, never a global sort.
+    Hot tokens (stopwords) are the skew case: the partial agg collapses
+    them per-partition before the shuffle, so the reducer sees at most
+    |partitions| rows per token, not |occurrences|."""
+    d = table(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", F.explode(F.expr(tokens_expr("text"))).alias("token"))
+        .filter(F.length("token") > 0)
+    )
+    vocab = toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("tf"),
+        F.countDistinct("doc_id").cast("long").alias("df"),
+    )
+    total = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    return (
+        vocab.crossJoin(F.broadcast(total))
+        .select(
+            "token",
+            "tf",
+            "df",
+            F.round(F.log(F.col("n_docs") / F.col("df")), 6).alias("idf"),
+        )
+        .orderBy(F.desc("tf"), "token")
+        .limit(VOCAB_TOP)
+    )
+
+
+T07_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(regexp_split_to_array(TRIM(LOWER(text)), '\s+')) AS token
+  FROM documents
+),
+vocab AS (
+  SELECT token,
+         CAST(COUNT(*) AS BIGINT) AS tf,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM toks
+  WHERE LENGTH(token) > 0
+  GROUP BY token
+)
+SELECT token, tf, df,
+       ROUND(LN((SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) / df), 6)
+         AS idf
+FROM vocab
+ORDER BY tf DESC, token
+LIMIT {VOCAB_TOP}
+"""
+
+
 QUERIES = [
     Query("t01_token_count", t01_token_count, T01_SQL,
           "whitespace + subword-proxy token counts"),
@@ -292,4 +353,6 @@ QUERIES = [
           "Rabin-Karp rolling hash prefix fingerprint"),
     Query("t06_repetition", t06_repetition, T06_SQL,
           "duplicate word-2-gram fraction (Gopher repetition rule)"),
+    Query("t07_vocab_idf", t07_vocab_idf, T07_SQL,
+          "corpus vocabulary: term/doc frequencies + IDF, top-k"),
 ]

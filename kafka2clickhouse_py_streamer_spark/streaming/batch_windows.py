@@ -131,9 +131,52 @@ ORDER BY user_id, session_start
 """
 
 
+def w04_enriched_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: events joined to the customer dimension
+    (user_id = c_custkey), then tumbling-1h aggregation per market
+    segment — the canonical readStream-join-static-dim pattern
+    (Structured Streaming executes the same plan per micro-batch with
+    the dimension broadcast once per batch). The dim side is explicitly
+    broadcast: at 100 TB the event stream NEVER shuffles for the join —
+    the only exchange is the windowed agg's."""
+    e = table(spark, sf_dir, "events")
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return (
+        e.join(F.broadcast(c), "user_id")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("c_mktsegment").alias("segment"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("window_start", "segment")
+    )
+
+
+W04_SQL = """
+SELECT DATE_TRUNC('hour', e.ts) AS window_start,
+       c.c_mktsegment AS segment,
+       COUNT(*) AS n_events,
+       ROUND(SUM(e.value), 4) AS sum_value
+FROM events e
+JOIN customer c ON c.c_custkey = e.user_id
+GROUP BY DATE_TRUNC('hour', e.ts), c.c_mktsegment
+ORDER BY window_start, segment
+"""
+
+
 QUERIES = [
     Query("w01_tumbling", w01_tumbling, W01_SQL, "tumbling 1h windows"),
     Query("w02_sliding", w02_sliding, W02_SQL, "sliding 1h/30m windows"),
     Query("w03_session_window", w03_session_window, W03_SQL,
           "session windows, 30min gap"),
+    Query("w04_enriched_windows", w04_enriched_windows, W04_SQL,
+          "stream-static dim enrichment + tumbling agg"),
 ]

@@ -183,3 +183,69 @@ def test_row_scan_defaults(spark, sf_dir):
     df = table(spark, sf_dir, "orders").select("o_orderkey")
     [cols] = read_schema_columns(df)
     assert cols == ["o_orderkey"]
+
+
+def test_d09_benchmark_side_broadcasts(spark, sf_dir):
+    # the eval-set side of the contamination screen is tiny relative to
+    # the corpus: it must arrive via broadcast (the corpus never
+    # shuffles for the join) and the probe must stay JVM-side
+    from kafka2clickhouse_py_streamer_spark.llm.dedup import (
+        d09_contamination,
+    )
+
+    df = d09_contamination(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert python_row_ops(df) == 0
+
+
+def test_p06_domain_mix_one_domain_shuffle(spark, sf_dir):
+    # cap-per-domain selection: one hash exchange on the domain key
+    # (+1 range for presentation order), scan pruned to the two columns
+    from kafka2clickhouse_py_streamer_spark.llm.sampling import (
+        p06_domain_mix,
+    )
+
+    df = p06_domain_mix(spark, sf_dir)
+    assert count_exchanges(df) <= 2
+    [cols] = read_schema_columns(df)
+    assert set(cols) == {"doc_id", "source"}
+    assert "SinglePartition" not in formatted_plan(df)
+
+
+def test_s06_quantize_is_shuffle_free(spark, sf_dir):
+    # quantization is a row-local vector transform: no exchange except
+    # the presentation sort, zero Python
+    from kafka2clickhouse_py_streamer_spark.llm.similarity import (
+        s06_quantize,
+    )
+
+    df = s06_quantize(spark, sf_dir)
+    assert count_exchanges(df) <= 1
+    assert python_row_ops(df) == 0
+
+
+def test_t07_vocab_partial_agg_and_topk(spark, sf_dir):
+    # distributed word count: top-k must be TakeOrderedAndProject (never
+    # a global sort), the corpus-size scalar joins via broadcast, and
+    # the token explode stays out of Python
+    from kafka2clickhouse_py_streamer_spark.llm.text import t07_vocab_idf
+
+    df = t07_vocab_idf(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert python_row_ops(df) == 0
+
+
+def test_w04_dim_join_broadcasts(spark, sf_dir):
+    # stream-static enrichment: the customer dim must broadcast — the
+    # event stream's only exchange is the windowed agg's (+1 range sort)
+    from kafka2clickhouse_py_streamer_spark.streaming.batch_windows import (
+        w04_enriched_windows,
+    )
+
+    df = w04_enriched_windows(spark, sf_dir)
+    assert has_broadcast_join(df)
+    assert count_exchanges(df) <= 2
