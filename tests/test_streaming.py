@@ -237,3 +237,69 @@ def test_rate_source_drives_windowed_agg(spark, tmp_path):
         assert rows > 0
     finally:
         q.stop()
+
+
+def test_stream_static_enrichment_windowed(spark, tmp_path):
+    """w04's streaming form: a file-stream of events joined to a STATIC
+    dimension frame (broadcast per micro-batch), then a tumbling-window
+    aggregation per dim attribute — the readStream-join-static pattern
+    whose batch twin is oracle-verified as w04_enriched_windows."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    src = str(tmp_path / "events")
+    os.makedirs(src)
+    raw = StructType([StructField("value", StringType())])
+    dim = spark.createDataFrame(
+        [(1, "AUTO"), (2, "HOME")], "user_id long, segment string"
+    )
+    events = (
+        spark.readStream.schema(raw)
+        .json(src)
+        .select(
+            F.get_json_object("value", "$.user_id").cast("long").alias("user_id"),
+            F.get_json_object("value", "$.ts").cast("timestamp").alias("ts"),
+            F.get_json_object("value", "$.v").cast("double").alias("v"),
+        )
+    )
+    enriched = (
+        events.join(F.broadcast(dim), "user_id")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "segment")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+    )
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enriched_windows")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+
+    def push(n, rows):
+        with open(os.path.join(src, f"b{n}.json"), "w") as f:
+            for r in rows:
+                f.write(json.dumps({"value": json.dumps(r)}) + "\n")
+        q.processAllAvailable()
+
+    try:
+        push(0, [
+            {"user_id": 1, "ts": "2024-01-01 10:05:00", "v": 2.0},
+            {"user_id": 2, "ts": "2024-01-01 10:10:00", "v": 3.0},
+            {"user_id": 9, "ts": "2024-01-01 10:15:00", "v": 5.0},  # no dim row
+        ])
+        push(1, [
+            {"user_id": 1, "ts": "2024-01-01 10:20:00", "v": 4.0},
+        ])
+        got = {
+            (r["segment"], r["w"]["start"].hour): (r["n"], r["s"])
+            for r in spark.sql("SELECT * FROM enriched_windows").collect()
+        }
+        # inner join drops the dimension-less user; AUTO accumulated
+        # across both micro-batches
+        assert got == {("AUTO", 10): (2, 6.0), ("HOME", 10): (1, 3.0)}
+    finally:
+        q.stop()
