@@ -1,0 +1,72 @@
+"""Semantic invariants for the training-pipeline operators — properties
+the DuckDB oracle equality can't express (it would just mirror a shared
+bug): caps respected, scores bounded, flags consistent with their
+definition, reconstruction within the quantizer's error bound.
+"""
+
+from __future__ import annotations
+
+from kafka2clickhouse_py_streamer_spark.llm.dedup import (
+    CONTAM_FLAG,
+    CONTAM_MIN_OVERLAP,
+    d09_contamination,
+)
+from kafka2clickhouse_py_streamer_spark.llm.sampling import (
+    DOMAIN_CAP,
+    p06_domain_mix,
+)
+from kafka2clickhouse_py_streamer_spark.llm.similarity import s06_quantize
+from kafka2clickhouse_py_streamer_spark.llm.text import (
+    VOCAB_TOP,
+    t07_vocab_idf,
+)
+
+
+def test_d09_overlap_bounds_and_flag(spark, sf_dir):
+    rows = d09_contamination(spark, sf_dir).collect()
+    assert rows, "fixtures contain cross-source near-dups"
+    for r in rows:
+        assert CONTAM_MIN_OVERLAP <= r["overlap"] <= 1.0
+        assert r["contaminated"] == (r["overlap"] >= CONTAM_FLAG)
+    # the fixtures' planted cross-source duplicates must be caught
+    assert any(r["contaminated"] for r in rows)
+
+
+def test_d09_one_row_per_corpus_doc(spark, sf_dir):
+    rows = d09_contamination(spark, sf_dir).collect()
+    ids = [r["doc_id"] for r in rows]
+    assert len(ids) == len(set(ids))  # best-match pick is unique
+
+
+def test_p06_respects_cap_and_rank_contiguity(spark, sf_dir):
+    rows = p06_domain_mix(spark, sf_dir).collect()
+    by_source: dict[str, list[int]] = {}
+    for r in rows:
+        by_source.setdefault(r["source"], []).append(r["domain_rank"])
+    for source, ranks in by_source.items():
+        assert len(ranks) <= DOMAIN_CAP, source
+        # ranks are exactly 1..n with no gaps (a dropped rank would
+        # mean the cap filter ran before the window numbered the rows)
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), source
+
+
+def test_s06_reconstruction_within_half_step(spark, sf_dir):
+    rows = s06_quantize(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # symmetric rounding quantizer: error <= scale/2 (+ rounding of
+        # the reported columns at 1e-6)
+        assert r["max_abs_err"] <= r["scale"] / 2 + 1e-6
+        assert 0.98 <= r["cos_recon"] <= 1.0 + 1e-9
+
+
+def test_t07_idf_consistency(spark, sf_dir):
+    rows = t07_vocab_idf(spark, sf_dir).collect()
+    assert 0 < len(rows) <= VOCAB_TOP
+    # collection frequency >= document frequency >= 1; idf >= 0 and
+    # decreasing in df; top-k ordering is (tf desc, token asc)
+    for r in rows:
+        assert r["tf"] >= r["df"] >= 1
+        assert r["idf"] >= 0.0
+    keys = [(-r["tf"], r["token"]) for r in rows]
+    assert keys == sorted(keys)
