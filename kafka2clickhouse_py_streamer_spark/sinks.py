@@ -61,6 +61,39 @@ def partitioned_parquet_sink(
     return write
 
 
+def bucketed_parquet_sink(
+    table: str,
+    path: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> Sink:
+    """Bucketed (hash-clustered) parquet table: rows are pre-partitioned
+    into ``num_buckets`` files by hash of ``bucket_cols`` and optionally
+    sorted within each bucket.
+
+    This is the co-located-join layout for 100 TB fact tables: two
+    tables bucketed the same way join with ZERO shuffle (and with
+    ``sort_cols`` on the join key, zero sort) — the exchange is paid
+    once at write time instead of on every downstream join/aggregation.
+    Registered via ``saveAsTable`` with an explicit ``path`` (external
+    table) because bucket metadata lives in the catalog, not the files.
+    """
+
+    def write(df: DataFrame) -> None:
+        w = (
+            df.write.mode(mode)
+            .option("path", path)
+            .bucketBy(num_buckets, *bucket_cols)
+        )
+        if sort_cols:
+            w = w.sortBy(*sort_cols)
+        w.format("parquet").saveAsTable(table)
+
+    return write
+
+
 def jdbc_sink(
     url: str,
     table: str,

@@ -98,3 +98,49 @@ def test_jdbc_sink_appends_async_settings():
 def test_clickhouse_connect_sink_gated():
     with pytest.raises(NotImplementedError, match="jdbc_sink"):
         clickhouse_connect_sink("h", 8123, "t")
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """Two tables bucketed+sorted on the same key must join with ZERO
+    exchange and zero sort — the pay-the-shuffle-once-at-write layout
+    for repeatedly-joined 100 TB fact tables."""
+    from kafka2clickhouse_py_streamer_spark.operators.base import table
+    from kafka2clickhouse_py_streamer_spark.plans import (
+        count_exchanges,
+        formatted_plan,
+    )
+    from kafka2clickhouse_py_streamer_spark.sinks import (
+        bucketed_parquet_sink,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    od = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    try:
+        bucketed_parquet_sink(
+            "li_b", str(tmp_path / "li"), ["l_orderkey"], 4,
+            sort_cols=["l_orderkey"],
+        )(li)
+        bucketed_parquet_sink(
+            "od_b", str(tmp_path / "od"), ["o_orderkey"], 4,
+            sort_cols=["o_orderkey"],
+        )(od)
+        joined = (
+            spark.table("li_b")
+            .hint("merge")
+            .join(
+                spark.table("od_b"),
+                spark.table("li_b").l_orderkey
+                == spark.table("od_b").o_orderkey,
+            )
+        )
+        assert count_exchanges(joined) == 0
+        assert "SortMergeJoin" in formatted_plan(joined)
+        assert joined.count() == li.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS od_b")
