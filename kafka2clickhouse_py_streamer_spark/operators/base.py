@@ -102,7 +102,7 @@ _VERIFY_FIRST = [
     "q48_salted_join", "p05_clean_corpus", "q49_upsert_merge",
     "s05_trained_ivf",
     "d09_contamination", "p06_domain_mix", "s06_quantize",
-    "t07_vocab_idf", "w04_enriched_windows",
+    "t07_vocab_idf", "w04_enriched_windows", "q50_range_join",
 ]
 
 

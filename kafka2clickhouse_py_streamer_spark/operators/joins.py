@@ -414,6 +414,69 @@ ORDER BY c_custkey
 """
 
 
+RANGE_JOIN_WINDOW_US = 30_000_000  # ±30 s pairing window
+
+
+def q50_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure time-range (interval) join with NO equi key: pair every
+    click with every purchase within ±30 s. A naive theta join on
+    |t_a − t_b| ≤ Δ compiles to a nested-loop/cartesian plan — O(n·m)
+    comparisons. The scalable formulation buckets both sides into
+    Δ-sized time buckets and turns proximity into an EQUI join: the
+    click side explodes to its bucket and both neighbors (any pair
+    within Δ differs by at most one bucket), the join runs on the
+    bucket key, and the exact |Δt| predicate filters inside the join.
+    3× row expansion on one side buys a hash-partitionable join —
+    the same trick as d03's LSH bands, applied to time.
+
+    Microsecond epochs (unix_micros / epoch_us) keep both engines in
+    exact integer arithmetic — no float seconds."""
+    e = table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.unix_micros("ts").alias("t_click"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.unix_micros("ts").alias("t_buy"),
+        F.floor(F.unix_micros("ts") / RANGE_JOIN_WINDOW_US).alias("bucket"),
+    )
+    cb = F.floor(F.col("t_click") / RANGE_JOIN_WINDOW_US)
+    exploded = clicks.select(
+        "click_id",
+        "t_click",
+        F.explode(F.sequence(cb - 1, cb + 1)).alias("bucket"),
+    )
+    return (
+        exploded.join(purchases, "bucket")
+        .filter(
+            F.abs(F.col("t_click") - F.col("t_buy"))
+            <= RANGE_JOIN_WINDOW_US
+        )
+        .select(
+            "click_id",
+            "purchase_id",
+            (F.col("t_buy") - F.col("t_click")).alias("delta_us"),
+        )
+        .orderBy("click_id", "purchase_id")
+    )
+
+
+# The oracle states the SAME relation declaratively (DuckDB's
+# range-join machinery handles small scale fine; the bucketing above is
+# the distributed formulation of this predicate).
+Q50_SQL = f"""
+SELECT a.event_id AS click_id,
+       b.event_id AS purchase_id,
+       epoch_us(b.ts) - epoch_us(a.ts) AS delta_us
+FROM events a
+JOIN events b
+  ON a.event_type = 'click' AND b.event_type = 'purchase'
+ AND ABS(epoch_us(a.ts) - epoch_us(b.ts)) <= {RANGE_JOIN_WINDOW_US}
+ORDER BY click_id, purchase_id
+"""
+
+
 QUERIES = [
     Query("q02_region_revenue", q02_region_revenue, Q02_SQL,
           "fact⋈broadcast-dims revenue rollup"),
@@ -435,4 +498,6 @@ QUERIES = [
           "hot-key join spread over salts (skew mitigation)"),
     Query("q49_upsert_merge", q49_upsert_merge, Q49_SQL,
           "CDC upsert (MERGE twin) via one full-outer join"),
+    Query("q50_range_join", q50_range_join, Q50_SQL,
+          "time-range join via bucketed equi-join (no cartesian)"),
 ]

@@ -249,3 +249,16 @@ def test_w04_dim_join_broadcasts(spark, sf_dir):
     df = w04_enriched_windows(spark, sf_dir)
     assert has_broadcast_join(df)
     assert count_exchanges(df) <= 2
+
+
+def test_q50_range_join_is_equi_not_nested_loop(spark, sf_dir):
+    # the ±Δ time predicate must ride an equi bucket join — a naive
+    # theta compiles to BroadcastNestedLoopJoin/CartesianProduct, the
+    # O(n·m) plan that dies at scale
+    from kafka2clickhouse_py_streamer_spark.operators.joins import (
+        q50_range_join,
+    )
+
+    plan = formatted_plan(q50_range_join(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
