@@ -340,6 +340,73 @@ LIMIT {VOCAB_TOP}
 """
 
 
+def t08_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality scoring with a corpus-trained unigram
+    LM (the CCNet-style filter, with the LM trained on the corpus
+    itself): score(doc) = mean over its tokens of ln p(token), where
+    p(token) = corpus_count(token) / corpus_tokens. Low scores flag
+    rare-token gibberish; high scores flag stopword soup.
+
+    Scale shape: ln(c/T) = ln c − ln T, so the corpus-total constant T
+    shifts AFTER the per-doc mean — the big (doc, token) stream only
+    ever joins the vocab table on the token key (count-collapsed by
+    partial aggs; at 100 TB the vocab is millions of rows, a normal
+    shuffle join) and the one-row ln T broadcast touches the already
+    per-doc aggregated result, not the token stream."""
+    d = table(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", F.explode(F.expr(tokens_expr("text"))).alias("token"))
+        .filter(F.length("token") > 0)
+    )
+    vocab = toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    per_doc = (
+        toks.join(vocab, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.avg(F.log("c")).alias("avg_ln_count"),
+        )
+    )
+    total = toks.agg(F.count(F.lit(1)).cast("double").alias("t"))
+    return (
+        per_doc.crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.col("avg_ln_count") - F.log("t"), 6).alias("avg_logp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+T08_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, token
+  FROM (SELECT doc_id,
+               UNNEST(regexp_split_to_array(TRIM(LOWER(text)), '\s+')) AS token
+        FROM documents)
+  WHERE LENGTH(token) > 0
+),
+vocab AS (
+  SELECT token, CAST(COUNT(*) AS DOUBLE) AS c FROM toks GROUP BY token
+),
+per_doc AS (
+  SELECT t.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         AVG(LN(v.c)) AS avg_ln_count
+  FROM toks t JOIN vocab v ON v.token = t.token
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_tokens,
+       ROUND(avg_ln_count - LN((SELECT CAST(COUNT(*) AS DOUBLE) FROM toks)), 6)
+         AS avg_logp
+FROM per_doc
+ORDER BY doc_id
+"""
+
+
 QUERIES = [
     Query("t01_token_count", t01_token_count, T01_SQL,
           "whitespace + subword-proxy token counts"),
@@ -355,4 +422,6 @@ QUERIES = [
           "duplicate word-2-gram fraction (Gopher repetition rule)"),
     Query("t07_vocab_idf", t07_vocab_idf, T07_SQL,
           "corpus vocabulary: term/doc frequencies + IDF, top-k"),
+    Query("t08_unigram_logprob", t08_unigram_logprob, T08_SQL,
+          "perplexity-proxy scoring with a corpus-trained unigram LM"),
 ]

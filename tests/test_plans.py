@@ -262,3 +262,17 @@ def test_q50_range_join_is_equi_not_nested_loop(spark, sf_dir):
     plan = formatted_plan(q50_range_join(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_t08_logprob_token_stream_stays_jvm(spark, sf_dir):
+    # the (doc, token) stream joins the vocab on the token key only;
+    # the corpus-total constant shifts after the per-doc agg — no
+    # cartesian on the big stream, zero Python
+    from kafka2clickhouse_py_streamer_spark.llm.text import (
+        t08_unigram_logprob,
+    )
+
+    df = t08_unigram_logprob(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert python_row_ops(df) == 0
