@@ -55,6 +55,23 @@ def read_csv(
     return spark.read.schema(schema).csv(path, header=header)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source (Spark-native columnar alternative to parquet) —
+    same pushdown/pruning contract: filters reach the ORC reader as
+    ``PushedFilters`` and the read schema is pruned to referenced
+    columns, so a warehouse standardized on ORC plugs in unchanged."""
+    return spark.read.orc(path)
+
+
+def orc_sink(path: str, mode: str = "append"):
+    """ORC writer (mirror of ``sinks.parquet_sink``)."""
+
+    def write(df: DataFrame) -> None:
+        df.write.mode(mode).orc(path)
+
+    return write
+
+
 def rate_stream(
     spark: SparkSession,
     rows_per_second: int = 100,

@@ -144,3 +144,29 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS li_b")
         spark.sql("DROP TABLE IF EXISTS od_b")
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    """ORC source/sink: roundtrip plus the same pushdown/pruning
+    contract as parquet (filters reach the scan, schema pruned)."""
+    from kafka2clickhouse_py_streamer_spark.operators.base import table
+    from kafka2clickhouse_py_streamer_spark.plans import (
+        pushed_filters,
+        read_schema_columns,
+    )
+    from kafka2clickhouse_py_streamer_spark.sources.files import (
+        orc_sink,
+        read_orc,
+    )
+
+    src = table(spark, "/root/testdata/sf0.001", "orders")
+    dest = str(tmp_path / "orders_orc")
+    orc_sink(dest, mode="overwrite")(src)
+
+    back = read_orc(spark, dest)
+    assert back.count() == src.count()
+
+    q = back.filter(back.o_totalprice > 100000).select("o_orderkey")
+    assert any("o_totalprice" in f for f in pushed_filters(q))
+    [cols] = read_schema_columns(q)
+    assert set(cols) == {"o_orderkey", "o_totalprice"}
