@@ -323,6 +323,55 @@ ORDER BY doc_id
 """
 
 
+def m05_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup of binary media payloads — d01's policy applied to
+    the bytes themselves (identical images/audio stored twice):
+    fingerprint = md5 over the payload bytes, keep the min-doc_id copy,
+    report how many bytes deduplication reclaims.
+
+    The fingerprint hashes the BINARY column via hex() so the oracle
+    (whose md5 only accepts VARCHAR) computes the identical digest.
+    Scale shape: identical to d01 — one shuffle on the 128-bit key;
+    payload bytes themselves never shuffle (the fingerprint projection
+    happens in the scan stage, so only 32-char digests cross the
+    wire)."""
+    m = media_table(spark, sf_dir)
+    return (
+        m.select(
+            "doc_id",
+            "n_bytes",
+            F.md5(F.hex("payload")).alias("fp"),
+        )
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            ((F.count(F.lit(1)) - 1) * F.min("n_bytes"))
+            .cast("long")
+            .alias("reclaimed_bytes"),
+        )
+        .orderBy("canonical_id")
+    )
+
+
+M05_SQL = """
+WITH media AS (
+  SELECT doc_id,
+         16 * (1 + doc_id % 4) AS n_bytes,
+         md5(hex(repeat(unhex(md5(text)), CAST(1 + doc_id % 4 AS INTEGER))))
+           AS fp
+  FROM documents
+)
+SELECT fp,
+       MIN(doc_id) AS canonical_id,
+       COUNT(*) AS n_copies,
+       CAST((COUNT(*) - 1) * MIN(n_bytes) AS BIGINT) AS reclaimed_bytes
+FROM media
+GROUP BY fp
+ORDER BY canonical_id
+"""
+
+
 QUERIES = [
     Query("m01_media_metadata", m01_media_metadata, M01_SQL,
           "binary media metadata scan"),
@@ -332,4 +381,6 @@ QUERIES = [
           "video frame sampling via sequence+explode"),
     Query("m04_feature_extract", m04_feature_extract, _m04_sql(),
           "mapInPandas byte-feature extraction (oracle-checked)"),
+    Query("m05_media_dedup", m05_media_dedup, M05_SQL,
+          "exact dedup of binary payloads by content fingerprint"),
 ]
