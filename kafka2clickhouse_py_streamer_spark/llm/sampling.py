@@ -406,6 +406,168 @@ ORDER BY source, domain_rank
 """
 
 
+def p07_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full corpus-prep pipeline as ONE declarative job — the
+    flagship composition a pretraining-data user actually runs:
+
+      1. quality gate (token band, t02's first rule)
+      2. exact dedup, keep-first (d01's policy)
+      3. decontaminate: drop the eval set (src0) and every doc whose
+         word-3-shingle overlap with it is >= d09's threshold
+      4. domain balance: cap each source at p06's limit
+      5. split assignment (p01's hash bucket)
+      6. per-split sequence packing (p03's shard form)
+
+    Declaring all six stages in one DataFrame DAG lets Catalyst fuse
+    the row-local stages (1, 5) into neighboring scans/joins — the
+    pipeline pays exactly four shuffles: the dedup window key, the
+    contamination probe's (doc, bench) agg, the domain window, and the
+    per-split packing window. The benchmark side of stage 3 stays a
+    broadcast."""
+    from kafka2clickhouse_py_streamer_spark.llm.dedup import (
+        CONTAM_FLAG,
+        _shingle_rows,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    trimmed = F.trim(F.col("text"))
+    n_tokens = (
+        F.when(F.length(trimmed) == 0, F.lit(0))
+        .otherwise(F.size(F.split(trimmed, r"\s+")))
+        .cast("long")
+    )
+    quality = d.select(
+        "doc_id", "source", "text", n_tokens.alias("n_tokens")
+    ).filter((F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 1000))
+    keeper = F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+    kept = (
+        quality.withColumn("keeper", keeper)
+        .filter((F.col("doc_id") == F.col("keeper"))
+                & (F.col("source") != "src0"))
+        .select("doc_id", "source", "n_tokens")
+    )
+
+    sh = _shingle_rows(spark, sf_dir)
+    bench = sh.filter(F.col("source") == "src0").select(
+        F.col("doc_id").alias("bench_id"), "s"
+    )
+    corpus_sh = sh.filter(F.col("source") != "src0").select("doc_id", "s")
+    sizes = corpus_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    contaminated = (
+        corpus_sh.join(F.broadcast(bench), "s")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .join(sizes, "doc_id")
+        .filter(F.col("n_common") / F.col("n") >= CONTAM_FLAG)
+        .select("doc_id")
+    )
+    clean = kept.join(contaminated, "doc_id", "left_anti")
+
+    dom = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    mixed = (
+        clean.withColumn("domain_rank", F.row_number().over(dom))
+        .filter(F.col("domain_rank") <= DOMAIN_CAP)
+        .drop("domain_rank")
+    )
+
+    b = _bucket(F.col("doc_id"))
+    split = (
+        F.when(b < TRAIN_END, F.lit("train"))
+        .when(b < VAL_END, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    packw = (
+        Window.partitionBy("split")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        mixed.withColumn("split", split)
+        .withColumn(
+            "stream_offset",
+            F.coalesce(F.sum("n_tokens").over(packw), F.lit(0)),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "split",
+            "n_tokens",
+            F.floor(F.col("stream_offset") / PACK_BUDGET)
+            .cast("long")
+            .alias("pack_id"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _p07_sql() -> str:
+    from kafka2clickhouse_py_streamer_spark.llm.dedup import (
+        CONTAM_FLAG,
+        _DUCK_SHINGLES_CTE,
+    )
+
+    return rf"""
+WITH {_DUCK_SHINGLES_CTE},
+dtoks AS (
+  SELECT doc_id, source, text,
+         CAST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                   ELSE LEN(regexp_split_to_array(TRIM(text), '\s+'))
+              END AS BIGINT) AS n_tokens
+  FROM documents
+),
+quality AS (
+  SELECT * FROM dtoks WHERE n_tokens BETWEEN 10 AND 1000
+),
+kept AS (
+  SELECT doc_id, source, n_tokens
+  FROM (SELECT doc_id, source, n_tokens,
+               MIN(doc_id) OVER (PARTITION BY MD5(text)) AS keeper
+        FROM quality)
+  WHERE doc_id = keeper AND source <> 'src0'
+),
+bench AS (SELECT doc_id AS bench_id, s FROM shingles WHERE source = 'src0'),
+corpus AS (SELECT doc_id, s FROM shingles WHERE source <> 'src0'),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM corpus GROUP BY doc_id),
+contaminated AS (
+  SELECT DISTINCT i.doc_id
+  FROM (SELECT c.doc_id, b.bench_id, COUNT(*) AS n_common
+        FROM corpus c JOIN bench b ON b.s = c.s
+        GROUP BY c.doc_id, b.bench_id) i
+  JOIN sizes sz ON sz.doc_id = i.doc_id
+  WHERE CAST(i.n_common AS DOUBLE) / sz.n >= {CONTAM_FLAG}
+),
+clean AS (
+  SELECT k.* FROM kept k
+  WHERE k.doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+mixed AS (
+  SELECT doc_id, source, n_tokens
+  FROM (SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY source
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                 AS domain_rank
+        FROM clean)
+  WHERE domain_rank <= {DOMAIN_CAP}
+),
+tagged AS (
+  SELECT doc_id, source, n_tokens,
+         CASE WHEN {_bucket_sql('doc_id')} < {TRAIN_END} THEN 'train'
+              WHEN {_bucket_sql('doc_id')} < {VAL_END} THEN 'val'
+              ELSE 'test' END AS split
+  FROM mixed
+)
+SELECT doc_id, source, split, n_tokens,
+       CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (PARTITION BY split
+                ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            / {PACK_BUDGET}) AS BIGINT) AS pack_id
+FROM tagged
+ORDER BY doc_id
+"""
+
+
 QUERIES = [
     Query("p01_train_test_split", p01_train_test_split, P01_SQL,
           "hash-deterministic train/val/test split"),
@@ -419,4 +581,7 @@ QUERIES = [
           "composed quality→dedup→split corpus clean (one exchange)"),
     Query("p06_domain_mix", p06_domain_mix, P06_SQL,
           "domain-balanced mixing: deterministic per-source cap"),
+    Query("p07_corpus_pipeline", p07_corpus_pipeline, _p07_sql(),
+          "flagship composed corpus prep: quality, dedup, decontam, "
+          "mix, split, pack"),
 ]

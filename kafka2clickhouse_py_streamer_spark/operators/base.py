@@ -103,7 +103,7 @@ _VERIFY_FIRST = [
     "s05_trained_ivf",
     "d09_contamination", "p06_domain_mix", "s06_quantize",
     "t07_vocab_idf", "w04_enriched_windows", "q50_range_join",
-    "t08_unigram_logprob", "m05_media_dedup",
+    "t08_unigram_logprob", "m05_media_dedup", "p07_corpus_pipeline",
 ]
 
 

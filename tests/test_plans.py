@@ -276,3 +276,19 @@ def test_t08_logprob_token_stream_stays_jvm(spark, sf_dir):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert python_row_ops(df) == 0
+
+
+def test_p07_pipeline_composition_shape(spark, sf_dir):
+    # six stages, one DAG: the benchmark probe must broadcast, nothing
+    # may go cartesian or fall out of the JVM, and no global
+    # single-partition funnel may appear (packing is per-split)
+    from kafka2clickhouse_py_streamer_spark.llm.sampling import (
+        p07_corpus_pipeline,
+    )
+
+    df = p07_corpus_pipeline(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
+    assert python_row_ops(df) == 0
