@@ -14,7 +14,8 @@ operator executes the whole plan).
 
 The headline set covers every subsystem: scan+agg (q01, q06), joins
 (q02, q03, q48 salted), windows (q08), dedup (d01, d03), similarity
-(s03), text (t01, t02), time windows (w01, w02, w03), sampling (p04).
+(s03), text (t01, t02), time windows (w01, w02, w03), sampling (p04),
+and the composed corpus-prep pipeline (p07).
 """
 
 from __future__ import annotations
@@ -46,6 +47,10 @@ HEADLINE = [
     "w03_session_window",
     "p04_global_shuffle",
     "q48_salted_join",
+    # the flagship composed corpus-prep pipeline (quality → dedup →
+    # decontaminate → domain mix → split → pack): regressions in any of
+    # its six stages surface here
+    "p07_corpus_pipeline",
 ]
 
 
