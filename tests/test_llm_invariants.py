@@ -70,3 +70,25 @@ def test_t07_idf_consistency(spark, sf_dir):
         assert r["idf"] >= 0.0
     keys = [(-r["tf"], r["token"]) for r in rows]
     assert keys == sorted(keys)
+
+
+def test_p07_pipeline_end_state(spark, sf_dir):
+    from kafka2clickhouse_py_streamer_spark.llm.sampling import (
+        p07_corpus_pipeline,
+    )
+
+    rows = p07_corpus_pipeline(spark, sf_dir).collect()
+    assert rows
+    # the eval set never reaches training data
+    assert all(r["source"] != "src0" for r in rows)
+    # domain cap holds after all upstream filters
+    per_source: dict[str, int] = {}
+    for r in rows:
+        per_source[r["source"]] = per_source.get(r["source"], 0) + 1
+    assert max(per_source.values()) <= DOMAIN_CAP
+    # pack ids are monotone non-decreasing in doc order within a split
+    by_split: dict[str, list] = {}
+    for r in sorted(rows, key=lambda r: r["doc_id"]):
+        by_split.setdefault(r["split"], []).append(r["pack_id"])
+    for split, packs in by_split.items():
+        assert packs == sorted(packs), split
