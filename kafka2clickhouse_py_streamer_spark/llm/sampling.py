@@ -314,10 +314,14 @@ def p05_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.size(F.split(trimmed, r"\s+")))
         .cast("long")
     )
+    # Materialize the 128-bit fingerprint and DROP text before the
+    # window: the dedup exchange then shuffles 32-byte digests, not
+    # document bodies — at 100 TB that is the difference between
+    # shuffling the corpus and shuffling ~1% of it.
     quality = d.select(
-        "doc_id", "text", n_tokens.alias("n_tokens")
+        "doc_id", F.md5("text").alias("fp"), n_tokens.alias("n_tokens")
     ).filter((F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 1000))
-    keeper = F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+    keeper = F.min("doc_id").over(Window.partitionBy("fp"))
     b = _bucket(F.col("doc_id"))
     return (
         quality.withColumn("keeper", keeper)
@@ -436,10 +440,13 @@ def p07_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.size(F.split(trimmed, r"\s+")))
         .cast("long")
     )
+    # fp materialized + text dropped BEFORE the dedup window (see p05):
+    # the exchange carries digests, never document bodies.
     quality = d.select(
-        "doc_id", "source", "text", n_tokens.alias("n_tokens")
+        "doc_id", "source", F.md5("text").alias("fp"),
+        n_tokens.alias("n_tokens"),
     ).filter((F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 1000))
-    keeper = F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+    keeper = F.min("doc_id").over(Window.partitionBy("fp"))
     kept = (
         quality.withColumn("keeper", keeper)
         .filter((F.col("doc_id") == F.col("keeper"))
