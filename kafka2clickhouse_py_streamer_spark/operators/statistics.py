@@ -291,6 +291,61 @@ ORDER BY n_regionkey
 """
 
 
+HOT_KEY_SHARE = 0.1  # a key owning >10% of rows is a salting candidate
+
+
+def q51_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile — the diagnostic run BEFORE choosing a
+    join strategy: per-key row count, share of the table, and skew
+    ratio (count ÷ uniform expectation); keys above HOT_KEY_SHARE are
+    the ones q48's salted join (functions/skew.py) exists for.
+
+    Scale shape: one partial+final hash agg on the key (map-side
+    collapse makes even the hottest key cost |partitions| rows at the
+    reducer), then the per-key frame — |distinct keys| rows, small by
+    definition — takes the corpus totals from a one-row broadcast.
+    Profiling 100 TB costs exactly one aggregated scan."""
+    e = table(spark, sf_dir, "events")
+    counts = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = e.agg(
+        F.count(F.lit(1)).cast("double").alias("total"),
+        F.countDistinct("event_type").cast("double").alias("n_keys"),
+    )
+    share = F.col("n") / F.col("total")
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "event_type",
+            "n",
+            F.round(share, 6).alias("share"),
+            F.round(F.col("n") * F.col("n_keys") / F.col("total"), 6)
+            .alias("skew_ratio"),
+            (share > HOT_KEY_SHARE).alias("is_hot"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q51_SQL = f"""
+WITH counts AS (
+  SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
+),
+totals AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS total,
+         CAST(COUNT(DISTINCT event_type) AS DOUBLE) AS n_keys
+  FROM events
+)
+SELECT event_type, n,
+       ROUND(n / total, 6) AS share,
+       ROUND(n * n_keys / total, 6) AS skew_ratio,
+       n / total > {HOT_KEY_SHARE} AS is_hot
+FROM counts, totals
+ORDER BY event_type
+"""
+
+
 QUERIES = [
     Query("q31_moment_stats", q31_moment_stats, Q31_SQL,
           "stddev/variance/corr/covar moments"),
@@ -306,6 +361,8 @@ QUERIES = [
           "RANGE value-based window frame"),
     Query("q37_ntile_cume", q37_ntile_cume, Q37_SQL,
           "ntile/cume_dist/percent_rank"),
+    Query("q51_skew_profile", q51_skew_profile, Q51_SQL,
+          "join-key skew profile (hot-key detector for salting)"),
     Query("q38_collect_agg", q38_collect_agg, Q38_SQL,
           "array_agg collection aggregates"),
 ]
