@@ -551,6 +551,103 @@ ORDER BY vec_id
 """
 
 
+# --- s07: k-NN label vote ------------------------------------------
+
+KNN_K = 5  # neighbors consulted per query
+
+
+def s07_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label prediction: each query vector takes the majority
+    label of its KNN_K nearest corpus neighbors (cosine), ties broken
+    toward the smaller label — the label-propagation step a curation
+    pipeline uses to auto-tag unlabeled data from a labeled seed set.
+
+    Scale shape: inherits s01's — the query set broadcasts, the corpus
+    streams (never shuffles) through the scored projection; the only
+    exchanges are the per-query top-k window and the (query, label)
+    vote agg, both keyed on the tiny query-id space."""
+    base = table(spark, sf_dir, "embeddings")
+    vec = to_double_vec("embedding")
+    typed = base.select(
+        "vec_id", vec.alias("v"), l2_norm(vec).alias("norm"), "label"
+    )
+    q = typed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    c = typed.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("cnorm"),
+        F.col("label").alias("cand_label"),
+    )
+    scored = F.broadcast(q).crossJoin(c).select(
+        "query_id",
+        "cand_id",
+        "cand_label",
+        F.round(_cosine("qv", "cv", "qnorm", "cnorm"), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id").asc()
+    )
+    neighbors = scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= KNN_K
+    )
+    votes = neighbors.groupBy("query_id", "cand_label").agg(
+        F.count(F.lit(1)).cast("long").alias("votes")
+    )
+    pick = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("cand_label").asc()
+    )
+    return (
+        votes.withColumn("vote_rank", F.row_number().over(pick))
+        .filter(F.col("vote_rank") == 1)
+        .select(
+            "query_id",
+            F.col("cand_label").alias("pred_label"),
+            "votes",
+        )
+        .orderBy("query_id")
+    )
+
+
+S07_SQL = f"""
+WITH base AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, c.label AS cand_label,
+         ROUND(list_dot_product(q.v, c.v)
+               / (SQRT(list_dot_product(q.v, q.v)) * SQRT(list_dot_product(c.v, c.v))),
+               6) AS cosine
+  FROM base q, base c
+  WHERE q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
+),
+neighbors AS (
+  SELECT query_id, cand_label
+  FROM (SELECT query_id, cand_label,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, cand_id ASC) AS rk
+        FROM scored)
+  WHERE rk <= {KNN_K}
+),
+votes AS (
+  SELECT query_id, cand_label, CAST(COUNT(*) AS BIGINT) AS votes
+  FROM neighbors GROUP BY query_id, cand_label
+)
+SELECT query_id, cand_label AS pred_label, votes
+FROM (SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY votes DESC, cand_label ASC) AS vr
+      FROM votes)
+WHERE vr = 1
+ORDER BY query_id
+"""
+
+
 QUERIES = [
     Query("s01_cosine_topk", s01_cosine_topk, S01_SQL,
           "exact brute-force cosine top-k"),
@@ -564,4 +661,6 @@ QUERIES = [
           "IVF with trained (data-dependent) centroids"),
     Query("s06_quantize", s06_quantize, S06_SQL,
           "symmetric int8 quantization + reconstruction audit"),
+    Query("s07_knn_label", s07_knn_label, S07_SQL,
+          "k-NN majority-vote label prediction (label propagation)"),
 ]

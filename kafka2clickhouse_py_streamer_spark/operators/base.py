@@ -104,7 +104,7 @@ _VERIFY_FIRST = [
     "d09_contamination", "p06_domain_mix", "s06_quantize",
     "t07_vocab_idf", "w04_enriched_windows", "q50_range_join",
     "t08_unigram_logprob", "m05_media_dedup", "p07_corpus_pipeline",
-    "q51_skew_profile",
+    "q51_skew_profile", "s07_knn_label",
 ]
 
 
