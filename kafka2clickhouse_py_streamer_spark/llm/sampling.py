@@ -59,6 +59,96 @@ def _bucket_sql(key: str) -> str:
     )
 
 
+def _n_tokens():
+    """Whitespace token count of ``text`` (shared by p03/p05/p07 and
+    mirrored by every oracle's regexp_split_to_array expression)."""
+    trimmed = F.trim(F.col("text"))
+    return (
+        F.when(F.length(trimmed) == 0, F.lit(0))
+        .otherwise(F.size(F.split(trimmed, r"\s+")))
+        .cast("long")
+    )
+
+
+def _quality_deduped(d: DataFrame) -> DataFrame:
+    """Quality gate (token band) + exact-dedup keep-first, shared by
+    p05 and p07: returns (doc_id, source, n_tokens) for surviving docs.
+
+    The 128-bit fingerprint is materialized and text dropped BEFORE the
+    dedup window, so the exchange carries 32-byte digests, never
+    document bodies."""
+    quality = d.select(
+        "doc_id", "source", F.md5("text").alias("fp"),
+        _n_tokens().alias("n_tokens"),
+    ).filter((F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 1000))
+    keeper = F.min("doc_id").over(Window.partitionBy("fp"))
+    return (
+        quality.withColumn("keeper", keeper)
+        .filter(F.col("doc_id") == F.col("keeper"))
+        .select("doc_id", "source", "n_tokens")
+    )
+
+
+def _two_pass_offsets(
+    df: DataFrame, group_cols: list[str], val_col: str = "n_tokens",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Distributed running-sum offsets: for each row, the sum of
+    ``val_col`` over all earlier rows (by ``order_col``) within its
+    ``group_cols`` group — WITHOUT funneling any group through one
+    partition (a plain ``Window.partitionBy(group)`` would put an
+    entire group on one task; with groups like train/val/test that is
+    80% of the corpus).
+
+    Range-partition on (group, order) → per-(group, partition) totals
+    (a |partitions|-row driver collect) → per-group prefix offsets
+    broadcast back → partition-local window + offset. ``group_cols``
+    may be empty for a single global stream (p03's shape)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    spark = df.sparkSession
+    parts = spark.sparkContext.defaultParallelism
+    # localCheckpoint pins the sampled range boundaries so the totals
+    # job and the offset job see the identical partitioning (and the
+    # second scan is saved) — same trick as p04.
+    ranged = (
+        df.repartitionByRange(parts, *group_cols, order_col)
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    totals = (
+        ranged.groupBy(*group_cols, "pid")
+        .agg(F.sum(val_col).alias("tot"))
+        .orderBy(*group_cols, "pid")
+        .collect()
+    )
+    offsets, acc, cur = [], 0, object()
+    for row in totals:
+        key = tuple(row[c] for c in group_cols)
+        if key != cur:
+            cur, acc = key, 0
+        offsets.append((*key, row["pid"], acc))
+        acc += row["tot"]
+    schema = StructType(
+        [ranged.schema[c] for c in group_cols]
+        + [ranged.schema["pid"], StructField("off", LongType())]
+    )
+    off = spark.createDataFrame(offsets, schema)
+    w = (
+        Window.partitionBy(*group_cols, "pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        ranged.join(F.broadcast(off), [*group_cols, "pid"])
+        .withColumn(
+            "stream_offset",
+            F.coalesce(F.sum(val_col).over(w), F.lit(0)) + F.col("off"),
+        )
+        .drop("pid", "off")
+    )
+
+
 def p01_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-deterministic train/val/test assignment per document.
 
@@ -146,12 +236,6 @@ def p03_sequence_packing(
     window-partitioned running sum — the per-shard form for clusters
     that write one shard per task."""
     d = table(spark, sf_dir, "documents")
-    trimmed = F.trim(F.col("text"))
-    n_tokens = (
-        F.when(F.length(trimmed) == 0, F.lit(0))
-        .otherwise(F.size(F.split(trimmed, r"\s+")))
-        .cast("long")
-    )
 
     def finish(df: DataFrame) -> DataFrame:
         return df.select(
@@ -171,44 +255,16 @@ def p03_sequence_packing(
             .rowsBetween(Window.unboundedPreceding, -1)
         )
         return finish(
-            d.select(shard_col, "doc_id", n_tokens.alias("n_tokens"))
+            d.select(shard_col, "doc_id", _n_tokens().alias("n_tokens"))
             .withColumn(
                 "stream_offset",
                 F.coalesce(F.sum("n_tokens").over(w), F.lit(0)),
             )
         )
 
-    parts = spark.sparkContext.defaultParallelism
-    # localCheckpoint pins the sampled range boundaries so the totals
-    # job and the offset job see the identical partitioning (and the
-    # second scan is saved) — same trick as p04.
-    ranged = (
-        d.select("doc_id", n_tokens.alias("n_tokens"))
-        .repartitionByRange(parts, "doc_id")
-        .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
-    )
-    totals = (
-        ranged.groupBy("pid")
-        .agg(F.sum("n_tokens").alias("tok"))
-        .orderBy("pid")
-        .collect()
-    )
-    offsets, acc = [], 0
-    for row in totals:
-        offsets.append((row["pid"], acc))
-        acc += row["tok"]
-    off = spark.createDataFrame(offsets or [(0, 0)], "pid int, off long")
-    w = (
-        Window.partitionBy("pid")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
     return finish(
-        ranged.join(F.broadcast(off), "pid")
-        .withColumn(
-            "stream_offset",
-            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) + F.col("off"),
+        _two_pass_offsets(
+            d.select("doc_id", _n_tokens().alias("n_tokens")), []
         )
     )
 
@@ -307,35 +363,16 @@ def p05_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE shuffle (the dedup window on the 128-bit content hash), then
     the split is again row-local — the whole corpus clean is a single
     exchange end to end."""
-    d = table(spark, sf_dir, "documents")
-    trimmed = F.trim(F.col("text"))
-    n_tokens = (
-        F.when(F.length(trimmed) == 0, F.lit(0))
-        .otherwise(F.size(F.split(trimmed, r"\s+")))
-        .cast("long")
-    )
-    # Materialize the 128-bit fingerprint and DROP text before the
-    # window: the dedup exchange then shuffles 32-byte digests, not
-    # document bodies — at 100 TB that is the difference between
-    # shuffling the corpus and shuffling ~1% of it.
-    quality = d.select(
-        "doc_id", F.md5("text").alias("fp"), n_tokens.alias("n_tokens")
-    ).filter((F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 1000))
-    keeper = F.min("doc_id").over(Window.partitionBy("fp"))
+    kept = _quality_deduped(table(spark, sf_dir, "documents"))
     b = _bucket(F.col("doc_id"))
-    return (
-        quality.withColumn("keeper", keeper)
-        .filter(F.col("doc_id") == F.col("keeper"))
-        .select(
-            "doc_id",
-            "n_tokens",
-            F.when(b < TRAIN_END, F.lit("train"))
-            .when(b < VAL_END, F.lit("val"))
-            .otherwise(F.lit("test"))
-            .alias("split"),
-        )
-        .orderBy("doc_id")
-    )
+    return kept.select(
+        "doc_id",
+        "n_tokens",
+        F.when(b < TRAIN_END, F.lit("train"))
+        .when(b < VAL_END, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    ).orderBy("doc_id")
 
 
 P05_SQL = rf"""
@@ -424,35 +461,19 @@ def p07_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Declaring all six stages in one DataFrame DAG lets Catalyst fuse
     the row-local stages (1, 5) into neighboring scans/joins — the
-    pipeline pays exactly four shuffles: the dedup window key, the
-    contamination probe's (doc, bench) agg, the domain window, and the
-    per-split packing window. The benchmark side of stage 3 stays a
-    broadcast."""
+    pipeline pays the dedup window key shuffle, the contamination
+    probe's (doc, bench) agg, the domain window, and the packing
+    exchange. The benchmark side of stage 3 stays a broadcast, and the
+    packing offsets use the distributed two-pass pattern (a window
+    partitioned by the 3-value split column would put the whole train
+    split — 80% of the corpus — on ONE task)."""
     from kafka2clickhouse_py_streamer_spark.llm.dedup import (
         CONTAM_FLAG,
         _shingle_rows,
     )
 
     d = table(spark, sf_dir, "documents")
-    trimmed = F.trim(F.col("text"))
-    n_tokens = (
-        F.when(F.length(trimmed) == 0, F.lit(0))
-        .otherwise(F.size(F.split(trimmed, r"\s+")))
-        .cast("long")
-    )
-    # fp materialized + text dropped BEFORE the dedup window (see p05):
-    # the exchange carries digests, never document bodies.
-    quality = d.select(
-        "doc_id", "source", F.md5("text").alias("fp"),
-        n_tokens.alias("n_tokens"),
-    ).filter((F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 1000))
-    keeper = F.min("doc_id").over(Window.partitionBy("fp"))
-    kept = (
-        quality.withColumn("keeper", keeper)
-        .filter((F.col("doc_id") == F.col("keeper"))
-                & (F.col("source") != "src0"))
-        .select("doc_id", "source", "n_tokens")
-    )
+    kept = _quality_deduped(d).filter(F.col("source") != "src0")
 
     sh = _shingle_rows(spark, sf_dir)
     bench = sh.filter(F.col("source") == "src0").select(
@@ -485,18 +506,9 @@ def p07_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(b < VAL_END, F.lit("val"))
         .otherwise(F.lit("test"))
     )
-    packw = (
-        Window.partitionBy("split")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
+    packed = _two_pass_offsets(mixed.withColumn("split", split), ["split"])
     return (
-        mixed.withColumn("split", split)
-        .withColumn(
-            "stream_offset",
-            F.coalesce(F.sum("n_tokens").over(packw), F.lit(0)),
-        )
-        .select(
+        packed.select(
             "doc_id",
             "source",
             "split",

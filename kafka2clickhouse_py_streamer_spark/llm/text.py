@@ -369,7 +369,10 @@ def t08_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg(F.log("c")).alias("avg_ln_count"),
         )
     )
-    total = toks.agg(F.count(F.lit(1)).cast("double").alias("t"))
+    # corpus token total = sum of the vocab counts: aggregating the
+    # already-collapsed vocab frame (whose shuffle Spark reuses for the
+    # join probe) avoids a third scan+explode of the corpus
+    total = vocab.agg(F.sum("c").alias("t"))
     return (
         per_doc.crossJoin(F.broadcast(total))
         .select(

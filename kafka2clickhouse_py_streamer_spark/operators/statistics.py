@@ -309,9 +309,12 @@ def q51_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n")
     )
-    totals = e.agg(
-        F.count(F.lit(1)).cast("double").alias("total"),
-        F.countDistinct("event_type").cast("double").alias("n_keys"),
+    # total rows and key cardinality both derive from the per-key
+    # counts — aggregating the tiny counts frame instead of re-scanning
+    # the fact table keeps the whole profile at one scan.
+    totals = counts.agg(
+        F.sum("n").cast("double").alias("total"),
+        F.count(F.lit(1)).cast("double").alias("n_keys"),
     )
     share = F.col("n") / F.col("total")
     return (

@@ -61,6 +61,16 @@ def partitioned_parquet_sink(
     return write
 
 
+def orc_sink(path: str, mode: str = "append") -> Sink:
+    """ORC writer (mirror of ``parquet_sink``; reader in
+    ``sources.files.read_orc``)."""
+
+    def write(df: DataFrame) -> None:
+        df.write.mode(mode).orc(path)
+
+    return write
+
+
 def bucketed_parquet_sink(
     table: str,
     path: str,
@@ -74,9 +84,13 @@ def bucketed_parquet_sink(
     sorted within each bucket.
 
     This is the co-located-join layout for 100 TB fact tables: two
-    tables bucketed the same way join with ZERO shuffle (and with
-    ``sort_cols`` on the join key, zero sort) — the exchange is paid
-    once at write time instead of on every downstream join/aggregation.
+    tables bucketed the same way join with ZERO shuffle — the exchange
+    is paid once at write time instead of on every downstream
+    join/aggregation. (``sort_cols`` orders rows within each bucket
+    FILE; Spark still inserts a per-partition sort before a sort-merge
+    join unless each bucket is a single file, so the pinned win is the
+    eliminated exchange, and the in-file ordering additionally buys
+    min/max-stat row-group skipping.)
     Registered via ``saveAsTable`` with an explicit ``path`` (external
     table) because bucket metadata lives in the catalog, not the files.
     """

@@ -59,17 +59,9 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC source (Spark-native columnar alternative to parquet) —
     same pushdown/pruning contract: filters reach the ORC reader as
     ``PushedFilters`` and the read schema is pruned to referenced
-    columns, so a warehouse standardized on ORC plugs in unchanged."""
+    columns, so a warehouse standardized on ORC plugs in unchanged.
+    The matching writer is ``sinks.orc_sink``."""
     return spark.read.orc(path)
-
-
-def orc_sink(path: str, mode: str = "append"):
-    """ORC writer (mirror of ``sinks.parquet_sink``)."""
-
-    def write(df: DataFrame) -> None:
-        df.write.mode(mode).orc(path)
-
-    return write
 
 
 def rate_stream(

@@ -45,9 +45,25 @@ def idempotent_parquet_sink(path: str):
     return write
 
 
-def read_idempotent(spark: SparkSession, path: str) -> DataFrame:
+def read_idempotent(
+    spark: SparkSession, path: str, schema: str | None = None
+) -> DataFrame:
     """Read everything the sink has committed; ``_batch_id`` surfaces as
-    a partition column (pruneable)."""
+    a partition column (pruneable).
+
+    Before the first batch commits (or after a reset wiped the output)
+    the glob matches nothing; with ``schema`` given the reader returns
+    an empty frame instead of failing, so a consumer polling the sink
+    survives the startup race."""
+    import glob as _glob
+
+    if not _glob.glob(os.path.join(path, "_batch_id=*")):
+        if schema is not None:
+            return spark.createDataFrame([], schema)
+        raise FileNotFoundError(
+            f"no committed batches under {path!r} yet; pass `schema` to "
+            "receive an empty frame instead"
+        )
     return spark.read.option("basePath", path).parquet(
         os.path.join(path, "_batch_id=*")
     )

@@ -102,8 +102,10 @@ def test_clickhouse_connect_sink_gated():
 
 def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
     """Two tables bucketed+sorted on the same key must join with ZERO
-    exchange and zero sort — the pay-the-shuffle-once-at-write layout
-    for repeatedly-joined 100 TB fact tables."""
+    exchange — the pay-the-shuffle-once-at-write layout for
+    repeatedly-joined 100 TB fact tables. (A per-partition sort can
+    remain in the plan; the pinned property is the eliminated
+    shuffle.)"""
     from kafka2clickhouse_py_streamer_spark.operators.base import table
     from kafka2clickhouse_py_streamer_spark.plans import (
         count_exchanges,
@@ -154,10 +156,8 @@ def test_orc_roundtrip_with_pushdown(spark, tmp_path):
         pushed_filters,
         read_schema_columns,
     )
-    from kafka2clickhouse_py_streamer_spark.sources.files import (
-        orc_sink,
-        read_orc,
-    )
+    from kafka2clickhouse_py_streamer_spark.sinks import orc_sink
+    from kafka2clickhouse_py_streamer_spark.sources.files import read_orc
 
     src = table(spark, "/root/testdata/sf0.001", "orders")
     dest = str(tmp_path / "orders_orc")
