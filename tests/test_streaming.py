@@ -367,3 +367,52 @@ def test_batch_metrics_listener_records_progress(spark, tmp_path):
     finally:
         q.stop()
         spark.streams.removeListener(listener)
+
+
+def test_idempotent_sink_across_restart(spark, tmp_path):
+    """End-to-end exactly-once: a streaming query writing through the
+    idempotent sink is stopped and restarted from its checkpoint; the
+    committed output contains each input row exactly once even though
+    restarts re-run foreachBatch deliveries."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from kafka2clickhouse_py_streamer_spark.streaming.exactly_once import (
+        idempotent_parquet_sink,
+        read_idempotent,
+    )
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    ckpt = str(tmp_path / "ckpt")
+    dest = str(tmp_path / "out")
+    sink = idempotent_parquet_sink(dest)
+    raw = StructType([StructField("value", StringType())])
+
+    # empty sink dir: schema'd read returns an empty frame (startup race)
+    assert read_idempotent(spark, dest, "value string").count() == 0
+
+    def run_once():
+        q = (
+            spark.readStream.schema(raw)
+            .json(src)
+            .writeStream.foreachBatch(lambda df, bid: sink(df, bid))
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    with open(os.path.join(src, "a.json"), "w") as f:
+        f.write(json.dumps({"value": "r1"}) + "\n")
+        f.write(json.dumps({"value": "r2"}) + "\n")
+    run_once()
+    with open(os.path.join(src, "b.json"), "w") as f:
+        f.write(json.dumps({"value": "r3"}) + "\n")
+    run_once()
+
+    got = sorted(
+        r["value"] for r in read_idempotent(spark, dest).select("value").collect()
+    )
+    assert got == ["r1", "r2", "r3"]
