@@ -129,13 +129,22 @@ class PipelineJob:
         stream_df: DataFrame,
         checkpoint_dir: str,
         trigger_interval: str | None = None,
+        available_now: bool = False,
     ) -> StreamingQuery:
         """C4: start the micro-batch loop; checkpointing replaces the
-        reference's manual offset commit (main.py:525-526)."""
+        reference's manual offset commit (main.py:525-526).
+
+        ``available_now=True`` runs in catch-up mode
+        (``Trigger.AvailableNow``): process everything available in
+        bounded micro-batches, then stop — the scheduled/cron
+        deployment shape, with the same checkpoint (and therefore the
+        same at-least-once contract) as the continuous service."""
         writer = stream_df.writeStream.foreachBatch(self.run_batch).option(
             "checkpointLocation", checkpoint_dir
         )
-        if trigger_interval:
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        elif trigger_interval:
             writer = writer.trigger(processingTime=trigger_interval)
         return writer.start()
 

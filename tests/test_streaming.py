@@ -416,3 +416,30 @@ def test_idempotent_sink_across_restart(spark, tmp_path):
         r["value"] for r in read_idempotent(spark, dest).select("value").collect()
     )
     assert got == ["r1", "r2", "r3"]
+
+
+def test_available_now_catchup_terminates(spark, tmp_path):
+    """Catch-up mode (Trigger.AvailableNow): processes the backlog in
+    bounded micro-batches, terminates on its own, and shares the
+    continuous mode's checkpoint — so a later catch-up run only sees
+    new files."""
+    src = tmp_path / "in"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    with open(src / "a.txt", "w") as f:
+        f.write(GOOD)
+
+    def run_catchup():
+        stream = spark.readStream.format("text").load(str(src))
+        sink, dlq = ListSink(), ListSink()
+        job = PipelineJob(StaticSchemaProvider(SCHEMA), sink, dlq)
+        q = job.start(stream, ckpt, available_now=True)
+        q.awaitTermination(60)  # terminates by itself in catch-up mode
+        assert not q.isActive
+        return sink.rows
+
+    assert len(run_catchup()) == 1
+    with open(src / "b.txt", "w") as f:
+        f.write(json.dumps({"device_id": 7}))
+    second = run_catchup()
+    assert [r.device_id for r in second] == [7]  # backlog not replayed
