@@ -92,3 +92,48 @@ def test_p07_pipeline_end_state(spark, sf_dir):
         by_split.setdefault(r["split"], []).append(r["pack_id"])
     for split, packs in by_split.items():
         assert packs == sorted(packs), split
+
+
+def test_two_pass_offsets_matches_serial_cumsum(spark):
+    """Property: the distributed two-pass running-sum offsets equal a
+    serial per-group cumulative sum, for adversarial shapes (empty
+    groups, single rows, all-one-group, values of zero)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from kafka2clickhouse_py_streamer_spark.llm.sampling import (
+        _two_pass_offsets,
+    )
+
+    rows_strategy = st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),  # group
+            st.integers(min_value=0, max_value=50),  # n_tokens
+        ),
+        min_size=1,
+        max_size=40,
+    )
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(rows_strategy)
+    def check(rows):
+        data = [
+            (i, grp, tok) for i, (grp, tok) in enumerate(rows)
+        ]
+        df = spark.createDataFrame(
+            data, "doc_id long, grp string, n_tokens long"
+        )
+        got = {
+            r["doc_id"]: r["stream_offset"]
+            for r in _two_pass_offsets(df, ["grp"]).collect()
+        }
+        acc: dict[str, int] = {}
+        for i, (grp, tok) in enumerate(rows):
+            assert got[i] == acc.get(grp, 0), (i, grp)
+            acc[grp] = acc.get(grp, 0) + tok
+
+    check()
