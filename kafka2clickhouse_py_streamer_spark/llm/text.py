@@ -410,6 +410,112 @@ ORDER BY doc_id
 """
 
 
+# PII patterns shared by both engines. Java regex and RE2 agree on this
+# subset (character classes, bounded repeats, \b word boundaries — no
+# backreferences or lookaround, which RE2 lacks).
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def t09_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: replace emails / phone numbers / IPv4 addresses
+    with typed placeholders and count what was removed. The fixture
+    corpus has no PII, so the query first synthesizes an annotated text
+    column deterministically from (doc_id, source) — identically in the
+    DuckDB oracle — so every pattern actually fires.
+
+    Scale shape: one pure-projection scan (regexp_replace/regexp_count
+    are whole-stage-codegen JVM expressions), zero shuffles, zero
+    Python. This is the pre-training scrub pass a corpus pipeline runs
+    before tokenization.
+    """
+    d = table(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    annotated = F.concat(
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("contact user"), sid, F.lit("@example.com now ")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit("call 555-123-"),
+                (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+                F.lit(" "),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit("from 10."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".0."),
+                (F.col("doc_id") % 100).cast("string"),
+                F.lit(" "),
+            ),
+        ).otherwise(F.lit("")),
+        F.col("text"),
+    )
+    a = d.select("doc_id", annotated.alias("annotated"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("annotated"), PII_EMAIL_RE, "<EMAIL>"),
+            PII_PHONE_RE,
+            "<PHONE>",
+        ),
+        PII_IP_RE,
+        "<IP>",
+    )
+    return a.select(
+        "doc_id",
+        redacted.alias("clean_text"),
+        F.regexp_count(F.col("annotated"), F.lit(PII_EMAIL_RE))
+        .cast("long")
+        .alias("n_emails"),
+        F.regexp_count(F.col("annotated"), F.lit(PII_PHONE_RE))
+        .cast("long")
+        .alias("n_phones"),
+        F.regexp_count(F.col("annotated"), F.lit(PII_IP_RE))
+        .cast("long")
+        .alias("n_ips"),
+    ).orderBy("doc_id")
+
+
+T09_SQL = r"""
+WITH annotated AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 3 = 0
+               THEN 'contact user' || CAST(doc_id AS VARCHAR) || '@example.com now '
+               ELSE '' END)
+         || (CASE WHEN doc_id % 4 = 0
+                  THEN 'call 555-123-' || CAST(1000 + doc_id % 9000 AS VARCHAR) || ' '
+                  ELSE '' END)
+         || (CASE WHEN doc_id % 5 = 0
+                  THEN 'from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                       || '.0.' || CAST(doc_id % 100 AS VARCHAR) || ' '
+                  ELSE '' END)
+         || text AS annotated
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(annotated,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS clean_text,
+       CAST(LEN(regexp_extract_all(annotated,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+       CAST(LEN(regexp_extract_all(annotated,
+         '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+       CAST(LEN(regexp_extract_all(annotated,
+         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips
+FROM annotated
+ORDER BY doc_id
+"""
+
+
 QUERIES = [
     Query("t01_token_count", t01_token_count, T01_SQL,
           "whitespace + subword-proxy token counts"),
@@ -427,4 +533,6 @@ QUERIES = [
           "corpus vocabulary: term/doc frequencies + IDF, top-k"),
     Query("t08_unigram_logprob", t08_unigram_logprob, T08_SQL,
           "perplexity-proxy scoring with a corpus-trained unigram LM"),
+    Query("t09_pii_scrub", t09_pii_scrub, T09_SQL,
+          "PII redaction (email/phone/IPv4) with removal counts"),
 ]
