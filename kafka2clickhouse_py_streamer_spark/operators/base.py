@@ -105,7 +105,7 @@ _VERIFY_FIRST = [
     "t07_vocab_idf", "w04_enriched_windows", "q50_range_join",
     "t08_unigram_logprob", "m05_media_dedup", "p07_corpus_pipeline",
     "q51_skew_profile", "s07_knn_label",
-    "t09_pii_scrub",
+    "t09_pii_scrub", "w05_attribution",
 ]
 
 

@@ -7,6 +7,8 @@ verified against the DuckDB oracle in batch mode).
 - w01 tumbling window (1 h)
 - w02 sliding window (1 h size, 30 min slide — each event in 2 windows)
 - w03 session window (30 min gap)
+- w04 stream-static dim enrichment + tumbling agg
+- w05 first-touch attribution (stream-stream join twin)
 """
 
 from __future__ import annotations
@@ -172,6 +174,77 @@ ORDER BY window_start, segment
 """
 
 
+ATTRIBUTION_WINDOW_US = 4 * 3600 * 1_000_000  # 4 h view->click horizon
+
+
+def w05_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: each ``view`` is attributed to the
+    EARLIEST ``click`` by the same user within the next 4 hours — the
+    batch twin of the watermarked stream-stream join (equi key +
+    event-time range is exactly the shape Structured Streaming keeps
+    bounded state for; see streaming tests in test_stream_join.py).
+
+    Scale shape: one hash-partitionable equi-join on user_id (the time
+    range is a post-join filter, NOT a theta join — no nested loop),
+    then min(struct) per view for the first click. Per-user state is
+    bounded by the 4 h horizon, the same bound the streaming watermark
+    enforces. Microsecond integer arithmetic keeps both engines exact."""
+    e = table(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.unix_micros("ts").alias("t_view"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.unix_micros("ts").alias("t_click"),
+    )
+    return (
+        views.join(clicks, "user_id")
+        .filter(
+            (F.col("t_click") >= F.col("t_view"))
+            & (F.col("t_click") <= F.col("t_view") + ATTRIBUTION_WINDOW_US)
+        )
+        # t_view is functionally dependent on view_id; keeping it in the
+        # grouping keys avoids a second join back to the view side.
+        .groupBy("view_id", "user_id", "t_view")
+        .agg(F.min(F.struct("t_click", "click_id")).alias("f"))
+        .select(
+            "view_id",
+            "user_id",
+            F.col("f.click_id").alias("click_id"),
+            (F.col("f.t_click") - F.col("t_view")).alias("delta_us"),
+        )
+        .orderBy("view_id")
+    )
+
+
+W05_SQL = """
+WITH v AS (
+  SELECT event_id AS view_id, user_id, epoch_us(ts) AS t_view
+  FROM events WHERE event_type = 'view'
+),
+c AS (
+  SELECT event_id AS click_id, user_id, epoch_us(ts) AS t_click
+  FROM events WHERE event_type = 'click'
+),
+ranked AS (
+  SELECT v.view_id, v.user_id, c.click_id,
+         c.t_click - v.t_view AS delta_us,
+         ROW_NUMBER() OVER (PARTITION BY v.view_id
+                            ORDER BY c.t_click ASC, c.click_id ASC) AS rn
+  FROM v JOIN c
+    ON c.user_id = v.user_id
+   AND c.t_click >= v.t_view
+   AND c.t_click <= v.t_view + 14400000000
+)
+SELECT view_id, user_id, click_id, delta_us
+FROM ranked WHERE rn = 1
+ORDER BY view_id
+"""
+
+
 QUERIES = [
     Query("w01_tumbling", w01_tumbling, W01_SQL, "tumbling 1h windows"),
     Query("w02_sliding", w02_sliding, W02_SQL, "sliding 1h/30m windows"),
@@ -179,4 +252,6 @@ QUERIES = [
           "session windows, 30min gap"),
     Query("w04_enriched_windows", w04_enriched_windows, W04_SQL,
           "stream-static dim enrichment + tumbling agg"),
+    Query("w05_attribution", w05_attribution, W05_SQL,
+          "first-touch view->click attribution (stream-stream join twin)"),
 ]
