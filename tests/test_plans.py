@@ -292,3 +292,30 @@ def test_p07_pipeline_composition_shape(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "SinglePartition" not in plan
     assert python_row_ops(df) == 0
+
+
+def test_t09_pii_scrub_is_shuffle_free(spark, sf_dir):
+    # redaction is a pure projection scan: regexp exprs stay in
+    # whole-stage codegen, zero exchanges besides the final sort,
+    # zero Python
+    from kafka2clickhouse_py_streamer_spark.llm.text import t09_pii_scrub
+
+    df = t09_pii_scrub(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Exchange hashpartitioning" not in plan
+    assert python_row_ops(df) == 0
+
+
+def test_w05_attribution_is_equi_join(spark, sf_dir):
+    # the time range must ride the user_id equi join as a post-join
+    # filter — never a nested-loop theta join; first-click selection is
+    # a hash agg, not a window sort
+    from kafka2clickhouse_py_streamer_spark.streaming.batch_windows import (
+        w05_attribution,
+    )
+
+    df = w05_attribution(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert python_row_ops(df) == 0
