@@ -137,3 +137,70 @@ def test_two_pass_offsets_matches_serial_cumsum(spark):
             acc[grp] = acc.get(grp, 0) + tok
 
     check()
+
+
+def test_t09_scrub_is_idempotent_and_complete(spark, sf_dir):
+    # after redaction no PII pattern may remain, counts must match the
+    # synthesized annotations exactly, and scrubbing the clean text
+    # again must change nothing
+    from pyspark.sql import functions as F
+
+    from kafka2clickhouse_py_streamer_spark.llm.text import (
+        PII_EMAIL_RE,
+        PII_IP_RE,
+        PII_PHONE_RE,
+        t09_pii_scrub,
+    )
+
+    df = t09_pii_scrub(spark, sf_dir)
+    leftovers = df.filter(
+        (F.regexp_count("clean_text", F.lit(PII_EMAIL_RE)) > 0)
+        | (F.regexp_count("clean_text", F.lit(PII_PHONE_RE)) > 0)
+        | (F.regexp_count("clean_text", F.lit(PII_IP_RE)) > 0)
+    ).count()
+    assert leftovers == 0
+    for r in df.collect():
+        assert r["n_emails"] == (1 if r["doc_id"] % 3 == 0 else 0)
+        assert r["n_phones"] == (1 if r["doc_id"] % 4 == 0 else 0)
+        assert r["n_ips"] == (1 if r["doc_id"] % 5 == 0 else 0)
+
+
+def test_w05_attribution_first_click_semantics(spark, sf_dir):
+    # exactly one row per attributed view; the delta lies inside the
+    # window; the chosen click really is the user's earliest in range
+    from pyspark.sql import functions as F
+
+    from kafka2clickhouse_py_streamer_spark.operators.base import table
+    from kafka2clickhouse_py_streamer_spark.streaming.batch_windows import (
+        ATTRIBUTION_WINDOW_US,
+        w05_attribution,
+    )
+
+    rows = w05_attribution(spark, sf_dir).collect()
+    assert rows
+    ids = [r["view_id"] for r in rows]
+    assert len(ids) == len(set(ids))
+    assert all(0 <= r["delta_us"] <= ATTRIBUTION_WINDOW_US for r in rows)
+
+    e = table(spark, sf_dir, "events")
+    clicks = {
+        (r["user_id"], r["event_id"]): r["t"]
+        for r in e.filter(F.col("event_type") == "click")
+        .select("user_id", "event_id", F.unix_micros("ts").alias("t"))
+        .collect()
+    }
+    views = {
+        r["event_id"]: (r["user_id"], r["t"])
+        for r in e.filter(F.col("event_type") == "view")
+        .select("event_id", "user_id", F.unix_micros("ts").alias("t"))
+        .collect()
+    }
+    for r in rows:
+        user, t_view = views[r["view_id"]]
+        in_range = sorted(
+            (t, cid)
+            for (u, cid), t in clicks.items()
+            if u == user and t_view <= t <= t_view + ATTRIBUTION_WINDOW_US
+        )
+        assert in_range, r
+        assert (in_range[0][1]) == r["click_id"], r
