@@ -72,3 +72,75 @@ def test_stream_stream_join_within_bound(spark, tmp_path):
     assert (1, "click", "view") in pairs
     assert all(t != "late" for _, _, t in pairs)
     assert all(u == 1 for u, _, _ in pairs)
+
+
+def test_w05_streaming_twin_matches_batch(spark, tmp_path):
+    """Batch-stream equivalence on the real fixture: the attribution
+    join (equi key + event-time range, watermarks both sides) run live
+    under readStream yields exactly the pairs the batch twin sees, and
+    first-click reduction reproduces w05's output."""
+    from kafka2clickhouse_py_streamer_spark.operators.base import table
+    from kafka2clickhouse_py_streamer_spark.streaming.batch_windows import (
+        w05_attribution,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    e = table(spark, sf, "events")
+    src = str(tmp_path / "events_src")
+    e.coalesce(1).write.mode("overwrite").parquet(src)
+
+    es = spark.readStream.schema(e.schema).parquet(src)
+    views = (
+        es.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("u_v"),
+            F.col("ts").alias("ts_v"),
+        )
+        .withWatermark("ts_v", "1 hour")
+    )
+    clicks = (
+        es.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("u_c"),
+            F.col("ts").alias("ts_c"),
+        )
+        .withWatermark("ts_c", "1 hour")
+    )
+    joined = views.join(
+        clicks,
+        (F.col("u_v") == F.col("u_c"))
+        & (F.col("ts_c") >= F.col("ts_v"))
+        & (F.col("ts_c") <= F.col("ts_v") + F.expr("INTERVAL 4 HOURS")),
+    ).select(
+        "view_id",
+        "click_id",
+        (F.unix_micros("ts_c") - F.unix_micros("ts_v")).alias("delta_us"),
+    )
+
+    batches: list[list] = []
+    q = (
+        joined.writeStream.outputMode("append")
+        .foreachBatch(lambda df, _id: batches.append(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt_w05"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    stream_pairs = {(r.view_id, r.click_id, r.delta_us) for b in batches for r in b}
+
+    # first-click reduction of the streamed pairs == the batch operator
+    first: dict[int, tuple] = {}
+    for vid, cid, delta in stream_pairs:
+        if vid not in first or (delta, cid) < (first[vid][1], first[vid][0]):
+            first[vid] = (cid, delta)
+    batch_rows = {
+        (r.view_id, r.click_id, r.delta_us)
+        for r in w05_attribution(spark, sf).collect()
+    }
+    assert {(v, c, d) for v, (c, d) in first.items()} == batch_rows
+    assert len(stream_pairs) >= len(batch_rows)
