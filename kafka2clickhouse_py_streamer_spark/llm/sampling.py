@@ -284,9 +284,10 @@ packed AS (
            AS stream_offset
   FROM toks
 )
-SELECT doc_id, n_tokens, stream_offset,
+SELECT doc_id, n_tokens,
+       CAST(stream_offset AS BIGINT) AS stream_offset,
        CAST(FLOOR(stream_offset / {PACK_BUDGET}) AS BIGINT) AS pack_id,
-       stream_offset % {PACK_BUDGET} AS offset_in_pack
+       CAST(stream_offset % {PACK_BUDGET} AS BIGINT) AS offset_in_pack
 FROM packed
 ORDER BY doc_id
 """

@@ -35,13 +35,13 @@ class Query:
     doc: str = ""
 
 
-# events.ts is parquet timestamp[ns], which Spark's vectorized reader
-# rejects. Read it as long (legacy conf, set at runtime so it also works
-# under a session we didn't build) and truncate to microseconds via
-# timestamp_micros(ts div 1000). No oracle-side wrapper is needed:
-# DuckDB reads the ns column natively and its ns->us conversion
-# truncates identically, so both engines see the same microsecond
-# timestamps.
+# events.ts has shipped as parquet timestamp[ns] (Spark reads it as long
+# under the legacy conf) and as timestamp[us] (Spark 4 reads it as
+# TIMESTAMP_NTZ). Normalize BOTH to a plain session-TZ TIMESTAMP here,
+# once, so every downstream query can use unix_micros/double casts
+# without caring which fixture vintage it got. Session TZ is pinned UTC
+# below, so NTZ -> TIMESTAMP is a pure relabel (no wall-clock shift) and
+# matches the UTC-naive DuckDB oracle exactly.
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -51,15 +51,27 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        from pyspark.sql import functions as F
-
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn(
-                "ts", F.expr("timestamp_micros(ts div 1000)")
-            )
-        return df
+        return normalize_event_time(df)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def normalize_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Coerce an event-time column to plain TIMESTAMP (UTC session TZ).
+
+    Handles every fixture vintage: bigint nanos (legacy nanosAsLong
+    read), TIMESTAMP_NTZ (Spark 4's reading of parquet timestamp[us]),
+    and already-TIMESTAMP (no-op). Works on batch and streaming
+    DataFrames alike — it is a pure projection.
+    """
+    from pyspark.sql import functions as F
+
+    dtype = dict(df.dtypes).get(col)
+    if dtype == "bigint":
+        return df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+    if dtype == "timestamp_ntz":
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
 
 
 def spread(df: DataFrame) -> DataFrame:
@@ -80,32 +92,32 @@ def spread(df: DataFrame) -> DataFrame:
 
 
 # Verification priority: the driver walks ``queries()`` in dict order and
-# round 1 recorded rows for exactly the first 50 entries, leaving the LLM
-# pipeline family (d04+, s*, t*, m*, p*, w*) unproven. List the queries
-# that still need a green CORRECTNESS row FIRST so a capped run covers
-# them; previously-green queries follow (their r01 rows already stand).
+# records rows for roughly the first 50 entries per round. Round-3
+# rotation (tools/rotate_verify_first.py over r01+r02): the four r02
+# failures now fixed come first, then the 43 queries whose only green
+# row is from r01 — operator files (joins/statistics/windows/base)
+# churned since, and q28 proved r01 greens can go stale silently.
+# r02-green queries follow in registry order (their rows stand).
 _VERIFY_FIRST = [
-    # LLM pipeline: dedup, similarity, text, multimodal, sampling, stream
-    "d04_simhash", "d05_embedding_neardup", "d06_simhash_pairs",
-    "d07_dedup_clusters", "d08_canonical_corpus",
-    "s01_cosine_topk", "s02_lsh_buckets", "s03_lsh_topk", "s04_ivf_topk",
-    "t01_token_count", "t02_quality_score", "t03_langid",
-    "t04_fingerprint", "t05_rolling_hash", "t06_repetition",
-    "m01_media_metadata", "m02_decode_stats", "m03_frame_sample",
-    "m04_feature_extract",
-    "p01_train_test_split", "p02_stratified_sample",
-    "p03_sequence_packing", "p04_global_shuffle",
-    "w01_tumbling", "w02_sliding", "w03_session_window",
-    # fixed this round (array->scalar canon)
-    "q27_approx_stats", "q38_collect_agg", "q41_map_fns",
-    # new this round
-    "q48_salted_join", "p05_clean_corpus", "q49_upsert_merge",
-    "s05_trained_ivf",
-    "d09_contamination", "p06_domain_mix", "s06_quantize",
-    "t07_vocab_idf", "w04_enriched_windows", "q50_range_join",
-    "t08_unigram_logprob", "m05_media_dedup", "p07_corpus_pipeline",
-    "q51_skew_profile", "s07_knn_label",
-    "t09_pii_scrub", "w05_attribution",
+    # fixed this round: NTZ seam (q28/q50/w05), p03 oracle casts,
+    # q27 oracle restored (error-bound differential)
+    "q28_sessionization", "q50_range_join", "w05_attribution",
+    "p03_sequence_packing", "q27_approx_stats",
+    # r01-only greens, re-proving after operator-file churn
+    "q14_cube", "q23_grouping_sets", "q24_having",
+    "q02_region_revenue", "q03_top_orders", "q04_semi_join",
+    "q05_anti_join", "q07_left_join_count", "q21_correlated_subquery",
+    "q25_theta_join", "q26_asof_join", "q47_exists_pair",
+    "q08_topk_per_group", "q09_running_sum", "q10_lag_lead",
+    "q29_keep_first", "q44_frame_navigation",
+    "q11_sort_limit", "q15_set_ops", "q16_string_fns", "q17_date_fns",
+    "q18_json_fns", "q19_array_fns", "q20_conditional", "q22_pivot",
+    "q30_unpivot", "q39_math_fns", "q40_full_outer", "q42_posexplode",
+    "q43_ratio_to_report", "q45_calendar_arithmetic", "q46_string_agg",
+    "q31_moment_stats", "q32_exact_percentiles", "q33_argmin_argmax",
+    "q34_filtered_agg", "q35_in_subquery", "q36_range_frame",
+    "q37_ntile_cume",
+    "d01_exact_dedup", "d02_ngram_jaccard", "d03_minhash_lsh",
 ]
 
 

@@ -1,0 +1,68 @@
+"""Fixture-dtype regression tests.
+
+The events.ts parquet physical type has changed between driver rounds
+(timestamp[ns] -> timestamp[us], which Spark 4 reads as TIMESTAMP_NTZ)
+and silently broke three queries that use NTZ-illegal expressions
+(unix_micros, cast-to-double). Pin the one invariant every event-time
+consumer relies on: ``table()`` always yields a plain session-TZ
+TIMESTAMP column on which those expressions analyze.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from kafka2clickhouse_py_streamer_spark.operators.base import (
+    normalize_event_time,
+    table,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_events_ts_is_plain_timestamp(spark):
+    e = table(spark, SF, "events")
+    assert dict(e.dtypes)["ts"] == "timestamp", (
+        "events.ts must normalize to TIMESTAMP (not TIMESTAMP_NTZ, not "
+        "bigint) — q28/q50/w05 use unix_micros/double casts on it"
+    )
+
+
+def test_ntz_illegal_expressions_analyze_on_events(spark):
+    e = table(spark, SF, "events")
+    # Exactly the expressions that broke in r02: analysis alone proves
+    # the type; evaluate one row to prove execution too.
+    row = (
+        e.select(
+            F.unix_micros("ts").alias("us"),
+            F.col("ts").cast("double").alias("d"),
+        )
+        .limit(1)
+        .collect()
+    )
+    assert row and row[0].us is not None
+
+
+def test_normalize_event_time_handles_every_vintage(spark):
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    us = int(base.replace(tzinfo=datetime.timezone.utc).timestamp()) * 1_000_000
+
+    # bigint nanos (legacy nanosAsLong read)
+    df_ns = spark.createDataFrame([(us * 1000,)], "ts long")
+    out = normalize_event_time(df_ns)
+    assert dict(out.dtypes)["ts"] == "timestamp"
+    assert out.collect()[0].ts == base
+
+    # TIMESTAMP_NTZ (Spark 4 reading of parquet timestamp[us])
+    df_ntz = spark.createDataFrame([(base,)], "ts timestamp_ntz")
+    out = normalize_event_time(df_ntz)
+    assert dict(out.dtypes)["ts"] == "timestamp"
+    assert out.collect()[0].ts == base
+
+    # already TIMESTAMP: no-op
+    df_ts = spark.createDataFrame([(base,)], "ts timestamp")
+    out = normalize_event_time(df_ts)
+    assert dict(out.dtypes)["ts"] == "timestamp"
+    assert out.collect()[0].ts == base
