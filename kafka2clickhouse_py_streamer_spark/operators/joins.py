@@ -195,12 +195,75 @@ def q26_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (Spark has no native one): for each event, the latest
     order of the same key at-or-before the event date.
 
-    Built as equi-join on key + range predicate + row_number()==1 — one
-    shuffle, one per-key sort. At 100 TB the alternative is the
-    union-and-sort trick or ``merge_asof`` in applyInPandas per key
-    bucket; the window formulation stays fully in the JVM and is the
-    default. (Reference has no joins at all — SURVEY.md §2b.)
+    Default plan is the **union-sort carry-forward**: tag both sides,
+    union them, shuffle ONCE on the key, sort within the key by
+    (time, side, orderkey), and carry the latest order's columns onto
+    each event row with a running ``last(..., ignoreNulls)`` window.
+    There is no join operator at all — the intermediate is exactly
+    |events| + |orders| rows, so per-key fan-out is bounded linearly
+    no matter how many earlier orders a hot user has. The join+rn=1
+    formulation (``asof_join_fanout`` below, kept as the oracle twin)
+    materializes every (event, earlier-order) pair first — unbounded
+    per-key at 100 TB. (Reference has no joins at all — SURVEY.md §2b.)
     """
+    e = table(spark, sf_dir, "events")
+    o = table(spark, sf_dir, "orders")
+    ev = e.select(
+        F.col("user_id").alias("k"),
+        F.date_trunc("second", F.col("ts")).alias("t"),
+        F.lit(1).alias("is_event"),
+        "event_id",
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("timestamp").alias("o_orderdate"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+    )
+    od = o.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").cast("timestamp").alias("t"),
+        F.lit(0).alias("is_event"),
+        F.lit(None).cast("long").alias("event_id"),
+        "o_orderkey",
+        F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+        "o_totalprice",
+    )
+    # Sort: orders before events at the same instant (as-of is <=), and
+    # ascending o_orderkey so the carried row is the max-orderkey tie
+    # winner — same pick as the twin's ORDER BY ... DESC rn=1.
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "is_event", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = ev.unionByName(od).select(
+        "k",
+        "is_event",
+        "event_id",
+        *[
+            F.last(c, ignorenulls=True).over(w).alias(c)
+            for c in ("o_orderkey", "o_orderdate", "o_totalprice")
+        ],
+    )
+    return (
+        carried.filter(
+            (F.col("is_event") == 1) & F.col("o_orderkey").isNotNull()
+        )
+        .select(
+            "event_id",
+            F.col("k").alias("user_id"),
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+        )
+        .orderBy("event_id")
+    )
+
+
+def asof_join_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The join+row_number()==1 as-of formulation: equi-join on the key
+    + range predicate, then keep the latest order per event. Small-scale
+    oracle twin of :func:`q26_asof_join` — every (event, earlier-order)
+    pair materializes before the rn filter, so per-key fan-out is
+    unbounded; use the union-sort default at scale."""
     e = table(spark, sf_dir, "events").select(
         "event_id", "user_id", F.col("ts").alias("event_ts")
     )
@@ -224,7 +287,7 @@ def q26_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             "user_id",
             "o_orderkey",
-            "o_orderdate",
+            F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
             "o_totalprice",
         )
         .orderBy("event_id")

@@ -319,3 +319,37 @@ def test_w05_attribution_is_equi_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert python_row_ops(df) == 0
+
+
+def test_q26_asof_default_plan_is_join_free(spark, sf_dir):
+    # the union-sort carry-forward as-of: ONE hash shuffle on the key,
+    # a running-window carry, and NO join operator — the intermediate
+    # is |events|+|orders| rows, so per-key fan-out stays linear at
+    # 100 TB (the join+rn=1 twin materializes every event×earlier-order
+    # pair first)
+    from kafka2clickhouse_py_streamer_spark.operators.joins import (
+        q26_asof_join,
+    )
+
+    df = q26_asof_join(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Join" not in plan  # no SortMergeJoin/BroadcastHashJoin/NLJ
+    assert "Union" in plan
+    # one hash shuffle on the key; the only other exchange is the
+    # final presentation orderBy (rangepartitioning)
+    assert plan.count("hashpartitioning") == 1
+    assert python_row_ops(df) == 0
+
+
+def test_q26_union_sort_matches_fanout_twin(spark, sf_dir):
+    # both formulations answer the same as-of question; the bounded
+    # default must reproduce the twin row-for-row (incl. max-orderkey
+    # tie-breaks)
+    from kafka2clickhouse_py_streamer_spark.operators.joins import (
+        asof_join_fanout,
+        q26_asof_join,
+    )
+
+    got = {tuple(r) for r in q26_asof_join(spark, sf_dir).collect()}
+    want = {tuple(r) for r in asof_join_fanout(spark, sf_dir).collect()}
+    assert got == want
