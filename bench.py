@@ -63,19 +63,23 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     registry = all_queries()
 
-    # Warm every headline plan once so the timed pass measures steady
+    # Warm every headline plan TWICE so the timed pass measures steady
     # state (plan + data, not first-touch JIT/planning). The reference is
     # a continuously-running service, so steady state is the
-    # apples-to-apples number; first-touch codegen cost is ~2-3 s per
-    # wide plan locally and amortizes to zero on a long-lived cluster.
-    for name in HEADLINE:
-        registry[name].fn(spark, sf_dir).count()
+    # apples-to-apples number. One warm pass is not enough: profiling
+    # d03 showed JIT warm-up persisting into the second execution
+    # ([2.19, 2.20, 1.67, 1.59, ...] over 7 reps), so a single warm +
+    # median-of-3 can still elect a warm-up sample — the likely cause of
+    # the r02 "+33% d03 drift".
+    for _ in range(2):
+        for name in HEADLINE:
+            registry[name].fn(spark, sf_dir).count()
 
-    # Median of 3 timed reps per query: the host shows 2-3× wall-time
+    # Median of 5 timed reps per query: the host shows 2-3× wall-time
     # variance across identical runs, and a single sample would grade
     # noise, not the engine. Reps are interleaved per query (not
     # back-to-back whole-suite passes) to keep cache states comparable.
-    REPS = 3
+    REPS = 5
     times: dict[str, float] = {}
     for name in HEADLINE:
         samples = []

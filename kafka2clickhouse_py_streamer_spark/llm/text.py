@@ -110,7 +110,14 @@ ORDER BY doc_id
 
 def t03_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language ID: count per-language marker hits, argmax
-    with fixed precedence; no hits -> 'unk'."""
+    with fixed precedence; no hits -> 'unk'.
+
+    Tie-break parity note: ties on the max hit count resolve to the
+    FIRST language in ``LANG_MARKERS`` order on both engines — the
+    Spark ``when`` chain and the oracle's CASE arms are generated from
+    the same list, so precedence is structurally identical, not
+    coincidental. Reordering ``LANG_MARKERS`` changes predictions on
+    tied documents (both sides together — still oracle-green)."""
     d = table(spark, sf_dir, "documents")
     lowered = F.lower(F.col("text"))
     counts = {

@@ -84,9 +84,20 @@ def spread(df: DataFrame) -> DataFrame:
     next to the per-row compute it parallelizes 32×. At 100 TB inputs
     arrive in thousands of splits and this is a no-op (we only widen,
     never coalesce).
+
+    The width probe uses ``inputFiles()`` (driver-side file listing),
+    not ``df.rdd.getNumPartitions()`` — the RDD conversion forces a
+    full physical re-plan per call. One file may still split into many
+    tasks (maxPartitionBytes), so few-files is a conservative proxy:
+    we only skip the shuffle when the scan already has at least as
+    many files as cores.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if n_files < target:
         return df.repartition(target)
     return df
 

@@ -75,7 +75,12 @@ def pick_schema_provider(spark, cfg: JobConfig):
     return EnvSchemaProvider(cfg)
 
 
-def build_query(spark, cfg: JobConfig) -> StreamingQuery:
+def build_query(
+    spark, cfg: JobConfig, available_now: bool = False
+) -> StreamingQuery:
+    """``available_now=True`` runs the same wiring in bounded catch-up
+    mode (Trigger.AvailableNow) — scheduled deployments and the live
+    integration smoke (tools/live_smoke.py)."""
     job = PipelineJob(
         pick_schema_provider(spark, cfg),
         sink=jdbc_sink(cfg.sink_url, cfg.sink_table),
@@ -90,7 +95,7 @@ def build_query(spark, cfg: JobConfig) -> StreamingQuery:
         starting_offsets=cfg.starting_offsets,
         max_offsets_per_trigger=cfg.max_offsets_per_trigger,
     )
-    return job.start(stream, cfg.checkpoint_dir)
+    return job.start(stream, cfg.checkpoint_dir, available_now=available_now)
 
 
 def main() -> None:
