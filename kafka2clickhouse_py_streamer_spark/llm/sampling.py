@@ -588,6 +588,61 @@ ORDER BY doc_id
 """
 
 
+FLATTEN_TARGET = 20  # expected docs kept per domain by p08
+
+
+def p08_flatten_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probabilistic domain flattening: keep each document with
+    per-domain rate ≈ FLATTEN_TARGET / |domain|, via the deterministic
+    md5 bucket — the hash-thresholding alternative to p06's exact
+    window cap.
+
+    Why both exist: p06's row_number cap is exact but must sort every
+    domain's survivors through a window; this version needs only the
+    tiny per-domain count table (broadcast back), so a 100 TB corpus
+    flattens with ONE small agg + a row-local predicate — no per-domain
+    window at all. The trade is exactness: each domain keeps
+    FLATTEN_TARGET docs in expectation, not exactly.
+
+    Determinism parity: the keep-rate is floor(BUCKETS·TARGET / n) —
+    integer-valued double arithmetic that rounds identically on Spark
+    and DuckDB — and the bucket is the shared md5 scheme, so the
+    oracle reproduces the sample bit-for-bit."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_dom"))
+    rate = F.least(
+        F.lit(SPLIT_BUCKETS),
+        F.floor(
+            F.lit(float(SPLIT_BUCKETS * FLATTEN_TARGET)) / F.col("n_dom")
+        ),
+    ).cast("long")
+    return (
+        d.join(F.broadcast(counts), "source")
+        .withColumn("keep_rate", rate)
+        .filter(_bucket(F.col("doc_id")) < F.col("keep_rate"))
+        .select("doc_id", "source", "keep_rate")
+        .orderBy("doc_id")
+    )
+
+
+P08_SQL = f"""
+WITH counts AS (
+  SELECT source, COUNT(*) AS n_dom FROM documents GROUP BY source
+),
+rated AS (
+  SELECT d.doc_id, d.source,
+         CAST(LEAST({SPLIT_BUCKETS},
+              FLOOR({float(SPLIT_BUCKETS * FLATTEN_TARGET)} / c.n_dom))
+              AS BIGINT) AS keep_rate
+  FROM documents d JOIN counts c USING (source)
+)
+SELECT doc_id, source, keep_rate
+FROM rated
+WHERE {_bucket_sql('doc_id')} < keep_rate
+ORDER BY doc_id
+"""
+
+
 QUERIES = [
     Query("p01_train_test_split", p01_train_test_split, P01_SQL,
           "hash-deterministic train/val/test split"),
@@ -604,4 +659,6 @@ QUERIES = [
     Query("p07_corpus_pipeline", p07_corpus_pipeline, _p07_sql(),
           "flagship composed corpus prep: quality, dedup, decontam, "
           "mix, split, pack"),
+    Query("p08_flatten_mix", p08_flatten_mix, P08_SQL,
+          "probabilistic domain flattening (hash-threshold, no window)"),
 ]

@@ -648,6 +648,60 @@ ORDER BY query_id
 """
 
 
+def s08_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the LSH ANN path against exact brute-force ground
+    truth — the evaluation loop for tuning N_PLANES / bucket width
+    before trusting the approximate path on a real corpus.
+
+    Scale shape: ground truth is only ever computed for the (small)
+    query set, so both inputs are |queries| × k rows; the recall join
+    and per-query aggregation are trivial next to the retrieval
+    itself. On a 100 TB corpus the exact side runs s01's
+    broadcast-queries/stream-corpus plan once per evaluation — an
+    accepted offline cost for calibrating the ANN index."""
+    exact = s01_cosine_topk(spark, sf_dir).select("query_id", "cand_id")
+    ann = s03_lsh_topk(spark, sf_dir).select(
+        F.col("query_id").alias("aq"), F.col("cand_id").alias("ac")
+    )
+    hit = exact.join(
+        ann,
+        (F.col("query_id") == F.col("aq"))
+        & (F.col("cand_id") == F.col("ac")),
+        "left",
+    )
+    return (
+        hit.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("ac").alias("n_hit"),
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_exact"), 6).alias(
+                "recall_at_k"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _s08_sql() -> str:
+    return f"""
+WITH exact AS ({S01_SQL}),
+ann AS ({_s03_sql()})
+SELECT e.query_id,
+       CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(COUNT(a.cand_id) AS BIGINT) AS n_hit,
+       ROUND(CAST(COUNT(a.cand_id) AS DOUBLE) / COUNT(*), 6) AS recall_at_k
+FROM exact e
+LEFT JOIN ann a ON a.query_id = e.query_id AND a.cand_id = e.cand_id
+GROUP BY e.query_id
+ORDER BY e.query_id
+"""
+
+
 QUERIES = [
     Query("s01_cosine_topk", s01_cosine_topk, S01_SQL,
           "exact brute-force cosine top-k"),
@@ -663,4 +717,6 @@ QUERIES = [
           "symmetric int8 quantization + reconstruction audit"),
     Query("s07_knn_label", s07_knn_label, S07_SQL,
           "k-NN majority-vote label prediction (label propagation)"),
+    Query("s08_ann_recall", s08_ann_recall, _s08_sql(),
+          "recall@k evaluation: LSH ANN vs exact ground truth"),
 ]

@@ -23,6 +23,7 @@ from collections.abc import Callable
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 @dataclass(frozen=True)
@@ -53,7 +54,15 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         return normalize_event_time(df)
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # Same NTZ seam as events.ts, any table: orders.o_orderdate is also
+    # parquet timestamp[us] now. Relabel every NTZ column to session-TZ
+    # TIMESTAMP (UTC pinned above — no wall-clock shift) so no query
+    # ever meets TIMESTAMP_NTZ, whatever the fixture vintage.
+    ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
 
 
 def normalize_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
@@ -114,6 +123,8 @@ _VERIFY_FIRST = [
     # q27 oracle restored (error-bound differential)
     "q28_sessionization", "q50_range_join", "w05_attribution",
     "p03_sequence_packing", "q27_approx_stats",
+    # new in round 3
+    "s08_ann_recall", "p08_flatten_mix",
     # r01-only greens, re-proving after operator-file churn
     "q14_cube", "q23_grouping_sets", "q24_having",
     "q02_region_revenue", "q03_top_orders", "q04_semi_join",

@@ -30,6 +30,15 @@ def test_events_ts_is_plain_timestamp(spark):
     )
 
 
+def test_no_table_exposes_timestamp_ntz(spark):
+    # the seam generalized: orders.o_orderdate is also parquet
+    # timestamp[us] now — every table() read must be NTZ-free
+    for name in ("orders", "lineitem", "customer", "events", "documents"):
+        df = table(spark, SF, name)
+        ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+        assert not ntz, f"{name} exposes TIMESTAMP_NTZ columns: {ntz}"
+
+
 def test_ntz_illegal_expressions_analyze_on_events(spark):
     e = table(spark, SF, "events")
     # Exactly the expressions that broke in r02: analysis alone proves
