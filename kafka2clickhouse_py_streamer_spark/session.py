@@ -52,8 +52,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
-        # fixture events.parquet stores timestamp[ns]; read as long and
-        # convert (see operators/base.table)
+        # fixture events.parquet has shipped as timestamp[ns] in some
+        # rounds; keep the legacy long read enabled so that vintage
+        # still loads (operators/base.normalize_event_time converts
+        # every vintage — ns-long, NTZ, timestamp — uniformly)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in (extra_conf or {}).items():

@@ -353,3 +353,32 @@ def test_q26_union_sort_matches_fanout_twin(spark, sf_dir):
     got = {tuple(r) for r in q26_asof_join(spark, sf_dir).collect()}
     want = {tuple(r) for r in asof_join_fanout(spark, sf_dir).collect()}
     assert got == want
+
+
+def test_p08_flatten_mix_has_no_window(spark, sf_dir):
+    # the probabilistic flattening must stay window-free: one tiny
+    # count agg broadcast back + a row-local bucket predicate — the
+    # scale advantage over p06's exact per-domain window cap
+    from kafka2clickhouse_py_streamer_spark.llm.sampling import (
+        p08_flatten_mix,
+    )
+
+    df = p08_flatten_mix(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert python_row_ops(df) == 0
+
+
+def test_s08_recall_never_cartesian(spark, sf_dir):
+    # recall@k composes s01 (broadcast cross of the bounded query set)
+    # with s03 (bucket equi-join); the recall join itself must be a
+    # broadcast equi-join on (query_id, cand_id), never a nested loop
+    from kafka2clickhouse_py_streamer_spark.llm.similarity import (
+        s08_ann_recall,
+    )
+
+    df = s08_ann_recall(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert python_row_ops(df) == 0
