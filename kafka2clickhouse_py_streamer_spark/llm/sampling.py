@@ -643,6 +643,77 @@ ORDER BY doc_id
 """
 
 
+ARRIVAL_BUCKET = 80  # buckets >= this simulate the newly-arrived batch
+
+
+def p09_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus refresh: admit a newly-arrived document batch
+    against the existing corpus — within-batch exact dedup (keep-first)
+    then drop every arrival whose content fingerprint already exists in
+    the corpus. The production shape of corpus maintenance: the full
+    pipeline (p05/p07) runs once; after that every new crawl/delivery
+    goes through THIS operator.
+
+    The arrival batch is simulated deterministically (md5 bucket >=
+    ARRIVAL_BUCKET ≈ 20% of docs), so the oracle reproduces the exact
+    partition.
+
+    Scale shape: fingerprints are computed row-local on both sides and
+    the anti-join shuffles 128-bit digests, never bodies (d01's rule).
+    When the arrival batch is small relative to a 100 TB corpus, the
+    deployment inverts the probe: semi-join the corpus against the
+    BROADCAST batch digest set and anti-join the (tiny, bounded by
+    |batch|) hit list back — the corpus side never shuffles. At fixture
+    scale the symmetric digest shuffle is the honest plan."""
+    d = table(spark, sf_dir, "documents")
+    tagged = d.select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("fp"),
+        _n_tokens().alias("n_tokens"),
+        _bucket(F.col("doc_id")).alias("b"),
+    )
+    arrivals = tagged.filter(F.col("b") >= ARRIVAL_BUCKET)
+    corpus = tagged.filter(F.col("b") < ARRIVAL_BUCKET)
+    # within-batch keep-first on content
+    keeper = F.min("doc_id").over(Window.partitionBy("fp"))
+    batch_unique = (
+        arrivals.withColumn("keeper", keeper)
+        .filter(F.col("doc_id") == F.col("keeper"))
+        .drop("keeper")
+    )
+    admitted = batch_unique.join(
+        corpus.select("fp"), "fp", "left_anti"
+    )
+    return admitted.select("doc_id", "source", "n_tokens").orderBy(
+        "doc_id"
+    )
+
+
+P09_SQL = rf"""
+WITH tagged AS (
+  SELECT doc_id, source, MD5(text) AS fp,
+         CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+              ELSE LEN(regexp_split_to_array(TRIM(text), '\s+'))
+         END AS n_tokens,
+         {_bucket_sql('doc_id')} AS b
+  FROM documents
+),
+arrivals AS (SELECT * FROM tagged WHERE b >= {ARRIVAL_BUCKET}),
+corpus AS (SELECT * FROM tagged WHERE b < {ARRIVAL_BUCKET}),
+batch_unique AS (
+  SELECT * FROM (
+    SELECT a.*, MIN(doc_id) OVER (PARTITION BY fp) AS keeper
+    FROM arrivals a
+  ) WHERE doc_id = keeper
+)
+SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens
+FROM batch_unique bu
+WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = bu.fp)
+ORDER BY doc_id
+"""
+
+
 QUERIES = [
     Query("p01_train_test_split", p01_train_test_split, P01_SQL,
           "hash-deterministic train/val/test split"),
@@ -661,4 +732,7 @@ QUERIES = [
           "mix, split, pack"),
     Query("p08_flatten_mix", p08_flatten_mix, P08_SQL,
           "probabilistic domain flattening (hash-threshold, no window)"),
+    Query("p09_incremental_refresh", p09_incremental_refresh, P09_SQL,
+          "incremental batch admission: within-batch dedup + "
+          "fingerprint anti-join against the existing corpus"),
 ]

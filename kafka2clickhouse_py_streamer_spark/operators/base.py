@@ -124,7 +124,7 @@ _VERIFY_FIRST = [
     "q28_sessionization", "q50_range_join", "w05_attribution",
     "p03_sequence_packing", "q27_approx_stats",
     # new in round 3
-    "s08_ann_recall", "p08_flatten_mix",
+    "s08_ann_recall", "p08_flatten_mix", "p09_incremental_refresh",
     # r01-only greens, re-proving after operator-file churn
     "q14_cube", "q23_grouping_sets", "q24_having",
     "q02_region_revenue", "q03_top_orders", "q04_semi_join",

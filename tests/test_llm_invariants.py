@@ -204,3 +204,85 @@ def test_w05_attribution_first_click_semantics(spark, sf_dir):
         )
         assert in_range, r
         assert (in_range[0][1]) == r["click_id"], r
+
+
+def test_s08_recall_bounds_and_exact_count(spark, sf_dir):
+    from kafka2clickhouse_py_streamer_spark.llm.similarity import (
+        TOP_K,
+        s08_ann_recall,
+    )
+
+    rows = s08_ann_recall(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_exact"] == TOP_K  # ground truth is always full-k
+        assert 0 <= r["n_hit"] <= r["n_exact"]
+        assert 0.0 <= r["recall_at_k"] <= 1.0
+    # the LSH path must be better than useless on the fixtures
+    assert any(r["n_hit"] > 0 for r in rows)
+
+
+def test_p08_rates_follow_domain_sizes(spark, sf_dir):
+    from kafka2clickhouse_py_streamer_spark.llm.sampling import (
+        FLATTEN_TARGET,
+        SPLIT_BUCKETS,
+        p08_flatten_mix,
+    )
+    from kafka2clickhouse_py_streamer_spark.operators.base import table
+
+    counts = dict(
+        table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .count()
+        .collect()
+    )
+    rows = p08_flatten_mix(spark, sf_dir).collect()
+    assert rows
+    import math
+
+    for r in rows:
+        want = min(
+            SPLIT_BUCKETS,
+            math.floor(SPLIT_BUCKETS * FLATTEN_TARGET / counts[r["source"]]),
+        )
+        assert r["keep_rate"] == want
+    # flattening: every domain's kept count is near the target, never
+    # wildly above it (hash thresholding is approximate, not exact)
+    per_dom: dict[str, int] = {}
+    for r in rows:
+        per_dom[r["source"]] = per_dom.get(r["source"], 0) + 1
+    for src, n in per_dom.items():
+        cap = min(counts[src], 3 * FLATTEN_TARGET)
+        assert n <= cap, (src, n, cap)
+
+
+def test_p09_admits_only_novel_content(spark, sf_dir):
+    from kafka2clickhouse_py_streamer_spark.llm.sampling import (
+        ARRIVAL_BUCKET,
+        p09_incremental_refresh,
+    )
+    from kafka2clickhouse_py_streamer_spark.llm.sampling import _bucket
+    from kafka2clickhouse_py_streamer_spark.operators.base import table
+    from pyspark.sql import functions as F
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("fp"),
+        _bucket(F.col("doc_id")).alias("b"),
+    )
+    corpus_fps = {
+        r["fp"] for r in d.filter(F.col("b") < ARRIVAL_BUCKET).collect()
+    }
+    arrival_fp = {
+        r["doc_id"]: r["fp"]
+        for r in d.filter(F.col("b") >= ARRIVAL_BUCKET).collect()
+    }
+    admitted = [
+        r["doc_id"] for r in p09_incremental_refresh(spark, sf_dir).collect()
+    ]
+    assert admitted
+    seen: set[str] = set()
+    for doc_id in admitted:
+        fp = arrival_fp[doc_id]
+        assert fp not in corpus_fps  # novel vs existing corpus
+        assert fp not in seen  # unique within the admitted batch
+        seen.add(fp)
