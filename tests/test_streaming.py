@@ -443,3 +443,80 @@ def test_available_now_catchup_terminates(spark, tmp_path):
         f.write(json.dumps({"device_id": 7}))
     second = run_catchup()
     assert [r.device_id for r in second] == [7]  # backlog not replayed
+
+
+def test_p09_streaming_admission_matches_batch(spark, tmp_path):
+    """The incremental-refresh operator under readStream: arrivals
+    stream in micro-batches, each foreachBatch anti-joins against the
+    static corpus fingerprints and a cross-batch seen-set (the batch
+    twin's within-batch dedup, carried as state) — the union of admitted
+    docs equals the batch p09 output regardless of micro-batch cuts."""
+    from pyspark.sql import functions as F
+
+    from kafka2clickhouse_py_streamer_spark.llm.sampling import (
+        ARRIVAL_BUCKET,
+        _bucket,
+        p09_incremental_refresh,
+    )
+    from kafka2clickhouse_py_streamer_spark.operators.base import table
+
+    sf = "/root/testdata/sf0.001"
+    d = table(spark, sf, "documents").select(
+        "doc_id", "source", "text", _bucket(F.col("doc_id")).alias("b")
+    )
+    corpus_fp = d.filter(F.col("b") < ARRIVAL_BUCKET).select(
+        F.md5("text").alias("fp")
+    )
+    # stream the arrivals in TWO files to force multiple micro-batches,
+    # in doc_id order: the stream's first-seen-wins dedup equals the
+    # batch twin's min-doc_id-wins exactly when arrival order follows
+    # doc_id (true for an append-only ingest key; an out-of-order
+    # deployment would tie-break inside the state update instead)
+    arrivals = (
+        d.filter(F.col("b") >= ARRIVAL_BUCKET)
+        .select("doc_id", "source", "text")
+        .orderBy("doc_id")
+        .collect()
+    )
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    half = len(arrivals) // 2
+    for i, chunk in enumerate((arrivals[:half], arrivals[half:])):
+        spark.createDataFrame(chunk).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    admitted: list = []
+    seen_fps: set = set()
+
+    def admit(batch_df, _id):
+        fresh = (
+            batch_df.withColumn("fp", F.md5("text"))
+            .join(corpus_fp, "fp", "left_anti")
+            .collect()
+        )
+        # cross-batch keep-first on content (driver-side state here;
+        # a deployment uses dropDuplicates-within-watermark or a
+        # state-store keyed on fp)
+        for r in sorted(fresh, key=lambda r: r.doc_id):
+            if r.fp not in seen_fps:
+                seen_fps.add(r.fp)
+                admitted.append(r.doc_id)
+
+    stream = spark.readStream.schema(
+        "doc_id long, source string, text string"
+    ).parquet(str(src))
+    q = (
+        stream.writeStream.foreachBatch(admit)
+        .option("checkpointLocation", str(tmp_path / "ckpt_p09"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    batch_ids = [
+        r.doc_id for r in p09_incremental_refresh(spark, sf).collect()
+    ]
+    assert sorted(admitted) == batch_ids
