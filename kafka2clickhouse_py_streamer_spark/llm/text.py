@@ -523,6 +523,85 @@ ORDER BY doc_id
 """
 
 
+def t10_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram Shannon entropy per document — the
+    gibberish / compressibility detector: natural prose sits in a
+    mid-entropy band, keyboard mash and repeated boilerplate fall
+    below it, random bytes above. Complements t02's rule-based score
+    with an information-theoretic one.
+
+    Entropy is computed from integer trigram counts via
+    ``log2(n) - Σ c·log2(c) / n`` so both engines aggregate identical
+    integers; the single float rounding (4 dp) absorbs libm ulp
+    differences.
+
+    Scale shape: explode trigrams (|chars| rows of (doc_id, 3 chars))
+    → partial+final count agg on (doc_id, trigram) → per-doc agg.
+    Two hash shuffles keyed by doc_id±trigram, both map-side
+    combinable; no Python anywhere."""
+    d = table(spark, sf_dir, "documents")
+    tris = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                # guard: Spark's sequence(1, 0) yields a DESCENDING
+                # [1, 0], not empty — short docs must get array()
+                "CASE WHEN length(text) >= 3 THEN "
+                "transform(sequence(1, length(text) - 2), "
+                "i -> substring(text, i, 3)) "
+                "ELSE array() END"
+            )
+        ).alias("tri"),
+    )
+    cnt = tris.groupBy("doc_id", "tri").agg(F.count(F.lit(1)).alias("c"))
+    n = F.sum("c")
+    ent = cnt.groupBy("doc_id").agg(
+        n.cast("long").alias("n_trigrams"),
+        F.round(
+            F.log2(n) - F.sum(F.col("c") * F.log2("c")) / n, 4
+        ).alias("trigram_entropy"),
+    )
+    return (
+        d.select("doc_id")
+        .join(ent, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_trigrams", F.lit(0).cast("long")).alias(
+                "n_trigrams"
+            ),
+            F.coalesce("trigram_entropy", F.lit(0.0)).alias(
+                "trigram_entropy"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+T10_SQL = """
+WITH idx AS (
+  SELECT doc_id, text,
+         UNNEST(generate_series(1, GREATEST(LENGTH(text) - 2, 0))) AS i
+  FROM documents
+),
+cnt AS (
+  SELECT doc_id, substr(text, i, 3) AS tri, COUNT(*) AS c
+  FROM idx GROUP BY doc_id, tri
+),
+ent AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_trigrams,
+         ROUND(LOG2(SUM(c)) - SUM(c * LOG2(c)) / SUM(c), 4)
+           AS trigram_entropy
+  FROM cnt GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(e.n_trigrams, 0) AS n_trigrams,
+       COALESCE(e.trigram_entropy, 0.0) AS trigram_entropy
+FROM documents d LEFT JOIN ent e ON e.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 QUERIES = [
     Query("t01_token_count", t01_token_count, T01_SQL,
           "whitespace + subword-proxy token counts"),
@@ -542,4 +621,6 @@ QUERIES = [
           "perplexity-proxy scoring with a corpus-trained unigram LM"),
     Query("t09_pii_scrub", t09_pii_scrub, T09_SQL,
           "PII redaction (email/phone/IPv4) with removal counts"),
+    Query("t10_char_entropy", t10_char_entropy, T10_SQL,
+          "character-trigram Shannon entropy (gibberish detector)"),
 ]

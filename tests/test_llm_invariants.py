@@ -286,3 +286,22 @@ def test_p09_admits_only_novel_content(spark, sf_dir):
         assert fp not in corpus_fps  # novel vs existing corpus
         assert fp not in seen  # unique within the admitted batch
         seen.add(fp)
+
+
+def test_t10_entropy_bounds(spark, sf_dir):
+    import math
+
+    from kafka2clickhouse_py_streamer_spark.llm.text import t10_char_entropy
+
+    rows = t10_char_entropy(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r["n_trigrams"] == 0:
+            assert r["trigram_entropy"] == 0.0
+        else:
+            # 0 <= H <= log2(#trigrams) (uniform distribution max)
+            assert -1e-9 <= r["trigram_entropy"] <= (
+                math.log2(r["n_trigrams"]) + 1e-9
+            )
+    # natural prose fixtures must show non-degenerate entropy somewhere
+    assert any(r["trigram_entropy"] > 1.0 for r in rows)
