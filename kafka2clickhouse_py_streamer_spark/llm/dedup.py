@@ -173,14 +173,10 @@ ORDER BY doc_a, doc_b
 """
 
 
-def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH near-dup detection, end to end:
-
-    shingles → 16 minhash signatures (affine perms over an explicit
-    polynomial char hash) → 4 bands × 4 rows → band-bucket equi-join →
-    distinct candidate pairs → exact Jaccard verify (count-based) →
-    pairs with jaccard >= threshold.
-    """
+def _minhash_sig_and_candidates(spark: SparkSession, sf_dir: str):
+    """Shared MinHash front half (d03 detection + d10 calibration):
+    returns ``(sig, cand)`` where sig = per-doc (n, hashed shingle set,
+    mh0..mh15) and cand = distinct banded-LSH candidate pairs."""
     # Materialize both per-shingle hashes as columns BEFORE the agg: the
     # 16 min-aggs then reference a cheap long column instead of inlining
     # the 8-term polynomial 16× (which would hash every shingle 16 times
@@ -254,6 +250,18 @@ def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    return sig, cand
+
+
+def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup detection, end to end:
+
+    shingles → 16 minhash signatures (affine perms over an explicit
+    polynomial char hash) → 4 bands × 4 rows → band-bucket equi-join →
+    distinct candidate pairs → exact Jaccard verify (count-based) →
+    pairs with jaccard >= threshold.
+    """
+    sig, cand = _minhash_sig_and_candidates(spark, sf_dir)
     # exact verify: two |docs|-sized joins bring each side's shingle
     # set to the candidate pair; intersection is a codegen'd
     # array_intersect per pair (shingles are distinct per doc, so set
@@ -282,6 +290,80 @@ def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+def d10_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration: for every banded-LSH candidate
+    pair, the exact Jaccard next to the signature estimate
+    (#agreeing components / 16) and their absolute error — the
+    measurement that justifies the (bands, rows) parameterization
+    before trusting d03 on a real corpus (s08's role, for dedup).
+
+    Both columns are deterministic integer arithmetic over identical
+    minhash values, so the oracle matches exactly — no tolerance
+    bound needed. Unfiltered (no jaccard threshold): calibration wants
+    the whole candidate range, including the false positives the
+    verify stage later drops."""
+    sig, cand = _minhash_sig_and_candidates(spark, sf_dir)
+    za = sig.select(
+        F.col("doc_id").alias("za_id"),
+        F.col("n").alias("na"),
+        F.col("ss").alias("ssa"),
+        *[F.col(f"mh{j}").alias(f"amh{j}") for j in range(NUM_HASHES)],
+    )
+    zb = sig.select(
+        F.col("doc_id").alias("zb_id"),
+        F.col("n").alias("nb"),
+        F.col("ss").alias("ssb"),
+        *[F.col(f"mh{j}").alias(f"bmh{j}") for j in range(NUM_HASHES)],
+    )
+    n_common = F.size(F.array_intersect(F.col("ssa"), F.col("ssb")))
+    exact = n_common / (F.col("na") + F.col("nb") - n_common)
+    agree = sum(
+        F.when(F.col(f"amh{j}") == F.col(f"bmh{j}"), 1).otherwise(0)
+        for j in range(NUM_HASHES)
+    )
+    est = agree / F.lit(float(NUM_HASHES))
+    return (
+        cand.join(za, F.col("doc_a") == F.col("za_id"))
+        .join(zb, F.col("doc_b") == F.col("zb_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(exact, 6).alias("jaccard"),
+            F.round(est, 6).alias("est_jaccard"),
+            F.round(F.abs(est - exact), 6).alias("abs_err"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _d10_sql() -> str:
+    d03 = _d03_sql().strip()
+    cte = d03[: d03.rindex("SELECT doc_a")].rstrip().rstrip(",")
+    agree = " + ".join(
+        f"(CASE WHEN za.mh{j} = zb.mh{j} THEN 1 ELSE 0 END)"
+        for j in range(NUM_HASHES)
+    )
+    return f"""{cte},
+cal AS (
+  SELECT c.doc_a, c.doc_b,
+         za.n AS na, zb.n AS nb,
+         LEN(list_intersect(za.hs, zb.hs)) AS n_common,
+         ({agree}) AS n_agree
+  FROM cand c
+  JOIN sig za ON za.doc_id = c.doc_a
+  JOIN sig zb ON zb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(n_common AS DOUBLE) / (na + nb - n_common), 6) AS jaccard,
+       ROUND(n_agree / {float(NUM_HASHES)}, 6) AS est_jaccard,
+       ROUND(ABS(n_agree / {float(NUM_HASHES)}
+             - CAST(n_common AS DOUBLE) / (na + nb - n_common)), 6)
+         AS abs_err
+FROM cal
+ORDER BY doc_a, doc_b
+"""
 
 
 def _d03_sql() -> str:
@@ -816,4 +898,7 @@ QUERIES = [
           "dedup policy: keep one doc per cluster, retention stats"),
     Query("d09_contamination", d09_contamination, D09_SQL,
           "benchmark decontamination screen (n-gram overlap vs eval set)"),
+    Query("d10_minhash_calibration", d10_minhash_calibration, _d10_sql(),
+          "minhash estimate vs exact Jaccard per candidate pair "
+          "(LSH parameter calibration)"),
 ]

@@ -305,3 +305,38 @@ def test_t10_entropy_bounds(spark, sf_dir):
             )
     # natural prose fixtures must show non-degenerate entropy somewhere
     assert any(r["trigram_entropy"] > 1.0 for r in rows)
+
+
+def test_d10_calibration_consistency(spark, sf_dir):
+    from kafka2clickhouse_py_streamer_spark.llm.dedup import (
+        NUM_HASHES,
+        d10_minhash_calibration,
+    )
+
+    rows = d10_minhash_calibration(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["jaccard"] <= 1.0
+        assert 0.0 <= r["est_jaccard"] <= 1.0
+        # estimate granularity is 1/NUM_HASHES
+        k = r["est_jaccard"] * NUM_HASHES
+        assert abs(k - round(k)) < 1e-6
+        assert abs(
+            r["abs_err"] - abs(r["est_jaccard"] - r["jaccard"])
+        ) < 1e-5
+    # every banded candidate shares at least one full band -> at least
+    # ROWS_PER_BAND agreeing components
+    from kafka2clickhouse_py_streamer_spark.llm.dedup import ROWS_PER_BAND
+
+    assert all(
+        r["est_jaccard"] >= ROWS_PER_BAND / NUM_HASHES - 1e-9 for r in rows
+    )
+
+
+def test_query_cli_list_and_errors(capsys):
+    from kafka2clickhouse_py_streamer_spark.query import main
+
+    assert main([]) == 0
+    out = capsys.readouterr().out
+    assert "q01_pricing_summary" in out and "d10_minhash_calibration" in out
+    assert main(["definitely_not_a_query"]) == 2
