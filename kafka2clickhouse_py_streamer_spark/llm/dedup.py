@@ -153,6 +153,91 @@ def d02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MAX_SHINGLE_DF = 50  # d11: drop shingles present in more docs than this
+
+
+def d11_ngram_jaccard_capped(
+    spark: SparkSession, sf_dir: str, max_df: int = MAX_SHINGLE_DF
+) -> DataFrame:
+    """d02 with stop-shingle removal: shingles whose document frequency
+    exceeds ``max_df`` are dropped BEFORE the pair join — the standard
+    mitigation for d02's hot-shingle skew. A shingle in k docs creates
+    k² join rows; boilerplate shingles ("terms of service apply") reach
+    k ~ corpus size and a single shuffle partition explodes. Capping DF
+    bounds every shingle's contribution at max_df² and removes exactly
+    the shingles that carry no near-dup signal (they match everything).
+
+    Jaccard is then computed over the FILTERED shingle sets — the
+    DF-capped approximation, mirrored exactly by the oracle. With
+    ``max_df`` above the corpus size this degrades to d02 precisely
+    (pinned by test)."""
+    sh = _shingle_rows(spark, sf_dir)
+    df_ok = (
+        sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("s")
+    )
+    kept = sh.join(df_ok, "s", "left_semi")
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = kept.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"))
+    b = kept.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
+    inter = (
+        a.join(
+            b,
+            (F.col("s_b") == F.col("s_a"))
+            & (F.col("doc_b") > F.col("doc_a")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    raw = F.col("n_common") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("n_common")
+    )
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(raw >= NGRAM_JACCARD_THRESHOLD)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            F.round(raw, 6).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _d11_sql() -> str:
+    return f"""
+WITH {_DUCK_SHINGLES_CTE},
+kept AS (
+  SELECT sh.doc_id, sh.s
+  FROM shingles sh
+  JOIN (SELECT s FROM shingles GROUP BY s
+        HAVING COUNT(*) <= {MAX_SHINGLE_DF}) ok USING (s)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM kept a
+  JOIN kept b ON b.s = a.s AND b.doc_id > a.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, n_common,
+       ROUND(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6)
+         AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common)
+      >= {NGRAM_JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
 D02_SQL = f"""
 WITH {_DUCK_SHINGLES_CTE},
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
@@ -901,4 +986,7 @@ QUERIES = [
     Query("d10_minhash_calibration", d10_minhash_calibration, _d10_sql(),
           "minhash estimate vs exact Jaccard per candidate pair "
           "(LSH parameter calibration)"),
+    Query("d11_ngram_jaccard_capped", d11_ngram_jaccard_capped, _d11_sql(),
+          "d02 with stop-shingle removal (DF cap bounds hot-shingle "
+          "skew)"),
 ]

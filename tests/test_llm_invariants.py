@@ -340,3 +340,19 @@ def test_query_cli_list_and_errors(capsys):
     out = capsys.readouterr().out
     assert "q01_pricing_summary" in out and "d10_minhash_calibration" in out
     assert main(["definitely_not_a_query"]) == 2
+
+
+def test_d11_uncapped_degrades_to_d02(spark, sf_dir):
+    from kafka2clickhouse_py_streamer_spark.llm.dedup import (
+        d02_ngram_jaccard,
+        d11_ngram_jaccard_capped,
+    )
+
+    capped_off = {
+        tuple(r)
+        for r in d11_ngram_jaccard_capped(
+            spark, sf_dir, max_df=10**9
+        ).collect()
+    }
+    plain = {tuple(r) for r in d02_ngram_jaccard(spark, sf_dir).collect()}
+    assert capped_off == plain
