@@ -520,3 +520,53 @@ def test_p09_streaming_admission_matches_batch(spark, tmp_path):
         r.doc_id for r in p09_incremental_refresh(spark, sf).collect()
     ]
     assert sorted(admitted) == batch_ids
+
+
+def test_w06_hll_runs_live_under_readstream(spark, tmp_path):
+    """w06's production claim, exercised live: approx_count_distinct in
+    a watermarked tumbling-window aggregation under readStream (append
+    mode). The streamed HLL estimates must equal the batch HLL on the
+    same data — the sketch is deterministic — for every window the
+    watermark finalized."""
+    from pyspark.sql import functions as F
+
+    from kafka2clickhouse_py_streamer_spark.operators.base import table
+
+    sf = "/root/testdata/sf0.001"
+    e = table(spark, sf, "events").select("ts", "user_id")
+    src = str(tmp_path / "events_w06")
+    e.coalesce(1).write.mode("overwrite").parquet(src)
+
+    es = spark.readStream.schema(e.schema).parquet(src)
+    agg = (
+        es.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.approx_count_distinct("user_id", 0.02).alias("hll_users"))
+        .select(F.col("w.start").alias("window_start"), "hll_users")
+    )
+    batches: list[list] = []
+    q = (
+        agg.writeStream.outputMode("append")
+        .foreachBatch(lambda df, _id: batches.append(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt_w06"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    streamed = {
+        (r.window_start, r.hll_users) for b in batches for r in b
+    }
+    assert streamed, "watermark must finalize at least one window"
+    batch = {
+        (r.window_start, r.hll_users)
+        for r in e.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.approx_count_distinct("user_id", 0.02).alias("hll_users"))
+        .select(F.col("w.start").alias("window_start"), "hll_users")
+        .collect()
+    }
+    # append mode only emits windows the watermark closed; every emitted
+    # window must match the batch sketch exactly (HLL is deterministic)
+    assert streamed <= batch
