@@ -234,7 +234,10 @@ def q26_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("t", "is_event", "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = ev.unionByName(od).select(
+    # null keys: the window would group them together (nulls compare
+    # equal in partitionBy) while the join twin drops them — filter to
+    # match equi-join semantics on any input (fixtures have no nulls)
+    carried = ev.unionByName(od).filter(F.col("k").isNotNull()).select(
         "k",
         "is_event",
         "event_id",
