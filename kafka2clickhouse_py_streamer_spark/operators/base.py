@@ -126,7 +126,7 @@ _VERIFY_FIRST = [
     # new in round 3
     "s08_ann_recall", "p08_flatten_mix", "p09_incremental_refresh",
     "t10_char_entropy", "w06_window_distinct", "d10_minhash_calibration",
-    "d11_ngram_jaccard_capped",
+    "d11_ngram_jaccard_capped", "q52_interval_frame",
     # r01-only greens, re-proving after operator-file churn
     "q14_cube", "q23_grouping_sets", "q24_having",
     "q02_region_revenue", "q03_top_orders", "q04_semi_join",

@@ -236,6 +236,43 @@ ORDER BY o_custkey, o_orderkey
 """
 
 
+def q52_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval RANGE frame: per user, each event's trailing
+    1-hour activity (count + value sum over `[ts - 1h, ts]`) — the
+    batch twin of a per-key sliding aggregation, and the frame type
+    q36's numeric RANGE can't express. Declared through the SQL
+    surface (the DataFrame rangeBetween API has no interval offsets).
+
+    Scale shape: one hash shuffle on user_id + a per-key time sort —
+    identical envelope to any per-key window; the interval frame is
+    evaluated with a sliding pointer over the sorted run, not a
+    self-join."""
+    table(spark, sf_dir, "events").createOrReplaceTempView("events_q52")
+    return spark.sql(
+        """
+        SELECT event_id, user_id,
+               COUNT(*) OVER w AS n_prev_hour,
+               ROUND(SUM(value) OVER w, 4) AS val_prev_hour
+        FROM events_q52
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                               AND CURRENT ROW)
+        ORDER BY event_id
+        """
+    )
+
+
+Q52_SQL = """
+SELECT event_id, user_id,
+       COUNT(*) OVER w AS n_prev_hour,
+       ROUND(SUM(value) OVER w, 4) AS val_prev_hour
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+
+
 def q37_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution window functions: quartiles + cumulative
     distribution + percent_rank of order prices per status."""
@@ -360,6 +397,8 @@ QUERIES = [
           "FILTER-clause conditional aggregation"),
     Query("q35_in_subquery", q35_in_subquery, Q35_SQL,
           "nested uncorrelated IN subqueries"),
+    Query("q52_interval_frame", q52_interval_frame, Q52_SQL,
+          "time-interval RANGE frame (trailing 1h per-key aggregate)"),
     Query("q36_range_frame", q36_range_frame, Q36_SQL,
           "RANGE value-based window frame"),
     Query("q37_ntile_cume", q37_ntile_cume, Q37_SQL,
