@@ -109,16 +109,14 @@ ORDER BY canonical_id
 NGRAM_JACCARD_THRESHOLD = 0.2
 
 
-def d02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-pairs n-gram Jaccard above a threshold, count-based:
+def _jaccard_pairs(sh: DataFrame) -> DataFrame:
+    """Shared pair-join tail of d02/d11: given a (doc_id, s) shingle
+    frame, inverted-index-block on the shingle, count intersections,
+    and return thresholded (doc_a, doc_b, n_common, jaccard).
 
-    candidate pairs = docs sharing >= 1 shingle (equi-join on the shingle
-    — inverted-index blocking, never a cross join); |A∩B| = match count,
-    |A∪B| = |A|+|B|-|A∩B|. The shingle join shuffles on the shingle
-    value, so hot shingles (stopword runs) are the skew risk at 100 TB —
-    d03's MinHash bands bound that by construction.
-    """
-    sh = _shingle_rows(spark, sf_dir)
+    Filters on the RAW ratio (the oracles do too); rounds only for
+    display — filtering the rounded value would keep pairs the oracle
+    drops when the true jaccard sits within 5e-7 below the threshold."""
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
@@ -133,9 +131,6 @@ def d02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
-    # Filter on the RAW ratio (the oracle does too); round only for
-    # display — filtering the rounded value would keep pairs the oracle
-    # drops when the true jaccard sits within 5e-7 below the threshold.
     raw = F.col("n_common") / (
         F.col("sa.n") + F.col("sb.n") - F.col("n_common")
     )
@@ -151,6 +146,38 @@ def d02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+def _jaccard_tail_sql(src: str) -> str:
+    """The oracle twin of :func:`_jaccard_pairs` over CTE ``src``."""
+    return f"""sizes AS (SELECT doc_id, COUNT(*) AS n FROM {src} GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM {src} a
+  JOIN {src} b ON b.s = a.s AND b.doc_id > a.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, n_common,
+       ROUND(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common)
+      >= {NGRAM_JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b"""
+
+
+def d02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs n-gram Jaccard above a threshold, count-based:
+
+    candidate pairs = docs sharing >= 1 shingle (equi-join on the shingle
+    — inverted-index blocking, never a cross join); |A∩B| = match count,
+    |A∪B| = |A|+|B|-|A∩B|. The shingle join shuffles on the shingle
+    value, so hot shingles (stopword runs) are the skew risk at 100 TB —
+    d03's MinHash bands bound that by construction, d11's DF cap
+    removes it at the source.
+    """
+    return _jaccard_pairs(_shingle_rows(spark, sf_dir))
 
 
 MAX_SHINGLE_DF = 50  # d11: drop shingles present in more docs than this
@@ -178,36 +205,7 @@ def d11_ngram_jaccard_capped(
         .filter(F.col("df") <= max_df)
         .select("s")
     )
-    kept = sh.join(df_ok, "s", "left_semi")
-    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = kept.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"))
-    b = kept.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
-    inter = (
-        a.join(
-            b,
-            (F.col("s_b") == F.col("s_a"))
-            & (F.col("doc_b") > F.col("doc_a")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    raw = F.col("n_common") / (
-        F.col("sa.n") + F.col("sb.n") - F.col("n_common")
-    )
-    return (
-        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .filter(raw >= NGRAM_JACCARD_THRESHOLD)
-        .select(
-            "doc_a",
-            "doc_b",
-            "n_common",
-            F.round(raw, 6).alias("jaccard"),
-        )
-        .orderBy("doc_a", "doc_b")
-    )
+    return _jaccard_pairs(sh.join(df_ok, "s", "left_semi"))
 
 
 def _d11_sql() -> str:
@@ -219,42 +217,13 @@ kept AS (
   JOIN (SELECT s FROM shingles GROUP BY s
         HAVING COUNT(*) <= {MAX_SHINGLE_DF}) ok USING (s)
 ),
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
-inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-  FROM kept a
-  JOIN kept b ON b.s = a.s AND b.doc_id > a.doc_id
-  GROUP BY a.doc_id, b.doc_id
-)
-SELECT doc_a, doc_b, n_common,
-       ROUND(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6)
-         AS jaccard
-FROM inter
-JOIN sizes sa ON sa.doc_id = doc_a
-JOIN sizes sb ON sb.doc_id = doc_b
-WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common)
-      >= {NGRAM_JACCARD_THRESHOLD}
-ORDER BY doc_a, doc_b
+{_jaccard_tail_sql("kept")}
 """
 
 
 D02_SQL = f"""
 WITH {_DUCK_SHINGLES_CTE},
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
-inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-  FROM shingles a
-  JOIN shingles b ON b.s = a.s AND b.doc_id > a.doc_id
-  GROUP BY a.doc_id, b.doc_id
-)
-SELECT doc_a, doc_b, n_common,
-       ROUND(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
-FROM inter
-JOIN sizes sa ON sa.doc_id = doc_a
-JOIN sizes sb ON sb.doc_id = doc_b
-WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common)
-      >= {NGRAM_JACCARD_THRESHOLD}
-ORDER BY doc_a, doc_b
+{_jaccard_tail_sql("shingles")}
 """
 
 
@@ -424,8 +393,11 @@ def d10_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _d10_sql() -> str:
+    # reuse d03's CTE prefix up to (excluding) its verify CTE — cal
+    # below re-derives the intersection WITH the signature columns, so
+    # keeping d03's `inter` would just emit dead SQL
     d03 = _d03_sql().strip()
-    cte = d03[: d03.rindex("SELECT doc_a")].rstrip().rstrip(",")
+    cte = d03[: d03.rindex("inter AS")].rstrip().rstrip(",")
     agree = " + ".join(
         f"(CASE WHEN za.mh{j} = zb.mh{j} THEN 1 ELSE 0 END)"
         for j in range(NUM_HASHES)

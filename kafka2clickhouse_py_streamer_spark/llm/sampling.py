@@ -589,6 +589,27 @@ ORDER BY doc_id
 
 
 FLATTEN_TARGET = 20  # expected docs kept per domain by p08
+# p08 needs its own, much finer bucket space: with p01's 100 buckets a
+# domain larger than 100·TARGET docs would floor to rate 0 and be
+# DELETED entirely. 1e6 buckets represent rates down to 1e-6, so
+# domains up to TARGET·1e6 docs flatten correctly; beyond that the
+# rate floors at 1 (over-keeps rather than deletes).
+FLATTEN_BUCKETS = 1_000_000
+
+
+def _flatten_bucket(col):
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % FLATTEN_BUCKETS
+    )
+
+
+def _flatten_bucket_sql(key: str) -> str:
+    return (
+        f"CAST('0x' || SUBSTRING(md5(CAST({key} AS VARCHAR)), 1, 8)"
+        f" AS BIGINT) % {FLATTEN_BUCKETS}"
+    )
 
 
 def p08_flatten_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -604,22 +625,31 @@ def p08_flatten_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     window at all. The trade is exactness: each domain keeps
     FLATTEN_TARGET docs in expectation, not exactly.
 
-    Determinism parity: the keep-rate is floor(BUCKETS·TARGET / n) —
-    integer-valued double arithmetic that rounds identically on Spark
-    and DuckDB — and the bucket is the shared md5 scheme, so the
-    oracle reproduces the sample bit-for-bit."""
+    The rate lives in a 1e6-wide bucket space and never floors below 1
+    (GREATEST), so a domain can never be silently deleted; domains past
+    FLATTEN_TARGET·FLATTEN_BUCKETS docs keep ~n/1e6 in expectation —
+    over target, never zero.
+
+    Determinism parity: the keep-rate is greatest(1, floor(BUCKETS·
+    TARGET / n)) — integer-valued double arithmetic that rounds
+    identically on Spark and DuckDB — and the bucket is the shared md5
+    prefix scheme, so the oracle reproduces the sample bit-for-bit."""
     d = table(spark, sf_dir, "documents").select("doc_id", "source")
     counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_dom"))
-    rate = F.least(
-        F.lit(SPLIT_BUCKETS),
-        F.floor(
-            F.lit(float(SPLIT_BUCKETS * FLATTEN_TARGET)) / F.col("n_dom")
+    rate = F.greatest(
+        F.lit(1),
+        F.least(
+            F.lit(FLATTEN_BUCKETS),
+            F.floor(
+                F.lit(float(FLATTEN_BUCKETS * FLATTEN_TARGET))
+                / F.col("n_dom")
+            ),
         ),
     ).cast("long")
     return (
         d.join(F.broadcast(counts), "source")
         .withColumn("keep_rate", rate)
-        .filter(_bucket(F.col("doc_id")) < F.col("keep_rate"))
+        .filter(_flatten_bucket(F.col("doc_id")) < F.col("keep_rate"))
         .select("doc_id", "source", "keep_rate")
         .orderBy("doc_id")
     )
@@ -631,14 +661,14 @@ WITH counts AS (
 ),
 rated AS (
   SELECT d.doc_id, d.source,
-         CAST(LEAST({SPLIT_BUCKETS},
-              FLOOR({float(SPLIT_BUCKETS * FLATTEN_TARGET)} / c.n_dom))
+         CAST(GREATEST(1, LEAST({FLATTEN_BUCKETS},
+              FLOOR({float(FLATTEN_BUCKETS * FLATTEN_TARGET)} / c.n_dom)))
               AS BIGINT) AS keep_rate
   FROM documents d JOIN counts c USING (source)
 )
 SELECT doc_id, source, keep_rate
 FROM rated
-WHERE {_bucket_sql('doc_id')} < keep_rate
+WHERE {_flatten_bucket_sql('doc_id')} < keep_rate
 ORDER BY doc_id
 """
 

@@ -53,8 +53,11 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        return normalize_event_time(df)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        # ts needs the bigint-nanos special case; any OTHER temporal
+        # column still goes through the generic sweep below
+        df = normalize_event_time(df)
+    else:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # Same NTZ seam as events.ts, any table: orders.o_orderdate is also
     # parquet timestamp[us] now. Relabel every NTZ column to session-TZ
     # TIMESTAMP (UTC pinned above — no wall-clock shift) so no query

@@ -40,6 +40,12 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="print the DuckDB oracle SQL and exit",
     )
+    p.add_argument(
+        "--count",
+        action="store_true",
+        help="also print the total row count (runs the plan a second "
+        "time — costly on the heavy queries)",
+    )
     args = p.parse_args(argv)
 
     from kafka2clickhouse_py_streamer_spark.operators.base import all_queries
@@ -74,7 +80,8 @@ def main(argv: list[str] | None = None) -> int:
         df.explain("formatted")
     else:
         df.show(args.limit, truncate=False)
-        print(f"({df.count()} rows total)")
+        if args.count:
+            print(f"({df.count()} rows total)")
     return 0
 
 

@@ -224,8 +224,8 @@ def test_s08_recall_bounds_and_exact_count(spark, sf_dir):
 
 def test_p08_rates_follow_domain_sizes(spark, sf_dir):
     from kafka2clickhouse_py_streamer_spark.llm.sampling import (
+        FLATTEN_BUCKETS,
         FLATTEN_TARGET,
-        SPLIT_BUCKETS,
         p08_flatten_mix,
     )
     from kafka2clickhouse_py_streamer_spark.operators.base import table
@@ -241,11 +241,18 @@ def test_p08_rates_follow_domain_sizes(spark, sf_dir):
     import math
 
     for r in rows:
-        want = min(
-            SPLIT_BUCKETS,
-            math.floor(SPLIT_BUCKETS * FLATTEN_TARGET / counts[r["source"]]),
+        want = max(
+            1,
+            min(
+                FLATTEN_BUCKETS,
+                math.floor(
+                    FLATTEN_BUCKETS * FLATTEN_TARGET / counts[r["source"]]
+                ),
+            ),
         )
         assert r["keep_rate"] == want
+    # the floor-at-1 guarantee: no domain can flatten to rate 0
+    assert all(r["keep_rate"] >= 1 for r in rows)
     # flattening: every domain's kept count is near the target, never
     # wildly above it (hash thresholding is approximate, not exact)
     per_dom: dict[str, int] = {}

@@ -570,3 +570,40 @@ def test_w06_hll_runs_live_under_readstream(spark, tmp_path):
     # append mode only emits windows the watermark closed; every emitted
     # window must match the batch sketch exactly (HLL is deterministic)
     assert streamed <= batch
+
+
+def test_live_smoke_probe_rows_route_correctly(spark):
+    """The live smoke's generated rows, driven through the SAME
+    pipeline core the deployment runs: every valid row must land in
+    the sink, every DLQ probe must land in the DLQ with an error —
+    offline proof the smoke can't fail against healthy infrastructure
+    (its probes genuinely violate the schema) nor pass vacuously."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from live_smoke import build_probe_rows
+
+    rows, n_probes = build_probe_rows(SCHEMA, n_rows=5, with_dlq=True)
+    # UInt32 + Float32 columns exist and device_id is required -> both
+    # probe variants must have been generated
+    assert n_probes == 2
+    sink, dlq = ListSink(), ListSink()
+    job = PipelineJob(StaticSchemaProvider(SCHEMA), sink, dlq)
+    job.run_batch(make_batch(spark, rows))
+    assert len(sink.rows) == 5  # all valid rows admitted
+    assert len(dlq.rows) == n_probes  # every probe rejected
+    assert all(r.error for r in dlq.rows)
+
+
+def test_live_smoke_no_probe_for_all_string_schema():
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from kafka2clickhouse_py_streamer_spark.schema.clickhouse import (
+        build_table_schema,
+    )
+    from live_smoke import build_probe_rows
+
+    lax = build_table_schema([("a", "String"), ("b", "String")])
+    rows, n_probes = build_probe_rows(lax, n_rows=3, with_dlq=True)
+    assert n_probes == 0 and len(rows) == 3

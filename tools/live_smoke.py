@@ -21,8 +21,9 @@ Requires (refuses to run otherwise — it is deliberately NOT a pytest):
 
 What it does:
 
-1. produces N_ROWS valid JSON rows (plus 2 deliberately invalid ones
-   when a DLQ topic is set) to KAFKA_TOPIC via Spark's batch Kafka sink;
+1. produces N_ROWS valid JSON rows typed from the sink schema (plus
+   deliberately schema-violating ones when a DLQ topic is set) to
+   KAFKA_TOPIC via Spark's batch Kafka sink;
 2. runs the production PipelineJob (same wiring as runner.build_query)
    with Trigger.AvailableNow from ``earliest``, so the run is bounded;
 3. reads the sink table back over JDBC and asserts >= N_ROWS rows
@@ -48,6 +49,59 @@ sys.path.insert(0, REPO)
 REQUIRED = ("KAFKA_BOOTSTRAP_SERVERS", "KAFKA_TOPIC", "SINK_URL", "SINK_TABLE")
 
 
+def build_probe_rows(
+    schema, n_rows: int, with_dlq: bool, run_id: str = "smoke"
+) -> tuple[list[str], int]:
+    """(json rows, #dlq probes): N schema-typed valid rows, plus rows
+    that genuinely violate the schema when ``with_dlq``.
+
+    Valid values follow each column's json_type (hard-coding types by
+    position fails on any schema whose first column isn't an integer).
+    A DLQ probe must ACTUALLY violate the schema: wrong type on a
+    non-string column, or a missing REQUIRED column — malformed JSON is
+    not a probe (the validator silently drops it, main.py:519 parity),
+    and unknown extra keys pass validation. A schema of only optional
+    strings accepts everything; no probe exists then.
+
+    Module-level (not inline in main) so the routing contract is
+    testable offline through the same pipeline core the job runs.
+    """
+
+    def value_for(col, i: int):
+        if col.is_datetime:
+            return "2024-01-01 00:00:00"
+        if col.json_type == "integer":
+            return i
+        if col.json_type == "number":
+            return i + 0.5
+        return f"v{i}-{run_id[:8]}"
+
+    rows = [
+        json.dumps({c.name: value_for(c, i) for c in schema.columns})
+        for i in range(n_rows)
+    ]
+    n_dlq_probes = 0
+    if with_dlq:
+        typed = [
+            c for c in schema.columns
+            if c.json_type in ("integer", "number") and not c.is_datetime
+        ]
+        if typed:
+            bad = {c.name: value_for(c, 0) for c in schema.columns}
+            bad[typed[0].name] = "not-a-number"
+            rows.append(json.dumps(bad))
+            n_dlq_probes += 1
+        if schema.required:
+            bad = {
+                c.name: value_for(c, 1)
+                for c in schema.columns
+                if c.name != schema.required[0]
+            }
+            rows.append(json.dumps(bad))
+            n_dlq_probes += 1
+    return rows, n_dlq_probes
+
+
 def main() -> int:
     missing = [v for v in REQUIRED if not os.environ.get(v)]
     if missing:
@@ -68,20 +122,16 @@ def main() -> int:
     spark = get_spark(app_name="live-smoke")
     spark.sparkContext.setLogLevel("WARN")
 
-    # 1. produce: N valid rows keyed by a unique run id, + 2 invalid
-    #    (schema-violating) rows if DLQ routing is to be checked
-    run_id = uuid.uuid4().hex
+    # 1. produce schema-typed valid rows + genuine DLQ probes
     schema = pick_schema_provider(spark, cfg).fetch()
-    sample_cols = [c.name for c in schema.columns][:3]
-    rows = [
-        json.dumps(
-            {sample_cols[0]: i, "run_id": run_id}
-            | {c: f"v{i}" for c in sample_cols[1:]}
+    rows, n_dlq_probes = build_probe_rows(
+        schema, n_rows, with_dlq=bool(cfg.dlq_topic), run_id=uuid.uuid4().hex
+    )
+    if cfg.dlq_topic and not n_dlq_probes:
+        print(
+            "note: sink schema is all-optional strings — no "
+            "schema-violating probe exists; DLQ check skipped"
         )
-        for i in range(n_rows)
-    ]
-    if cfg.dlq_topic:
-        rows += ["{not json", json.dumps({"unexpected": "shape"})]
     (
         spark.createDataFrame([(r,) for r in rows], "value string")
         .write.format("kafka")
@@ -112,8 +162,8 @@ def main() -> int:
     assert got >= n_rows, f"sink has {got} rows, expected >= {n_rows}"
     print(f"sink row count ok: {got} >= {n_rows}")
 
-    # 4. DLQ round-trip
-    if cfg.dlq_topic:
+    # 4. DLQ round-trip (only when a real schema-violating probe went)
+    if cfg.dlq_topic and n_dlq_probes:
         dlq = (
             spark.read.format("kafka")
             .option("kafka.bootstrap.servers", cfg.kafka_bootstrap_servers)
@@ -123,7 +173,9 @@ def main() -> int:
             .select(F.col("value").cast("string").alias("value"))
         )
         n_dlq = dlq.filter(F.col("value").contains("error")).count()
-        assert n_dlq >= 2, f"DLQ has {n_dlq} error records, expected >= 2"
+        assert n_dlq >= n_dlq_probes, (
+            f"DLQ has {n_dlq} error records, expected >= {n_dlq_probes}"
+        )
         print(f"DLQ routing ok: {n_dlq} error records")
 
     # NOTE on S1 at-least-once: re-running this script with the SAME
