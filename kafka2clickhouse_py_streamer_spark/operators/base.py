@@ -115,36 +115,118 @@ def spread(df: DataFrame) -> DataFrame:
 
 
 # Verification priority: the driver walks ``queries()`` in dict order and
-# records rows for roughly the first 50 entries per round. Round-3
-# rotation (tools/rotate_verify_first.py over r01+r02): the four r02
-# failures now fixed come first, then the 43 queries whose only green
-# row is from r01 — operator files (joins/statistics/windows/base)
-# churned since, and q28 proved r01 greens can go stale silently.
-# r02-green queries follow in registry order (their rows stand).
+# records rows for roughly the first 50 entries per round. This list is
+# GENERATED — run ``python tools/rotate_verify_first.py --write`` after
+# each round. Ordering: never-green/errored first, then greens whose
+# defining file churned since the green was recorded (oldest round
+# first), then the rest oldest-evidence-first. ``tests/test_rotation.py``
+# asserts the committed list matches the tool and that no query's
+# evidence can age out of the driver window unseen.
 _VERIFY_FIRST = [
-    # fixed this round: NTZ seam (q28/q50/w05), p03 oracle casts,
-    # q27 oracle restored (error-bound differential)
-    "q28_sessionization", "q50_range_join", "w05_attribution",
-    "p03_sequence_packing", "q27_approx_stats",
-    # new in round 3
-    "s08_ann_recall", "p08_flatten_mix", "p09_incremental_refresh",
-    "t10_char_entropy", "w06_window_distinct", "d10_minhash_calibration",
-    "d11_ngram_jaccard_capped", "q52_interval_frame",
-    # r01-only greens, re-proving after operator-file churn
-    "q14_cube", "q23_grouping_sets", "q24_having",
-    "q02_region_revenue", "q03_top_orders", "q04_semi_join",
-    "q05_anti_join", "q07_left_join_count", "q21_correlated_subquery",
-    "q25_theta_join", "q26_asof_join", "q47_exists_pair",
-    "q08_topk_per_group", "q09_running_sum", "q10_lag_lead",
-    "q29_keep_first", "q44_frame_navigation",
-    "q11_sort_limit", "q15_set_ops", "q16_string_fns", "q17_date_fns",
-    "q18_json_fns", "q19_array_fns", "q20_conditional", "q22_pivot",
-    "q30_unpivot", "q39_math_fns", "q40_full_outer", "q42_posexplode",
-    "q43_ratio_to_report", "q45_calendar_arithmetic", "q46_string_agg",
-    "q31_moment_stats", "q32_exact_percentiles", "q33_argmin_argmax",
-    "q34_filtered_agg", "q35_in_subquery", "q36_range_frame",
+    # green-r01 but file churned since
+    "q36_range_frame",
     "q37_ntile_cume",
-    "d01_exact_dedup", "d02_ngram_jaccard", "d03_minhash_lsh",
+    "d01_exact_dedup",
+    "d02_ngram_jaccard",
+    "d03_minhash_lsh",
+    # green-r02 but file churned since
+    "q01_pricing_summary",
+    "q06_revenue_filter",
+    "q12_distinct_agg",
+    "q13_rollup",
+    "q48_salted_join",
+    "q49_upsert_merge",
+    "q51_skew_profile",
+    "q38_collect_agg",
+    "d04_simhash",
+    "d05_embedding_neardup",
+    "d06_simhash_pairs",
+    "d07_dedup_clusters",
+    "d08_canonical_corpus",
+    "d09_contamination",
+    "s01_cosine_topk",
+    "s02_lsh_buckets",
+    "s03_lsh_topk",
+    "s04_ivf_topk",
+    "s05_trained_ivf",
+    "s06_quantize",
+    "s07_knn_label",
+    "t01_token_count",
+    "t02_quality_score",
+    "t03_langid",
+    "t04_fingerprint",
+    "t05_rolling_hash",
+    "t06_repetition",
+    "t07_vocab_idf",
+    "t08_unigram_logprob",
+    "t09_pii_scrub",
+    "p01_train_test_split",
+    "p02_stratified_sample",
+    "p04_global_shuffle",
+    "p05_clean_corpus",
+    "p06_domain_mix",
+    "p07_corpus_pipeline",
+    "w01_tumbling",
+    "w02_sliding",
+    "w03_session_window",
+    "w04_enriched_windows",
+    "q41_map_fns",
+    "m01_media_metadata",
+    "m02_decode_stats",
+    "m03_frame_sample",
+    "m04_feature_extract",
+    "m05_media_dedup",
+    # green-r03
+    "q28_sessionization",
+    "q50_range_join",
+    "w05_attribution",
+    "p03_sequence_packing",
+    "q27_approx_stats",
+    "s08_ann_recall",
+    "p08_flatten_mix",
+    "p09_incremental_refresh",
+    "t10_char_entropy",
+    "w06_window_distinct",
+    "d10_minhash_calibration",
+    "d11_ngram_jaccard_capped",
+    "q52_interval_frame",
+    "q14_cube",
+    "q23_grouping_sets",
+    "q24_having",
+    "q02_region_revenue",
+    "q03_top_orders",
+    "q04_semi_join",
+    "q05_anti_join",
+    "q07_left_join_count",
+    "q21_correlated_subquery",
+    "q25_theta_join",
+    "q26_asof_join",
+    "q47_exists_pair",
+    "q08_topk_per_group",
+    "q09_running_sum",
+    "q10_lag_lead",
+    "q29_keep_first",
+    "q44_frame_navigation",
+    "q11_sort_limit",
+    "q15_set_ops",
+    "q16_string_fns",
+    "q17_date_fns",
+    "q18_json_fns",
+    "q19_array_fns",
+    "q20_conditional",
+    "q22_pivot",
+    "q30_unpivot",
+    "q39_math_fns",
+    "q40_full_outer",
+    "q42_posexplode",
+    "q43_ratio_to_report",
+    "q45_calendar_arithmetic",
+    "q46_string_agg",
+    "q31_moment_stats",
+    "q32_exact_percentiles",
+    "q33_argmin_argmax",
+    "q34_filtered_agg",
+    "q35_in_subquery",
 ]
 
 

@@ -1,0 +1,94 @@
+"""Verification-rotation integrity.
+
+Round 3's verdict found 5 queries whose only green driver row was from
+round 1 while their defining files had churned since — the hand-rotated
+``_VERIFY_FIRST`` under-shot the driver's ~50-row window. These tests
+make that failure mode structural instead of vigilance-dependent:
+
+- the committed list must match ``tools/rotate_verify_first.py`` output
+  (so rotation is mechanical, derived from the recorded evidence);
+- every registry query must either have a green row within the last two
+  recorded rounds or sit inside the next driver window, so no query's
+  evidence can silently age out.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+spec = importlib.util.spec_from_file_location(
+    "rotate_verify_first", os.path.join(REPO, "tools", "rotate_verify_first.py")
+)
+rotate = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(rotate)
+
+
+@pytest.fixture(scope="module")
+def registry():
+    from kafka2clickhouse_py_streamer_spark.operators.base import all_queries
+
+    return all_queries()
+
+
+def test_verify_first_matches_tool(registry):
+    from kafka2clickhouse_py_streamer_spark.operators.base import _VERIFY_FIRST
+
+    order, _ = rotate.rotation()
+    assert list(_VERIFY_FIRST) == order, (
+        "base.py's _VERIFY_FIRST is stale — run "
+        "`python tools/rotate_verify_first.py --write`"
+    )
+
+
+def test_verify_first_covers_registry(registry):
+    from kafka2clickhouse_py_streamer_spark.operators.base import _VERIFY_FIRST
+
+    assert sorted(_VERIFY_FIRST) == sorted(registry)
+
+
+def test_no_query_ages_out_of_window(registry):
+    """Every query: green within the last 2 rounds, or in the next window.
+
+    The driver records ~WINDOW rows per round from the head of the
+    registry ordering, so anything in the head of ``_VERIFY_FIRST`` gets
+    fresh evidence next round; anything outside it must already be
+    recent. With 101 queries and a 50-row window this bounds evidence
+    age at ~2 rounds for the whole registry.
+    """
+    from kafka2clickhouse_py_streamer_spark.operators.base import _VERIFY_FIRST
+
+    last_green, _, latest = rotate.evidence()
+    if latest == 0:
+        pytest.skip("no CORRECTNESS files recorded yet")
+    next_window = set(_VERIFY_FIRST[: rotate.WINDOW])
+    stale = [
+        n
+        for n in registry
+        if last_green.get(n, 0) < latest - 1 and n not in next_window
+    ]
+    assert not stale, f"evidence aging out of driver window: {stale}"
+
+
+def test_churned_greens_rank_before_unchurned(registry):
+    """A green whose defining file changed outranks an unchurned green
+    of the same round — the exact pattern that hid the round-2 q28
+    regression (code refactored after its row was recorded)."""
+    order, reasons = rotate.rotation()
+    seen_unchurned_round: dict[int, int] = {}
+    for i, name in enumerate(order):
+        r = reasons[name]
+        if r.startswith("green-r") and "churned" not in r:
+            rnd = int(r.split("green-r")[1][:2])
+            seen_unchurned_round.setdefault(rnd, i)
+    for i, name in enumerate(order):
+        r = reasons[name]
+        if "churned" in r:
+            rnd = int(r.split("green-r")[1][:2])
+            first_unchurned = seen_unchurned_round.get(rnd)
+            if first_unchurned is not None:
+                assert i < first_unchurned, (name, r)
