@@ -301,38 +301,46 @@ def p04_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The global contiguous rank is computed with the distributed
     two-pass pattern, NOT a global window (which would funnel every
-    row through one partition): range-repartition on the sort key →
-    per-partition counts (tiny driver collect, one row per partition)
-    → prefix offsets joined back → partition-local row_number +
-    offset. Every partition ranks independently; the only global
-    coordination is the |partitions|-row offset table. Ranks are
-    independent of where the sampled range boundaries fall because the
-    (key, doc_id) order is total."""
+    row through one partition). Unlike the generic
+    ``_distributed_offsets`` (arbitrary sort key → range boundaries
+    must come from sampling, so the two passes need a checkpoint to
+    agree), the sort key here is md5 hex — uniform and fixed-width —
+    so the bucket is a PURE FUNCTION of the key: the first 4 hex chars
+    scaled into ``parts`` range buckets, monotone in the key. Both
+    passes recompute it identically with no checkpoint, nothing pinned
+    in executor memory (eager ``localCheckpoint`` is non-replicated —
+    on a real cluster an executor loss would kill the job), and full
+    lineage retained. Pass 1: per-bucket counts (map-side partial agg,
+    |buckets|-row driver collect). Pass 2: prefix offsets broadcast
+    back + bucket-local row_number. At 100 TB that is two scans of a
+    one-column projection instead of one scan plus a pinned
+    multi-terabyte checkpoint."""
     d = table(spark, sf_dir, "documents")
     key = F.md5(F.col("doc_id").cast("string"))
     parts = spark.sparkContext.defaultParallelism
-    # localCheckpoint pins the sampled range boundaries: the counts job
-    # and the rank job must see the SAME partitioning, and it saves the
-    # second scan.
-    ranged = (
-        d.select("doc_id", key.alias("shuffle_key"))
-        .repartitionByRange(parts, "shuffle_key", "doc_id")
-        .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+    # Monotone in shuffle_key: fixed-width lowercase hex sorts
+    # lexicographically == numerically, so floor(prefix * parts / 16^4)
+    # never decreases as the key grows. md5 uniformity balances buckets.
+    bucket = (
+        (F.conv(F.substring(key, 1, 4), 16, 10).cast("long") * parts)
+        / F.lit(16**4)
+    ).cast("int")
+    keyed = d.select(
+        "doc_id", key.alias("shuffle_key"), bucket.alias("bkt")
     )
     counts = (
-        ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("n"))
-        .orderBy("pid")
+        keyed.groupBy("bkt").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bkt")
         .collect()
     )
     offsets, acc = [], 0
     for row in counts:
-        offsets.append((row["pid"], acc))
+        offsets.append((row["bkt"], acc))
         acc += row["n"]
-    off = spark.createDataFrame(offsets or [(0, 0)], "pid int, off long")
-    w = Window.partitionBy("pid").orderBy("shuffle_key", "doc_id")
+    off = spark.createDataFrame(offsets or [(0, 0)], "bkt int, off long")
+    w = Window.partitionBy("bkt").orderBy("shuffle_key", "doc_id")
     return (
-        ranged.join(F.broadcast(off), "pid")
+        keyed.join(F.broadcast(off), "bkt")
         .select(
             "doc_id",
             "shuffle_key",

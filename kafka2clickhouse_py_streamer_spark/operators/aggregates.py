@@ -260,8 +260,14 @@ def q27_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     # Two scalar quantile columns, not one array<double>: the driver's
     # pandas canonicalizer cannot sort/hash list cells.
+    # rsd pinned at 0.02 with a 5%-or-3-absolute bound: rsd is one
+    # standard deviation, not a hard bound, so testing a default-rsd
+    # (0.05) sketch against exactly 1x rsd flips false on legitimate
+    # ~1-sigma draws at new fixture scales. 0.02 rsd under a
+    # max(3, 5%) envelope leaves ~2.5 sigma of headroom (w06's
+    # pattern) — the tripwire only fires on a genuinely broken sketch.
     agg = li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
         F.countDistinct("l_partkey").cast("long").alias("exact_parts"),
         F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000))
         .alias("approx_p50"),
@@ -272,7 +278,7 @@ def q27_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_parts",
         (
             F.abs(F.col("approx_parts") - F.col("exact_parts"))
-            <= 0.05 * F.col("exact_parts")
+            <= F.greatest(F.lit(3.0), 0.05 * F.col("exact_parts"))
         ).alias("hll_within_5pct"),
         F.round("p50_exact", 4).alias("price_p50"),
         (

@@ -141,6 +141,20 @@ def main() -> int:
     )
     print(f"produced {len(rows)} rows to {cfg.kafka_topic}")
 
+    # Snapshot the sink BEFORE the run: a pre-populated table must not
+    # make the post-run count check pass vacuously — assert the DELTA
+    # this run inserted, not the absolute row count.
+    def sink_count() -> int:
+        return (
+            spark.read.format("jdbc")
+            .option("url", cfg.sink_url)
+            .option("dbtable", cfg.sink_table)
+            .load()
+            .count()
+        )
+
+    before = sink_count()
+
     # 2. run the production wiring, bounded: same builder as runner.main
     #    but catch-up trigger + fresh checkpoint + earliest offsets
     ckpt = tempfile.mkdtemp(prefix="live-smoke-ckpt-")
@@ -151,16 +165,15 @@ def main() -> int:
     query.awaitTermination()
     print("pipeline drained (AvailableNow)")
 
-    # 3. read the sink back and count
-    sunk = (
-        spark.read.format("jdbc")
-        .option("url", cfg.sink_url)
-        .option("dbtable", cfg.sink_table)
-        .load()
+    # 3. read the sink back and count THIS run's insertions. The topic
+    #    is required empty but the sink table is not; at-least-once
+    #    allows delta > produced-valid-rows, never less.
+    n_valid = len(rows) - n_dlq_probes
+    got = sink_count() - before
+    assert got >= n_valid, (
+        f"sink grew by {got} rows this run, expected >= {n_valid}"
     )
-    got = sunk.count()
-    assert got >= n_rows, f"sink has {got} rows, expected >= {n_rows}"
-    print(f"sink row count ok: {got} >= {n_rows}")
+    print(f"sink delta ok: +{got} >= {n_valid} (pre-run rows: {before})")
 
     # 4. DLQ round-trip (only when a real schema-violating probe went)
     if cfg.dlq_topic and n_dlq_probes:
