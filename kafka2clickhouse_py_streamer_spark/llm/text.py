@@ -425,6 +425,41 @@ PII_PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
 PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 
 
+def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The redaction transformation itself, factored out of the t09
+    query: replace emails / phones / IPv4 in ``text_col`` with typed
+    placeholders and add per-pattern removal counts.
+
+    Pure projection — whole-stage-codegen JVM regexes, zero shuffles,
+    zero Python — so it is valid on batch AND streaming DataFrames
+    unchanged (``streaming.corpus_stream.scrub_stream`` applies it
+    under ``readStream``; the twin test proves micro-batch output
+    equals batch output over any cut).
+    """
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col(text_col), PII_EMAIL_RE, "<EMAIL>"),
+            PII_PHONE_RE,
+            "<PHONE>",
+        ),
+        PII_IP_RE,
+        "<IP>",
+    )
+    return df.select(
+        *[c for c in df.columns if c != text_col],
+        redacted.alias("clean_text"),
+        F.regexp_count(F.col(text_col), F.lit(PII_EMAIL_RE))
+        .cast("long")
+        .alias("n_emails"),
+        F.regexp_count(F.col(text_col), F.lit(PII_PHONE_RE))
+        .cast("long")
+        .alias("n_phones"),
+        F.regexp_count(F.col(text_col), F.lit(PII_IP_RE))
+        .cast("long")
+        .alias("n_ips"),
+    )
+
+
 def t09_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction: replace emails / phone numbers / IPv4 addresses
     with typed placeholders and count what was removed. The fixture
@@ -465,28 +500,7 @@ def t09_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text"),
     )
     a = d.select("doc_id", annotated.alias("annotated"))
-    redacted = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(F.col("annotated"), PII_EMAIL_RE, "<EMAIL>"),
-            PII_PHONE_RE,
-            "<PHONE>",
-        ),
-        PII_IP_RE,
-        "<IP>",
-    )
-    return a.select(
-        "doc_id",
-        redacted.alias("clean_text"),
-        F.regexp_count(F.col("annotated"), F.lit(PII_EMAIL_RE))
-        .cast("long")
-        .alias("n_emails"),
-        F.regexp_count(F.col("annotated"), F.lit(PII_PHONE_RE))
-        .cast("long")
-        .alias("n_phones"),
-        F.regexp_count(F.col("annotated"), F.lit(PII_IP_RE))
-        .cast("long")
-        .alias("n_ips"),
-    ).orderBy("doc_id")
+    return scrub_pii(a, "annotated").orderBy("doc_id")
 
 
 T09_SQL = r"""

@@ -189,6 +189,7 @@ _VERIFY_FIRST = [
     "q14_cube",
     "q23_grouping_sets",
     "q24_having",
+    "t10_char_entropy",
     # green-r02
     "q41_map_fns",
     "m01_media_metadata",
@@ -201,7 +202,6 @@ _VERIFY_FIRST = [
     "q50_range_join",
     "w05_attribution",
     "s08_ann_recall",
-    "t10_char_entropy",
     "w06_window_distinct",
     "d10_minhash_calibration",
     "d11_ngram_jaccard_capped",

@@ -1,0 +1,123 @@
+"""Streaming twins of the corpus-maintenance operators.
+
+A production corpus pipeline runs the batch build (p05/p07) once; after
+that, every new crawl/delivery streams through incremental operators.
+p09 (incremental refresh) got its streaming twin in round 3; this module
+adds the other two a streaming corpus pipeline needs:
+
+- **exact dedup (d01's semantics) under readStream** — foreachBatch
+  with a persisted fingerprint state table: each micro-batch dedups
+  within itself (keep min id per md5 fingerprint), anti-joins the
+  digest state accumulated from all prior batches, appends the admitted
+  rows to the output and their digests to the state. First-batch-seen
+  wins across batches; min-id wins within a batch — equal to batch
+  d01's min-id canonical whenever arrival order follows the id (true
+  for an append-only ingest key).
+
+- **PII scrub (t09's transformation) under readStream** — the scrub is
+  a pure projection (JVM regexes, no shuffle, no state), so the SAME
+  ``llm.text.scrub_pii`` code runs on the streaming frame unchanged.
+
+Scale + recovery notes:
+
+- State is a parquet table of 128-bit digests partitioned by
+  ``batch_id`` — digests cross the wire, never bodies (d01's rule). At
+  100 TB of corpus the state table is ~16 bytes x |unique docs|, a
+  normal equi-join side; the anti-join prunes nothing from the stream
+  scan but shuffles only digests.
+- Replay-safe by construction: both writes go to a ``batch_id=N``
+  partition under dynamic partition overwrite, and the state read
+  filters out the current ``batch_id``, so foreachBatch re-delivery
+  (the at-least-once contract after a restart from checkpoint)
+  overwrites its own partition instead of double-admitting.
+- The micro-batch is persisted before the two writes so admission is
+  computed once (micro-batches are bounded — the reference polls 25k
+  rows/batch — so this pins one micro-batch, not the corpus).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from kafka2clickhouse_py_streamer_spark.llm.text import scrub_pii
+
+
+def dedup_admit_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    out_dir: str,
+    state_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Admit one micro-batch against the persisted fingerprint state.
+
+    Module-level (not a closure) so the admission contract is testable
+    without a running stream — including replay idempotency, which is a
+    property of THIS function, not of the stream wiring around it.
+    """
+    spark = batch_df.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    fp = F.md5(F.col(text_col))
+    keyed = batch_df.withColumn("fp", fp)
+    keeper = F.min(id_col).over(Window.partitionBy("fp"))
+    uniq = (
+        keyed.withColumn("_keeper", keeper)
+        .filter(F.col(id_col) == F.col("_keeper"))
+        .drop("_keeper")
+    )
+    try:
+        seen = (
+            spark.read.parquet(state_dir)
+            # replay safety: never anti-join against our own partition
+            .filter(F.col("batch_id") != F.lit(batch_id))
+            .select("fp")
+        )
+        admitted = uniq.join(seen, "fp", "left_anti")
+    except Exception:
+        admitted = uniq  # first batch: no state yet
+    admitted = admitted.withColumn("batch_id", F.lit(batch_id)).persist()
+    try:
+        admitted.count()  # materialize once; both writes read the cache
+        (
+            admitted.write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+        (
+            admitted.select("fp", "batch_id")
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(state_dir)
+        )
+    finally:
+        admitted.unpersist()
+
+
+def start_streaming_exact_dedup(
+    stream_df: DataFrame,
+    out_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> StreamingQuery:
+    """Wire ``dedup_admit_batch`` under writeStream.foreachBatch."""
+    return (
+        stream_df.writeStream.foreachBatch(
+            lambda df, bid: dedup_admit_batch(
+                df, bid, out_dir, state_dir, id_col=id_col, text_col=text_col
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def scrub_stream(stream_df: DataFrame, text_col: str = "text") -> DataFrame:
+    """t09's scrub on a streaming frame: identical code, no state —
+    compose with any sink (``writeStream.format("parquet")`` in
+    production; the twin test uses the memory sink)."""
+    return scrub_pii(stream_df, text_col)

@@ -607,3 +607,149 @@ def test_live_smoke_no_probe_for_all_string_schema():
     lax = build_table_schema([("a", "String"), ("b", "String")])
     rows, n_probes = build_probe_rows(lax, n_rows=3, with_dlq=True)
     assert n_probes == 0 and len(rows) == 3
+
+
+def test_d01_streaming_dedup_matches_batch(spark, tmp_path):
+    """Exact dedup under readStream: documents stream in micro-batches
+    through the foreachBatch admitter with a persisted digest state —
+    the union of admitted (fp, doc_id) must equal batch d01's
+    (fp, canonical_id) regardless of where the micro-batch cuts fall,
+    given doc_id-ordered arrival (append-only ingest key)."""
+    from pyspark.sql import functions as F
+
+    from kafka2clickhouse_py_streamer_spark.llm.dedup import d01_exact_dedup
+    from kafka2clickhouse_py_streamer_spark.operators.base import table
+    from kafka2clickhouse_py_streamer_spark.streaming.corpus_stream import (
+        start_streaming_exact_dedup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = (
+        table(spark, sf, "documents")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .collect()
+    )
+    src = tmp_path / "docs_stream"
+    src.mkdir()
+    third = len(docs) // 3
+    for chunk in (docs[:third], docs[third : 2 * third], docs[2 * third :]):
+        spark.createDataFrame(chunk).coalesce(1).write.mode("append").parquet(
+            str(src)
+        )
+
+    out = str(tmp_path / "admitted")
+    state = str(tmp_path / "fp_state")
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(src)
+    )
+    q = start_streaming_exact_dedup(
+        stream, out, state, str(tmp_path / "ckpt_d01")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    streamed = {
+        (r.fp, r.doc_id)
+        for r in spark.read.parquet(out).select("fp", "doc_id").collect()
+    }
+    batch = {
+        (r.fp, r.canonical_id) for r in d01_exact_dedup(spark, sf).collect()
+    }
+    assert streamed == batch
+    # state carries exactly the admitted digests, one per unique doc
+    n_state = spark.read.parquet(state).select("fp").distinct().count()
+    assert n_state == len(batch)
+
+
+def test_d01_streaming_dedup_replay_idempotent(spark, tmp_path):
+    """foreachBatch re-delivery (restart between sink write and offset
+    commit) must not double-admit: re-running the admitter with the
+    SAME batch_id overwrites its own partition and leaves output and
+    state unchanged."""
+    from kafka2clickhouse_py_streamer_spark.streaming.corpus_stream import (
+        dedup_admit_batch,
+    )
+
+    out, state = str(tmp_path / "out"), str(tmp_path / "state")
+    b0 = spark.createDataFrame(
+        [(1, "alpha"), (2, "alpha"), (3, "beta")], "doc_id long, text string"
+    )
+    b1 = spark.createDataFrame(
+        [(4, "beta"), (5, "gamma")], "doc_id long, text string"
+    )
+    dedup_admit_batch(b0, 0, out, state)
+    dedup_admit_batch(b1, 1, out, state)
+    first = sorted(
+        (r.doc_id, r.batch_id) for r in spark.read.parquet(out).collect()
+    )
+    # batch 0 keeps min-id per fp (1, 3); batch 1 admits only gamma (5)
+    assert first == [(1, 0), (3, 0), (5, 1)]
+    dedup_admit_batch(b1, 1, out, state)  # replayed delivery
+    again = sorted(
+        (r.doc_id, r.batch_id) for r in spark.read.parquet(out).collect()
+    )
+    assert again == first
+    assert spark.read.parquet(state).count() == 3
+
+
+def test_t09_streaming_scrub_matches_batch(spark, tmp_path):
+    """The PII scrub is a pure projection, so the SAME scrub_pii code
+    runs under readStream: streamed clean_text/counts must equal the
+    batch transformation row-for-row over any micro-batch cut."""
+    from kafka2clickhouse_py_streamer_spark.llm.text import scrub_pii
+    from kafka2clickhouse_py_streamer_spark.streaming.corpus_stream import (
+        scrub_stream,
+    )
+
+    rows = [
+        (1, "mail me at a.b+c@example.org today"),
+        (2, "call 555-123-4567 or 555-000-1111"),
+        (3, "server at 10.1.2.3 and backup 192.168.0.1"),
+        (4, "no pii here"),
+        (5, "mixed x@y.io 1.2.3.4 555-999-0000"),
+    ]
+    src = tmp_path / "scrub_stream"
+    src.mkdir()
+    for chunk in (rows[:2], rows[2:]):
+        spark.createDataFrame(
+            chunk, "doc_id long, text string"
+        ).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(src)
+    )
+    q = (
+        scrub_stream(stream)
+        .writeStream.format("memory")
+        .queryName("t09_twin")
+        .option("checkpointLocation", str(tmp_path / "ckpt_t09"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    streamed = {
+        tuple(r)
+        for r in spark.sql(
+            "SELECT doc_id, clean_text, n_emails, n_phones, n_ips "
+            "FROM t09_twin"
+        ).collect()
+    }
+    batch_df = scrub_pii(
+        spark.createDataFrame(rows, "doc_id long, text string")
+    )
+    batch = {
+        tuple(r)
+        for r in batch_df.select(
+            "doc_id", "clean_text", "n_emails", "n_phones", "n_ips"
+        ).collect()
+    }
+    assert streamed == batch
+    # the synthetic rows exercise every pattern
+    agg = batch_df.groupBy().sum("n_emails", "n_phones", "n_ips").first()
+    assert all(v > 0 for v in agg)
