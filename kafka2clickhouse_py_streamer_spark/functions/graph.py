@@ -1,0 +1,115 @@
+"""Distributed connected components: large-star/small-star contraction.
+
+Implements the alternating star operations from Kiveris et al.,
+"Connected Components in MapReduce and Beyond" (SoCC 2014) — the
+standard public algorithm for CC at data-parallel scale. Each round is
+a constant number of equi-join + partial-agg shuffles over the CURRENT
+edge set, and the alternation contracts paths multiplicatively, so a
+component of diameter d converges in O(log d)-ish rounds instead of the
+O(d) rounds of one-hop min-label propagation (d07's round-3 loop). On a
+100 TB corpus whose near-dup graph contains a long chain — serial crawl
+snapshots, boilerplate drift — one-hop propagation is the one
+super-linear loop left in the engine; star contraction removes it.
+
+Edge-set invariants (proved in the paper): both operations preserve
+connectivity, never increase the number of edges, and the fixed point
+is a forest of stars — every non-minimum node points directly at its
+component's minimum.
+
+Only structure crosses the wire: (long, long) edge pairs. The caller
+keeps document bodies out of the graph (d07 feeds SimHash pair ids).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each node u: connect every strictly-larger neighbor to
+    m = min(N(u) ∪ {u}). Long "tails" hanging off small ids collapse
+    toward the minimum in one pass."""
+    sym = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = sym.groupBy("u").agg(
+        F.least(F.col("u"), F.min("v")).alias("m")
+    )
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Key each edge on its LARGER endpoint u; connect u and all its
+    smaller neighbors to m = min of those neighbors. Produces
+    (child > parent) canonical pairs — the star shape the fixed point
+    settles into."""
+    keyed = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    mins = keyed.groupBy("u").agg(F.min("v").alias("m"))
+    moved = keyed.join(mins, "u").select(
+        F.col("v").alias("u"), F.col("m").alias("v")
+    )
+    pointed = mins.select("u", F.col("m").alias("v"))
+    return (
+        moved.union(pointed)
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components(
+    edges: DataFrame, max_iters: int = 20
+) -> tuple[DataFrame, int]:
+    """Labels for every node that appears in ``edges``.
+
+    ``edges`` must have two long columns ``u``/``v`` (any direction,
+    self-loops ignored). Returns ``(labels, rounds)`` where labels has
+    ``doc_id``/``cluster_id`` = the component's minimum node id, and
+    rounds is the number of large+small alternations taken. Raises if
+    the fixed point is not reached within ``max_iters`` — silent
+    truncation would hand partial clusters downstream.
+
+    Convergence is the honest fixed-point check (canonical edge sets
+    equal via ``exceptAll``), not a checksum: one extra digest-sized
+    shuffle per round, and rounds are logarithmic. ``localCheckpoint``
+    truncates lineage each round so plans don't snowball.
+    """
+    nodes = (
+        edges.select(F.col("u").alias("doc_id"))
+        .union(edges.select(F.col("v").alias("doc_id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    cur = _small_star(edges).localCheckpoint(eager=True)
+    rounds = 0
+    converged = cur.isEmpty()  # edgeless graph: nothing to contract
+    while not converged and rounds < max_iters:
+        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        rounds += 1
+        # star fixed point: both canonical sets distinct, so equality
+        # == same count + empty difference (one direction suffices)
+        converged = (
+            nxt.count() == cur.count() and nxt.exceptAll(cur).isEmpty()
+        )
+        cur = nxt
+    if not converged:
+        raise RuntimeError(
+            "connected_components: star contraction did not reach its "
+            f"fixed point within max_iters={max_iters} rounds"
+        )
+    parents = cur.groupBy(F.col("u").alias("doc_id")).agg(
+        F.min("v").alias("cluster_id")
+    )
+    labels = nodes.join(parents, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+    )
+    return labels, rounds

@@ -642,82 +642,42 @@ def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def d07_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering: connected components over the d06 SimHash
-    pair graph, by iterative min-label propagation. Every document gets
-    ``cluster_id`` = the smallest doc_id reachable through near-dup
-    edges; keeping one doc per cluster is the dedup policy step.
+    pair graph via large-star/small-star contraction
+    (``functions/graph.py``; Kiveris et al., SoCC'14). Every document
+    gets ``cluster_id`` = the smallest doc_id reachable through
+    near-dup edges; keeping one doc per cluster is the dedup policy
+    step.
 
-    Each round is two shuffles (edge join + min-agg) and labels are
-    monotonically non-increasing, so convergence is O(component
-    diameter) rounds; ``localCheckpoint`` truncates lineage per round so
-    plans don't snowball. The loop iterates ONLY over the active set —
-    nodes that appear in at least one edge — because an isolated
-    document's label can never change; the full corpus is joined back
-    once after convergence. At 100 TB this is the difference between
-    shuffling the whole corpus every round and shuffling only the
-    near-dup subgraph (typically orders of magnitude smaller). The
-    large-star/small-star optimization (alternate join directions)
-    would further cut round count; the per-round plan shape is
-    unchanged. Convergence is detected via the label sum (strictly
-    decreases iff any label moved) — one lightweight agg instead of a
-    diff join.
+    Round-3's one-hop min-label propagation needed O(component
+    diameter) rounds — the one super-linear loop left in the engine
+    (a crawl-snapshot chain of length 10k would take 10k shuffle
+    rounds). Star contraction collapses paths multiplicatively:
+    measured on a 256-node chain (diameter 255), 9 rounds — ~log2 plus
+    the fixed-point confirmation round
+    (``tests/test_skew.py::test_star_contraction_chain_round_count``).
+    The loop still runs ONLY over the active set — nodes with at least
+    one edge — because an isolated document's label can never change;
+    the full corpus joins back once after convergence. At 100 TB only
+    (long, long) edge pairs ever cross the wire, never bodies.
     """
     return _cc_labels(spark, sf_dir).orderBy("doc_id")
 
 
 def _compute_cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka2clickhouse_py_streamer_spark.functions.graph import (
+        connected_components,
+    )
+
     docs = table(spark, sf_dir, "documents").select("doc_id")
-    pairs = d06_simhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .union(
-            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-        )
-        .localCheckpoint(eager=True)
+    edges = d06_simhash_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     )
-    # Active set: only nodes with at least one edge can ever change
-    # label; isolated docs stay cluster_id == doc_id and are joined
-    # back after the loop. Shrinks every round's shuffle from |docs|
-    # to |V(edges)|.
-    labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .select("doc_id", F.col("doc_id").alias("cluster_id"))
-        .localCheckpoint(eager=True)
+    # Raises rather than truncating: a partial contraction would hand
+    # partial clusters to d08 (corrupting retention stats) while the
+    # oracle computes the full closure.
+    labels, _rounds = connected_components(
+        edges, max_iters=DEDUP_CC_MAX_ITERS
     )
-    prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
-    converged = False
-    for _ in range(DEDUP_CC_MAX_ITERS):
-        nbr_min = (
-            edges.join(labels, edges.src == labels.doc_id)
-            .groupBy(F.col("dst").alias("doc_id"))
-            .agg(F.min("cluster_id").alias("nbr_min"))
-        )
-        labels = (
-            labels.withColumnRenamed("cluster_id", "old_id")
-            .join(nbr_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("old_id"),
-                    F.coalesce("nbr_min", F.col("old_id")),
-                ).alias("cluster_id"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        new_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
-        if new_sum == prev_sum:
-            converged = True
-            break
-        prev_sum = new_sum
-    if not converged:
-        # Never truncate silently: a component whose diameter exceeds the
-        # iteration cap would get partial clusters (and corrupt d08's
-        # retention stats) while the oracle computes the full closure.
-        raise RuntimeError(
-            "d07_dedup_clusters: min-label propagation did not converge "
-            f"within DEDUP_CC_MAX_ITERS={DEDUP_CC_MAX_ITERS} rounds; "
-            "raise the cap (component diameter exceeds it)"
-        )
     # Re-attach isolated documents (no edges → own label) in one join.
     return docs.join(labels, "doc_id", "left").select(
         "doc_id",

@@ -190,6 +190,8 @@ _VERIFY_FIRST = [
     "q23_grouping_sets",
     "q24_having",
     "t10_char_entropy",
+    "d10_minhash_calibration",
+    "d11_ngram_jaccard_capped",
     # green-r02
     "q41_map_fns",
     "m01_media_metadata",
@@ -203,8 +205,6 @@ _VERIFY_FIRST = [
     "w05_attribution",
     "s08_ann_recall",
     "w06_window_distinct",
-    "d10_minhash_calibration",
-    "d11_ngram_jaccard_capped",
     "q52_interval_frame",
     "q02_region_revenue",
     "q03_top_orders",
