@@ -91,14 +91,14 @@ def _quality_deduped(d: DataFrame) -> DataFrame:
 
 def _two_pass_offsets(
     df: DataFrame, group_cols: list[str], val_col: str = "n_tokens",
-    order_col: str = "doc_id",
+    order_col: str | list[str] = "doc_id",
 ) -> DataFrame:
     """Distributed running-sum offsets: for each row, the sum of
-    ``val_col`` over all earlier rows (by ``order_col``) within its
-    ``group_cols`` group — WITHOUT funneling any group through one
-    partition (a plain ``Window.partitionBy(group)`` would put an
-    entire group on one task; with groups like train/val/test that is
-    80% of the corpus).
+    ``val_col`` over all earlier rows (by ``order_col``, one column or
+    a composite) within its ``group_cols`` group — WITHOUT funneling
+    any group through one partition (a plain ``Window.partitionBy
+    (group)`` would put an entire group on one task; with groups like
+    train/val/test that is 80% of the corpus).
 
     Range-partition on (group, order) → per-(group, partition) totals
     (a |partitions|-row driver collect) → per-group prefix offsets
@@ -106,13 +106,14 @@ def _two_pass_offsets(
     may be empty for a single global stream (p03's shape)."""
     from pyspark.sql.types import LongType, StructField, StructType
 
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     spark = df.sparkSession
     parts = spark.sparkContext.defaultParallelism
     # localCheckpoint pins the sampled range boundaries so the totals
     # job and the offset job see the identical partitioning (and the
     # second scan is saved) — same trick as p04.
     ranged = (
-        df.repartitionByRange(parts, *group_cols, order_col)
+        df.repartitionByRange(parts, *group_cols, *order_cols)
         .withColumn("pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
@@ -136,7 +137,7 @@ def _two_pass_offsets(
     off = spark.createDataFrame(offsets, schema)
     w = (
         Window.partitionBy(*group_cols, "pid")
-        .orderBy(order_col)
+        .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     return (

@@ -1,0 +1,172 @@
+#!/usr/bin/env python
+"""One-off sf1 scale probe (VERDICT r03 next-round #8).
+
+The driver fixtures stop at sf0.1; this script synthesizes a
+DETERMINISTIC 10x amplification of sf0.1 under ``$SF1_DIR`` (default
+``/tmp/spark_graft_sf1``) and times the 5 heaviest headline queries at
+both scales in one session, writing ``BENCH_sf1.json`` at the repo
+root. The point is the SCALING RATIO per query (ideal = ~10x on linear
+operators), not the absolute numbers — a super-linear surprise in d03
+banding or p07's composition shows up as ratio >> 10.
+
+Amplification is replication with decorrelation, all JVM expressions:
+
+- documents: 10 replicas; doc_id shifted by replica * 10^7; text
+  vowel-rotated per replica (every shingle changes, so dedup operators
+  see 10x organic-ish volume, NOT 10-way exact/near duplicate clusters
+  that would quadratically distort candidate-pair counts — a separate
+  failure mode, and d11's DF cap covers it);
+- embeddings: vec_id shifted; each vector element jittered by a
+  deterministic sin(vec_id, dim, replica) term so LSH buckets don't
+  collapse into 10x-degenerate cells;
+- lineitem/orders/customer: keys shifted consistently so q03's joins
+  keep their selectivity; measures/dates unchanged;
+- region/nation/supplier/part/events: copied as-is (dimension tables —
+  q03 doesn't scale with them).
+
+This is bench-only data: correctness oracles always run on the
+read-only driver fixtures, never on this.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF1_DIR = os.environ.get("SF1_DIR", "/tmp/spark_graft_sf1")
+SRC = "/root/testdata/sf0.1"
+REPLICAS = 10
+SHIFT = 10_000_000
+HEAVY5 = [
+    "q03_top_orders",
+    "d03_minhash_lsh",
+    "s03_lsh_topk",
+    "p04_global_shuffle",
+    "p07_corpus_pipeline",
+]
+VOWELS = "aeiou"
+
+
+def generate(spark) -> None:
+    from pyspark.sql import functions as F
+
+    os.makedirs(SF1_DIR, exist_ok=True)
+
+    def replicate(name, build):
+        out = os.path.join(SF1_DIR, f"{name}.parquet")
+        if os.path.exists(out):
+            return
+        src = spark.read.parquet(os.path.join(SRC, f"{name}.parquet"))
+        parts = [build(src, r) for r in range(REPLICAS)]
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        df.repartition(32).write.mode("overwrite").parquet(out)
+        print(f"generated {name}", file=sys.stderr)
+
+    def docs(src, r):
+        # vowel rotation decorrelates every shingle between replicas
+        rot = VOWELS[r % len(VOWELS)] + VOWELS[(r + 1) % len(VOWELS)]
+        return src.select(
+            (F.col("doc_id") + F.lit(r * SHIFT)).alias("doc_id"),
+            F.translate("text", VOWELS[:2], rot).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+
+    def embs(src, r):
+        jitter = F.transform(
+            "embedding",
+            lambda x, i: (
+                x
+                + F.sin(
+                    (F.col("vec_id") + F.lit(r * SHIFT)).cast("double")
+                    * (i.cast("double") + F.lit(1.0))
+                    * F.lit(0.618)
+                )
+                * F.lit(0.05)
+            ).cast("float"),
+        )
+        return src.select(
+            (F.col("vec_id") + F.lit(r * SHIFT)).alias("vec_id"),
+            jitter.alias("embedding"),
+            "label",
+        )
+
+    def lineitem(src, r):
+        return src.withColumn(
+            "l_orderkey", F.col("l_orderkey") + F.lit(r * SHIFT)
+        ).withColumn("l_partkey", F.col("l_partkey") + F.lit(r * SHIFT))
+
+    def orders(src, r):
+        return src.withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(r * SHIFT)
+        ).withColumn("o_custkey", F.col("o_custkey") + F.lit(r * SHIFT))
+
+    def customer(src, r):
+        return src.withColumn(
+            "c_custkey", F.col("c_custkey") + F.lit(r * SHIFT)
+        )
+
+    replicate("documents", docs)
+    replicate("embeddings", embs)
+    replicate("lineitem", lineitem)
+    replicate("orders", orders)
+    replicate("customer", customer)
+    for name in ("region", "nation", "supplier", "part", "events"):
+        out = os.path.join(SF1_DIR, f"{name}.parquet")
+        if not os.path.exists(out):
+            spark.read.parquet(os.path.join(SRC, f"{name}.parquet")).write.mode(
+                "overwrite"
+            ).parquet(out)
+
+
+def time_queries(registry, spark, sf_dir, reps=3):
+    times = {}
+    for name in HEAVY5:
+        registry[name].fn(spark, sf_dir).count()  # warm plan + JIT
+        samples = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            registry[name].fn(spark, sf_dir).count()
+            samples.append(time.perf_counter() - t0)
+        times[name] = round(sorted(samples)[reps // 2], 3)
+    return times
+
+
+def main() -> None:
+    from kafka2clickhouse_py_streamer_spark.operators.base import all_queries
+    from kafka2clickhouse_py_streamer_spark.session import get_spark
+
+    spark = get_spark(app_name="bench-sf1")
+    spark.sparkContext.setLogLevel("ERROR")
+    generate(spark)
+    registry = all_queries()
+    t_sf01 = time_queries(registry, spark, SRC)
+    t_sf1 = time_queries(registry, spark, SF1_DIR)
+    ratios = {
+        k: round(t_sf1[k] / t_sf01[k], 2) if t_sf01[k] else None
+        for k in HEAVY5
+    }
+    out = {
+        "metric": "heavy5_sf1_scale_probe",
+        "unit": "sec",
+        "data_ratio": REPLICAS,
+        "sf0.1": t_sf01,
+        "sf1": t_sf1,
+        "scaling_ratio": ratios,
+        "value": round(sum(t_sf1.values()), 3),
+    }
+    with open(os.path.join(REPO, "BENCH_sf1.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
