@@ -896,6 +896,76 @@ ORDER BY doc_id
 """
 
 
+SPAN_W = 8  # tokens per d12 span window
+
+
+def d12_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup signal: every ``SPAN_W``-token window of
+    every document is hashed, and spans appearing in >= 2 DISTINCT
+    documents are reported with occurrence counts. This is the
+    detection half of exact-substring training-data dedup (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better" —
+    their ExactSubstr uses a suffix array on one machine; the
+    data-parallel reformulation is hash-blocked span grouping).
+
+    Scale shape: explode factor is ~|tokens| per doc, same class as
+    d02's shingle explode, but the aggregate is count-only — hot spans
+    (boilerplate) grow a GROUP, never a pair join, so there is no k²
+    blowup anywhere (contrast d02's pair join, which needs d11's DF
+    cap). Shuffle payload is a 128-bit digest + doc_id per span. A
+    deployment that also needs the span positions would carry the
+    offset column through the same plan.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("t")
+    ).filter(
+        (F.length(F.trim("text")) > 0) & (F.size("t") >= SPAN_W)
+    )
+    spans = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(t) - {SPAN_W} + 1), "
+                f"i -> md5(concat_ws(' ', slice(t, i, {SPAN_W}))))"
+            )
+        ).alias("span"),
+    )
+    return (
+        spans.groupBy("span")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy("span")
+    )
+
+
+D12_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS t
+  FROM documents WHERE LENGTH(TRIM(text)) > 0
+),
+eligible AS (SELECT doc_id, t FROM toks WHERE LEN(t) >= {SPAN_W}),
+spans AS (
+  SELECT doc_id,
+         UNNEST(list_transform(generate_series(1, LEN(t) - {SPAN_W - 1}),
+                i -> MD5(array_to_string(t[i : i + {SPAN_W - 1}], ' ')))) AS span
+  FROM eligible
+)
+SELECT span,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       MIN(doc_id) AS first_doc
+FROM spans
+GROUP BY span
+HAVING COUNT(DISTINCT doc_id) >= 2
+ORDER BY span
+"""
+
+
 QUERIES = [
     Query("d01_exact_dedup", d01_exact_dedup, D01_SQL,
           "exact dedup via hash-groupBy on MD5"),
@@ -921,4 +991,7 @@ QUERIES = [
     Query("d11_ngram_jaccard_capped", d11_ngram_jaccard_capped, _d11_sql(),
           "d02 with stop-shingle removal (DF cap bounds hot-shingle "
           "skew)"),
+    Query("d12_span_dedup", d12_span_dedup, D12_SQL,
+          "repeated cross-document token-span detection (substring-"
+          "level dedup a la Lee et al. 2022)"),
 ]

@@ -753,6 +753,76 @@ ORDER BY doc_id
 """
 
 
+TOKEN_BUDGET = 10_000  # p10 global selection budget (tokens)
+
+
+def p10_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data selection under a token budget: rank documents by the t02
+    quality heuristic (best first, doc_id tiebreak) and admit each doc
+    whose stream offset — total tokens of all better-ranked docs — is
+    still under ``TOKEN_BUDGET``. The standard "spend my compute on the
+    best N tokens" selection step before pretraining.
+
+    Scale shape: the global quality-ordered running sum reuses the
+    distributed two-pass offsets pattern (range partition on the
+    composite (neg_score, doc_id) key → per-partition totals →
+    broadcast prefix offsets → partition-local window), so no
+    SinglePartition funnel; the score itself is a row-local codegen
+    projection (``llm.text.quality_score_col`` — one source of truth
+    with t02 and its oracle)."""
+    from kafka2clickhouse_py_streamer_spark.llm.text import quality_score_col
+
+    d = table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        _n_tokens().alias("n_tokens"),
+        F.round(quality_score_col(), 2).alias("quality_score"),
+    ).withColumn("neg_score", -F.col("quality_score"))
+    ranked = _two_pass_offsets(
+        scored, [], val_col="n_tokens", order_col=["neg_score", "doc_id"]
+    )
+    return (
+        ranked.filter(F.col("stream_offset") < TOKEN_BUDGET)
+        .select(
+            "doc_id",
+            "quality_score",
+            "n_tokens",
+            F.col("stream_offset").cast("long").alias("cum_before"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _p10_sql() -> str:
+    from kafka2clickhouse_py_streamer_spark.llm.text import QUALITY_SCORE_SQL
+
+    return rf"""
+WITH scored AS (
+  SELECT doc_id,
+         CAST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+              ELSE LEN(regexp_split_to_array(TRIM(text), '\s+')) END AS BIGINT)
+           AS n_tokens,
+         ROUND({QUALITY_SCORE_SQL}, 2) AS quality_score
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, quality_score, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+             ORDER BY quality_score DESC, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before
+  FROM scored
+)
+SELECT doc_id, quality_score, n_tokens, CAST(cum_before AS BIGINT) AS cum_before
+FROM ranked
+WHERE cum_before < {TOKEN_BUDGET}
+ORDER BY doc_id
+"""
+
+
+P10_SQL = _p10_sql()
+
+
 QUERIES = [
     Query("p01_train_test_split", p01_train_test_split, P01_SQL,
           "hash-deterministic train/val/test split"),
@@ -774,4 +844,7 @@ QUERIES = [
     Query("p09_incremental_refresh", p09_incremental_refresh, P09_SQL,
           "incremental batch admission: within-batch dedup + "
           "fingerprint anti-join against the existing corpus"),
+    Query("p10_budget_select", p10_budget_select, P10_SQL,
+          "token-budget data selection: admit best-quality docs until "
+          "the global token budget is exhausted"),
 ]

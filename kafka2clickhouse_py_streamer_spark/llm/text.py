@@ -57,6 +57,41 @@ ORDER BY doc_id
 """
 
 
+def quality_score_col():
+    """The t02 quality heuristic as a reusable Column over ``text`` —
+    ONE source of truth for every operator that ranks by quality
+    (t02 itself; p10's budget selection in sampling.py). Mirrored on
+    the oracle side by ``QUALITY_SCORE_SQL``."""
+    n_tokens = F.when(F.length(F.trim("text")) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim("text"), r"\s+"))
+    )
+    n_punct = F.regexp_count(F.col("text"), F.lit(PUNCT_RE))
+    n_stop = F.regexp_count(F.lower(F.col("text")), F.lit(STOPWORD_RE))
+    tok = n_tokens.cast("double")
+    return (
+        F.when((tok >= 10) & (tok <= 1000), F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when((n_stop.cast("double") / F.greatest(tok, F.lit(1.0))) > 0.05,
+                 F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.when((n_punct.cast("double") / F.greatest(F.length("text").cast("double"), F.lit(1.0))) < 0.1,
+                 F.lit(0.3)).otherwise(F.lit(0.0))
+    )
+
+
+_N_TOKENS_SQL_FRAG = (
+    r"CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0"
+    r" ELSE LEN(regexp_split_to_array(TRIM(text), '\s+')) END"
+)
+QUALITY_SCORE_SQL = rf"""(
+  (CASE WHEN ({_N_TOKENS_SQL_FRAG}) BETWEEN 10 AND 1000 THEN 0.4 ELSE 0.0 END)
+  + (CASE WHEN CAST(LEN(regexp_extract_all(LOWER(text), '{STOPWORD_RE}')) AS DOUBLE)
+          / GREATEST(CAST(({_N_TOKENS_SQL_FRAG}) AS DOUBLE), 1.0) > 0.05
+     THEN 0.3 ELSE 0.0 END)
+  + (CASE WHEN CAST(LEN(regexp_extract_all(text, '{PUNCT_RE}')) AS DOUBLE)
+          / GREATEST(CAST(LENGTH(text) AS DOUBLE), 1.0) < 0.1
+     THEN 0.3 ELSE 0.0 END)
+)"""
+
+
 def t02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic document quality: length band + punctuation density +
     stopword ratio -> [0,1] score. Mirrors the C4/Gopher-style rule
@@ -67,14 +102,7 @@ def t02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_punct = F.regexp_count(F.col("text"), F.lit(PUNCT_RE))
     n_stop = F.regexp_count(F.lower(F.col("text")), F.lit(STOPWORD_RE))
-    tok = n_tokens.cast("double")
-    score = (
-        F.when((tok >= 10) & (tok <= 1000), F.lit(0.4)).otherwise(F.lit(0.0))
-        + F.when((n_stop.cast("double") / F.greatest(tok, F.lit(1.0))) > 0.05,
-                 F.lit(0.3)).otherwise(F.lit(0.0))
-        + F.when((n_punct.cast("double") / F.greatest(F.length("text").cast("double"), F.lit(1.0))) < 0.1,
-                 F.lit(0.3)).otherwise(F.lit(0.0))
-    )
+    score = quality_score_col()
     return d.select(
         "doc_id",
         n_tokens.cast("long").alias("n_tokens"),
@@ -616,6 +644,71 @@ ORDER BY d.doc_id
 """
 
 
+def t11_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease with a vowel-group syllable proxy: 206.835
+    - 1.015*(words/sentences) - 84.6*(syllables/words). Sentence count
+    = terminal-punctuation runs (min 1); syllables = [aeiouy]+ groups —
+    the standard cheap approximation when no dictionary is shippable.
+    Complements t02's rule score with a continuous readability axis for
+    corpus quality stratification.
+
+    Scale shape: pure projection, three codegen'd regex counts per row,
+    zero shuffles, zero Python — same cost class as t01/t02.
+    """
+    d = table(spark, sf_dir, "documents")
+    trimmed = F.trim(F.col("text"))
+    n_words = (
+        F.when(F.length(trimmed) == 0, F.lit(0))
+        .otherwise(F.size(F.split(trimmed, r"\s+")))
+        .cast("long")
+    )
+    n_sentences = F.greatest(
+        F.lit(1), F.regexp_count(F.col("text"), F.lit(r"[.!?]+"))
+    ).cast("long")
+    n_syllables = F.regexp_count(
+        F.lower(F.col("text")), F.lit(r"[aeiouy]+")
+    ).cast("long")
+    w = n_words.cast("double")
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (w / n_sentences.cast("double"))
+        - F.lit(84.6) * (n_syllables.cast("double") / w)
+    )
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sentences.alias("n_sentences"),
+        n_syllables.alias("n_syllables"),
+        F.when(n_words == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(flesch, 2))
+        .alias("flesch_score"),
+    ).orderBy("doc_id")
+
+
+T11_SQL = r"""
+WITH feats AS (
+  SELECT doc_id,
+         CAST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+              ELSE LEN(regexp_split_to_array(TRIM(text), '\s+')) END AS BIGINT)
+           AS n_words,
+         CAST(GREATEST(1, LEN(regexp_extract_all(text, '[.!?]+'))) AS BIGINT)
+           AS n_sentences,
+         CAST(LEN(regexp_extract_all(LOWER(text), '[aeiouy]+')) AS BIGINT)
+           AS n_syllables
+  FROM documents
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       CASE WHEN n_words = 0 THEN NULL
+            ELSE ROUND(206.835
+                       - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+                       - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)),
+                       2)
+       END AS flesch_score
+FROM feats
+ORDER BY doc_id
+"""
+
+
 QUERIES = [
     Query("t01_token_count", t01_token_count, T01_SQL,
           "whitespace + subword-proxy token counts"),
@@ -637,4 +730,6 @@ QUERIES = [
           "PII redaction (email/phone/IPv4) with removal counts"),
     Query("t10_char_entropy", t10_char_entropy, T10_SQL,
           "character-trigram Shannon entropy (gibberish detector)"),
+    Query("t11_readability", t11_readability, T11_SQL,
+          "Flesch reading-ease (vowel-group syllable proxy)"),
 ]

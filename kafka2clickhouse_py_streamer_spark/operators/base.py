@@ -134,6 +134,11 @@ def spread(df: DataFrame) -> DataFrame:
 # asserts the committed list matches the tool and that no query's
 # evidence can age out of the driver window unseen.
 _VERIFY_FIRST = [
+    # never-green
+    "q53_funnel",
+    "d12_span_dedup",
+    "t11_readability",
+    "p10_budget_select",
     # green-r01 but file churned since
     "q36_range_frame",
     "q37_ntile_cume",
@@ -192,6 +197,12 @@ _VERIFY_FIRST = [
     "t10_char_entropy",
     "d10_minhash_calibration",
     "d11_ngram_jaccard_capped",
+    "q28_sessionization",
+    "q08_topk_per_group",
+    "q09_running_sum",
+    "q10_lag_lead",
+    "q29_keep_first",
+    "q44_frame_navigation",
     # green-r02
     "q41_map_fns",
     "m01_media_metadata",
@@ -200,7 +211,6 @@ _VERIFY_FIRST = [
     "m04_feature_extract",
     "m05_media_dedup",
     # green-r03
-    "q28_sessionization",
     "q50_range_join",
     "w05_attribution",
     "s08_ann_recall",
@@ -215,11 +225,6 @@ _VERIFY_FIRST = [
     "q25_theta_join",
     "q26_asof_join",
     "q47_exists_pair",
-    "q08_topk_per_group",
-    "q09_running_sum",
-    "q10_lag_lead",
-    "q29_keep_first",
-    "q44_frame_navigation",
     "q11_sort_limit",
     "q15_set_ops",
     "q16_string_fns",

@@ -237,6 +237,87 @@ ORDER BY o_orderkey
 """
 
 
+def q53_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event funnel: per user, the first 'view', the first
+    'click' strictly AFTER that view, and the first 'purchase' strictly
+    after that click — the product-analytics staple (which stage does
+    each user reach, and when). Sequential "first X after Y" cannot be
+    one aggregation pass; each stage is a filtered min-agg equi-joined
+    to the previous stage on user_id.
+
+    Scale shape: three filtered partial aggs + two equi-joins, all
+    keyed on user_id, so AQE co-partitions the chain on one key; event
+    timestamps leave as unix micros (longs) to keep the comparison
+    engine-neutral. No windows, no theta joins, no driver loops."""
+    e = table(spark, sf_dir, "events")
+    view = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    click = (
+        e.filter(F.col("event_type") == "click")
+        .join(view, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    purchase = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(click, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        view.join(click, "user_id", "left")
+        .join(purchase, "user_id", "left")
+        .select(
+            "user_id",
+            F.unix_micros("t_view").alias("t_view_us"),
+            F.unix_micros("t_click").alias("t_click_us"),
+            F.unix_micros("t_purchase").alias("t_purchase_us"),
+            (
+                F.lit(1)
+                + F.col("t_click").isNotNull().cast("int")
+                + F.col("t_purchase").isNotNull().cast("int")
+            )
+            .cast("long")
+            .alias("stage_reached"),
+        )
+        .orderBy("user_id")
+    )
+
+
+Q53_SQL = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t_view
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.t_view
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.t_click
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT v.user_id,
+       epoch_us(v.t_view) AS t_view_us,
+       epoch_us(c.t_click) AS t_click_us,
+       epoch_us(p.t_purchase) AS t_purchase_us,
+       CAST(1 + (CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END)
+              + (CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         AS stage_reached
+FROM v
+LEFT JOIN c ON c.user_id = v.user_id
+LEFT JOIN p ON p.user_id = v.user_id
+ORDER BY v.user_id
+"""
+
+
 QUERIES = [
     Query("q08_topk_per_group", q08_topk_per_group, Q08_SQL,
           "row_number top-K per group"),
@@ -249,4 +330,7 @@ QUERIES = [
           "deterministic keep-first dedup"),
     Query("q44_frame_navigation", q44_frame_navigation, Q44_SQL,
           "first/last/nth_value over explicit full frame"),
+    Query("q53_funnel", q53_funnel, Q53_SQL,
+          "ordered view->click->purchase funnel (first-X-after-Y "
+          "staged aggregation)"),
 ]
