@@ -382,3 +382,50 @@ def test_s08_recall_never_cartesian(spark, sf_dir):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert python_row_ops(df) == 0
+
+
+def test_p10_budget_select_never_single_partition(spark, sf_dir):
+    # the quality-ordered global running sum must use the two-pass
+    # offsets (composite order key), never a global one-partition window
+    from kafka2clickhouse_py_streamer_spark.llm.sampling import (
+        p10_budget_select,
+    )
+
+    df = p10_budget_select(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "SinglePartition" not in plan
+    assert python_row_ops(df) == 0
+
+
+def test_d12_span_dedup_no_cartesian_pure_jvm(spark, sf_dir):
+    # span dedup must stay an explode + hash-aggregate: no pair join at
+    # all (that's its whole advantage over d02), no Python in the path
+    from kafka2clickhouse_py_streamer_spark.llm.dedup import d12_span_dedup
+
+    df = d12_span_dedup(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert python_row_ops(df) == 0
+
+
+def test_q53_funnel_equi_joins_only(spark, sf_dir):
+    # every stage joins on user_id equality; the ts ordering is a
+    # post-join filter — a nested-loop/cartesian plan would melt at
+    # event-stream scale
+    from kafka2clickhouse_py_streamer_spark.operators.windows import q53_funnel
+
+    df = q53_funnel(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert python_row_ops(df) == 0
+
+
+def test_t11_readability_shuffle_free(spark, sf_dir):
+    # pure projection: the only exchange allowed is the output ordering
+    from kafka2clickhouse_py_streamer_spark.llm.text import t11_readability
+
+    df = t11_readability(spark, sf_dir)
+    assert count_exchanges(df) <= 1  # the orderBy range exchange
+    assert python_row_ops(df) == 0

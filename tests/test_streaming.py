@@ -753,3 +753,22 @@ def test_t09_streaming_scrub_matches_batch(spark, tmp_path):
     # the synthetic rows exercise every pattern
     agg = batch_df.groupBy().sum("n_emails", "n_phones", "n_ips").first()
     assert all(v > 0 for v in agg)
+
+
+def test_live_smoke_end_to_end_if_infra_present():
+    """The live Kafka→pipeline→warehouse checklist, one `docker compose
+    up` from proof: when the live-infra env vars are set this RUNS
+    tools/live_smoke.py in-process and requires exit 0; in the sandbox
+    (no broker, no warehouse) it skips with the gating reason. Keeps
+    the deployment path a first-class test instead of a script nobody
+    runs."""
+    import os
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import live_smoke
+
+    missing = [v for v in live_smoke.REQUIRED if not os.environ.get(v)]
+    if missing:
+        pytest.skip(f"live infra not configured (missing env {missing})")
+    assert live_smoke.main() == 0
