@@ -896,6 +896,69 @@ ORDER BY doc_id
 """
 
 
+def d13_quality_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d08's retention policy upgraded from "keep min doc_id" to "keep
+    the BEST document per near-dup cluster": within each d07 component,
+    the survivor is the doc with the highest t02 quality score (doc_id
+    tiebreak). The policy a production corpus actually wants — near-dup
+    groups routinely contain one clean copy and N mojibake/boilerplate
+    variants, and min-id keeps whichever crawled first.
+
+    Scale shape: labels (|docs| rows of two longs) join documents once,
+    the per-cluster argmax is a max_by(struct) hash aggregate — partial
+    map-side, no window sort — and the score is a row-local codegen
+    projection. Reuses the session-cached converged d07 labels, so
+    running d07/d08/d13 together pays for contraction once."""
+    from kafka2clickhouse_py_streamer_spark.llm.text import quality_score_col
+
+    labels = _cc_labels(spark, sf_dir)
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.round(quality_score_col(), 2).alias("q")
+    )
+    scored = d.join(labels, "doc_id")
+    # argmax by (quality, -doc_id): max_by on a struct compares
+    # field-by-field, so the negated id breaks score ties toward the
+    # SMALLEST doc_id — deterministic on both engines.
+    return (
+        scored.groupBy("cluster_id")
+        .agg(
+            F.expr("max_by(doc_id, struct(q, -doc_id))").alias("kept_doc"),
+            F.max("q").alias("kept_quality"),
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def _d13_sql() -> str:
+    from kafka2clickhouse_py_streamer_spark.llm.text import QUALITY_SCORE_SQL
+
+    d07 = _d07_sql().strip()
+    cc = d07[: d07.rindex("SELECT node")].rstrip()
+    return f"""{cc},
+cc AS (
+  SELECT node AS doc_id, MIN(lbl) AS cluster_id
+  FROM reach
+  GROUP BY node
+),
+scored AS (
+  SELECT d.doc_id, cc.cluster_id, ROUND({QUALITY_SCORE_SQL}, 2) AS q
+  FROM documents d JOIN cc ON cc.doc_id = d.doc_id
+),
+ranked AS (
+  SELECT cluster_id, doc_id, q,
+         ROW_NUMBER() OVER (PARTITION BY cluster_id
+                            ORDER BY q DESC, doc_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+  FROM scored
+)
+SELECT cluster_id, doc_id AS kept_doc, q AS kept_quality,
+       CAST(n_members AS BIGINT) AS n_members
+FROM ranked WHERE rn = 1
+ORDER BY cluster_id
+"""
+
+
 SPAN_W = 8  # tokens per d12 span window
 
 
@@ -994,4 +1057,7 @@ QUERIES = [
     Query("d12_span_dedup", d12_span_dedup, D12_SQL,
           "repeated cross-document token-span detection (substring-"
           "level dedup a la Lee et al. 2022)"),
+    Query("d13_quality_canonical", d13_quality_canonical, _d13_sql(),
+          "quality-argmax canonical per near-dup cluster (d08's policy "
+          "upgraded from keep-min-id)"),
 ]

@@ -139,6 +139,7 @@ _VERIFY_FIRST = [
     "d12_span_dedup",
     "t11_readability",
     "p10_budget_select",
+    "d13_quality_canonical",
     # green-r01 but file churned since
     "q36_range_frame",
     "q37_ntile_cume",

@@ -429,3 +429,16 @@ def test_t11_readability_shuffle_free(spark, sf_dir):
     df = t11_readability(spark, sf_dir)
     assert count_exchanges(df) <= 1  # the orderBy range exchange
     assert python_row_ops(df) == 0
+
+
+def test_d13_canonical_argmax_is_hash_agg_not_window(spark, sf_dir):
+    # the per-cluster argmax must be a max_by hash aggregate (partial
+    # map-side), not a row_number window sort over every cluster
+    from kafka2clickhouse_py_streamer_spark.llm.dedup import (
+        d13_quality_canonical,
+    )
+
+    df = d13_quality_canonical(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Window" not in plan
+    assert "SinglePartition" not in plan
