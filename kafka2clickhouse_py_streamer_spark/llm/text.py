@@ -674,13 +674,17 @@ def t11_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.lit(1.015) * (w / n_sentences.cast("double"))
         - F.lit(84.6) * (n_syllables.cast("double") / w)
     )
+    # floor(x*100 + 0.5)/100, NOT round(x, 2): the score lands exactly
+    # on .xx5 boundaries (85.165 at sf0.1) where engine rounding modes
+    # disagree; explicit floor arithmetic is bit-identical on both.
+    rounded = F.floor(flesch * 100 + F.lit(0.5)) / 100
     return d.select(
         "doc_id",
         n_words.alias("n_words"),
         n_sentences.alias("n_sentences"),
         n_syllables.alias("n_syllables"),
         F.when(n_words == 0, F.lit(None).cast("double"))
-        .otherwise(F.round(flesch, 2))
+        .otherwise(rounded)
         .alias("flesch_score"),
     ).orderBy("doc_id")
 
@@ -699,10 +703,10 @@ WITH feats AS (
 )
 SELECT doc_id, n_words, n_sentences, n_syllables,
        CASE WHEN n_words = 0 THEN NULL
-            ELSE ROUND(206.835
+            ELSE FLOOR((206.835
                        - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
-                       - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)),
-                       2)
+                       - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)))
+                       * 100 + 0.5) / 100
        END AS flesch_score
 FROM feats
 ORDER BY doc_id

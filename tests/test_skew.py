@@ -130,3 +130,48 @@ def test_star_contraction_empty_graph(spark):
         spark.createDataFrame([], "u long, v long")
     )
     assert rounds == 0 and labels.count() == 0
+
+
+def test_star_contraction_matches_union_find_property(spark):
+    """Property check: on pseudo-random graphs the distributed star
+    contraction must agree exactly with a driver-side union-find.
+    Deterministic seed sweep (not hypothesis: each example pays a
+    Spark job, and a fixed sweep keeps CI time bounded while covering
+    sparse, dense, and self-loop-heavy shapes)."""
+    import random
+
+    from kafka2clickhouse_py_streamer_spark.functions.graph import (
+        connected_components,
+    )
+
+    for seed, n_nodes, n_edges in [(1, 30, 15), (2, 40, 60), (3, 25, 80)]:
+        rng = random.Random(seed)
+        edges = [
+            (rng.randrange(n_nodes), rng.randrange(n_nodes))
+            for _ in range(n_edges)
+        ]
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for u, v in edges:
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+        touched = {u for e in edges for u in e if e[0] != e[1]}
+        want = {
+            (x, min(y for y in range(n_nodes) if find(y) == find(x)))
+            for x in touched
+        }
+        labels, _ = connected_components(
+            spark.createDataFrame(edges, "u long, v long")
+        )
+        got = {(r.doc_id, r.cluster_id) for r in labels.collect()}
+        # nodes appearing ONLY in self-loops surface with their own id
+        only_self = {u for u, v in edges if u == v} - touched
+        got = {p for p in got if p[0] not in only_self}
+        assert got == want, f"seed {seed}"
