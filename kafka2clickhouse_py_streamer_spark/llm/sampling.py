@@ -823,6 +823,85 @@ ORDER BY doc_id
 P10_SQL = _p10_sql()
 
 
+N_CURRICULUM_STAGES = 4
+
+
+def p11_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum staging: order the corpus easy→hard (average token
+    length ascending — short-word prose first — with doc_id tiebreak)
+    and split it into N stages of EQUAL TOKEN MASS, not equal doc
+    count: ``stage = (tokens_before · N) div total_tokens``. The
+    curriculum-learning data layout: stage 0 feeds the first quarter of
+    training tokens, stage N-1 the last.
+
+    Scale shape: the global ordered running sum reuses the two-pass
+    offsets pattern (range partition on (difficulty, doc_id) →
+    per-partition totals → broadcast prefix offsets), so no
+    SinglePartition; the total is a one-row broadcast and the stage id
+    is pure integer arithmetic (no float boundary ambiguity between
+    engines)."""
+    d = table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        _n_tokens().alias("n_tokens"),
+        # raw double for ordering; identical integer inputs on both
+        # engines -> identical doubles -> identical order
+        (
+            F.col("n_chars").cast("double")
+            / F.greatest(_n_tokens(), F.lit(1)).cast("double")
+        ).alias("avg_tok_len"),
+    )
+    ranked = _two_pass_offsets(
+        scored, [], val_col="n_tokens", order_col=["avg_tok_len", "doc_id"]
+    )
+    total = scored.agg(F.sum("n_tokens").alias("total_tokens"))
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round("avg_tok_len", 4).alias("avg_tok_len"),
+            F.least(
+                F.expr(
+                    f"(stream_offset * {N_CURRICULUM_STAGES})"
+                    " div total_tokens"
+                ),
+                F.lit(N_CURRICULUM_STAGES - 1),
+            ).cast("long").alias("stage"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+P11_SQL = rf"""
+WITH scored AS (
+  SELECT doc_id,
+         CAST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+              ELSE LEN(regexp_split_to_array(TRIM(text), '\s+')) END AS BIGINT)
+           AS n_tokens,
+         CAST(n_chars AS DOUBLE) / GREATEST(
+           CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                ELSE LEN(regexp_split_to_array(TRIM(text), '\s+')) END, 1)
+           AS avg_tok_len
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, n_tokens, avg_tok_len,
+         COALESCE(SUM(n_tokens) OVER (
+             ORDER BY avg_tok_len, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before,
+         SUM(n_tokens) OVER () AS total_tokens
+  FROM scored
+)
+SELECT doc_id, n_tokens, ROUND(avg_tok_len, 4) AS avg_tok_len,
+       CAST(LEAST((cum_before * {N_CURRICULUM_STAGES}) // total_tokens,
+                  {N_CURRICULUM_STAGES - 1}) AS BIGINT) AS stage
+FROM ranked
+ORDER BY doc_id
+"""
+
+
 QUERIES = [
     Query("p01_train_test_split", p01_train_test_split, P01_SQL,
           "hash-deterministic train/val/test split"),
@@ -847,4 +926,7 @@ QUERIES = [
     Query("p10_budget_select", p10_budget_select, P10_SQL,
           "token-budget data selection: admit best-quality docs until "
           "the global token budget is exhausted"),
+    Query("p11_curriculum_stages", p11_curriculum_stages, P11_SQL,
+          "curriculum staging: easy->hard order cut into equal-token "
+          "stages via two-pass offsets"),
 ]

@@ -713,6 +713,88 @@ ORDER BY doc_id
 """
 
 
+def t12_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity profile per document: type-token ratio, hapax
+    fraction (words occurring exactly once), and mean word length.
+    Low TTR / low hapax flags template spam and generated boilerplate;
+    extreme mean word length flags codey or mashed text. Together with
+    t02 (rules), t08 (LM) and t10 (entropy) this completes the standard
+    quality-signal quartet used for corpus stratification.
+
+    Scale shape: same as t10 — explode words, partial+final count agg on
+    (doc_id, word) [map-side combinable], then a per-doc agg; two hash
+    shuffles, everything whole-stage-codegen JVM, no Python.
+    """
+    d = table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.length(F.trim("text")) == 0, F.array()
+            ).otherwise(F.split(F.lower(F.trim("text")), r"\s+"))
+        ).alias("word"),
+    ).filter(F.col("word") != "")
+    cnt = words.groupBy("doc_id", "word").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    n = F.sum("c")
+    per_doc = cnt.groupBy("doc_id").agg(
+        n.cast("long").alias("n_words"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hapax"),
+        F.round(F.count(F.lit(1)) / n, 4).alias("ttr"),
+        F.round(
+            F.sum(F.col("c") * F.length("word")) / n, 4
+        ).alias("mean_word_len"),
+    )
+    return (
+        d.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_words", F.lit(0).cast("long")).alias("n_words"),
+            F.coalesce("n_types", F.lit(0).cast("long")).alias("n_types"),
+            F.coalesce("n_hapax", F.lit(0).cast("long")).alias("n_hapax"),
+            F.coalesce("ttr", F.lit(0.0)).alias("ttr"),
+            F.coalesce("mean_word_len", F.lit(0.0)).alias("mean_word_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+T12_SQL = r"""
+WITH words AS (
+  SELECT doc_id,
+         UNNEST(regexp_split_to_array(LOWER(TRIM(text)), '\s+')) AS word
+  FROM documents
+),
+cnt AS (
+  SELECT doc_id, word, COUNT(*) AS c
+  FROM words WHERE word <> '' GROUP BY doc_id, word
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_words,
+         CAST(COUNT(*) AS BIGINT) AS n_types,
+         CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+         ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(c), 4) AS ttr,
+         ROUND(CAST(SUM(c * LENGTH(word)) AS DOUBLE) / SUM(c), 4)
+           AS mean_word_len
+  FROM cnt GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_words, 0) AS n_words,
+       COALESCE(p.n_types, 0) AS n_types,
+       COALESCE(p.n_hapax, 0) AS n_hapax,
+       COALESCE(p.ttr, 0.0) AS ttr,
+       COALESCE(p.mean_word_len, 0.0) AS mean_word_len
+FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 QUERIES = [
     Query("t01_token_count", t01_token_count, T01_SQL,
           "whitespace + subword-proxy token counts"),
@@ -736,4 +818,6 @@ QUERIES = [
           "character-trigram Shannon entropy (gibberish detector)"),
     Query("t11_readability", t11_readability, T11_SQL,
           "Flesch reading-ease (vowel-group syllable proxy)"),
+    Query("t12_lexical_diversity", t12_lexical_diversity, T12_SQL,
+          "type-token ratio, hapax fraction, mean word length"),
 ]

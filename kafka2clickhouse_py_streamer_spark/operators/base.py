@@ -140,6 +140,12 @@ _VERIFY_FIRST = [
     "t11_readability",
     "p10_budget_select",
     "d13_quality_canonical",
+    "q56_mom_growth",
+    "q54_histogram",
+    "q55_robust_outliers",
+    "t12_lexical_diversity",
+    "p11_curriculum_stages",
+    "w07_window_topk",
     # green-r01 but file churned since
     "q36_range_frame",
     "q37_ntile_cume",
@@ -204,6 +210,14 @@ _VERIFY_FIRST = [
     "q10_lag_lead",
     "q29_keep_first",
     "q44_frame_navigation",
+    "w05_attribution",
+    "w06_window_distinct",
+    "q52_interval_frame",
+    "q31_moment_stats",
+    "q32_exact_percentiles",
+    "q33_argmin_argmax",
+    "q34_filtered_agg",
+    "q35_in_subquery",
     # green-r02
     "q41_map_fns",
     "m01_media_metadata",
@@ -213,10 +227,7 @@ _VERIFY_FIRST = [
     "m05_media_dedup",
     # green-r03
     "q50_range_join",
-    "w05_attribution",
     "s08_ann_recall",
-    "w06_window_distinct",
-    "q52_interval_frame",
     "q02_region_revenue",
     "q03_top_orders",
     "q04_semi_join",
@@ -241,11 +252,6 @@ _VERIFY_FIRST = [
     "q43_ratio_to_report",
     "q45_calendar_arithmetic",
     "q46_string_agg",
-    "q31_moment_stats",
-    "q32_exact_percentiles",
-    "q33_argmin_argmax",
-    "q34_filtered_agg",
-    "q35_in_subquery",
 ]
 
 

@@ -386,6 +386,153 @@ ORDER BY event_type
 """
 
 
+N_HIST_BUCKETS = 20
+
+
+def q54_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram over ``l_extendedprice``: global min/max in
+    one aggregated pass, then every row maps to
+    ``floor((x - min) / width)`` (top edge clamped into the last
+    bucket). The distribution profile every data-quality dashboard
+    wants, computed without any sort.
+
+    Scale shape: the min/max frame is ONE row, broadcast into the
+    second scan; bucketing is a codegen projection and the bucket agg
+    is partial+final on ≤N_HIST_BUCKETS keys — two scans, one 20-key
+    shuffle, nothing driver-side. At 100 TB both scans are
+    column-pruned to the single priced column."""
+    li = table(spark, sf_dir, "lineitem")
+    bounds = li.agg(
+        F.min("l_extendedprice").cast("double").alias("lo_all"),
+        F.max("l_extendedprice").cast("double").alias("hi_all"),
+    )
+    width = (F.col("hi_all") - F.col("lo_all")) / N_HIST_BUCKETS
+    bucket = F.least(
+        F.floor((F.col("l_extendedprice") - F.col("lo_all")) / width),
+        F.lit(N_HIST_BUCKETS - 1),
+    ).cast("long")
+    return (
+        li.select("l_extendedprice")
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            bucket.alias("bucket"),
+            F.col("lo_all"),
+            F.col("hi_all"),
+        )
+        .groupBy("bucket", "lo_all", "hi_all")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            "bucket",
+            F.round(
+                F.col("lo_all")
+                + F.col("bucket")
+                * (F.col("hi_all") - F.col("lo_all"))
+                / N_HIST_BUCKETS,
+                4,
+            ).alias("bucket_lo"),
+            F.round(
+                F.col("lo_all")
+                + (F.col("bucket") + 1)
+                * (F.col("hi_all") - F.col("lo_all"))
+                / N_HIST_BUCKETS,
+                4,
+            ).alias("bucket_hi"),
+            "n_rows",
+        )
+        .orderBy("bucket")
+    )
+
+
+Q54_SQL = f"""
+WITH bounds AS (
+  SELECT CAST(MIN(l_extendedprice) AS DOUBLE) AS lo_all,
+         CAST(MAX(l_extendedprice) AS DOUBLE) AS hi_all
+  FROM lineitem
+),
+bucketed AS (
+  SELECT LEAST(
+           CAST(FLOOR((l_extendedprice - lo_all)
+                      / ((hi_all - lo_all) / {N_HIST_BUCKETS})) AS BIGINT),
+           {N_HIST_BUCKETS - 1}) AS bucket,
+         lo_all, hi_all
+  FROM lineitem, bounds
+)
+SELECT bucket,
+       ROUND(lo_all + bucket * (hi_all - lo_all) / {N_HIST_BUCKETS}, 4)
+         AS bucket_lo,
+       ROUND(lo_all + (bucket + 1) * (hi_all - lo_all) / {N_HIST_BUCKETS}, 4)
+         AS bucket_hi,
+       COUNT(*) AS n_rows
+FROM bucketed
+GROUP BY bucket, lo_all, hi_all
+ORDER BY bucket
+"""
+
+
+def q55_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier profile: median + MAD (median absolute
+    deviation) per event type, then the count of events outside
+    ``median ± 3 · 1.4826 · MAD`` — the standard robust z-score that,
+    unlike mean/stddev, is not dragged by the outliers it hunts.
+
+    Scale shape: two exact-percentile aggs on the same small key space
+    (event_type) with the per-group medians re-joined broadcast (the
+    medians frame is |keys| rows). Exact ``percentile`` holds the group
+    multiset in agg state — fine for bounded-cardinality keys; for
+    unbounded keys swap approx_percentile, same plan shape."""
+    e = table(spark, sf_dir, "events").select("event_type", "value")
+    med = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", "value", "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.first("med"), 4).alias("median_value"),
+            F.round(F.first("mad"), 4).alias("mad_value"),
+            F.sum(
+                F.when(
+                    F.col("adev") > 3 * 1.4826 * F.col("mad"), 1
+                ).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q55_SQL = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, e.value, m.med, ABS(e.value - m.med) AS adev
+  FROM events e JOIN med m ON m.event_type = e.event_type
+),
+mad AS (
+  SELECT event_type, quantile_cont(adev, 0.5) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       COUNT(*) AS n_events,
+       ROUND(ANY_VALUE(d.med), 4) AS median_value,
+       ROUND(ANY_VALUE(m.mad), 4) AS mad_value,
+       CAST(SUM(CASE WHEN d.adev > 3 * 1.4826 * m.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m ON m.event_type = d.event_type
+GROUP BY d.event_type
+ORDER BY d.event_type
+"""
+
+
 QUERIES = [
     Query("q31_moment_stats", q31_moment_stats, Q31_SQL,
           "stddev/variance/corr/covar moments"),
@@ -407,4 +554,8 @@ QUERIES = [
           "join-key skew profile (hot-key detector for salting)"),
     Query("q38_collect_agg", q38_collect_agg, Q38_SQL,
           "array_agg collection aggregates"),
+    Query("q54_histogram", q54_histogram, Q54_SQL,
+          "equi-width histogram (broadcast global bounds, no sort)"),
+    Query("q55_robust_outliers", q55_robust_outliers, Q55_SQL,
+          "median/MAD robust z-score outlier profile per group"),
 ]

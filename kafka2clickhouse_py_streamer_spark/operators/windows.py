@@ -318,6 +318,54 @@ ORDER BY v.user_id
 """
 
 
+def q56_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period analytics: monthly order revenue per order
+    priority with month-over-month absolute and percent change (lag
+    over the aggregated month series). The standard trend query of any
+    revenue dashboard — composition of a coarse time-bucket agg with a
+    navigation window over the SMALL aggregated frame.
+
+    Scale shape: one partial+final hash agg collapses the fact table to
+    |priorities|×|months| rows; the lag window then sorts only that
+    tiny frame (per-priority partitions). The expensive shuffle is on
+    the aggregate keys, never a row-level sort — at 100 TB the window
+    input is still just the month series."""
+    o = table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        "o_orderpriority",
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    w = Window.partitionBy("o_orderpriority").orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "o_orderpriority",
+        "month",
+        "revenue",
+        F.round(F.col("revenue") - prev, 2).alias("mom_delta"),
+        F.round((F.col("revenue") - prev) / prev * 100, 4).alias(
+            "mom_pct"
+        ),
+    ).orderBy("o_orderpriority", "month")
+
+
+Q56_SQL = """
+WITH monthly AS (
+  SELECT o_orderpriority,
+         CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month,
+         ROUND(SUM(o_totalprice), 2) AS revenue
+  FROM orders
+  GROUP BY o_orderpriority, DATE_TRUNC('month', o_orderdate)
+)
+SELECT o_orderpriority, month, revenue,
+       ROUND(revenue - LAG(revenue) OVER w, 2) AS mom_delta,
+       ROUND((revenue - LAG(revenue) OVER w) / LAG(revenue) OVER w * 100, 4)
+         AS mom_pct
+FROM monthly
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY month)
+ORDER BY o_orderpriority, month
+"""
+
+
 QUERIES = [
     Query("q08_topk_per_group", q08_topk_per_group, Q08_SQL,
           "row_number top-K per group"),
@@ -333,4 +381,7 @@ QUERIES = [
     Query("q53_funnel", q53_funnel, Q53_SQL,
           "ordered view->click->purchase funnel (first-X-after-Y "
           "staged aggregation)"),
+    Query("q56_mom_growth", q56_mom_growth, Q56_SQL,
+          "month-over-month revenue growth (agg + navigation window "
+          "over the aggregated series)"),
 ]

@@ -13,7 +13,7 @@ verified against the DuckDB oracle in batch mode).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka2clickhouse_py_streamer_spark.operators.base import Query, table
@@ -287,6 +287,59 @@ ORDER BY window_start
 """
 
 
+def w07_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window trending items: the top-3 event types by count inside
+    each tumbling hour, with a deterministic (count DESC, type ASC)
+    tiebreak — the "what's hot right now" feed.
+
+    Streaming posture: the windowed count agg runs under readStream
+    unchanged; the rank-and-cut runs per completed window in
+    foreachBatch (windows finalize under the watermark, so ranking a
+    window is a pure batch step over ≤|event types| rows). Scale shape:
+    one windowed hash agg (map-side combinable), then a window-function
+    sort over tiny per-hour groups — no global sort anywhere."""
+    e = table(spark, sf_dir, "events")
+    counts = e.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    rk = F.row_number().over(
+        Window.partitionBy("w").orderBy(
+            F.desc("n_events"), F.asc("event_type")
+        )
+    )
+    return (
+        counts.withColumn("rank", rk.cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select(
+            F.col("w.start").alias("window_start"),
+            "rank",
+            "event_type",
+            "n_events",
+        )
+        .orderBy("window_start", "rank")
+    )
+
+
+W07_SQL = """
+WITH counts AS (
+  SELECT DATE_TRUNC('hour', ts) AS window_start, event_type,
+         COUNT(*) AS n_events
+  FROM events
+  GROUP BY DATE_TRUNC('hour', ts), event_type
+),
+ranked AS (
+  SELECT window_start, event_type, n_events,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY window_start
+           ORDER BY n_events DESC, event_type ASC) AS BIGINT) AS rank
+  FROM counts
+)
+SELECT window_start, rank, event_type, n_events
+FROM ranked WHERE rank <= 3
+ORDER BY window_start, rank
+"""
+
+
 QUERIES = [
     Query("w01_tumbling", w01_tumbling, W01_SQL, "tumbling 1h windows"),
     Query("w02_sliding", w02_sliding, W02_SQL, "sliding 1h/30m windows"),
@@ -299,4 +352,6 @@ QUERIES = [
     Query("w06_window_distinct", w06_window_distinct, W06_SQL,
           "per-window exact distinct + HLL estimate (error-bound "
           "verified)"),
+    Query("w07_window_topk", w07_window_topk, W07_SQL,
+          "per-window top-3 trending event types (deterministic ties)"),
 ]

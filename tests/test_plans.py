@@ -442,3 +442,99 @@ def test_d13_canonical_argmax_is_hash_agg_not_window(spark, sf_dir):
     plan = formatted_plan(df)
     assert "Window" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_t12_lexical_diversity_two_agg_shuffles_jvm_only(spark, sf_dir):
+    # explode -> (doc_id, word) agg -> doc_id agg -> join back: the two
+    # hash exchanges (+1 broadcast/side for the left join at most, +1
+    # presentation sort); NO Python anywhere in the word stream
+    from kafka2clickhouse_py_streamer_spark.llm.text import (
+        t12_lexical_diversity,
+    )
+
+    df = t12_lexical_diversity(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert python_row_ops(df) == 0
+    assert "CartesianProduct" not in plan
+    # both count aggs must have a partial (map-side combine) pass
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_q54_histogram_broadcast_bounds_no_sort(spark, sf_dir):
+    # global min/max arrives broadcast (one-row frame); the bucket agg
+    # must be a hash agg — an equi-width histogram needs NO sort of the
+    # fact table, and the scans must prune to the single priced column
+    from kafka2clickhouse_py_streamer_spark.operators.statistics import (
+        q54_histogram,
+    )
+
+    df = q54_histogram(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+    assert python_row_ops(df) == 0
+    for cols in read_schema_columns(df):
+        assert cols == ["l_extendedprice"]
+
+
+def test_q55_outliers_medians_broadcast(spark, sf_dir):
+    # the per-key median/MAD frames are |keys| rows — they must come
+    # back broadcast, never as a shuffled join of the fact table
+    from kafka2clickhouse_py_streamer_spark.operators.statistics import (
+        q55_robust_outliers,
+    )
+
+    df = q55_robust_outliers(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert python_row_ops(df) == 0
+
+
+def test_w07_topk_ranks_aggregated_frame_only(spark, sf_dir):
+    # the window sort must run over the aggregated (window, type) frame
+    # — tiny per-hour groups — never over raw events; no cartesian
+    from kafka2clickhouse_py_streamer_spark.streaming.batch_windows import (
+        w07_window_topk,
+    )
+
+    df = w07_window_topk(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
+    assert python_row_ops(df) == 0
+    # agg before window: the partial+final hash agg pair exists
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_p11_curriculum_never_single_partition(spark, sf_dir):
+    # the global easy->hard running sum must use the two-pass offsets
+    # pattern — no one-partition window, no Python
+    from kafka2clickhouse_py_streamer_spark.llm.sampling import (
+        p11_curriculum_stages,
+    )
+
+    df = p11_curriculum_stages(spark, sf_dir)
+    plan = formatted_plan(df)
+    # exactly ONE SinglePartition is allowed: the one-row global token
+    # total (a scalar aggregate). The running-sum window itself must
+    # ride the two-pass offsets partitioning.
+    assert plan.count("SinglePartition") <= 1
+    assert python_row_ops(df) == 0
+
+
+def test_q56_mom_growth_window_over_aggregate(spark, sf_dir):
+    # lag must navigate the |priority|x|month| aggregated series, not
+    # raw orders: the plan is agg-then-window, one fact shuffle
+    from kafka2clickhouse_py_streamer_spark.operators.windows import (
+        q56_mom_growth,
+    )
+
+    df = q56_mom_growth(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("HashAggregate") >= 2  # partial+final before lag
+    assert python_row_ops(df) == 0
+    for cols in read_schema_columns(df):
+        assert set(cols) == {
+            "o_orderpriority", "o_orderdate", "o_totalprice"
+        }

@@ -572,6 +572,72 @@ def test_w06_hll_runs_live_under_readstream(spark, tmp_path):
     assert streamed <= batch
 
 
+def test_w07_topk_runs_live_under_readstream(spark, tmp_path):
+    """w07's streaming posture, exercised live: the watermarked
+    windowed count agg runs under readStream (append mode), and the
+    rank-and-cut runs per emitted batch in foreachBatch — a window the
+    watermark finalized is complete, so ranking it in the batch step
+    must reproduce the batch w07 rows for that window exactly."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from kafka2clickhouse_py_streamer_spark.operators.base import table
+
+    sf = "/root/testdata/sf0.001"
+    e = table(spark, sf, "events").select("ts", "event_type")
+    src = str(tmp_path / "events_w07")
+    e.coalesce(1).write.mode("overwrite").parquet(src)
+
+    es = spark.readStream.schema(e.schema).parquet(src)
+    agg = (
+        es.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    streamed: set = set()
+
+    def rank_batch(df, _id):
+        rk = F.row_number().over(
+            W.partitionBy("window_start").orderBy(
+                F.desc("n_events"), F.asc("event_type")
+            )
+        )
+        top = df.withColumn("rank", rk).filter(F.col("rank") <= 3)
+        streamed.update(
+            (r.window_start, r.rank, r.event_type, r.n_events)
+            for r in top.collect()
+        )
+
+    q = (
+        agg.writeStream.outputMode("append")
+        .foreachBatch(rank_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt_w07"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert streamed, "watermark must finalize at least one window"
+    from kafka2clickhouse_py_streamer_spark.streaming.batch_windows import (
+        w07_window_topk,
+    )
+
+    batch = {
+        (r.window_start, r.rank, r.event_type, r.n_events)
+        for r in w07_window_topk(spark, sf).collect()
+    }
+    # append mode emits only watermark-closed windows; each closed
+    # window's ranking must equal the batch twin's rows for that window
+    assert streamed <= batch
+
+
 def test_live_smoke_probe_rows_route_correctly(spark):
     """The live smoke's generated rows, driven through the SAME
     pipeline core the deployment runs: every valid row must land in
