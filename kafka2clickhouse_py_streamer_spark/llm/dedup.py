@@ -227,6 +227,28 @@ WITH {_DUCK_SHINGLES_CTE},
 """
 
 
+def _explode_bands(sig: DataFrame, id_col: str) -> DataFrame:
+    """mh0..mhN signature frame → (id, band_id, band_key): the single
+    source of the band-key layout, shared by d03's candidate join, d14's
+    admission predicate, and the streaming near-dup state table."""
+    band_cols = [
+        F.struct(
+            F.lit(bi).alias("band_id"),
+            F.concat_ws(
+                "-",
+                *[
+                    F.col(f"mh{bi * ROWS_PER_BAND + r}")
+                    for r in range(ROWS_PER_BAND)
+                ],
+            ).alias("band_key"),
+        )
+        for bi in range(BANDS)
+    ]
+    return sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(F.col(id_col), "bk.band_id", "bk.band_key")
+
+
 def _minhash_sig_and_candidates(spark: SparkSession, sf_dir: str):
     """Shared MinHash front half (d03 detection + d10 calibration):
     returns ``(sig, cand)`` where sig = per-doc (n, hashed shingle set,
@@ -274,22 +296,7 @@ def _minhash_sig_and_candidates(spark: SparkSession, sf_dir: str):
             for j in range(NUM_HASHES)
         ]
     )
-    band_cols = [
-        F.struct(
-            F.lit(bi).alias("band_id"),
-            F.concat_ws(
-                "-",
-                *[
-                    F.col(f"mh{bi * ROWS_PER_BAND + r}")
-                    for r in range(ROWS_PER_BAND)
-                ],
-            ).alias("band_key"),
-        )
-        for bi in range(BANDS)
-    ]
-    bands = sig.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
-    ).select("doc_id", "bk.band_id", "bk.band_key")
+    bands = _explode_bands(sig, "doc_id")
     x = bands.alias("x")
     y = bands.alias("y")
     cand = (
@@ -1029,6 +1036,119 @@ ORDER BY span
 """
 
 
+def minhash_band_keys(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Band keys for an ARBITRARY (id, text) frame — the reusable front
+    half of the LSH family, shared by the d14 batch predicate and the
+    streaming near-dup admission (streaming/corpus_stream.py). Same
+    constants and expressions as d03 (tokens → distinct word-3-shingles
+    → polynomial hash → 16 affine minhashes → 4 band keys), so a doc
+    gets identical band keys whichever path computes them.
+
+    Returns (id_col, band_id, band_key): BANDS rows per document.
+    Scale shape: one map-side-combinable hash agg on the id, then a
+    BANDS-way explode of the |docs|-sized frame."""
+    sh = (
+        df.select(F.col(id_col), F.expr(tokens_expr(text_col)).alias("tk"))
+        .select(F.col(id_col), F.explode(F.expr(_SPARK_SHINGLES)).alias("s"))
+        .select(
+            F.col(id_col),
+            F.expr(_SPARK_H.format(s="s")).cast("long").alias("h"),
+        )
+    )
+    sig = sh.groupBy(id_col).agg(
+        *[
+            F.min(
+                (F.lit(HASH_AS[j]) * F.col("h") + F.lit(HASH_BS[j]))
+                % MINHASH_PRIME
+            ).alias(f"mh{j}")
+            for j in range(NUM_HASHES)
+        ]
+    )
+    return _explode_bands(sig, id_col)
+
+
+def d14_lsh_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy LSH admission — the BATCH predicate of the streaming
+    near-dup filter (streaming/corpus_stream.py:neardup_admit_batch): a
+    document is admitted iff it holds the minimum doc_id in EVERY band
+    bucket it occupies; any bucket already claimed by an earlier doc
+    (admitted or not) blocks it. One pass, no transitive closure — the
+    property that makes the same decision computable incrementally on
+    a stream (bucket claims only accumulate), at the cost of being
+    more conservative than d07/d08's CC-canonical on chain-shaped
+    clusters. Per doc: how many of its bands are blocked, and the
+    admission verdict.
+
+    Scale shape: band keys (one hash agg + BANDS-way explode), a
+    bucket-min hash agg, an equi-join of the two |docs·BANDS|-sized
+    frames on the bucket key, and a per-doc agg — every step
+    equi-keyed and map-side combinable; hot (boilerplate) buckets grow
+    a group, never a pair join."""
+    d = table(spark, sf_dir, "documents")
+    bands = minhash_band_keys(d)
+    bucket_min = bands.groupBy("band_id", "band_key").agg(
+        F.min("doc_id").alias("bmin")
+    )
+    return (
+        bands.join(bucket_min, ["band_id", "band_key"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("bmin") < F.col("doc_id"), 1).otherwise(0)
+            ).cast("long").alias("n_blocked_bands")
+        )
+        .select(
+            "doc_id",
+            "n_blocked_bands",
+            (F.col("n_blocked_bands") == 0).alias("admitted"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _d14_sql() -> str:
+    h = _DUCK_H.format(s="s")
+    sig_cols = ",\n         ".join(
+        f"MIN(({HASH_AS[j]} * {h} + {HASH_BS[j]}) % {MINHASH_PRIME}) AS mh{j}"
+        for j in range(NUM_HASHES)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {bi} AS band_id, CONCAT_WS('-', {cols}) AS band_key FROM sig".format(
+            bi=bi,
+            cols=", ".join(
+                f"mh{bi * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
+            ),
+        )
+        for bi in range(BANDS)
+    )
+    return f"""
+WITH {_DUCK_SHINGLES_CTE},
+sig AS (
+  SELECT doc_id,
+         {sig_cols}
+  FROM shingles
+  GROUP BY doc_id
+),
+bands AS (
+{band_selects}
+),
+bmin AS (
+  SELECT band_id, band_key, MIN(doc_id) AS bmin
+  FROM bands GROUP BY band_id, band_key
+)
+SELECT b.doc_id,
+       CAST(SUM(CASE WHEN m.bmin < b.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_blocked_bands,
+       SUM(CASE WHEN m.bmin < b.doc_id THEN 1 ELSE 0 END) = 0 AS admitted
+FROM bands b
+JOIN bmin m ON m.band_id = b.band_id AND m.band_key = b.band_key
+GROUP BY b.doc_id
+ORDER BY b.doc_id
+"""
+
+
 QUERIES = [
     Query("d01_exact_dedup", d01_exact_dedup, D01_SQL,
           "exact dedup via hash-groupBy on MD5"),
@@ -1060,4 +1180,7 @@ QUERIES = [
     Query("d13_quality_canonical", d13_quality_canonical, _d13_sql(),
           "quality-argmax canonical per near-dup cluster (d08's policy "
           "upgraded from keep-min-id)"),
+    Query("d14_lsh_admission", d14_lsh_admission, _d14_sql(),
+          "greedy LSH admission (bucket-min predicate; batch twin of "
+          "the streaming near-dup filter)"),
 ]

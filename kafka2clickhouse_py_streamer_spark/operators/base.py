@@ -146,6 +146,7 @@ _VERIFY_FIRST = [
     "t12_lexical_diversity",
     "p11_curriculum_stages",
     "w07_window_topk",
+    "d14_lsh_admission",
     # green-r01 but file churned since
     "q36_range_frame",
     "q37_ntile_cume",

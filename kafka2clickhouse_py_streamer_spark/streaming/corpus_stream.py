@@ -3,7 +3,7 @@
 A production corpus pipeline runs the batch build (p05/p07) once; after
 that, every new crawl/delivery streams through incremental operators.
 p09 (incremental refresh) got its streaming twin in round 3; this module
-adds the other two a streaming corpus pipeline needs:
+adds the others a streaming corpus pipeline needs:
 
 - **exact dedup (d01's semantics) under readStream** — foreachBatch
   with a persisted fingerprint state table: each micro-batch dedups
@@ -17,6 +17,11 @@ adds the other two a streaming corpus pipeline needs:
 - **PII scrub (t09's transformation) under readStream** — the scrub is
   a pure projection (JVM regexes, no shuffle, no state), so the SAME
   ``llm.text.scrub_pii`` code runs on the streaming frame unchanged.
+
+- **near-dup admission (d14's predicate) under readStream** — greedy
+  LSH bucket-claim with a persisted band-key claim table; admitted set
+  equals the batch d14 predicate for id-ordered arrival, independent
+  of micro-batch cuts (see ``neardup_admit_batch``).
 
 Scale + recovery notes:
 
@@ -108,6 +113,102 @@ def start_streaming_exact_dedup(
     return (
         stream_df.writeStream.foreachBatch(
             lambda df, bid: dedup_admit_batch(
+                df, bid, out_dir, state_dir, id_col=id_col, text_col=text_col
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def neardup_admit_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    out_dir: str,
+    state_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """NEAR-dup admission for one micro-batch: greedy LSH bucket-claim
+    (d14's batch predicate, computed incrementally).
+
+    A document is admitted iff every one of its MinHash band buckets is
+    unclaimed — where buckets are claimed by ALL previously seen docs
+    (admitted or not) and, within the batch, by the bucket's min-id doc.
+    Claiming by seen-not-just-admitted docs is what makes the decision
+    independent of micro-batch cuts: the global predicate is simply
+    "d == min id ever seen in each of its buckets" (d14), regardless of
+    where batch boundaries fall — provided ids arrive in nondecreasing
+    order across batches (an append-only ingest key), the same caveat
+    as the exact-dedup twin above.
+
+    State is the (band_id, band_key) claim set partitioned by batch_id
+    — band keys cross the wire, never bodies; replay overwrites its own
+    partition (same dynamic-overwrite + self-exclusion contract as
+    ``dedup_admit_batch``)."""
+    from kafka2clickhouse_py_streamer_spark.llm.dedup import (
+        minhash_band_keys,
+    )
+
+    spark = batch_df.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    bands = minhash_band_keys(batch_df, id_col=id_col, text_col=text_col)
+    bucket_min = bands.groupBy("band_id", "band_key").agg(
+        F.min(id_col).alias("bmin")
+    )
+    # within-batch blocks: any band whose bucket has an earlier doc
+    blocked_within = (
+        bands.join(bucket_min, ["band_id", "band_key"])
+        .filter(F.col("bmin") < F.col(id_col))
+        .select(id_col)
+        .distinct()
+    )
+    try:
+        claimed = (
+            spark.read.parquet(state_dir)
+            .filter(F.col("batch_id") != F.lit(batch_id))
+            .select("band_id", "band_key")
+        )
+        blocked_state = (
+            bands.join(claimed, ["band_id", "band_key"])
+            .select(id_col)
+            .distinct()
+        )
+        blocked = blocked_within.union(blocked_state).distinct()
+    except Exception:
+        blocked = blocked_within  # first batch: no claims yet
+    admitted = batch_df.join(blocked, id_col, "left_anti").withColumn(
+        "batch_id", F.lit(batch_id)
+    )
+    bands_out = bands.withColumn("batch_id", F.lit(batch_id)).persist()
+    try:
+        bands_out.count()
+        (
+            admitted.write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+        (
+            bands_out.write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(state_dir)
+        )
+    finally:
+        bands_out.unpersist()
+
+
+def start_streaming_neardup(
+    stream_df: DataFrame,
+    out_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> StreamingQuery:
+    """Wire ``neardup_admit_batch`` under writeStream.foreachBatch."""
+    return (
+        stream_df.writeStream.foreachBatch(
+            lambda df, bid: neardup_admit_batch(
                 df, bid, out_dir, state_dir, id_col=id_col, text_col=text_col
             )
         )

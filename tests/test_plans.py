@@ -523,6 +523,21 @@ def test_p11_curriculum_never_single_partition(spark, sf_dir):
     assert python_row_ops(df) == 0
 
 
+def test_d14_admission_no_pair_join_jvm_only(spark, sf_dir):
+    # greedy admission joins bands to the bucket-MIN aggregate (never
+    # bands-to-bands like d03's candidate join): no pair blowup on hot
+    # buckets, no cartesian, no Python
+    from kafka2clickhouse_py_streamer_spark.llm.dedup import (
+        d14_lsh_admission,
+    )
+
+    df = d14_lsh_admission(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert python_row_ops(df) == 0
+
+
 def test_q56_mom_growth_window_over_aggregate(spark, sf_dir):
     # lag must navigate the |priority|x|month| aggregated series, not
     # raw orders: the plan is agg-then-window, one fact shuffle

@@ -761,6 +761,105 @@ def test_d01_streaming_dedup_replay_idempotent(spark, tmp_path):
     assert spark.read.parquet(state).count() == 3
 
 
+def test_d14_streaming_neardup_matches_batch(spark, tmp_path):
+    """Near-dup admission under readStream: documents stream in THREE
+    genuine micro-batches (maxFilesPerTrigger=1) through the greedy
+    LSH bucket-claim admitter with a persisted band-key claim table.
+    The admitted set must equal batch d14's admitted predicate exactly
+    — the bucket-claim decision is independent of micro-batch cuts for
+    id-ordered arrival because claims come from SEEN docs, not
+    admitted ones."""
+    from kafka2clickhouse_py_streamer_spark.llm.dedup import (
+        d14_lsh_admission,
+    )
+    from kafka2clickhouse_py_streamer_spark.operators.base import table
+    from kafka2clickhouse_py_streamer_spark.streaming.corpus_stream import (
+        start_streaming_neardup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = (
+        table(spark, sf, "documents")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .collect()
+    )
+    src = tmp_path / "neardup_stream"
+    src.mkdir()
+    third = len(docs) // 3
+    for chunk in (docs[:third], docs[third : 2 * third], docs[2 * third :]):
+        spark.createDataFrame(chunk).coalesce(1).write.mode("append").parquet(
+            str(src)
+        )
+
+    out = str(tmp_path / "nd_admitted")
+    state = str(tmp_path / "band_state")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = start_streaming_neardup(
+        stream, out, state, str(tmp_path / "ckpt_d14")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    streamed = {
+        r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()
+    }
+    batch = {
+        r.doc_id
+        for r in d14_lsh_admission(spark, sf).filter("admitted").collect()
+    }
+    assert streamed == batch
+    # the claim table carries every SEEN doc's bands, not only admitted
+    n_claims = spark.read.parquet(state).count()
+    from kafka2clickhouse_py_streamer_spark.llm.dedup import BANDS
+
+    assert n_claims == len(docs) * BANDS
+
+
+def test_d14_streaming_neardup_replay_idempotent(spark, tmp_path):
+    """Re-delivering a micro-batch with the same batch_id (restart
+    between sink write and offset commit) must leave admitted output
+    and claim state unchanged — and a doc identical to an earlier
+    batch's doc must be blocked by the persisted claims."""
+    from kafka2clickhouse_py_streamer_spark.streaming.corpus_stream import (
+        neardup_admit_batch,
+    )
+
+    out, state = str(tmp_path / "nd_out"), str(tmp_path / "nd_state")
+    b0 = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely different words in this second document"),
+        ],
+        "doc_id long, text string",
+    )
+    b1 = spark.createDataFrame(
+        [
+            (3, "the quick brown fox jumps over the lazy dog"),  # dup of 1
+            (4, "novel content that matches nothing seen before"),
+        ],
+        "doc_id long, text string",
+    )
+    neardup_admit_batch(b0, 0, out, state)
+    neardup_admit_batch(b1, 1, out, state)
+    first = sorted(
+        (r.doc_id, r.batch_id) for r in spark.read.parquet(out).collect()
+    )
+    # doc 3 shares every band with doc 1 -> blocked by state claims
+    assert first == [(1, 0), (2, 0), (4, 1)]
+    neardup_admit_batch(b1, 1, out, state)  # replayed delivery
+    again = sorted(
+        (r.doc_id, r.batch_id) for r in spark.read.parquet(out).collect()
+    )
+    assert again == first
+
+
 def test_t09_streaming_scrub_matches_batch(spark, tmp_path):
     """The PII scrub is a pure projection, so the SAME scrub_pii code
     runs under readStream: streamed clean_text/counts must equal the
