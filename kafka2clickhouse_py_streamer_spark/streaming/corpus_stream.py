@@ -222,3 +222,76 @@ def scrub_stream(stream_df: DataFrame, text_col: str = "text") -> DataFrame:
     compose with any sink (``writeStream.format("parquet")`` in
     production; the twin test uses the memory sink)."""
     return scrub_pii(stream_df, text_col)
+
+
+COMPACTED_BATCH_ID = -1  # never collides with a real foreachBatch id
+
+
+def compact_state(spark, state_dir: str, through_batch: int) -> int:
+    """Fold the per-batch state partitions up to ``through_batch`` into
+    ONE compacted partition (``batch_id=-1``) — the maintenance step
+    that keeps a long-running stream's state table from accreting one
+    small partition per micro-batch (the classic streaming small-files
+    problem: a year of 30 s batches is ~1M partitions; the claim/digest
+    JOIN side then spends longer listing files than joining).
+
+    Works on both state layouts (exact-dedup digests and near-dup band
+    claims): everything except ``batch_id`` is carried through a
+    DISTINCT (cross-batch duplicate claims collapse). Returns the
+    number of partitions removed.
+
+    Safety contract:
+    - COMPACTED_BATCH_ID (-1) never equals a real batch id, so the
+      admitters' ``batch_id != current`` replay filter keeps treating
+      compacted claims as prior state.
+    - Only compact batches the stream's CHECKPOINT HAS COMMITTED: a
+      replay re-delivers at most the batch after the last commit, and
+      that batch's partition is untouched, so self-exclusion still
+      works. Compacting an uncommitted batch would let a replayed doc
+      be blocked by its own claims.
+    - Run between micro-batches (or from a maintenance job while the
+      stream is stopped): the rewrite is write-to-temp → swap, but a
+      concurrent reader could list mid-swap.
+    """
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(state_dir)
+    fs = root.getFileSystem(hconf)
+
+    old_parts = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not name.startswith("batch_id="):
+            continue
+        bid = int(name.split("=", 1)[1])
+        if bid == COMPACTED_BATCH_ID or bid <= through_batch:
+            old_parts.append(st.getPath())
+    if not old_parts:
+        return 0
+
+    state = spark.read.parquet(state_dir)
+    keep_cols = [c for c in state.columns if c != "batch_id"]
+    consolidated = (
+        state.filter(
+            (F.col("batch_id") == COMPACTED_BATCH_ID)
+            | (F.col("batch_id") <= through_batch)
+        )
+        .select(*keep_cols)
+        .distinct()
+    )
+    # 1) materialize to a dot-prefixed temp dir (invisible to parquet
+    #    directory listings) — the read completes BEFORE any delete
+    tmp = jvm.org.apache.hadoop.fs.Path(state_dir, ".compact_tmp")
+    fs.delete(tmp, True)
+    consolidated.write.mode("overwrite").parquet(str(tmp))
+    fs.delete(jvm.org.apache.hadoop.fs.Path(str(tmp), "_SUCCESS"), False)
+    # 2) drop the folded partitions (incl. the previous compacted one)
+    for p in old_parts:
+        fs.delete(p, True)
+    # 3) swap the temp dir in as the new compacted partition
+    target = jvm.org.apache.hadoop.fs.Path(
+        state_dir, f"batch_id={COMPACTED_BATCH_ID}"
+    )
+    if not fs.rename(tmp, target):
+        raise RuntimeError(f"compaction swap failed: {tmp} -> {target}")
+    return len(old_parts)

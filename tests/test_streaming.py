@@ -860,6 +860,99 @@ def test_d14_streaming_neardup_replay_idempotent(spark, tmp_path):
     assert again == first
 
 
+def test_state_compaction_preserves_admission(spark, tmp_path):
+    """Folding committed per-batch state partitions into the compacted
+    partition must change NOTHING about subsequent admission decisions
+    — for both state layouts (exact-dedup digests and near-dup band
+    claims) — while removing the per-batch small partitions."""
+    from kafka2clickhouse_py_streamer_spark.streaming.corpus_stream import (
+        compact_state,
+        dedup_admit_batch,
+        neardup_admit_batch,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "completely different words in this second document"),
+        (3, "the quick brown fox jumps over the lazy dog"),
+        (4, "novel content that matches nothing seen before"),
+        (5, "completely different words in this second document"),
+        (6, "yet another unique closing document of the fixture"),
+    ]
+    probe = [
+        (7, "the quick brown fox jumps over the lazy dog"),  # dup of 1
+        (8, "entirely fresh text no prior batch ever claimed"),
+    ]
+
+    def run(admit, out, state, compact):
+        for bid, lo, hi in ((0, 0, 2), (1, 2, 4), (2, 4, 6)):
+            admit(
+                spark.createDataFrame(
+                    rows[lo:hi], "doc_id long, text string"
+                ),
+                bid, out, state,
+            )
+        if compact:
+            removed = compact_state(spark, state, through_batch=2)
+            assert removed == 3
+        admit(
+            spark.createDataFrame(probe, "doc_id long, text string"),
+            3, out, state,
+        )
+        return sorted(
+            r.doc_id for r in spark.read.parquet(out).collect()
+        )
+
+    for admit in (dedup_admit_batch, neardup_admit_batch):
+        name = admit.__name__
+        plain = run(
+            admit, str(tmp_path / f"{name}_o1"),
+            str(tmp_path / f"{name}_s1"), compact=False,
+        )
+        compacted = run(
+            admit, str(tmp_path / f"{name}_o2"),
+            str(tmp_path / f"{name}_s2"), compact=True,
+        )
+        assert compacted == plain == [1, 2, 4, 6, 8]
+        # the compacted state holds ONE batch partition for batches<=2
+        # (-1) plus the probe batch's own partition
+        import os
+
+        parts = {
+            p for p in os.listdir(str(tmp_path / f"{name}_s2"))
+            if p.startswith("batch_id=")
+        }
+        assert parts == {"batch_id=-1", "batch_id=3"}
+
+
+def test_state_compaction_is_repeatable(spark, tmp_path):
+    """Compacting twice (the second time folding the previous compacted
+    partition together with newer batches) keeps the claim SET stable
+    — repeated maintenance can't lose or duplicate state."""
+    from kafka2clickhouse_py_streamer_spark.streaming.corpus_stream import (
+        compact_state,
+        dedup_admit_batch,
+    )
+
+    out, state = str(tmp_path / "rc_out"), str(tmp_path / "rc_state")
+    for bid, text in ((0, "aaa"), (1, "bbb"), (2, "ccc")):
+        dedup_admit_batch(
+            spark.createDataFrame(
+                [(bid * 10, text)], "doc_id long, text string"
+            ),
+            bid, out, state,
+        )
+    compact_state(spark, state, through_batch=1)
+    fps_mid = {
+        r.fp for r in spark.read.parquet(state).select("fp").collect()
+    }
+    compact_state(spark, state, through_batch=2)
+    fps_end = {
+        r.fp for r in spark.read.parquet(state).select("fp").collect()
+    }
+    assert fps_mid == fps_end and len(fps_end) == 3
+
+
 def test_t09_streaming_scrub_matches_batch(spark, tmp_path):
     """The PII scrub is a pure projection, so the SAME scrub_pii code
     runs under readStream: streamed clean_text/counts must equal the
