@@ -103,12 +103,10 @@ ORDER BY query_id, rk
 """
 
 
-def s02_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH ANN: 8 deterministic planes -> 8 sign bits ->
-    bucket id; report per-bucket membership stats (the candidate
-    generation stage — top-k within bucket composes with s01's scorer).
-    """
-    base = _base(spark, sf_dir)
+def _bucket_expr():
+    """Hyperplane-LSH bucket id of the ``v`` column: 8 deterministic
+    planes → 8 sign bits → long. Single source for s02/s03/s09 (and
+    the matching SQL in :func:`_bucket_sql_expr`)."""
     bucket = None
     for p in range(N_PLANES):
         coeffs = F.array(
@@ -116,7 +114,30 @@ def s02_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         bit = F.when(dot("v", coeffs) > 0, F.lit(1 << p)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
-    tagged = base.select("vec_id", bucket.cast("long").alias("bucket"))
+    return bucket.cast("long")
+
+
+def _bucket_sql_expr() -> str:
+    """DuckDB twin of :func:`_bucket_expr` over a ``v`` list column."""
+    bits = []
+    for p in range(N_PLANES):
+        coeffs = ", ".join(
+            str(float(_plane_coeff(p, i))) for i in range(DIM)
+        )
+        bits.append(
+            f"(CASE WHEN list_dot_product(v, [{coeffs}]) > 0"
+            f" THEN {1 << p} ELSE 0 END)"
+        )
+    return "\n         + ".join(bits)
+
+
+def s02_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN: 8 deterministic planes -> 8 sign bits ->
+    bucket id; report per-bucket membership stats (the candidate
+    generation stage — top-k within bucket composes with s01's scorer).
+    """
+    base = _base(spark, sf_dir)
+    tagged = base.select("vec_id", _bucket_expr().alias("bucket"))
     return (
         tagged.groupBy("bucket")
         .agg(
@@ -129,16 +150,7 @@ def s02_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _s02_sql() -> str:
-    bits = []
-    for p in range(N_PLANES):
-        coeffs = ", ".join(
-            str(float(_plane_coeff(p, i))) for i in range(DIM)
-        )
-        bits.append(
-            f"(CASE WHEN list_dot_product(v, [{coeffs}]) > 0"
-            f" THEN {1 << p} ELSE 0 END)"
-        )
-    combine = "\n         + ".join(bits)
+    combine = _bucket_sql_expr()
     return f"""
 WITH base AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -163,14 +175,7 @@ def s03_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     replaces s01's cross join — this is the shape that survives a
     billion-vector corpus."""
     base = _base(spark, sf_dir)
-    bucket = None
-    for p in range(N_PLANES):
-        coeffs = F.array(
-            *[F.lit(float(_plane_coeff(p, i))) for i in range(DIM)]
-        )
-        bit = F.when(dot("v", coeffs) > 0, F.lit(1 << p)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
-    tagged = base.withColumn("bucket", bucket.cast("long"))
+    tagged = base.withColumn("bucket", _bucket_expr())
     q = tagged.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -199,16 +204,7 @@ def s03_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _s03_sql() -> str:
-    bits = []
-    for p in range(N_PLANES):
-        coeffs = ", ".join(
-            str(float(_plane_coeff(p, i))) for i in range(DIM)
-        )
-        bits.append(
-            f"(CASE WHEN list_dot_product(v, [{coeffs}]) > 0"
-            f" THEN {1 << p} ELSE 0 END)"
-        )
-    combine = "\n         + ".join(bits)
+    combine = _bucket_sql_expr()
     return f"""
 WITH base AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -702,6 +698,92 @@ ORDER BY e.query_id
 """
 
 
+K_GRAPH = 3
+
+
+def s09_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-corpus kNN graph: every vector's top-``K_GRAPH`` nearest
+    neighbours AMONG ITS LSH BUCKET-MATES — the graph-construction step
+    under SemDeDup-style semantic dedup, embedding clustering, and
+    label propagation. Unlike s03 (small query set vs corpus,
+    broadcast), both join sides here are the full corpus: candidates
+    come from one shuffle-join on the bucket id, so the pair count is
+    Σ|bucket|², bounded by LSH occupancy — never |corpus|². Vectors in
+    singleton buckets have no graph edges by construction (production
+    raises recall with multi-probe or band repetition, same trade s08
+    measures).
+
+    Scale shape: one equi-join keyed on the 8-bit bucket, exact cosine
+    re-rank per candidate pair, per-source top-k window over
+    bucket-local groups. No broadcast side — this is the
+    both-sides-large ANN shape."""
+    base = _base(spark, sf_dir)
+    tagged = base.withColumn("bucket", _bucket_expr())
+    a = tagged.select(
+        F.col("vec_id").alias("src_id"),
+        F.col("v").alias("sv"),
+        F.col("norm").alias("snorm"),
+        "bucket",
+    )
+    b = tagged.select(
+        F.col("vec_id").alias("nbr_id"),
+        F.col("v").alias("nv"),
+        F.col("norm").alias("nnorm"),
+        "bucket",
+    )
+    scored = (
+        a.join(b, "bucket")
+        .filter(F.col("src_id") != F.col("nbr_id"))
+        .select(
+            "src_id",
+            "nbr_id",
+            F.round(_cosine("sv", "nv", "snorm", "nnorm"), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("src_id").orderBy(
+        F.col("cosine").desc(), F.col("nbr_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= K_GRAPH)
+        .orderBy("src_id", "rk")
+    )
+
+
+def _s09_sql() -> str:
+    combine = _bucket_sql_expr()
+    return f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+tagged AS (
+  SELECT vec_id, v,
+         CAST({combine} AS BIGINT) AS bucket
+  FROM base
+),
+scored AS (
+  SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
+         ROUND(list_dot_product(a.v, b.v)
+               / (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v))),
+               6) AS cosine
+  FROM tagged a
+  JOIN tagged b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT src_id, nbr_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY src_id
+                            ORDER BY cosine DESC, nbr_id ASC) AS rk
+  FROM scored
+)
+SELECT src_id, nbr_id, cosine, rk
+FROM ranked WHERE rk <= {K_GRAPH}
+ORDER BY src_id, rk
+"""
+
+
 QUERIES = [
     Query("s01_cosine_topk", s01_cosine_topk, S01_SQL,
           "exact brute-force cosine top-k"),
@@ -719,4 +801,7 @@ QUERIES = [
           "k-NN majority-vote label prediction (label propagation)"),
     Query("s08_ann_recall", s08_ann_recall, _s08_sql(),
           "recall@k evaluation: LSH ANN vs exact ground truth"),
+    Query("s09_knn_graph", s09_knn_graph, _s09_sql(),
+          "all-corpus kNN graph via LSH bucket self-join "
+          "(both-sides-large ANN)"),
 ]

@@ -147,6 +147,8 @@ _VERIFY_FIRST = [
     "p11_curriculum_stages",
     "w07_window_topk",
     "d14_lsh_admission",
+    "q57_cohort_retention",
+    "s09_knn_graph",
     # green-r01 but file churned since
     "q36_range_frame",
     "q37_ntile_cume",
@@ -219,6 +221,7 @@ _VERIFY_FIRST = [
     "q33_argmin_argmax",
     "q34_filtered_agg",
     "q35_in_subquery",
+    "s08_ann_recall",
     # green-r02
     "q41_map_fns",
     "m01_media_metadata",
@@ -228,7 +231,6 @@ _VERIFY_FIRST = [
     "m05_media_dedup",
     # green-r03
     "q50_range_join",
-    "s08_ann_recall",
     "q02_region_revenue",
     "q03_top_orders",
     "q04_semi_join",

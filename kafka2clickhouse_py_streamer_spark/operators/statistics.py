@@ -533,6 +533,83 @@ ORDER BY d.event_type
 """
 
 
+def q57_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention — the classic product-analytics matrix: group
+    customers by their FIRST order month (the cohort), then for every
+    later month report how many of that cohort ordered again and the
+    retention rate. Composition of two aggregations and a broadcast
+    re-join; no windows.
+
+    Scale shape: first-order cohorts are one partial+final hash agg on
+    the customer key; activity is a distinct on (customer, month) —
+    also one agg; the cohort tag joins back broadcast (|customers| ≪
+    fact table; at 100 TB this join side is the customer dimension, a
+    normal broadcast/bucketed candidate). The final matrix is
+    |cohorts|×|months| rows."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+    )
+    cohorts = o.groupBy("o_custkey").agg(
+        F.min("month").alias("cohort_month")
+    )
+    sizes = cohorts.groupBy("cohort_month").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    activity = o.distinct()
+    matrix = (
+        activity.join(F.broadcast(cohorts), "o_custkey")
+        .groupBy("cohort_month", "month")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+    )
+    return (
+        matrix.join(F.broadcast(sizes), "cohort_month")
+        .select(
+            "cohort_month",
+            "month",
+            F.months_between("month", "cohort_month")
+            .cast("long")
+            .alias("month_index"),
+            "n_active",
+            F.col("cohort_size").cast("long").alias("cohort_size"),
+            F.round(
+                F.col("n_active") / F.col("cohort_size"), 6
+            ).alias("retention"),
+        )
+        .orderBy("cohort_month", "month")
+    )
+
+
+Q57_SQL = """
+WITH o AS (
+  SELECT o_custkey, CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month
+  FROM orders
+),
+cohorts AS (
+  SELECT o_custkey, MIN(month) AS cohort_month FROM o GROUP BY o_custkey
+),
+sizes AS (
+  SELECT cohort_month, COUNT(*) AS cohort_size
+  FROM cohorts GROUP BY cohort_month
+),
+activity AS (SELECT DISTINCT o_custkey, month FROM o),
+matrix AS (
+  SELECT c.cohort_month, a.month, CAST(COUNT(*) AS BIGINT) AS n_active
+  FROM activity a JOIN cohorts c ON c.o_custkey = a.o_custkey
+  GROUP BY c.cohort_month, a.month
+)
+SELECT m.cohort_month, m.month,
+       CAST((YEAR(m.month) - YEAR(m.cohort_month)) * 12
+            + (MONTH(m.month) - MONTH(m.cohort_month)) AS BIGINT)
+         AS month_index,
+       m.n_active,
+       CAST(s.cohort_size AS BIGINT) AS cohort_size,
+       ROUND(CAST(m.n_active AS DOUBLE) / s.cohort_size, 6) AS retention
+FROM matrix m JOIN sizes s ON s.cohort_month = m.cohort_month
+ORDER BY m.cohort_month, m.month
+"""
+
+
 QUERIES = [
     Query("q31_moment_stats", q31_moment_stats, Q31_SQL,
           "stddev/variance/corr/covar moments"),
@@ -558,4 +635,7 @@ QUERIES = [
           "equi-width histogram (broadcast global bounds, no sort)"),
     Query("q55_robust_outliers", q55_robust_outliers, Q55_SQL,
           "median/MAD robust z-score outlier profile per group"),
+    Query("q57_cohort_retention", q57_cohort_retention, Q57_SQL,
+          "monthly cohort retention matrix (first-order cohorts, "
+          "broadcast re-join)"),
 ]

@@ -139,6 +139,90 @@ def test_two_pass_offsets_matches_serial_cumsum(spark):
     check()
 
 
+def test_d14_greedy_predicate_matches_reference_and_cuts(spark, tmp_path):
+    """Property: for random tiny corpora, (a) the Spark bucket-min
+    admission equals a serial greedy reference computed from the band
+    keys by definition, and (b) splitting the corpus into two
+    micro-batches through the streaming admitter yields the SAME
+    admitted set (cut independence for id-ordered arrival)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import functions as F
+
+    from kafka2clickhouse_py_streamer_spark.llm.dedup import (
+        minhash_band_keys,
+    )
+    from kafka2clickhouse_py_streamer_spark.streaming.corpus_stream import (
+        neardup_admit_batch,
+    )
+
+    vocab = ["alpha", "beta", "gamma", "delta", "epsi", "zeta"]
+    corpus_strategy = st.lists(
+        st.lists(st.sampled_from(vocab), min_size=3, max_size=7),
+        min_size=2,
+        max_size=8,
+    )
+    runs = iter(range(1000))
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(corpus_strategy)
+    def check(word_lists):
+        docs = [(i, " ".join(ws)) for i, ws in enumerate(word_lists)]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        bands = minhash_band_keys(df).collect()
+        # serial reference: admitted iff min id in EVERY occupied bucket
+        bucket_min: dict[tuple, int] = {}
+        for r in bands:
+            k = (r.band_id, r.band_key)
+            bucket_min[k] = min(bucket_min.get(k, r.doc_id), r.doc_id)
+        ref = {
+            d
+            for d, _ in docs
+            if all(
+                bucket_min[(r.band_id, r.band_key)] == d
+                for r in bands
+                if r.doc_id == d
+            )
+        }
+        # (a) Spark predicate (the d14 core, on this frame)
+        bdf = minhash_band_keys(df)
+        bmin = bdf.groupBy("band_id", "band_key").agg(
+            F.min("doc_id").alias("bmin")
+        )
+        spark_admitted = {
+            r.doc_id
+            for r in bdf.join(bmin, ["band_id", "band_key"])
+            .groupBy("doc_id")
+            .agg(F.max(F.col("bmin") < F.col("doc_id")).alias("blocked"))
+            .filter(~F.col("blocked"))
+            .collect()
+        }
+        assert spark_admitted == ref
+        # (b) streaming admitter over an arbitrary two-batch cut
+        run = next(runs)
+        out = str(tmp_path / f"o{run}")
+        state = str(tmp_path / f"s{run}")
+        cut = max(1, len(docs) // 2)
+        for bid, chunk in enumerate((docs[:cut], docs[cut:])):
+            if chunk:
+                neardup_admit_batch(
+                    spark.createDataFrame(
+                        chunk, "doc_id long, text string"
+                    ),
+                    bid, out, state,
+                )
+        streamed = {
+            r.doc_id for r in spark.read.parquet(out).collect()
+        }
+        assert streamed == ref
+
+    check()
+
+
 def test_t09_scrub_is_idempotent_and_complete(spark, sf_dir):
     # after redaction no PII pattern may remain, counts must match the
     # synthesized annotations exactly, and scrubbing the clean text

@@ -538,6 +538,37 @@ def test_d14_admission_no_pair_join_jvm_only(spark, sf_dir):
     assert python_row_ops(df) == 0
 
 
+def test_s09_knn_graph_bucket_join_no_cartesian(spark, sf_dir):
+    # both-sides-large ANN: candidates MUST come from the bucket
+    # equi-join — a cartesian/nested-loop self-join is the |corpus|²
+    # failure this operator exists to avoid
+    from kafka2clickhouse_py_streamer_spark.llm.similarity import (
+        s09_knn_graph,
+    )
+
+    df = s09_knn_graph(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert python_row_ops(df) == 0
+
+
+def test_q57_cohort_retention_broadcast_rejoins(spark, sf_dir):
+    # the cohort tag and size frames are customer/cohort-sized — they
+    # re-join broadcast; the fact table shuffles only for its aggs
+    from kafka2clickhouse_py_streamer_spark.operators.statistics import (
+        q57_cohort_retention,
+    )
+
+    df = q57_cohort_retention(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    assert python_row_ops(df) == 0
+    for cols in read_schema_columns(df):
+        assert set(cols) == {"o_custkey", "o_orderdate"}
+
+
 def test_q56_mom_growth_window_over_aggregate(spark, sf_dir):
     # lag must navigate the |priority|x|month| aggregated series, not
     # raw orders: the plan is agg-then-window, one fact shuffle

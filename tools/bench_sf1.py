@@ -3,7 +3,7 @@
 
 The driver fixtures stop at sf0.1; this script synthesizes a
 DETERMINISTIC 10x amplification of sf0.1 under ``$SF1_DIR`` (default
-``/tmp/spark_graft_sf1``) and times the 5 heaviest headline queries at
+``/tmp/spark_graft_sf1``) and times the heaviest queries at
 both scales in one session, writing ``BENCH_sf1.json`` at the repo
 root. The point is the SCALING RATIO per query (ideal = ~10x on linear
 operators), not the absolute numbers — a super-linear surprise in d03
@@ -42,12 +42,18 @@ SF1_DIR = os.environ.get("SF1_DIR", "/tmp/spark_graft_sf1")
 SRC = "/root/testdata/sf0.1"
 REPLICAS = 10
 SHIFT = 10_000_000
-HEAVY5 = [
+HEAVY = [
     "q03_top_orders",
     "d03_minhash_lsh",
     "s03_lsh_topk",
     "p04_global_shuffle",
     "p07_corpus_pipeline",
+    # round-4 explode-heavy additions: span grouping, LSH admission,
+    # word-level diversity — the three new operators whose row growth
+    # (spans/bands/words per doc) could hide super-linear behavior
+    "d12_span_dedup",
+    "d14_lsh_admission",
+    "t12_lexical_diversity",
 ]
 VOWELS = "aeiou"
 
@@ -129,7 +135,7 @@ def generate(spark) -> None:
 
 def time_queries(registry, spark, sf_dir, reps=3):
     times = {}
-    for name in HEAVY5:
+    for name in HEAVY:
         registry[name].fn(spark, sf_dir).count()  # warm plan + JIT
         samples = []
         for _ in range(reps):
@@ -152,10 +158,10 @@ def main() -> None:
     t_sf1 = time_queries(registry, spark, SF1_DIR)
     ratios = {
         k: round(t_sf1[k] / t_sf01[k], 2) if t_sf01[k] else None
-        for k in HEAVY5
+        for k in HEAVY
     }
     out = {
-        "metric": "heavy5_sf1_scale_probe",
+        "metric": "heavy_sf1_scale_probe",
         "unit": "sec",
         "data_ratio": REPLICAS,
         "sf0.1": t_sf01,
