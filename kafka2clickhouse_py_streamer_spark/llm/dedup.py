@@ -49,13 +49,17 @@ HASH_BS = [7 * j + 1 for j in range(NUM_HASHES)]
 # (Token array is materialized as a column FIRST — see functions.hashing:
 # inlining split() re-evaluates the regex per element; measured 56 s vs
 # <1 s on 500 docs.)
-_SPARK_TOKENS = tokens_expr("text")
+_SPARK_TOKENS = tokens_expr("coalesce(text, '')")
 _SPARK_SHINGLES = shingles_expr("tk", SHINGLE_WORDS)
 
+# COALESCE(text, '') on BOTH engines: null text behaves exactly like
+# empty text (one '' shingle) — without it Spark's transform-over-null
+# yields '' while DuckDB's array_to_string(NULL) yields NULL, and the
+# two engines silently disagree on which docs pair up.
 _DUCK_SHINGLES_CTE = r"""
 toks AS (
   SELECT doc_id, source,
-         regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS tk
+         regexp_split_to_array(TRIM(LOWER(COALESCE(text, ''))), '\s+') AS tk
   FROM documents
 ),
 shingles AS (
@@ -493,11 +497,14 @@ def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok"),
     ).filter(F.length("tok") > 0)
     padded = "rpad(substring(tok, 1, 4), 4, 'x')"
+    # CAST to BIGINT before the multiply: ascii() yields the full code
+    # point, and an astral-plane char (codepoint ≥ 2^31/29791 ≈ 72k,
+    # e.g. any emoji) overflows INT*INT under ANSI arithmetic
     th = (
-        f"(ascii(substring({padded}, 1, 1)) * 29791"
-        f" + ascii(substring({padded}, 2, 1)) * 961"
-        f" + ascii(substring({padded}, 3, 1)) * 31"
-        f" + ascii(substring({padded}, 4, 1)))"
+        f"(CAST(ascii(substring({padded}, 1, 1)) AS BIGINT) * 29791"
+        f" + CAST(ascii(substring({padded}, 2, 1)) AS BIGINT) * 961"
+        f" + CAST(ascii(substring({padded}, 3, 1)) AS BIGINT) * 31"
+        f" + CAST(ascii(substring({padded}, 4, 1)) AS BIGINT))"
     )
     toks = toks.withColumn("th", F.expr(th).cast("long"))
     votes = toks.groupBy("doc_id").agg(
@@ -520,11 +527,13 @@ def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _d04_sql() -> str:
     padded = "RPAD(SUBSTRING(tok, 1, 4), 4, 'x')"
+    # BIGINT cast mirrors the Spark side: astral-plane code points
+    # overflow INT32 * INT32 in DuckDB too
     th = (
-        f"(ASCII(SUBSTRING({padded}, 1, 1)) * 29791"
-        f" + ASCII(SUBSTRING({padded}, 2, 1)) * 961"
-        f" + ASCII(SUBSTRING({padded}, 3, 1)) * 31"
-        f" + ASCII(SUBSTRING({padded}, 4, 1)))"
+        f"(CAST(ASCII(SUBSTRING({padded}, 1, 1)) AS BIGINT) * 29791"
+        f" + CAST(ASCII(SUBSTRING({padded}, 2, 1)) AS BIGINT) * 961"
+        f" + CAST(ASCII(SUBSTRING({padded}, 3, 1)) AS BIGINT) * 31"
+        f" + CAST(ASCII(SUBSTRING({padded}, 4, 1)) AS BIGINT))"
     )
     votes = ",\n         ".join(
         f"SUM(CASE WHEN (th >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
@@ -1050,7 +1059,11 @@ def minhash_band_keys(
     Scale shape: one map-side-combinable hash agg on the id, then a
     BANDS-way explode of the |docs|-sized frame."""
     sh = (
-        df.select(F.col(id_col), F.expr(tokens_expr(text_col)).alias("tk"))
+        # null text ≡ empty text (same rule as _DUCK_SHINGLES_CTE)
+        df.select(
+            F.col(id_col),
+            F.expr(tokens_expr(f"coalesce({text_col}, '')")).alias("tk"),
+        )
         .select(F.col(id_col), F.explode(F.expr(_SPARK_SHINGLES)).alias("s"))
         .select(
             F.col(id_col),

@@ -129,7 +129,10 @@ def _two_pass_offsets(
         if key != cur:
             cur, acc = key, 0
         offsets.append((*key, row["pid"], acc))
-        acc += row["tot"]
+        # a partition whose rows ALL carry null val_col sums to None
+        # (sum ignores nulls); it contributes 0 to downstream offsets —
+        # same contract as the window sum, which also skips nulls
+        acc += row["tot"] or 0
     schema = StructType(
         [ranged.schema[c] for c in group_cols]
         + [ranged.schema["pid"], StructField("off", LongType())]
@@ -843,12 +846,16 @@ def p11_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     scored = d.select(
         "doc_id",
-        _n_tokens().alias("n_tokens"),
+        F.coalesce(_n_tokens(), F.lit(0)).cast("long").alias("n_tokens"),
         # raw double for ordering; identical integer inputs on both
-        # engines -> identical doubles -> identical order
-        (
+        # engines -> identical doubles -> identical order. COALESCE to
+        # 0.0 so null-text docs take a deterministic place (easiest) —
+        # otherwise Spark windows order nulls FIRST and DuckDB LAST,
+        # and the cumulative sums silently disagree.
+        F.coalesce(
             F.col("n_chars").cast("double")
-            / F.greatest(_n_tokens(), F.lit(1)).cast("double")
+            / F.greatest(_n_tokens(), F.lit(1)).cast("double"),
+            F.lit(0.0),
         ).alias("avg_tok_len"),
     )
     ranked = _two_pass_offsets(
@@ -876,13 +883,13 @@ def p11_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
 P11_SQL = rf"""
 WITH scored AS (
   SELECT doc_id,
-         CAST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
-              ELSE LEN(regexp_split_to_array(TRIM(text), '\s+')) END AS BIGINT)
-           AS n_tokens,
-         CAST(n_chars AS DOUBLE) / GREATEST(
+         CAST(COALESCE(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+              ELSE LEN(regexp_split_to_array(TRIM(text), '\s+')) END, 0)
+           AS BIGINT) AS n_tokens,
+         COALESCE(CAST(n_chars AS DOUBLE) / GREATEST(
            CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
-                ELSE LEN(regexp_split_to_array(TRIM(text), '\s+')) END, 1)
-           AS avg_tok_len
+                ELSE LEN(regexp_split_to_array(TRIM(text), '\s+')) END, 1),
+           0.0) AS avg_tok_len
   FROM documents
 ),
 ranked AS (
