@@ -3,6 +3,8 @@ from kafka2clickhouse_py_streamer_spark.functions.vectors import (
     dot,
     l2_norm,
     to_double_vec,
+    valid_emb_sql,
+    valid_embeddings,
 )
 from kafka2clickhouse_py_streamer_spark.functions.hashing import (
     poly_hash_sql,
@@ -18,4 +20,6 @@ __all__ = [
     "shingles_expr",
     "to_double_vec",
     "tokens_expr",
+    "valid_emb_sql",
+    "valid_embeddings",
 ]

@@ -45,3 +45,27 @@ def cosine(a: Column | str, b: Column | str,
     na = F.col(a_norm) if isinstance(a_norm, str) else a_norm
     nb = F.col(b_norm) if isinstance(b_norm, str) else b_norm
     return dot(a, b) / (na * nb)
+
+
+def valid_embeddings(df, dim: int, col: str = "embedding"):
+    """Admission gate for vector operators: drop NULL, wrong-dimension,
+    and zero-norm embeddings. Cosine is undefined for a zero vector
+    (the division crashes under ANSI arithmetic), and a short/empty
+    array silently degrades every dot product — a 100 TB corpus WILL
+    contain all three corruptions. Mirrored on the oracle side by
+    ``VALID_EMB_SQL`` (LEN + list_dot_product guard)."""
+    c = F.col(col)
+    return df.filter(
+        c.isNotNull()
+        & (F.size(c) == dim)
+        & (l2_norm(to_double_vec(c)) > 0)
+    )
+
+
+def valid_emb_sql(dim: int, col: str = "embedding") -> str:
+    """DuckDB twin of :func:`valid_embeddings` as a WHERE fragment."""
+    v = f"list_transform({col}, x -> CAST(x AS DOUBLE))"
+    return (
+        f"{col} IS NOT NULL AND LEN({col}) = {dim}"
+        f" AND list_dot_product({v}, {v}) > 0"
+    )

@@ -28,6 +28,8 @@ from kafka2clickhouse_py_streamer_spark.functions import (
     shingles_expr,
     to_double_vec,
     tokens_expr,
+    valid_emb_sql,
+    valid_embeddings,
 )
 from kafka2clickhouse_py_streamer_spark.operators.base import Query, table
 
@@ -40,6 +42,7 @@ BANDS = 4  # 4 bands x 4 rows
 ROWS_PER_BAND = NUM_HASHES // BANDS
 MINHASH_JACCARD_THRESHOLD = 0.5
 NEARDUP_COSINE = 0.6
+EMB_DIM = 64  # embeddings fixture dimension (matches similarity.DIM)
 
 # Deterministic affine permutation constants (a_j * H + b_j) mod P.
 HASH_AS = [2 * j + 3 for j in range(NUM_HASHES)]
@@ -785,7 +788,7 @@ def d05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     label block (blocking bounds the pair count; the unblocked version is
     the LSH job in similarity.py). Dot/norms via JVM higher-order fns in
     strict index order for oracle bit-parity."""
-    em = table(spark, sf_dir, "embeddings")
+    em = valid_embeddings(table(spark, sf_dir, "embeddings"), EMB_DIM)
     vec_d = to_double_vec("embedding")
     base = em.select(
         "vec_id", "label", vec_d.alias("v"), l2_norm(vec_d).alias("norm")
@@ -815,6 +818,7 @@ WITH base AS (
   SELECT vec_id, label,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
+  WHERE {valid_emb_sql(64)}
 )
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
        ROUND(list_dot_product(a.v, b.v)

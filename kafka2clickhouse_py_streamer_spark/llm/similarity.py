@@ -24,6 +24,8 @@ from kafka2clickhouse_py_streamer_spark.functions import (
     dot,
     l2_norm,
     to_double_vec,
+    valid_emb_sql,
+    valid_embeddings,
 )
 from kafka2clickhouse_py_streamer_spark.operators.base import Query, table
 
@@ -39,7 +41,7 @@ def _plane_coeff(plane: int, i: int) -> int:
 
 
 def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
-    em = table(spark, sf_dir, "embeddings")
+    em = valid_embeddings(table(spark, sf_dir, "embeddings"), DIM)
     vec_d = to_double_vec("embedding")
     return em.select(
         "vec_id", vec_d.alias("v"), l2_norm(vec_d).alias("norm")
@@ -82,6 +84,7 @@ S01_SQL = f"""
 WITH base AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
+  WHERE embedding IS NOT NULL AND LEN(embedding) = 64 AND list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)), list_transform(embedding, x -> CAST(x AS DOUBLE))) > 0
 ),
 scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
@@ -155,6 +158,7 @@ def _s02_sql() -> str:
 WITH base AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
+  WHERE embedding IS NOT NULL AND LEN(embedding) = 64 AND list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)), list_transform(embedding, x -> CAST(x AS DOUBLE))) > 0
 ),
 tagged AS (
   SELECT vec_id,
@@ -209,6 +213,7 @@ def _s03_sql() -> str:
 WITH base AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
+  WHERE embedding IS NOT NULL AND LEN(embedding) = 64 AND list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)), list_transform(embedding, x -> CAST(x AS DOUBLE))) > 0
 ),
 tagged AS (
   SELECT vec_id, v,
@@ -315,6 +320,7 @@ def _s04_sql() -> str:
 WITH base AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
+  WHERE embedding IS NOT NULL AND LEN(embedding) = 64 AND list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)), list_transform(embedding, x -> CAST(x AS DOUBLE))) > 0
 ),
 dotted AS (
   SELECT vec_id, v,
@@ -424,6 +430,7 @@ def _s05_sql() -> str:
 WITH base AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
+  WHERE embedding IS NOT NULL AND LEN(embedding) = 64 AND list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)), list_transform(embedding, x -> CAST(x AS DOUBLE))) > 0
 ),
 seeds AS (
   SELECT CAST(vec_id % {N_CENTROIDS} AS INTEGER) AS g,
@@ -521,6 +528,7 @@ S06_SQL = """
 WITH base AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
+  WHERE embedding IS NOT NULL AND LEN(embedding) = 64 AND list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)), list_transform(embedding, x -> CAST(x AS DOUBLE))) > 0
 ),
 scaled AS (
   SELECT vec_id, v,
@@ -562,7 +570,7 @@ def s07_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     streams (never shuffles) through the scored projection; the only
     exchanges are the per-query top-k window and the (query, label)
     vote agg, both keyed on the tiny query-id space."""
-    base = table(spark, sf_dir, "embeddings")
+    base = valid_embeddings(table(spark, sf_dir, "embeddings"), DIM)
     vec = to_double_vec("embedding")
     typed = base.select(
         "vec_id", vec.alias("v"), l2_norm(vec).alias("norm"), "label"
@@ -613,6 +621,7 @@ WITH base AS (
   SELECT vec_id, label,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
+  WHERE embedding IS NOT NULL AND LEN(embedding) = 64 AND list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)), list_transform(embedding, x -> CAST(x AS DOUBLE))) > 0
 ),
 scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS cand_id, c.label AS cand_label,
@@ -758,6 +767,7 @@ def _s09_sql() -> str:
 WITH base AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
+  WHERE embedding IS NOT NULL AND LEN(embedding) = 64 AND list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)), list_transform(embedding, x -> CAST(x AS DOUBLE))) > 0
 ),
 tagged AS (
   SELECT vec_id, v,

@@ -196,6 +196,7 @@ _VERIFY_FIRST = [
     "w02_sliding",
     "w03_session_window",
     "w04_enriched_windows",
+    "q41_map_fns",
     # green-r03 but file churned since
     "p03_sequence_packing",
     "q27_approx_stats",
@@ -222,8 +223,22 @@ _VERIFY_FIRST = [
     "q34_filtered_agg",
     "q35_in_subquery",
     "s08_ann_recall",
+    "q11_sort_limit",
+    "q15_set_ops",
+    "q16_string_fns",
+    "q17_date_fns",
+    "q18_json_fns",
+    "q19_array_fns",
+    "q20_conditional",
+    "q22_pivot",
+    "q30_unpivot",
+    "q39_math_fns",
+    "q40_full_outer",
+    "q42_posexplode",
+    "q43_ratio_to_report",
+    "q45_calendar_arithmetic",
+    "q46_string_agg",
     # green-r02
-    "q41_map_fns",
     "m01_media_metadata",
     "m02_decode_stats",
     "m03_frame_sample",
@@ -240,21 +255,6 @@ _VERIFY_FIRST = [
     "q25_theta_join",
     "q26_asof_join",
     "q47_exists_pair",
-    "q11_sort_limit",
-    "q15_set_ops",
-    "q16_string_fns",
-    "q17_date_fns",
-    "q18_json_fns",
-    "q19_array_fns",
-    "q20_conditional",
-    "q22_pivot",
-    "q30_unpivot",
-    "q39_math_fns",
-    "q40_full_outer",
-    "q42_posexplode",
-    "q43_ratio_to_report",
-    "q45_calendar_arithmetic",
-    "q46_string_agg",
 ]
 
 

@@ -239,12 +239,21 @@ def q18_json_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# json_valid guard mirrors Spark's get_json_object, which returns NULL
+# for malformed JSON instead of erroring (DuckDB json_extract throws).
 Q18_SQL = """
+WITH parsed AS (
+  SELECT event_type,
+         CASE WHEN props IS NOT NULL AND json_valid(props)
+              THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+         END AS k
+  FROM events
+)
 SELECT event_type,
-       ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
-       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+       ROUND(AVG(k), 4) AS avg_k,
+       MAX(k) AS max_k,
        COUNT(*) AS n
-FROM events
+FROM parsed
 GROUP BY event_type
 ORDER BY event_type
 """
@@ -259,7 +268,9 @@ def q19_array_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return em.select(
         "vec_id",
         F.size("embedding").cast("long").alias("dim"),
-        F.round(F.element_at(vec_d, 1), 6).alias("first_elem"),
+        # try_element_at: NULL on an empty array (matches DuckDB's
+        # embedding[1]); plain element_at throws under ANSI
+        F.round(F.try_element_at(vec_d, F.lit(1)), 6).alias("first_elem"),
         F.round(
             F.aggregate(vec_d, F.lit(0.0), lambda acc, x: acc + x), 6
         ).alias("elem_sum"),
@@ -273,10 +284,12 @@ Q19_SQL = """
 SELECT vec_id,
        CAST(LEN(embedding) AS BIGINT) AS dim,
        ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_elem,
-       ROUND(list_reduce(list_prepend(0.0, list_transform(embedding, x -> CAST(x AS DOUBLE))),
-                         (acc, x) -> acc + x), 6) AS elem_sum,
-       ROUND(list_reduce(list_prepend(0.0, list_transform(embedding, x -> CAST(x AS DOUBLE))),
-                         (acc, x) -> acc + x * x), 6) AS elem_sq_sum
+       CASE WHEN embedding IS NOT NULL THEN
+         ROUND(list_reduce(list_prepend(0.0, list_transform(embedding, x -> CAST(x AS DOUBLE))),
+                           (acc, x) -> acc + x), 6) END AS elem_sum,
+       CASE WHEN embedding IS NOT NULL THEN
+         ROUND(list_reduce(list_prepend(0.0, list_transform(embedding, x -> CAST(x AS DOUBLE))),
+                           (acc, x) -> acc + x * x), 6) END AS elem_sq_sum
 FROM embeddings
 ORDER BY vec_id
 """
@@ -461,11 +474,17 @@ def q41_map_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+# json_valid guard: Spark's from_json yields a NULL map for malformed
+# JSON; DuckDB's json_keys/json_extract throw — mirror the null.
 Q41_SQL = """
 SELECT event_id,
-       CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k,
-       array_to_string(list_sort(json_keys(props)), ',') AS prop_keys,
-       CAST(LEN(json_keys(props)) AS BIGINT) AS n_props
+       CASE WHEN props IS NOT NULL AND json_valid(props)
+            THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS prop_k,
+       CASE WHEN props IS NOT NULL AND json_valid(props)
+            THEN COALESCE(array_to_string(list_sort(json_keys(props)), ','), '')
+       END AS prop_keys,
+       CASE WHEN props IS NOT NULL AND json_valid(props)
+            THEN CAST(LEN(json_keys(props)) AS BIGINT) END AS n_props
 FROM events
 ORDER BY event_id
 """

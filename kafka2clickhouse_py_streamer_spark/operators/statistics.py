@@ -373,9 +373,11 @@ WITH counts AS (
   SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
 ),
 totals AS (
-  SELECT CAST(COUNT(*) AS DOUBLE) AS total,
-         CAST(COUNT(DISTINCT event_type) AS DOUBLE) AS n_keys
-  FROM events
+  -- derive from counts so the NULL key group is included, exactly like
+  -- the Spark side (COUNT(DISTINCT) would silently drop it)
+  SELECT CAST(SUM(n) AS DOUBLE) AS total,
+         CAST(COUNT(*) AS DOUBLE) AS n_keys
+  FROM counts
 )
 SELECT event_type, n,
        ROUND(n / total, 6) AS share,

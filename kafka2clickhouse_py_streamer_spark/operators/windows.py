@@ -79,10 +79,15 @@ ORDER BY o_custkey, o_orderkey
 
 
 def q10_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lag/lead + rank family over the events stream table."""
+    """lag/lead + rank family over the events stream table.
+
+    Null placement is EXPLICIT in every ordering (NULLS FIRST for the
+    time axis, NULLS LAST under the value DESC rank): Spark and DuckDB
+    have opposite defaults, so an implicit ordering silently reshuffles
+    rows with null ts/value between the engines."""
     e = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(
-        F.col("ts").asc(), F.col("event_id").asc()
+        F.col("ts").asc_nulls_first(), F.col("event_id").asc()
     )
     return e.select(
         "user_id",
@@ -92,7 +97,7 @@ def q10_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lead("value", 1).over(w), 4).alias("next_value"),
         F.rank().over(
             Window.partitionBy("user_id").orderBy(
-                F.col("value").desc(), F.col("event_id").asc()
+                F.col("value").desc_nulls_last(), F.col("event_id").asc()
             )
         ).cast("long").alias("value_rank"),
     ).orderBy("user_id", "event_id")
@@ -103,9 +108,10 @@ SELECT user_id, event_id,
        ROUND(value, 4) AS value,
        ROUND(LAG(value, 1) OVER w, 4) AS prev_value,
        ROUND(LEAD(value, 1) OVER w, 4) AS next_value,
-       RANK() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS value_rank
+       RANK() OVER (PARTITION BY user_id
+                    ORDER BY value DESC NULLS LAST, event_id ASC) AS value_rank
 FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC NULLS FIRST, event_id ASC)
 ORDER BY user_id, event_id
 """
 
@@ -118,7 +124,9 @@ def q28_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the batch twin of streaming ``session_window`` (see
     streaming/windows.py).
     """
-    e = table(spark, sf_dir, "events")
+    # no event time -> no session membership (same contract as the
+    # w-ops' timed_events gate)
+    e = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy(
         F.col("ts").asc(), F.col("event_id").asc()
     )
@@ -149,7 +157,7 @@ WITH flagged AS (
   SELECT user_id, ts, event_id, value,
          CASE WHEN epoch(ts) - LAG(epoch(ts), 1) OVER w > 1800.0
               THEN 1 ELSE 0 END AS new_sess
-  FROM events
+  FROM events WHERE ts IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
 ), sess AS (
   -- running sum ordered exactly like the Spark window: (ts, event_id)

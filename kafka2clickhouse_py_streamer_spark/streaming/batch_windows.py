@@ -19,10 +19,20 @@ from pyspark.sql import functions as F
 from kafka2clickhouse_py_streamer_spark.operators.base import Query, table
 
 
+def timed_events(spark, sf_dir):
+    """events with a non-null event time — the w-ops' shared contract:
+    an event without a timestamp cannot be placed in any window (under
+    readStream it could never pass a watermark either), so time-window
+    analytics exclude it on BOTH engines (`WHERE ts IS NOT NULL`)."""
+    from pyspark.sql import functions as _F
+
+    return table(spark, sf_dir, "events").filter(_F.col("ts").isNotNull())
+
+
 def w01_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour windows: F.window() aligned to the epoch, so the
     window start equals date_trunc('hour') for hour-sized windows."""
-    e = table(spark, sf_dir, "events")
+    e = timed_events(spark, sf_dir)
     return (
         e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
@@ -43,7 +53,7 @@ W01_SQL = """
 SELECT DATE_TRUNC('hour', ts) AS window_start, event_type,
        COUNT(*) AS n_events,
        ROUND(SUM(value), 4) AS sum_value
-FROM events
+FROM events WHERE ts IS NOT NULL
 GROUP BY DATE_TRUNC('hour', ts), event_type
 ORDER BY window_start, event_type
 """
@@ -53,7 +63,7 @@ def w02_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding windows (1 h / 30 min): every event lands in exactly two
     windows; Spark's window() expands rows internally (an Expand node —
     row growth is size/slide, bounded and predictable at scale)."""
-    e = table(spark, sf_dir, "events")
+    e = timed_events(spark, sf_dir)
     return (
         e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
         .agg(
@@ -76,7 +86,7 @@ WITH expanded AS (
   SELECT ts, value,
          UNNEST([to_timestamp(FLOOR(epoch(ts) / 1800) * 1800),
                  to_timestamp(FLOOR(epoch(ts) / 1800) * 1800 - 1800)]) AS window_start
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 )
 SELECT CAST(window_start AS TIMESTAMP) AS window_start,
        COUNT(*) AS n_events,
@@ -91,9 +101,12 @@ ORDER BY window_start
 def w03_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (30 min gap) per user via F.session_window — the
     same expression works under readStream with a watermark. A new
-    session starts when the gap is >= 30 min (windows merge only on
-    strict overlap)."""
-    e = table(spark, sf_dir, "events")
+    session starts only when the gap is STRICTLY greater than 30 min:
+    Spark merges an event exactly gap-distant from the previous one
+    (the window end is inclusive for merging) — verified empirically by
+    the adversarial sweep's exact-1800 s fixture; an oracle with
+    ``>= 1800`` splits that boundary pair and silently disagrees."""
+    e = timed_events(spark, sf_dir)
     return (
         e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(
@@ -113,9 +126,9 @@ def w03_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 W03_SQL = """
 WITH flagged AS (
   SELECT user_id, ts, value,
-         CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER w >= 1800.0
+         CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER w > 1800.0
               OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
-  FROM events
+  FROM events WHERE ts IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
 ),
 sess AS (
@@ -141,7 +154,7 @@ def w04_enriched_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     the dimension broadcast once per batch). The dim side is explicitly
     broadcast: at 100 TB the event stream NEVER shuffles for the join —
     the only exchange is the windowed agg's."""
-    e = table(spark, sf_dir, "events")
+    e = timed_events(spark, sf_dir)
     c = table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"), "c_mktsegment"
     )
@@ -169,6 +182,7 @@ SELECT DATE_TRUNC('hour', e.ts) AS window_start,
        ROUND(SUM(e.value), 4) AS sum_value
 FROM events e
 JOIN customer c ON c.c_custkey = e.user_id
+WHERE e.ts IS NOT NULL
 GROUP BY DATE_TRUNC('hour', e.ts), c.c_mktsegment
 ORDER BY window_start, segment
 """
@@ -189,7 +203,7 @@ def w05_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     then min(struct) per view for the first click. Per-user state is
     bounded by the 4 h horizon, the same bound the streaming watermark
     enforces. Microsecond integer arithmetic keeps both engines exact."""
-    e = table(spark, sf_dir, "events")
+    e = timed_events(spark, sf_dir)
     views = e.filter(F.col("event_type") == "view").select(
         F.col("event_id").alias("view_id"),
         "user_id",
@@ -223,11 +237,11 @@ def w05_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 W05_SQL = """
 WITH v AS (
   SELECT event_id AS view_id, user_id, epoch_us(ts) AS t_view
-  FROM events WHERE event_type = 'view'
+  FROM events WHERE event_type = 'view' AND ts IS NOT NULL
 ),
 c AS (
   SELECT event_id AS click_id, user_id, epoch_us(ts) AS t_click
-  FROM events WHERE event_type = 'click'
+  FROM events WHERE event_type = 'click' AND ts IS NOT NULL
 ),
 ranked AS (
   SELECT v.view_id, v.user_id, c.click_id,
@@ -255,7 +269,7 @@ def w06_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant state per window — while the exact twin here is the batch
     calibration, checked by the same boolean bound pattern as q27
     (sketch values can't hash-match across engines)."""
-    e = table(spark, sf_dir, "events")
+    e = timed_events(spark, sf_dir)
     agg = e.groupBy(F.window("ts", "1 hour").alias("w")).agg(
         F.countDistinct("user_id").alias("n_users"),
         F.approx_count_distinct("user_id", 0.02).alias("hll_users"),
@@ -281,7 +295,7 @@ SELECT DATE_TRUNC('hour', ts) AS window_start,
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
        TRUE AS hll_within_bound,
        CAST(COUNT(*) AS BIGINT) AS n_events
-FROM events
+FROM events WHERE ts IS NOT NULL
 GROUP BY DATE_TRUNC('hour', ts)
 ORDER BY window_start
 """
@@ -298,7 +312,7 @@ def w07_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     window is a pure batch step over ≤|event types| rows). Scale shape:
     one windowed hash agg (map-side combinable), then a window-function
     sort over tiny per-hour groups — no global sort anywhere."""
-    e = table(spark, sf_dir, "events")
+    e = timed_events(spark, sf_dir)
     counts = e.groupBy(
         F.window("ts", "1 hour").alias("w"), "event_type"
     ).agg(F.count(F.lit(1)).alias("n_events"))
@@ -324,7 +338,7 @@ W07_SQL = """
 WITH counts AS (
   SELECT DATE_TRUNC('hour', ts) AS window_start, event_type,
          COUNT(*) AS n_events
-  FROM events
+  FROM events WHERE ts IS NOT NULL
   GROUP BY DATE_TRUNC('hour', ts), event_type
 ),
 ranked AS (

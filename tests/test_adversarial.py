@@ -1,23 +1,33 @@
-"""Adversarial differential sweep: every documents-based operator runs
-on a HOSTILE fixture — null text, empty/whitespace-only docs, single
-tokens, astral-plane unicode (emoji), 50× repeated words, a 1000-token
-document, punctuation-only and numeral-only text — and must still agree
-with its DuckDB oracle exactly.
+"""Adversarial differential sweeps: operators run on HOSTILE fixtures
+— and must still agree with their DuckDB oracle exactly.
 
-This sweep exists because it caught real bugs the friendly driver
-fixtures cannot: d04's token hash overflowed INT32 on emoji code points
-(ANSI crash on Spark, OutOfRange on DuckDB — both sides now CAST to
-BIGINT first); the shingle family silently DISAGREED between engines on
-null text (Spark produced an '' shingle, DuckDB a NULL — now pinned to
-null ≡ empty via COALESCE on both sides); p11's null order key hit the
-engines' opposite NULLS FIRST/LAST window defaults (now COALESCEd to a
-deterministic 0.0).
+- documents: null text, empty/whitespace-only docs, single tokens,
+  astral-plane unicode (emoji), 50× repeated words, a 1000-token doc,
+  punctuation-only and numeral-only text.
+- events: null user_id / event_type / value / ts, malformed and nested
+  JSON props, ±1e15 values, duplicate rows, an exact-30-min session
+  gap (the session_window merge boundary).
+- embeddings: NULL vector, empty vector, all-zero vector (zero norm),
+  wrong-dimension vector, null label.
 
-Scope: operators that read ``documents`` (dedup, text, sampling
-families). The t-ops' contract on null text is null-in → null-out,
-which both engines share natively; the dedup/sampling contract is
-null ≡ empty because their outputs feed joins and order keys where a
-NULL would silently drop or reorder rows.
+These sweeps exist because they caught real bugs the friendly driver
+fixtures cannot: d04's token hash overflowed INT32 on emoji code
+points on BOTH engines (now BIGINT); the shingle family silently
+disagreed on null text (pinned to null ≡ empty); p11's null order key
+hit the engines' opposite NULLS FIRST/LAST window defaults; Spark's
+session_window MERGES an exactly-gap-distant event while a ``>= gap``
+oracle splits it (w03's oracle now uses strict ``>``); q19's
+element_at and every cosine threw on empty/zero vectors (ANSI) — the
+vector family now shares a ``valid_embeddings`` admission gate; q51's
+oracle dropped the NULL key group from COUNT(DISTINCT); q18/q41's
+oracles threw on malformed JSON where Spark yields NULL.
+
+Contracts, per family: dedup/sampling treat null text as empty (their
+outputs feed joins/order keys); text stats propagate null (both
+engines agree natively); time-window ops EXCLUDE null-timestamp events
+(an event with no event-time can never pass a watermark); vector ops
+exclude null/mis-dimensioned/zero-norm embeddings (cosine undefined);
+navigation windows pin null placement explicitly.
 """
 
 from __future__ import annotations
@@ -108,3 +118,117 @@ def test_adversarial_oracle_parity(spark, adv_dir, adv_con, name):
     assert r.get("count_match"), (name, r)
     assert r.get("cols_match"), (name, r)
     assert r.get("values_match"), (name, r)
+
+
+# --- events + embeddings hostile fixtures -------------------------------
+
+EVENTS_SWEEP = [
+    "w01_tumbling", "w02_sliding", "w03_session_window",
+    "w04_enriched_windows", "w05_attribution", "w06_window_distinct",
+    "w07_window_topk", "q10_lag_lead", "q28_sessionization",
+    "q29_keep_first", "q17_date_fns", "q18_json_fns", "q41_map_fns",
+    "q51_skew_profile", "q52_interval_frame", "q53_funnel",
+    "q55_robust_outliers",
+]
+
+EMB_SWEEP = [
+    "s01_cosine_topk", "s02_lsh_buckets", "s03_lsh_topk",
+    "s04_ivf_topk", "s05_trained_ivf", "s06_quantize", "s07_knn_label",
+    "s08_ann_recall", "s09_knn_graph", "d05_embedding_neardup",
+    "q19_array_fns",
+]
+
+
+@pytest.fixture(scope="module")
+def adv_ev_dir(tmp_path_factory) -> str:
+    import datetime
+
+    import numpy as np
+
+    root = str(tmp_path_factory.mktemp("adv_ev"))
+    for p in glob.glob(os.path.join(SRC, "*.parquet")):
+        n = os.path.basename(p)
+        if n not in ("events.parquet", "embeddings.parquet"):
+            shutil.copy(p, os.path.join(root, n))
+
+    t0 = datetime.datetime(2024, 3, 1)
+
+    def ts(h, m=0):
+        return t0 + datetime.timedelta(hours=h, minutes=m)
+
+    ev = [
+        (1, ts(0), 1, "view", 1.0, '{"k": 1}'),
+        (2, ts(0, 5), 1, "click", 2.5, None),
+        (3, ts(0, 10), None, "view", None, '{"k": 2}'),
+        (4, ts(1), 2, None, 3.0, "not json"),
+        (5, None, 2, "purchase", 1e15, "{}"),
+        # exact 30-min gap: the session_window merge boundary
+        (6, ts(2), 3, "view", -1e15, '{"nested": {"a": [1, 2]}}'),
+        (7, ts(2, 30), 3, "view", 0.0, None),
+        (8, ts(100), 4, "click", 7.0, None),
+        (9, ts(0), 5, "view", 5.0, None),
+        (10, ts(0), 5, "view", 5.0, None),  # duplicate values
+    ]
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in ev], pa.int64()),
+        "ts": pa.array([r[1] for r in ev], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in ev], pa.int64()),
+        "event_type": pa.array([r[3] for r in ev], pa.string()),
+        "value": pa.array([r[4] for r in ev], pa.float64()),
+        "props": pa.array([r[5] for r in ev], pa.string()),
+    })
+    pq.write_table(tbl, os.path.join(root, "events.parquet"))
+
+    vecs, labels = [], []
+    for i in range(40):
+        if i == 20:
+            v = None
+        elif i == 21:
+            v = []
+        elif i == 22:
+            v = [0.0] * 64  # zero norm
+        elif i == 23:
+            v = [1.0] * 8  # wrong dimension
+        else:
+            rng = np.random.RandomState(i)
+            v = [float(x) for x in rng.randn(64)]
+        vecs.append(v)
+        labels.append(i % 3 if i != 5 else None)
+    emb = pa.table({
+        "vec_id": pa.array(list(range(40)), pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        "label": pa.array(labels, pa.int32()),
+    })
+    pq.write_table(emb, os.path.join(root, "embeddings.parquet"))
+    return root
+
+
+@pytest.fixture(scope="module")
+def adv_ev_con(adv_ev_dir):
+    con = duckdb_conn(adv_ev_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", EVENTS_SWEEP + EMB_SWEEP)
+def test_adversarial_events_embeddings_parity(
+    spark, adv_ev_dir, adv_ev_con, name
+):
+    from kafka2clickhouse_py_streamer_spark.operators.base import all_queries
+
+    q = all_queries()[name]
+    r = compare(q.fn(spark, adv_ev_dir), adv_ev_con, q.oracle)
+    assert r.get("count_match"), (name, r)
+    assert r.get("cols_match"), (name, r)
+    assert r.get("values_match"), (name, r)
+
+
+def test_vector_gate_excludes_only_malformed(spark, adv_ev_dir):
+    # the admission gate must drop EXACTLY the 4 corrupt vectors
+    # (null, empty, zero-norm, wrong-dim) and keep all 36 valid ones
+    from kafka2clickhouse_py_streamer_spark.functions import valid_embeddings
+    from kafka2clickhouse_py_streamer_spark.operators.base import table
+
+    em = table(spark, adv_ev_dir, "embeddings")
+    kept = {r.vec_id for r in valid_embeddings(em, 64).collect()}
+    assert kept == set(range(40)) - {20, 21, 22, 23}
