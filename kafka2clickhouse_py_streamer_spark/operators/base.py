@@ -149,6 +149,8 @@ _VERIFY_FIRST = [
     "d14_lsh_admission",
     "q57_cohort_retention",
     "s09_knn_graph",
+    "q58_scd2_intervals",
+    "w08_disorder_profile",
     # green-r01 but file churned since
     "q36_range_frame",
     "q37_ntile_cume",

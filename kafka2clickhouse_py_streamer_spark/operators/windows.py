@@ -374,6 +374,47 @@ ORDER BY o_orderpriority, month
 """
 
 
+def q58_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build: each event is a state
+    change for its user, valid from its own timestamp until the next
+    change (NULL for the current state). The lead-window construction
+    every warehouse uses to turn a CDC/event stream into validity
+    intervals — composes with q49's MERGE upsert, which maintains the
+    type-1 (current-only) twin.
+
+    Null-ts events are excluded (same contract as q28/w-ops: no event
+    time → no interval). Scale shape: ONE window shuffle partitioned by
+    user, deterministic (ts, event_id) order; no joins, no global
+    sort."""
+    e = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            F.col("event_type").alias("state"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+        )
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .orderBy("user_id", "valid_from", "event_id")
+    )
+
+
+Q58_SQL = """
+SELECT user_id, event_id, event_type AS state,
+       ts AS valid_from,
+       LEAD(ts) OVER w AS valid_to,
+       LEAD(ts) OVER w IS NULL AS is_current
+FROM events
+WHERE ts IS NOT NULL
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+ORDER BY user_id, valid_from, event_id
+"""
+
+
 QUERIES = [
     Query("q08_topk_per_group", q08_topk_per_group, Q08_SQL,
           "row_number top-K per group"),
@@ -392,4 +433,7 @@ QUERIES = [
     Query("q56_mom_growth", q56_mom_growth, Q56_SQL,
           "month-over-month revenue growth (agg + navigation window "
           "over the aggregated series)"),
+    Query("q58_scd2_intervals", q58_scd2_intervals, Q58_SQL,
+          "SCD type-2 validity intervals from an event stream "
+          "(lead-window build)"),
 ]

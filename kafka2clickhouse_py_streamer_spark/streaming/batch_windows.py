@@ -354,6 +354,71 @@ ORDER BY window_start, rank
 """
 
 
+LATE_THRESHOLD_S = 600  # 10 min — the candidate watermark delay
+
+
+def w08_disorder_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-orderness profile — the measurement that CALIBRATES a
+    watermark instead of guessing it: per event type, how far behind
+    the running event-time high-water mark (in ingest order, event_id)
+    do events arrive, and how many would be dropped by a 10-minute
+    watermark. ``max_disorder_s`` is the smallest per-key delay that
+    loses nothing; a global watermark takes the max over keys.
+
+    Scale shape: one window shuffle partitioned by event_type (running
+    max over ingest order — per-key, so no SinglePartition funnel),
+    then a partial+final agg on the same key. Null-ts events are
+    excluded (they could never be placed anyway)."""
+    e = timed_events(spark, sf_dir)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    disorder = F.greatest(
+        F.lit(0.0),
+        F.max(F.col("ts").cast("double")).over(w)
+        - F.col("ts").cast("double"),
+    )
+    return (
+        e.select("event_type", "event_id", disorder.alias("disorder_s"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(F.col("disorder_s") > LATE_THRESHOLD_S, 1)
+                .otherwise(0)
+            ).cast("long").alias("n_late_at_10m"),
+            F.round(F.max("disorder_s"), 3).alias("max_disorder_s"),
+            F.round(F.avg("disorder_s"), 3).alias("avg_disorder_s"),
+        )
+        .orderBy("event_type")
+    )
+
+
+W08_SQL = f"""
+WITH d AS (
+  SELECT event_type, event_id,
+         GREATEST(0.0,
+           MAX(epoch(ts)) OVER (PARTITION BY event_type
+                                ORDER BY event_id ASC
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING)
+           - epoch(ts)) AS disorder_s
+  FROM events WHERE ts IS NOT NULL
+)
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN disorder_s > {LATE_THRESHOLD_S}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_late_at_10m,
+       ROUND(MAX(disorder_s), 3) AS max_disorder_s,
+       ROUND(AVG(disorder_s), 3) AS avg_disorder_s
+FROM d
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = [
     Query("w01_tumbling", w01_tumbling, W01_SQL, "tumbling 1h windows"),
     Query("w02_sliding", w02_sliding, W02_SQL, "sliding 1h/30m windows"),
@@ -368,4 +433,7 @@ QUERIES = [
           "verified)"),
     Query("w07_window_topk", w07_window_topk, W07_SQL,
           "per-window top-3 trending event types (deterministic ties)"),
+    Query("w08_disorder_profile", w08_disorder_profile, W08_SQL,
+          "out-of-orderness profile (watermark calibration: late "
+          "counts + max/avg disorder per key)"),
 ]

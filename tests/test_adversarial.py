@@ -125,10 +125,11 @@ def test_adversarial_oracle_parity(spark, adv_dir, adv_con, name):
 EVENTS_SWEEP = [
     "w01_tumbling", "w02_sliding", "w03_session_window",
     "w04_enriched_windows", "w05_attribution", "w06_window_distinct",
-    "w07_window_topk", "q10_lag_lead", "q28_sessionization",
-    "q29_keep_first", "q17_date_fns", "q18_json_fns", "q41_map_fns",
-    "q51_skew_profile", "q52_interval_frame", "q53_funnel",
-    "q55_robust_outliers",
+    "w07_window_topk", "w08_disorder_profile", "q10_lag_lead",
+    "q28_sessionization", "q29_keep_first", "q17_date_fns",
+    "q18_json_fns", "q41_map_fns", "q51_skew_profile",
+    "q52_interval_frame", "q53_funnel", "q55_robust_outliers",
+    "q58_scd2_intervals",
 ]
 
 EMB_SWEEP = [

@@ -538,6 +538,26 @@ def test_d14_admission_no_pair_join_jvm_only(spark, sf_dir):
     assert python_row_ops(df) == 0
 
 
+def test_q58_w08_single_keyed_window_shuffle(spark, sf_dir):
+    # both are one-window-pass operators: keyed window (user / event
+    # type), never a global single-partition sort, no joins, no Python
+    from kafka2clickhouse_py_streamer_spark.operators.windows import (
+        q58_scd2_intervals,
+    )
+    from kafka2clickhouse_py_streamer_spark.streaming.batch_windows import (
+        w08_disorder_profile,
+    )
+
+    for df in (
+        q58_scd2_intervals(spark, sf_dir),
+        w08_disorder_profile(spark, sf_dir),
+    ):
+        plan = formatted_plan(df)
+        assert "SinglePartition" not in plan
+        assert "Join" not in plan
+        assert python_row_ops(df) == 0
+
+
 def test_s09_knn_graph_bucket_join_no_cartesian(spark, sf_dir):
     # both-sides-large ANN: candidates MUST come from the bucket
     # equi-join — a cartesian/nested-loop self-join is the |corpus|²
