@@ -909,6 +909,83 @@ ORDER BY doc_id
 """
 
 
+MIX_ALPHA = 0.5  # temperature exponent: share^alpha (T = 1/alpha = 2)
+
+
+def p12_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixture — the standard multilingual /
+    multi-domain sampling scheme (share^α, α = 0.5 ⇔ T = 2): raw token
+    shares are flattened toward uniform, giving each source a target
+    token count at the same corpus total and the epoch factor
+    (>1 = the domain is repeated — upsampled low-resource sources,
+    exactly how real mixtures spend extra passes on small domains).
+    Complements p06 (hard per-source cap) and p08 (hash-threshold
+    flattening) with the smooth, principled weighting.
+
+    Scale shape: ONE partial+final hash agg on source collapses the
+    corpus to |sources| rows; the α-normalization works on that tiny
+    frame against a one-row broadcast total. Nothing else touches the
+    fact table — the weights then drive p02/p08-style row-local
+    sampling."""
+    d = table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.coalesce(_n_tokens(), F.lit(0))).alias("n_tokens"),
+    )
+    totals = per_src.agg(
+        F.sum("n_tokens").cast("double").alias("total_tokens"),
+        F.sum(
+            F.pow(F.col("n_tokens").cast("double"), MIX_ALPHA)
+        ).alias("z"),
+    )
+    share = F.col("n_tokens") / F.col("total_tokens")
+    w_t = F.pow(F.col("n_tokens").cast("double"), MIX_ALPHA) / F.col("z")
+    target = w_t * F.col("total_tokens")
+    return (
+        per_src.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.round(share, 6).alias("raw_share"),
+            F.round(w_t, 6).alias("weight_t"),
+            F.round(target, 2).alias("target_tokens"),
+            F.round(target / F.col("n_tokens"), 4).alias("epochs"),
+        )
+        .orderBy("source")
+    )
+
+
+P12_SQL = rf"""
+WITH per_src AS (
+  SELECT source,
+         COUNT(*) AS n_docs,
+         SUM(COALESCE(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+             ELSE LEN(regexp_split_to_array(TRIM(text), '\s+')) END, 0))
+           AS n_tokens
+  FROM documents
+  GROUP BY source
+),
+totals AS (
+  SELECT CAST(SUM(n_tokens) AS DOUBLE) AS total_tokens,
+         SUM(POWER(CAST(n_tokens AS DOUBLE), {MIX_ALPHA})) AS z
+  FROM per_src
+)
+SELECT source,
+       n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       ROUND(n_tokens / total_tokens, 6) AS raw_share,
+       ROUND(POWER(CAST(n_tokens AS DOUBLE), {MIX_ALPHA}) / z, 6)
+         AS weight_t,
+       ROUND(POWER(CAST(n_tokens AS DOUBLE), {MIX_ALPHA}) / z
+             * total_tokens, 2) AS target_tokens,
+       ROUND(POWER(CAST(n_tokens AS DOUBLE), {MIX_ALPHA}) / z
+             * total_tokens / n_tokens, 4) AS epochs
+FROM per_src, totals
+ORDER BY source
+"""
+
+
 QUERIES = [
     Query("p01_train_test_split", p01_train_test_split, P01_SQL,
           "hash-deterministic train/val/test split"),
@@ -936,4 +1013,7 @@ QUERIES = [
     Query("p11_curriculum_stages", p11_curriculum_stages, P11_SQL,
           "curriculum staging: easy->hard order cut into equal-token "
           "stages via two-pass offsets"),
+    Query("p12_temperature_mix", p12_temperature_mix, P12_SQL,
+          "temperature-scaled domain mixture weights (share^alpha, "
+          "target tokens + epoch factors)"),
 ]

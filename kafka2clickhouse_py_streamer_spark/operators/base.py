@@ -151,6 +151,7 @@ _VERIFY_FIRST = [
     "s09_knn_graph",
     "q58_scd2_intervals",
     "w08_disorder_profile",
+    "p12_temperature_mix",
     # green-r01 but file churned since
     "q36_range_frame",
     "q37_ntile_cume",

@@ -78,7 +78,7 @@ SWEEP = [
     "p03_sequence_packing", "p04_global_shuffle", "p05_clean_corpus",
     "p06_domain_mix", "p07_corpus_pipeline", "p08_flatten_mix",
     "p09_incremental_refresh", "p10_budget_select",
-    "p11_curriculum_stages",
+    "p11_curriculum_stages", "p12_temperature_mix",
 ]
 
 

@@ -538,6 +538,22 @@ def test_d14_admission_no_pair_join_jvm_only(spark, sf_dir):
     assert python_row_ops(df) == 0
 
 
+def test_p12_mix_single_agg_broadcast_total(spark, sf_dir):
+    # the mixture weights derive from ONE hash agg over the corpus and
+    # a one-row broadcast total — no window, no join of the fact table
+    from kafka2clickhouse_py_streamer_spark.llm.sampling import (
+        p12_temperature_mix,
+    )
+
+    df = p12_temperature_mix(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+    assert python_row_ops(df) == 0
+    for cols in read_schema_columns(df):
+        assert set(cols) == {"source", "text"}
+
+
 def test_q58_w08_single_keyed_window_shuffle(spark, sf_dir):
     # both are one-window-pass operators: keyed window (user / event
     # type), never a global single-partition sort, no joins, no Python
