@@ -32,6 +32,9 @@ from kafka2clickhouse_py_streamer_spark.functions import (
     valid_embeddings,
 )
 from kafka2clickhouse_py_streamer_spark.operators.base import Query, table
+from kafka2clickhouse_py_streamer_spark.llm.similarity import (
+    DIM as EMB_DIM,
+)
 
 SHINGLE_WORDS = 3  # word-level shingles (char n-grams don't discriminate
 # on small vocabularies — measured: all doc pairs land at 0.4-0.6 char-3
@@ -42,7 +45,6 @@ BANDS = 4  # 4 bands x 4 rows
 ROWS_PER_BAND = NUM_HASHES // BANDS
 MINHASH_JACCARD_THRESHOLD = 0.5
 NEARDUP_COSINE = 0.6
-EMB_DIM = 64  # embeddings fixture dimension (matches similarity.DIM)
 
 # Deterministic affine permutation constants (a_j * H + b_j) mod P.
 HASH_AS = [2 * j + 3 for j in range(NUM_HASHES)]

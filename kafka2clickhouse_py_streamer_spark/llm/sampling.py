@@ -868,13 +868,18 @@ def p11_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_tokens",
             F.round("avg_tok_len", 4).alias("avg_tok_len"),
-            F.least(
-                F.expr(
-                    f"(stream_offset * {N_CURRICULUM_STAGES})"
-                    " div total_tokens"
+            # empty-corpus guard: total 0 -> everything is stage 0
+            # (Spark's ANSI div would throw; DuckDB's // yields NULL)
+            F.when(
+                F.col("total_tokens") > 0,
+                F.least(
+                    F.expr(
+                        f"(stream_offset * {N_CURRICULUM_STAGES})"
+                        " div total_tokens"
+                    ),
+                    F.lit(N_CURRICULUM_STAGES - 1),
                 ),
-                F.lit(N_CURRICULUM_STAGES - 1),
-            ).cast("long").alias("stage"),
+            ).otherwise(F.lit(0)).cast("long").alias("stage"),
         )
         .orderBy("doc_id")
     )
@@ -902,8 +907,10 @@ ranked AS (
   FROM scored
 )
 SELECT doc_id, n_tokens, ROUND(avg_tok_len, 4) AS avg_tok_len,
-       CAST(LEAST((cum_before * {N_CURRICULUM_STAGES}) // total_tokens,
-                  {N_CURRICULUM_STAGES - 1}) AS BIGINT) AS stage
+       CAST(CASE WHEN total_tokens > 0
+                 THEN LEAST((cum_before * {N_CURRICULUM_STAGES}) // total_tokens,
+                            {N_CURRICULUM_STAGES - 1})
+                 ELSE 0 END AS BIGINT) AS stage
 FROM ranked
 ORDER BY doc_id
 """
@@ -947,10 +954,18 @@ def p12_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "n_docs",
             F.col("n_tokens").cast("long").alias("n_tokens"),
-            F.round(share, 6).alias("raw_share"),
-            F.round(w_t, 6).alias("weight_t"),
-            F.round(target, 2).alias("target_tokens"),
-            F.round(target / F.col("n_tokens"), 4).alias("epochs"),
+            # zero guards: an all-empty source (n_tokens 0) gets NULL
+            # epochs; a fully-empty corpus gets NULL shares — Spark's
+            # ANSI division would throw where DuckDB yields NULL
+            F.when(F.col("total_tokens") > 0, F.round(share, 6))
+            .alias("raw_share"),
+            F.when(F.col("z") > 0, F.round(w_t, 6)).alias("weight_t"),
+            F.when(F.col("z") > 0, F.round(target, 2))
+            .alias("target_tokens"),
+            F.when(
+                (F.col("z") > 0) & (F.col("n_tokens") > 0),
+                F.round(target / F.col("n_tokens"), 4),
+            ).alias("epochs"),
         )
         .orderBy("source")
     )
@@ -974,13 +989,17 @@ totals AS (
 SELECT source,
        n_docs,
        CAST(n_tokens AS BIGINT) AS n_tokens,
-       ROUND(n_tokens / total_tokens, 6) AS raw_share,
-       ROUND(POWER(CAST(n_tokens AS DOUBLE), {MIX_ALPHA}) / z, 6)
-         AS weight_t,
-       ROUND(POWER(CAST(n_tokens AS DOUBLE), {MIX_ALPHA}) / z
-             * total_tokens, 2) AS target_tokens,
-       ROUND(POWER(CAST(n_tokens AS DOUBLE), {MIX_ALPHA}) / z
-             * total_tokens / n_tokens, 4) AS epochs
+       CASE WHEN total_tokens > 0
+            THEN ROUND(n_tokens / total_tokens, 6) END AS raw_share,
+       CASE WHEN z > 0
+            THEN ROUND(POWER(CAST(n_tokens AS DOUBLE), {MIX_ALPHA}) / z, 6)
+       END AS weight_t,
+       CASE WHEN z > 0
+            THEN ROUND(POWER(CAST(n_tokens AS DOUBLE), {MIX_ALPHA}) / z
+                       * total_tokens, 2) END AS target_tokens,
+       CASE WHEN z > 0 AND n_tokens > 0
+            THEN ROUND(POWER(CAST(n_tokens AS DOUBLE), {MIX_ALPHA}) / z
+                       * total_tokens / n_tokens, 4) END AS epochs
 FROM per_src, totals
 ORDER BY source
 """

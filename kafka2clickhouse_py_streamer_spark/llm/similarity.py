@@ -84,7 +84,7 @@ S01_SQL = f"""
 WITH base AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
-  WHERE embedding IS NOT NULL AND LEN(embedding) = 64 AND list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)), list_transform(embedding, x -> CAST(x AS DOUBLE))) > 0
+  WHERE {valid_emb_sql(DIM)}
 ),
 scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
@@ -158,7 +158,7 @@ def _s02_sql() -> str:
 WITH base AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
-  WHERE embedding IS NOT NULL AND LEN(embedding) = 64 AND list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)), list_transform(embedding, x -> CAST(x AS DOUBLE))) > 0
+  WHERE {valid_emb_sql(DIM)}
 ),
 tagged AS (
   SELECT vec_id,
@@ -213,7 +213,7 @@ def _s03_sql() -> str:
 WITH base AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
-  WHERE embedding IS NOT NULL AND LEN(embedding) = 64 AND list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)), list_transform(embedding, x -> CAST(x AS DOUBLE))) > 0
+  WHERE {valid_emb_sql(DIM)}
 ),
 tagged AS (
   SELECT vec_id, v,
@@ -320,7 +320,7 @@ def _s04_sql() -> str:
 WITH base AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
-  WHERE embedding IS NOT NULL AND LEN(embedding) = 64 AND list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)), list_transform(embedding, x -> CAST(x AS DOUBLE))) > 0
+  WHERE {valid_emb_sql(DIM)}
 ),
 dotted AS (
   SELECT vec_id, v,
@@ -430,7 +430,7 @@ def _s05_sql() -> str:
 WITH base AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
-  WHERE embedding IS NOT NULL AND LEN(embedding) = 64 AND list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)), list_transform(embedding, x -> CAST(x AS DOUBLE))) > 0
+  WHERE {valid_emb_sql(DIM)}
 ),
 seeds AS (
   SELECT CAST(vec_id % {N_CENTROIDS} AS INTEGER) AS g,
@@ -524,11 +524,11 @@ def s06_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
-S06_SQL = """
+S06_SQL = f"""
 WITH base AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
-  WHERE embedding IS NOT NULL AND LEN(embedding) = 64 AND list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)), list_transform(embedding, x -> CAST(x AS DOUBLE))) > 0
+  WHERE {valid_emb_sql(DIM)}
 ),
 scaled AS (
   SELECT vec_id, v,
@@ -621,7 +621,7 @@ WITH base AS (
   SELECT vec_id, label,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
-  WHERE embedding IS NOT NULL AND LEN(embedding) = 64 AND list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)), list_transform(embedding, x -> CAST(x AS DOUBLE))) > 0
+  WHERE {valid_emb_sql(DIM)}
 ),
 scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS cand_id, c.label AS cand_label,
@@ -767,7 +767,7 @@ def _s09_sql() -> str:
 WITH base AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
-  WHERE embedding IS NOT NULL AND LEN(embedding) = 64 AND list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)), list_transform(embedding, x -> CAST(x AS DOUBLE))) > 0
+  WHERE {valid_emb_sql(DIM)}
 ),
 tagged AS (
   SELECT vec_id, v,

@@ -474,16 +474,20 @@ def q41_map_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
-# json_valid guard: Spark's from_json yields a NULL map for malformed
-# JSON; DuckDB's json_keys/json_extract throw — mirror the null.
+# Guard = valid JSON **object**: Spark's from_json to a map yields NULL
+# for malformed JSON *and* for valid non-object JSON ('123', '[1,2]');
+# DuckDB json_keys would return [] for the latter — mirror the NULL.
 Q41_SQL = """
 SELECT event_id,
        CASE WHEN props IS NOT NULL AND json_valid(props)
+                 AND json_type(props) = 'OBJECT'
             THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS prop_k,
        CASE WHEN props IS NOT NULL AND json_valid(props)
+                 AND json_type(props) = 'OBJECT'
             THEN COALESCE(array_to_string(list_sort(json_keys(props)), ','), '')
        END AS prop_keys,
        CASE WHEN props IS NOT NULL AND json_valid(props)
+                 AND json_type(props) = 'OBJECT'
             THEN CAST(LEN(json_keys(props)) AS BIGINT) END AS n_props
 FROM events
 ORDER BY event_id

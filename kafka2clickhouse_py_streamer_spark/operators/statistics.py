@@ -409,10 +409,17 @@ def q54_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("l_extendedprice").cast("double").alias("hi_all"),
     )
     width = (F.col("hi_all") - F.col("lo_all")) / N_HIST_BUCKETS
-    bucket = F.least(
-        F.floor((F.col("l_extendedprice") - F.col("lo_all")) / width),
-        F.lit(N_HIST_BUCKETS - 1),
-    ).cast("long")
+    # degenerate distribution (min == max, e.g. a constant column or a
+    # single row): every value lands in bucket 0 — Spark's ANSI
+    # division would otherwise throw on width 0 where DuckDB yields
+    # NULL, a crash-vs-result divergence
+    bucket = F.when(
+        F.col("hi_all") > F.col("lo_all"),
+        F.least(
+            F.floor((F.col("l_extendedprice") - F.col("lo_all")) / width),
+            F.lit(N_HIST_BUCKETS - 1),
+        ),
+    ).otherwise(F.lit(0)).cast("long")
     return (
         li.select("l_extendedprice")
         .crossJoin(F.broadcast(bounds))
@@ -452,10 +459,10 @@ WITH bounds AS (
   FROM lineitem
 ),
 bucketed AS (
-  SELECT LEAST(
+  SELECT CASE WHEN hi_all > lo_all THEN LEAST(
            CAST(FLOOR((l_extendedprice - lo_all)
                       / ((hi_all - lo_all) / {N_HIST_BUCKETS})) AS BIGINT),
-           {N_HIST_BUCKETS - 1}) AS bucket,
+           {N_HIST_BUCKETS - 1}) ELSE 0 END AS bucket,
          lo_all, hi_all
   FROM lineitem, bounds
 )

@@ -24,9 +24,7 @@ def timed_events(spark, sf_dir):
     an event without a timestamp cannot be placed in any window (under
     readStream it could never pass a watermark either), so time-window
     analytics exclude it on BOTH engines (`WHERE ts IS NOT NULL`)."""
-    from pyspark.sql import functions as _F
-
-    return table(spark, sf_dir, "events").filter(_F.col("ts").isNotNull())
+    return table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
 
 
 def w01_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -318,7 +316,10 @@ def w07_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n_events"))
     rk = F.row_number().over(
         Window.partitionBy("w").orderBy(
-            F.desc("n_events"), F.asc("event_type")
+            # explicit null placement: a NULL event_type tied with a
+            # non-null type would otherwise rank first on Spark and
+            # last on DuckDB
+            F.desc("n_events"), F.asc_nulls_last("event_type")
         )
     )
     return (
@@ -345,7 +346,7 @@ ranked AS (
   SELECT window_start, event_type, n_events,
          CAST(ROW_NUMBER() OVER (
            PARTITION BY window_start
-           ORDER BY n_events DESC, event_type ASC) AS BIGINT) AS rank
+           ORDER BY n_events DESC, event_type ASC NULLS LAST) AS BIGINT) AS rank
   FROM counts
 )
 SELECT window_start, rank, event_type, n_events

@@ -44,6 +44,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
 from pyspark.sql.streaming import StreamingQuery
 
 from kafka2clickhouse_py_streamer_spark.llm.text import scrub_pii
@@ -81,8 +82,11 @@ def dedup_admit_batch(
             .select("fp")
         )
         admitted = uniq.join(seen, "fp", "left_anti")
-    except Exception:
-        admitted = uniq  # first batch: no state yet
+    except AnalysisException:
+        # first batch only: the state path does not exist yet. Any
+        # OTHER read failure (corrupt footer, transient FS error) must
+        # propagate — swallowing it would silently re-admit duplicates.
+        admitted = uniq
     admitted = admitted.withColumn("batch_id", F.lit(batch_id)).persist()
     try:
         admitted.count()  # materialize once; both writes read the cache
@@ -175,8 +179,10 @@ def neardup_admit_batch(
             .distinct()
         )
         blocked = blocked_within.union(blocked_state).distinct()
-    except Exception:
-        blocked = blocked_within  # first batch: no claims yet
+    except AnalysisException:
+        # first batch only (state path absent); other failures must
+        # propagate — see dedup_admit_batch
+        blocked = blocked_within
     admitted = batch_df.join(blocked, id_col, "left_anti").withColumn(
         "batch_id", F.lit(batch_id)
     )

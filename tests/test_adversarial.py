@@ -224,6 +224,51 @@ def test_adversarial_events_embeddings_parity(
     assert r.get("values_match"), (name, r)
 
 
+@pytest.fixture(scope="module")
+def degenerate_dir(tmp_path_factory) -> str:
+    """Fully-degenerate inputs: constant-price lineitem (zero histogram
+    width) and an all-empty documents corpus (zero total tokens) — the
+    divide-by-zero edges that crash under Spark's ANSI arithmetic when
+    unguarded while DuckDB silently yields NULL."""
+    import duckdb
+
+    root = str(tmp_path_factory.mktemp("degenerate"))
+    for p in glob.glob(os.path.join(SRC, "*.parquet")):
+        n = os.path.basename(p)
+        if n not in ("lineitem.parquet", "documents.parquet"):
+            shutil.copy(p, os.path.join(root, n))
+    con = duckdb.connect()
+    con.execute(
+        f"COPY (SELECT * REPLACE (CAST(42.0 AS DOUBLE) AS l_extendedprice)"
+        f" FROM read_parquet('{SRC}/lineitem.parquet') LIMIT 5)"
+        f" TO '{root}/lineitem.parquet' (FORMAT PARQUET)"
+    )
+    con.execute(
+        f"COPY (SELECT doc_id, '' AS text, lang, source,"
+        f" CAST(0 AS BIGINT) AS n_chars"
+        f" FROM read_parquet('{SRC}/documents.parquet') LIMIT 5)"
+        f" TO '{root}/documents.parquet' (FORMAT PARQUET)"
+    )
+    con.close()
+    return root
+
+
+@pytest.mark.parametrize(
+    "name", ["q54_histogram", "p11_curriculum_stages", "p12_temperature_mix"]
+)
+def test_degenerate_divisors_guarded(spark, degenerate_dir, name):
+    from kafka2clickhouse_py_streamer_spark.operators.base import all_queries
+
+    con = duckdb_conn(degenerate_dir)
+    try:
+        q = all_queries()[name]
+        r = compare(q.fn(spark, degenerate_dir), con, q.oracle)
+        assert r.get("count_match"), (name, r)
+        assert r.get("values_match"), (name, r)
+    finally:
+        con.close()
+
+
 def test_vector_gate_excludes_only_malformed(spark, adv_ev_dir):
     # the admission gate must drop EXACTLY the 4 corrupt vectors
     # (null, empty, zero-norm, wrong-dim) and keep all 36 valid ones

@@ -604,7 +604,7 @@ def test_w07_topk_runs_live_under_readstream(spark, tmp_path):
     def rank_batch(df, _id):
         rk = F.row_number().over(
             W.partitionBy("window_start").orderBy(
-                F.desc("n_events"), F.asc("event_type")
+                F.desc("n_events"), F.asc_nulls_last("event_type")
             )
         )
         top = df.withColumn("rank", rk).filter(F.col("rank") <= 3)
