@@ -223,6 +223,27 @@ def test_d14_greedy_predicate_matches_reference_and_cuts(spark, tmp_path):
     check()
 
 
+def test_s10_pagerank_mass_bounds(spark, sf_dir):
+    """PageRank invariants: every node holds at least the undamped base
+    term (1-d)/N; total mass is ≤ 1 (dangling nodes leak mass in the
+    simplified formulation, so < 1 when singleton buckets exist) and
+    well above the all-dangling floor."""
+    from kafka2clickhouse_py_streamer_spark.llm.similarity import (
+        PR_DAMPING,
+        s10_pagerank,
+    )
+
+    rows = s10_pagerank(spark, sf_dir).collect()
+    n = len(rows)
+    base = (1.0 - PR_DAMPING) / n
+    assert all(r.pagerank >= base - 1e-9 for r in rows)
+    total = sum(r.pagerank for r in rows)
+    assert total <= 1.0 + 1e-6
+    assert total >= (1.0 - PR_DAMPING) - 1e-6
+    # hubs exist: at least one node above the uniform rank
+    assert any(r.pagerank > 1.0 / n for r in rows)
+
+
 def test_t09_scrub_is_idempotent_and_complete(spark, sf_dir):
     # after redaction no PII pattern may remain, counts must match the
     # synthesized annotations exactly, and scrubbing the clean text
