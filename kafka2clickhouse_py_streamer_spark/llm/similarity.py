@@ -794,6 +794,129 @@ ORDER BY src_id, rk
 """
 
 
+PR_DAMPING = 0.85
+PR_ITERS = 3
+PR_ROUND = 12  # per-iteration resync rounding (absorbs sum-order ulps)
+
+
+def s10_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the s09 kNN similarity graph — the iterative
+    graph algorithm as repeated joins + aggregations: documents whose
+    embeddings many neighbours point at are corpus "hubs" (useful for
+    coreset selection and diversity-aware sampling). Fixed PR_ITERS
+    power iterations, damping 0.85; dangling nodes (singleton-bucket
+    vectors with no out-edges) keep the base term and do not
+    redistribute — the standard simplified formulation, identical on
+    both engines.
+
+    Determinism: each iteration's rank is rounded at PR_ROUND decimals
+    on BOTH engines, so floating sum-order differences cannot compound
+    across iterations.
+
+    Scale shape: each iteration is one equi-join of the rank vector
+    (|nodes| rows, 2 cols) onto the edge list plus one partial+final
+    agg on the destination — the classic iterate-as-dataflow plan; the
+    edge list is computed once and reused. At 100 TB the edge list is
+    the persisted artifact and iterations touch only (id, double)
+    pairs."""
+    edges = s09_knn_graph(spark, sf_dir).select("src_id", "nbr_id")
+    # cache: PR_ITERS iterations + outdeg all reread the edge list; at
+    # deployment scale this is a written table, locally a cache
+    edges = edges.persist()
+    nodes = _base(spark, sf_dir).select("vec_id")
+    n = nodes.count()  # one scalar to the driver (constant in the plan)
+    outdeg = edges.groupBy("src_id").agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    base = (1.0 - PR_DAMPING) / n
+    ranks = nodes.select(
+        "vec_id", F.lit(round(1.0 / n, PR_ROUND)).alias("r")
+    )
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(
+                ranks.withColumnRenamed("vec_id", "src_id"), "src_id"
+            )
+            .join(outdeg, "src_id")
+            .groupBy("nbr_id")
+            .agg(F.sum(F.col("r") / F.col("outdeg")).alias("inflow"))
+        )
+        ranks = (
+            nodes.join(
+                contrib.withColumnRenamed("nbr_id", "vec_id"),
+                "vec_id",
+                "left",
+            )
+            .select(
+                "vec_id",
+                F.round(
+                    F.lit(base)
+                    + PR_DAMPING * F.coalesce("inflow", F.lit(0.0)),
+                    PR_ROUND,
+                ).alias("r"),
+            )
+        )
+    out = (
+        ranks.join(outdeg.withColumnRenamed("src_id", "vec_id"),
+                   "vec_id", "left")
+        .select(
+            "vec_id",
+            F.round("r", 8).alias("pagerank"),
+            F.coalesce("outdeg", F.lit(0)).cast("long").alias("out_degree"),
+        )
+        .orderBy("vec_id")
+    )
+    edges.unpersist()
+    return out
+
+
+def _s10_sql() -> str:
+    s09 = _s09_sql().strip()
+    # re-root s09's full query as the edge CTE
+    iters = []
+    prev = "r0"
+    for k in range(1, PR_ITERS + 1):
+        iters.append(f"""
+contrib{k} AS (
+  SELECT e.nbr_id AS vec_id,
+         SUM(r.r / d.outdeg) AS inflow
+  FROM edges e
+  JOIN {prev} r ON r.vec_id = e.src_id
+  JOIN outdeg d ON d.src_id = e.src_id
+  GROUP BY e.nbr_id
+),
+r{k} AS (
+  SELECT n.vec_id,
+         ROUND((1.0 - {PR_DAMPING}) / (SELECT n FROM nn)
+               + {PR_DAMPING} * COALESCE(c.inflow, 0.0), {PR_ROUND}) AS r
+  FROM nodes n LEFT JOIN contrib{k} c ON c.vec_id = n.vec_id
+)""")
+        prev = f"r{k}"
+    return f"""
+WITH edges AS (
+  SELECT src_id, nbr_id FROM ({s09})
+),
+nodes AS (
+  SELECT vec_id FROM embeddings WHERE {valid_emb_sql(DIM)}
+),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+outdeg AS (
+  SELECT src_id, COUNT(*) AS outdeg FROM edges GROUP BY src_id
+),
+r0 AS (
+  SELECT vec_id, ROUND(1.0 / (SELECT n FROM nn), {PR_ROUND}) AS r
+  FROM nodes
+),{",".join(iters)}
+SELECT n.vec_id,
+       ROUND(r.r, 8) AS pagerank,
+       CAST(COALESCE(d.outdeg, 0) AS BIGINT) AS out_degree
+FROM nodes n
+JOIN {prev} r ON r.vec_id = n.vec_id
+LEFT JOIN outdeg d ON d.src_id = n.vec_id
+ORDER BY n.vec_id
+"""
+
+
 QUERIES = [
     Query("s01_cosine_topk", s01_cosine_topk, S01_SQL,
           "exact brute-force cosine top-k"),
@@ -814,4 +937,7 @@ QUERIES = [
     Query("s09_knn_graph", s09_knn_graph, _s09_sql(),
           "all-corpus kNN graph via LSH bucket self-join "
           "(both-sides-large ANN)"),
+    Query("s10_pagerank", s10_pagerank, _s10_sql(),
+          "PageRank over the kNN similarity graph (fixed power "
+          "iterations as join+agg dataflow)"),
 ]

@@ -152,6 +152,7 @@ _VERIFY_FIRST = [
     "q58_scd2_intervals",
     "w08_disorder_profile",
     "p12_temperature_mix",
+    "s10_pagerank",
     # green-r01 but file churned since
     "q36_range_frame",
     "q37_ntile_cume",

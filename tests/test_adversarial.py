@@ -135,8 +135,8 @@ EVENTS_SWEEP = [
 EMB_SWEEP = [
     "s01_cosine_topk", "s02_lsh_buckets", "s03_lsh_topk",
     "s04_ivf_topk", "s05_trained_ivf", "s06_quantize", "s07_knn_label",
-    "s08_ann_recall", "s09_knn_graph", "d05_embedding_neardup",
-    "q19_array_fns",
+    "s08_ann_recall", "s09_knn_graph", "s10_pagerank",
+    "d05_embedding_neardup", "q19_array_fns",
 ]
 
 

@@ -574,6 +574,20 @@ def test_q58_w08_single_keyed_window_shuffle(spark, sf_dir):
         assert python_row_ops(df) == 0
 
 
+def test_s10_pagerank_iterations_stay_joins(spark, sf_dir):
+    # every power iteration must be an equi-join + hash agg over the
+    # edge list — no cartesian, no nested loop, no Python
+    from kafka2clickhouse_py_streamer_spark.llm.similarity import (
+        s10_pagerank,
+    )
+
+    df = s10_pagerank(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert python_row_ops(df) == 0
+
+
 def test_s09_knn_graph_bucket_join_no_cartesian(spark, sf_dir):
     # both-sides-large ANN: candidates MUST come from the bucket
     # equi-join — a cartesian/nested-loop self-join is the |corpus|²
