@@ -31,13 +31,32 @@ from kafka2clickhouse_py_streamer_spark.operators.base import Query, table
 
 N_QUERIES = 10  # vec_id < 10 are the query vectors
 TOP_K = 3
-N_PLANES = 8
+# Default plane count targets the FIXTURE scale: occupancy = N/2^planes
+# should stay in the tens for candidate generation to be useful
+# (sf0.01: 500 vecs / 16 buckets ~ 31). A deployment sizes planes from
+# its corpus count (planes ~ log2(N / target occupancy)); the sf1 probe
+# measures both the fixed-plane quadratic trap and the knob restoring
+# linearity. (Raised-plane history: the original generator silently
+# repeated planes mod 7, so 8 nominal planes were 7 effective.)
+N_PLANES = 4
 DIM = 64
 
 
 def _plane_coeff(plane: int, i: int) -> int:
-    """Deterministic pseudo-random plane coefficient in [-3, 3]."""
-    return ((i + 1) * (plane + 3) * 2654435761 % 7) - 3
+    """Deterministic pseudo-random plane coefficient in [-3, 3].
+
+    The old formula ``(i+1)*(plane+3)*K % 7`` was multiplicative in
+    (plane+3), so planes repeated with period 7 — plane 7 duplicated
+    plane 0 and the nominal 8-plane bucket space had only 128
+    effective buckets (caught by the sf1 occupancy probe: raising
+    n_planes past 7 left the candidate-pair count unchanged). The
+    integer mix below yields distinct planes for every practical
+    n_planes; the coefficients are inlined as literals into BOTH the
+    Spark expression and the oracle SQL, so no cross-engine parity
+    constraint applies to the formula itself."""
+    h = (plane * 1315423911 + i * 2654435761 + 97) & 0xFFFFFFFF
+    h = ((h ^ (h >> 13)) * 1099087573) & 0xFFFFFFFF
+    return ((h >> 7) % 7) - 3
 
 
 def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -106,12 +125,19 @@ ORDER BY query_id, rk
 """
 
 
-def _bucket_expr():
-    """Hyperplane-LSH bucket id of the ``v`` column: 8 deterministic
-    planes → 8 sign bits → long. Single source for s02/s03/s09 (and
-    the matching SQL in :func:`_bucket_sql_expr`)."""
+def _bucket_expr(n_planes: int = N_PLANES):
+    """Hyperplane-LSH bucket id of the ``v`` column: ``n_planes``
+    deterministic planes → sign bits → long. Single source for
+    s02/s03/s09 (and the matching SQL in :func:`_bucket_sql_expr`).
+
+    ``n_planes`` is the SCALE KNOB: per-bucket occupancy ≈
+    N / 2^planes, and every bucket-self-join pays occupancy² — so
+    planes must grow with the corpus (planes ≈ log2(N / target
+    occupancy)) to keep candidate generation linear. The registry
+    queries pin the default for oracle comparability; a deployment
+    sizes it from the corpus count."""
     bucket = None
-    for p in range(N_PLANES):
+    for p in range(n_planes):
         coeffs = F.array(
             *[F.lit(float(_plane_coeff(p, i))) for i in range(DIM)]
         )
@@ -120,10 +146,10 @@ def _bucket_expr():
     return bucket.cast("long")
 
 
-def _bucket_sql_expr() -> str:
+def _bucket_sql_expr(n_planes: int = N_PLANES) -> str:
     """DuckDB twin of :func:`_bucket_expr` over a ``v`` list column."""
     bits = []
-    for p in range(N_PLANES):
+    for p in range(n_planes):
         coeffs = ", ".join(
             str(float(_plane_coeff(p, i))) for i in range(DIM)
         )
@@ -135,8 +161,8 @@ def _bucket_sql_expr() -> str:
 
 
 def s02_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH ANN: 8 deterministic planes -> 8 sign bits ->
-    bucket id; report per-bucket membership stats (the candidate
+    """Hyperplane-LSH ANN: N_PLANES deterministic planes -> sign bits
+    -> bucket id; report per-bucket membership stats (the candidate
     generation stage — top-k within bucket composes with s01's scorer).
     """
     base = _base(spark, sf_dir)
@@ -710,24 +736,30 @@ ORDER BY e.query_id
 K_GRAPH = 3
 
 
-def s09_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+def s09_knn_graph(
+    spark: SparkSession, sf_dir: str, n_planes: int = N_PLANES
+) -> DataFrame:
     """All-corpus kNN graph: every vector's top-``K_GRAPH`` nearest
     neighbours AMONG ITS LSH BUCKET-MATES — the graph-construction step
     under SemDeDup-style semantic dedup, embedding clustering, and
     label propagation. Unlike s03 (small query set vs corpus,
     broadcast), both join sides here are the full corpus: candidates
     come from one shuffle-join on the bucket id, so the pair count is
-    Σ|bucket|², bounded by LSH occupancy — never |corpus|². Vectors in
-    singleton buckets have no graph edges by construction (production
-    raises recall with multi-probe or band repetition, same trade s08
-    measures).
+    Σ|bucket|² ≈ N²/2^planes. That is linear in N ONLY if the plane
+    count scales with the corpus (occupancy N/2^planes held constant:
+    planes ≈ log2(N / target)); with a FIXED plane count a 10× corpus
+    pays ~100× pairs — measured by the sf1 probe, which also shows the
+    ``n_planes`` knob restoring the occupancy and the linear cost.
+    Vectors in singleton buckets have no graph edges by construction
+    (production raises recall with multi-probe or band repetition,
+    same trade s08 measures).
 
-    Scale shape: one equi-join keyed on the 8-bit bucket, exact cosine
+    Scale shape: one equi-join keyed on the bucket id, exact cosine
     re-rank per candidate pair, per-source top-k window over
     bucket-local groups. No broadcast side — this is the
     both-sides-large ANN shape."""
     base = _base(spark, sf_dir)
-    tagged = base.withColumn("bucket", _bucket_expr())
+    tagged = base.withColumn("bucket", _bucket_expr(n_planes))
     a = tagged.select(
         F.col("vec_id").alias("src_id"),
         F.col("v").alias("sv"),

@@ -146,6 +146,63 @@ def time_queries(registry, spark, sf_dir, reps=3):
     return times
 
 
+def s09_plane_scaling(spark) -> dict:
+    """The LSH occupancy experiment: s09's bucket self-join pays
+    Σ|bucket|² ≈ N²/2^planes, so a FIXED plane count turns 10× data
+    into ~100× candidate pairs. Measure s09 at sf0.1 (7 planes), sf1
+    (same 7 planes — the trap), and sf1 with planes raised to restore
+    per-bucket occupancy (the knob a deployment turns). Pair counts
+    are the structural signal; wall time at this scale is dominated by
+    per-row bucket hashing on underutilized cores."""
+    from kafka2clickhouse_py_streamer_spark.llm.similarity import (
+        s09_knn_graph,
+    )
+
+    from pyspark.sql import functions as F
+
+    from kafka2clickhouse_py_streamer_spark.llm.similarity import (
+        _base,
+        _bucket_expr,
+    )
+
+    def pairs(sf_dir, planes):
+        # Σ |bucket|·(|bucket|-1): the candidate count the self-join
+        # generates — the STRUCTURAL quantity (wall time at this local
+        # scale is dominated by the per-row bucket hashing, so the
+        # quadratic term only shows in the pair count)
+        occ = (
+            _base(spark, sf_dir)
+            .withColumn("bucket", _bucket_expr(planes))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.sum(F.col("n") * (F.col("n") - 1)).alias("pairs"))
+            .collect()[0]["pairs"]
+        )
+        return int(occ)
+
+    def t(sf_dir, planes):
+        s09_knn_graph(spark, sf_dir, n_planes=planes).count()  # warm
+        t0 = time.perf_counter()
+        s09_knn_graph(spark, sf_dir, n_planes=planes).count()
+        return round(time.perf_counter() - t0, 3)
+
+    base, base_p = t(SRC, 7), pairs(SRC, 7)
+    fixed, fixed_p = t(SF1_DIR, 7), pairs(SF1_DIR, 7)
+    scaled, scaled_p = t(SF1_DIR, 10), pairs(SF1_DIR, 10)
+    return {
+        "sf0.1_planes7": base,
+        "sf1_planes7_fixed_buckets": fixed,
+        "sf1_planes10_occupancy_restored": scaled,
+        "fixed_ratio": round(fixed / base, 2),
+        "scaled_ratio": round(scaled / base, 2),
+        "pairs_sf0.1_planes7": base_p,
+        "pairs_sf1_planes7": fixed_p,
+        "pairs_sf1_planes10": scaled_p,
+        "pairs_fixed_ratio": round(fixed_p / base_p, 1),
+        "pairs_scaled_ratio": round(scaled_p / base_p, 1),
+    }
+
+
 def main() -> None:
     from kafka2clickhouse_py_streamer_spark.operators.base import all_queries
     from kafka2clickhouse_py_streamer_spark.session import get_spark
@@ -167,6 +224,7 @@ def main() -> None:
         "sf0.1": t_sf01,
         "sf1": t_sf1,
         "scaling_ratio": ratios,
+        "s09_plane_scaling": s09_plane_scaling(spark),
         "value": round(sum(t_sf1.values()), 3),
     }
     with open(os.path.join(REPO, "BENCH_sf1.json"), "w") as f:
