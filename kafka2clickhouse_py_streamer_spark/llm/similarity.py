@@ -841,29 +841,47 @@ def s10_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     redistribute — the standard simplified formulation, identical on
     both engines.
 
-    Determinism: each iteration's rank is rounded at PR_ROUND decimals
-    on BOTH engines, so floating sum-order differences cannot compound
-    across iterations.
+    Determinism: each iteration's rank is resynced with explicit
+    floor-shift rounding (``floor(x·10^k + 0.5)/10^k``) on BOTH
+    engines — bit-identical given identical doubles, unlike
+    ROUND/F.round whose half-boundary behavior differs between the
+    engines (the t11 lesson) — so floating sum-order differences
+    cannot compound across iterations.
 
     Scale shape: each iteration is one equi-join of the rank vector
     (|nodes| rows, 2 cols) onto the edge list plus one partial+final
-    agg on the destination — the classic iterate-as-dataflow plan; the
-    edge list is computed once and reused. At 100 TB the edge list is
-    the persisted artifact and iterations touch only (id, double)
-    pairs."""
-    edges = s09_knn_graph(spark, sf_dir).select("src_id", "nbr_id")
-    # cache: PR_ITERS iterations + outdeg all reread the edge list; at
-    # deployment scale this is a written table, locally a cache
-    edges = edges.persist()
+    agg on the destination — the classic iterate-as-dataflow plan. The
+    edge list is materialized ONCE (localCheckpoint — same per-round
+    pattern as d07's contraction; a deployment writes it as a table)
+    so the s09 self-join is not recomputed 2·iters+1 times."""
     nodes = _base(spark, sf_dir).select("vec_id")
     n = nodes.count()  # one scalar to the driver (constant in the plan)
+    if n == 0:
+        # all embeddings malformed: empty result, matching the oracle
+        # (unguarded, 1/n would raise on the driver)
+        return spark.createDataFrame(
+            [], "vec_id long, pagerank double, out_degree long"
+        )
+    edges = (
+        s09_knn_graph(spark, sf_dir)
+        .select("src_id", "nbr_id")
+        .localCheckpoint(eager=True)
+    )
     outdeg = edges.groupBy("src_id").agg(
         F.count(F.lit(1)).alias("outdeg")
     )
     base = (1.0 - PR_DAMPING) / n
-    ranks = nodes.select(
-        "vec_id", F.lit(round(1.0 / n, PR_ROUND)).alias("r")
-    )
+
+    def resync(col, k):
+        # floor-shift rounding: identical on both engines at half points
+        return F.floor(col * F.lit(10.0 ** k) + F.lit(0.5)) / F.lit(
+            10.0 ** k
+        )
+
+    import math
+
+    r0 = math.floor(1.0 / n * 10 ** PR_ROUND + 0.5) / 10 ** PR_ROUND
+    ranks = nodes.select("vec_id", F.lit(r0).alias("r"))
     for _ in range(PR_ITERS):
         contrib = (
             edges.join(
@@ -881,25 +899,23 @@ def s10_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select(
                 "vec_id",
-                F.round(
+                resync(
                     F.lit(base)
                     + PR_DAMPING * F.coalesce("inflow", F.lit(0.0)),
                     PR_ROUND,
                 ).alias("r"),
             )
         )
-    out = (
+    return (
         ranks.join(outdeg.withColumnRenamed("src_id", "vec_id"),
                    "vec_id", "left")
         .select(
             "vec_id",
-            F.round("r", 8).alias("pagerank"),
+            resync(F.col("r"), 8).alias("pagerank"),
             F.coalesce("outdeg", F.lit(0)).cast("long").alias("out_degree"),
         )
         .orderBy("vec_id")
     )
-    edges.unpersist()
-    return out
 
 
 def _s10_sql() -> str:
@@ -919,8 +935,9 @@ contrib{k} AS (
 ),
 r{k} AS (
   SELECT n.vec_id,
-         ROUND((1.0 - {PR_DAMPING}) / (SELECT n FROM nn)
-               + {PR_DAMPING} * COALESCE(c.inflow, 0.0), {PR_ROUND}) AS r
+         FLOOR(((1.0 - {PR_DAMPING}) / (SELECT n FROM nn)
+                + {PR_DAMPING} * COALESCE(c.inflow, 0.0))
+               * 1e{PR_ROUND} + 0.5) / 1e{PR_ROUND} AS r
   FROM nodes n LEFT JOIN contrib{k} c ON c.vec_id = n.vec_id
 )""")
         prev = f"r{k}"
@@ -936,11 +953,13 @@ outdeg AS (
   SELECT src_id, COUNT(*) AS outdeg FROM edges GROUP BY src_id
 ),
 r0 AS (
-  SELECT vec_id, ROUND(1.0 / (SELECT n FROM nn), {PR_ROUND}) AS r
+  SELECT vec_id,
+         FLOOR(1.0 / (SELECT n FROM nn) * 1e{PR_ROUND} + 0.5)
+           / 1e{PR_ROUND} AS r
   FROM nodes
 ),{",".join(iters)}
 SELECT n.vec_id,
-       ROUND(r.r, 8) AS pagerank,
+       FLOOR(r.r * 1e8 + 0.5) / 1e8 AS pagerank,
        CAST(COALESCE(d.outdeg, 0) AS BIGINT) AS out_degree
 FROM nodes n
 JOIN {prev} r ON r.vec_id = n.vec_id
