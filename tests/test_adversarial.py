@@ -269,6 +269,29 @@ def test_degenerate_divisors_guarded(spark, degenerate_dir, name):
         con.close()
 
 
+def test_s10_empty_after_gate_returns_empty(spark, tmp_path):
+    # ALL embeddings malformed -> the vector gate leaves zero nodes;
+    # s10 must return an empty frame (matching its oracle), not divide
+    # by zero on the driver
+    from kafka2clickhouse_py_streamer_spark.llm.similarity import (
+        s10_pagerank,
+    )
+
+    root = str(tmp_path / "empty_emb")
+    os.makedirs(root)
+    emb = pa.table({
+        "vec_id": pa.array([0, 1, 2], pa.int64()),
+        "embedding": pa.array(
+            [None, [], [0.0] * 64], pa.list_(pa.float32())
+        ),
+        "label": pa.array([0, 1, 2], pa.int32()),
+    })
+    pq.write_table(emb, os.path.join(root, "embeddings.parquet"))
+    df = s10_pagerank(spark, root)
+    assert df.columns == ["vec_id", "pagerank", "out_degree"]
+    assert df.count() == 0
+
+
 def test_vector_gate_excludes_only_malformed(spark, adv_ev_dir):
     # the admission gate must drop EXACTLY the 4 corrupt vectors
     # (null, empty, zero-norm, wrong-dim) and keep all 36 valid ones
