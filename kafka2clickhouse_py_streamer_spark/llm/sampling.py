@@ -826,6 +826,79 @@ ORDER BY doc_id
 P10_SQL = _p10_sql()
 
 
+PPS_SAMPLES = 100
+
+
+def p13_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability-proportional-to-size (PPS) systematic sampling: draw
+    ~``PPS_SAMPLES`` documents with inclusion probability proportional
+    to their length. Docs are laid on a weight line in md5(doc_id)
+    order (uniform, reproducible — same rationale as p04's shuffle
+    key); a doc is selected iff its weight span [off, off+w) crosses a
+    multiple of total/m. Oversized docs (w > step) are certainty
+    selections covering several slots — ``n_slots`` records how many.
+
+    ENTIRELY integer arithmetic ((off·m) div total — no float
+    boundaries to disagree on), so both engines select the identical
+    sample. Scale shape: the global running offset is the distributed
+    two-pass pattern (range partition → per-partition totals →
+    broadcast prefixes); the grand total joins back as a broadcast
+    one-row frame. No SinglePartition, no driver-sized collect."""
+    d = table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        "source",
+        F.greatest(
+            F.coalesce(F.col("n_chars"), F.lit(0)), F.lit(1)
+        ).cast("long").alias("w"),
+        F.md5(F.col("doc_id").cast("string")).alias("skey"),
+    )
+    off = _two_pass_offsets(base, [], val_col="w", order_col="skey")
+    total = base.agg(F.sum("w").alias("total"))
+    return (
+        off.crossJoin(F.broadcast(total))
+        .withColumn(
+            "n_slots",
+            (F.expr(f"((stream_offset + w) * {PPS_SAMPLES}) div total")
+             - F.expr(f"(stream_offset * {PPS_SAMPLES}) div total"))
+            .cast("long"),
+        )
+        .filter(F.col("n_slots") > 0)
+        .select(
+            "doc_id",
+            "source",
+            F.col("w").alias("weight"),
+            "n_slots",
+        )
+        .orderBy("doc_id")
+    )
+
+
+P13_SQL = f"""
+WITH base AS (
+  SELECT doc_id, source,
+         CAST(GREATEST(COALESCE(n_chars, 0), 1) AS BIGINT) AS w,
+         md5(CAST(doc_id AS VARCHAR)) AS skey
+  FROM documents
+),
+o AS (
+  SELECT *,
+         COALESCE(SUM(w) OVER (ORDER BY skey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS off
+  FROM base
+),
+t AS (SELECT SUM(w) AS total FROM base)
+SELECT doc_id, source, w AS weight,
+       CAST(((off + w) * {PPS_SAMPLES}) // total
+            - (off * {PPS_SAMPLES}) // total AS BIGINT) AS n_slots
+FROM o, t
+WHERE ((off + w) * {PPS_SAMPLES}) // total
+      > (off * {PPS_SAMPLES}) // total
+ORDER BY doc_id
+"""
+
+
 N_CURRICULUM_STAGES = 4
 
 
@@ -1035,4 +1108,7 @@ QUERIES = [
     Query("p12_temperature_mix", p12_temperature_mix, P12_SQL,
           "temperature-scaled domain mixture weights (share^alpha, "
           "target tokens + epoch factors)"),
+    Query("p13_pps_sample", p13_pps_sample, P13_SQL,
+          "PPS systematic sampling (integer weight-line crossings, "
+          "two-pass offsets)"),
 ]

@@ -968,6 +968,105 @@ ORDER BY n.vec_id
 """
 
 
+# SemDeDup threshold: tuned to the synthetic fixture's cosine range
+# (random vectors concentrate near 0; same-bucket pairs reach ~0.47).
+# Real embedding corpora run this at ~0.95 — the knob, like N_PLANES,
+# is data-dependent and the structure is threshold-invariant.
+SEMDEDUP_TAU = 0.3
+
+
+def d15_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): LSH
+    buckets stand in for the k-means clusters, and within each bucket a
+    vector is pruned iff ANY smaller-id bucket-mate is τ-similar
+    (cosine ≥ SEMDEDUP_TAU on the shared rounded scorer).
+
+    Pessimistic admission, deliberately: no chaining through pruned
+    vectors (a vector similar only to an already-pruned one is still
+    pruned), so the decision is ONE bucket-equi pair join + a
+    semi-join — no iteration, no transitive closure, deterministic.
+    Output is the per-bucket audit: corpus size, pruned count, and the
+    pruned fraction.
+
+    Scale shape: same as s09 — candidates come only from bucket
+    collisions (occupancy² per bucket, bounded by the N_PLANES knob);
+    digest-width rows cross the shuffle; the final audit is one hash
+    agg. Cites SURVEY.md §2b dedup family; the exact-baseline
+    embedding near-dup twin is dedup.d05."""
+    base = _base(spark, sf_dir)
+    tagged = base.select(
+        "vec_id", "v", "norm", _bucket_expr().alias("bucket")
+    )
+    a = tagged.alias("a")
+    b = tagged.alias("b")
+    cos = F.round(_cosine("a.v", "b.v", "a.norm", "b.norm"), 6)
+    pruned = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos >= SEMDEDUP_TAU)
+        .select(
+            F.col("b.vec_id").alias("vec_id"),
+            F.col("b.bucket").alias("bucket"),
+        )
+        .distinct()
+    )
+    n_pruned = pruned.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_pruned")
+    )
+    sizes = tagged.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )
+    return (
+        sizes.join(n_pruned, "bucket", "left")
+        .select(
+            "bucket",
+            F.col("n_vectors").cast("long").alias("n_vectors"),
+            F.coalesce("n_pruned", F.lit(0)).cast("long").alias("n_pruned"),
+            F.round(
+                F.coalesce("n_pruned", F.lit(0))
+                / F.col("n_vectors"), 6
+            ).alias("pruned_frac"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _d15_sql() -> str:
+    combine = _bucket_sql_expr()
+    return f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+  WHERE {valid_emb_sql(DIM)}
+),
+tagged AS (
+  SELECT vec_id, v, CAST({combine} AS BIGINT) AS bucket
+  FROM base
+),
+pruned AS (
+  SELECT DISTINCT b.vec_id, b.bucket
+  FROM tagged a JOIN tagged b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE ROUND(list_dot_product(a.v, b.v)
+          / (SQRT(list_dot_product(a.v, a.v))
+             * SQRT(list_dot_product(b.v, b.v))), 6)
+        >= {SEMDEDUP_TAU}
+),
+np AS (SELECT bucket, COUNT(*) AS n_pruned FROM pruned GROUP BY bucket),
+sizes AS (SELECT bucket, COUNT(*) AS n_vectors FROM tagged GROUP BY bucket)
+SELECT s.bucket,
+       CAST(s.n_vectors AS BIGINT) AS n_vectors,
+       CAST(COALESCE(np.n_pruned, 0) AS BIGINT) AS n_pruned,
+       ROUND(CAST(COALESCE(np.n_pruned, 0) AS DOUBLE) / s.n_vectors, 6)
+         AS pruned_frac
+FROM sizes s LEFT JOIN np USING (bucket)
+ORDER BY s.bucket
+"""
+
+
 QUERIES = [
     Query("s01_cosine_topk", s01_cosine_topk, S01_SQL,
           "exact brute-force cosine top-k"),
@@ -991,4 +1090,7 @@ QUERIES = [
     Query("s10_pagerank", s10_pagerank, _s10_sql(),
           "PageRank over the kNN similarity graph (fixed power "
           "iterations as join+agg dataflow)"),
+    Query("d15_semdedup", d15_semdedup, _d15_sql(),
+          "SemDeDup: bucket-blocked semantic prune audit (pessimistic "
+          "smaller-id admission, no iteration)"),
 ]

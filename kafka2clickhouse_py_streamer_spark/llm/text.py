@@ -9,7 +9,7 @@ DuckDB oracle twin.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka2clickhouse_py_streamer_spark.functions import tokens_expr
@@ -795,6 +795,85 @@ ORDER BY d.doc_id
 """
 
 
+ZIPF_TOP = 100
+
+
+def t13_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit per source: the OLS slope of ln(frequency) against
+    ln(rank) over each source's top-``ZIPF_TOP`` terms. Natural text
+    sits near slope −1; gibberish, boilerplate, and templated spam
+    flatten or steepen the curve — a corpus-level linguistic-health
+    gauge next to the per-document scorers (t02/t08/t10).
+
+    Scale shape: explode → ONE token-key hash agg with map-side
+    combine (a word count), a per-source rank window over the
+    AGGREGATED vocab (never raw tokens), then regr_* moment aggregates
+    per source. At 100 TB the per-source vocab sort is the cost center
+    — a deployment would pre-prune with an approximate per-partition
+    top-k before the window; the fixture-scale form keeps the exact
+    rank for oracle parity."""
+    d = table(spark, sf_dir, "documents")
+    toks = (
+        d.select("source", F.explode(F.expr(tokens_expr("text"))).alias("token"))
+        .filter(F.length("token") > 0)
+    )
+    vocab = toks.groupBy("source", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("tf"), "token")
+    ranked = vocab.withColumn("rank", F.row_number().over(w))
+    y = F.when(F.col("rank") <= ZIPF_TOP, F.log(F.col("tf").cast("double")))
+    x = F.when(F.col("rank") <= ZIPF_TOP, F.log(F.col("rank").cast("double")))
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.round(F.regr_slope(y, x), 4).alias("zipf_slope"),
+            F.round(F.regr_r2(y, x), 4).alias("zipf_r2"),
+            F.count(F.lit(1)).cast("long").alias("n_vocab"),
+            F.min(F.when(F.col("rank") == 1, F.col("token"))).alias(
+                "top_token"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+T13_SQL = rf"""
+WITH toks AS (
+  SELECT source,
+         UNNEST(regexp_split_to_array(TRIM(LOWER(text)), '\s+')) AS token
+  FROM documents
+),
+vocab AS (
+  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks WHERE LENGTH(token) > 0
+  GROUP BY source, token
+),
+ranked AS (
+  SELECT source, token, tf,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY tf DESC, token) AS rank
+  FROM vocab
+)
+SELECT source,
+       ROUND(regr_slope(CASE WHEN rank <= {ZIPF_TOP}
+                             THEN LN(CAST(tf AS DOUBLE)) END,
+                        CASE WHEN rank <= {ZIPF_TOP}
+                             THEN LN(CAST(rank AS DOUBLE)) END), 4)
+         AS zipf_slope,
+       ROUND(regr_r2(CASE WHEN rank <= {ZIPF_TOP}
+                          THEN LN(CAST(tf AS DOUBLE)) END,
+                     CASE WHEN rank <= {ZIPF_TOP}
+                          THEN LN(CAST(rank AS DOUBLE)) END), 4)
+         AS zipf_r2,
+       CAST(COUNT(*) AS BIGINT) AS n_vocab,
+       MIN(CASE WHEN rank = 1 THEN token END) AS top_token
+FROM ranked
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = [
     Query("t01_token_count", t01_token_count, T01_SQL,
           "whitespace + subword-proxy token counts"),
@@ -820,4 +899,7 @@ QUERIES = [
           "Flesch reading-ease (vowel-group syllable proxy)"),
     Query("t12_lexical_diversity", t12_lexical_diversity, T12_SQL,
           "type-token ratio, hapax fraction, mean word length"),
+    Query("t13_zipf_fit", t13_zipf_fit, T13_SQL,
+          "Zipf-law fit per source (OLS of ln freq vs ln rank over "
+          "top terms)"),
 ]

@@ -153,6 +153,14 @@ _VERIFY_FIRST = [
     "w08_disorder_profile",
     "p12_temperature_mix",
     "s10_pagerank",
+    "q59_concurrency",
+    "q61_gaps_islands",
+    "q60_linear_trend",
+    "d15_semdedup",
+    "t13_zipf_fit",
+    "p13_pps_sample",
+    "w09_gap_fill",
+    "w10_rate_anomaly",
     # green-r01 but file churned since
     "q36_range_frame",
     "q37_ntile_cume",

@@ -619,6 +619,49 @@ ORDER BY m.cohort_month, m.month
 """
 
 
+def q60_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary-least-squares trend via the SQL regression
+    aggregates: slope/intercept/R² of order price against days-since-
+    epoch-start. regr_* are single-pass partial-aggregatable moments
+    (sums of x, y, xy, x², y²) — ONE hash-aggregate shuffle, the same
+    cost envelope as q31, never a per-group sort or collect."""
+    o = table(spark, sf_dir, "orders")
+    x = F.datediff(
+        F.col("o_orderdate"), F.lit("1992-01-01").cast("date")
+    ).cast("double")
+    y = F.col("o_totalprice")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.regr_slope(y, x), 6).alias("slope"),
+            F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+            F.round(F.regr_r2(y, x), 8).alias("r2"),
+            F.regr_count(y, x).cast("long").alias("n_obs"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+Q60_SQL = """
+SELECT o_orderpriority,
+       ROUND(regr_slope(o_totalprice,
+             CAST(date_diff('day', DATE '1992-01-01', o_orderdate)
+                  AS DOUBLE)), 6) AS slope,
+       ROUND(regr_intercept(o_totalprice,
+             CAST(date_diff('day', DATE '1992-01-01', o_orderdate)
+                  AS DOUBLE)), 4) AS intercept,
+       ROUND(regr_r2(o_totalprice,
+             CAST(date_diff('day', DATE '1992-01-01', o_orderdate)
+                  AS DOUBLE)), 8) AS r2,
+       CAST(regr_count(o_totalprice,
+             CAST(date_diff('day', DATE '1992-01-01', o_orderdate)
+                  AS DOUBLE)) AS BIGINT) AS n_obs
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 QUERIES = [
     Query("q31_moment_stats", q31_moment_stats, Q31_SQL,
           "stddev/variance/corr/covar moments"),
@@ -647,4 +690,7 @@ QUERIES = [
     Query("q57_cohort_retention", q57_cohort_retention, Q57_SQL,
           "monthly cohort retention matrix (first-order cohorts, "
           "broadcast re-join)"),
+    Query("q60_linear_trend", q60_linear_trend, Q60_SQL,
+          "per-group OLS trend (regr_slope/intercept/r2 moment "
+          "aggregates, one shuffle)"),
 ]

@@ -415,6 +415,134 @@ ORDER BY user_id, valid_from, event_id
 """
 
 
+def q59_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max concurrent intervals per event type (sweep-line): each event
+    opens a half-open 30-minute interval [ts, ts+30m); the concurrency
+    at any instant is the running sum of +1 (open) / -1 (close) deltas
+    in time order.
+
+    Engine-parity note: deltas at the SAME instant are aggregated into
+    one net row per (type, instant) BEFORE the running sum, so the
+    half-open convention (an interval closing exactly when another
+    opens does not overlap it) is encoded in the data, not in a
+    tie-breaking sort order the engines could disagree on.
+
+    Scale shape: a 2× row expansion (explode of two points), one hash
+    aggregation on (type, instant), one keyed window (partitioned by
+    event_type — never a global sort), one final hash agg. No joins."""
+    e = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    pts = e.select(
+        "event_type",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("ts").alias("pt"), F.lit(1).alias("d")
+                ),
+                F.struct(
+                    (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("pt"),
+                    F.lit(-1).alias("d"),
+                ),
+            )
+        ).alias("p"),
+    ).select("event_type", "p.pt", "p.d")
+    net = pts.groupBy("event_type", "pt").agg(
+        F.sum("d").alias("net"),
+        F.sum(F.when(F.col("d") == 1, 1).otherwise(0)).alias("n_starts"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("pt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        net.withColumn("conc", F.sum("net").over(w))
+        .groupBy("event_type")
+        .agg(
+            F.max("conc").cast("long").alias("max_concurrent"),
+            F.sum("n_starts").cast("long").alias("n_intervals"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q59_SQL = """
+WITH pts AS (
+  SELECT event_type, ts AS pt, 1 AS d
+  FROM events WHERE ts IS NOT NULL
+  UNION ALL
+  SELECT event_type, ts + INTERVAL 30 MINUTE, -1
+  FROM events WHERE ts IS NOT NULL
+),
+net AS (
+  SELECT event_type, pt, SUM(d) AS net,
+         SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS n_starts
+  FROM pts GROUP BY event_type, pt
+),
+run AS (
+  SELECT event_type, n_starts,
+         SUM(net) OVER (PARTITION BY event_type ORDER BY pt
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS conc
+  FROM net
+)
+SELECT event_type,
+       CAST(MAX(conc) AS BIGINT) AS max_concurrent,
+       CAST(SUM(n_starts) AS BIGINT) AS n_intervals
+FROM run GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q61_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: contiguous runs of active DAYS per user. The
+    classic date-minus-row_number trick — consecutive dates share one
+    (day - rn) island id — entirely within a keyed window, so it scales
+    as one shuffle on user_id (never a global sort). Null-ts events are
+    excluded (no event time → no activity day)."""
+    e = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    days = e.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = days.withColumn(
+        "island", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    per_island = islands.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return (
+        per_island.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_islands"),
+            F.max("len").cast("long").alias("max_streak_days"),
+            F.sum("len").cast("long").alias("active_days"),
+        )
+        .orderBy("user_id")
+    )
+
+
+Q61_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+  FROM events WHERE ts IS NOT NULL
+),
+islands AS (
+  SELECT user_id,
+         day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY day) AS INTEGER) AS island
+  FROM days
+),
+per_island AS (
+  SELECT user_id, island, COUNT(*) AS len
+  FROM islands GROUP BY user_id, island
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_islands,
+       CAST(MAX(len) AS BIGINT) AS max_streak_days,
+       CAST(SUM(len) AS BIGINT) AS active_days
+FROM per_island GROUP BY user_id ORDER BY user_id
+"""
+
+
 QUERIES = [
     Query("q08_topk_per_group", q08_topk_per_group, Q08_SQL,
           "row_number top-K per group"),
@@ -436,4 +564,10 @@ QUERIES = [
     Query("q58_scd2_intervals", q58_scd2_intervals, Q58_SQL,
           "SCD type-2 validity intervals from an event stream "
           "(lead-window build)"),
+    Query("q59_concurrency", q59_concurrency, Q59_SQL,
+          "max concurrent 30-min intervals per type (sweep-line "
+          "+1/-1 running sum, tie-order-free)"),
+    Query("q61_gaps_islands", q61_gaps_islands, Q61_SQL,
+          "gaps-and-islands: contiguous active-day streaks per user "
+          "(date-minus-row_number)"),
 ]

@@ -420,6 +420,146 @@ ORDER BY event_type
 """
 
 
+def _hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared hourly rollup for the time-series ops (w09/w10): count +
+    rounded sum per (event_type, hour). Rounding happens HERE, once, so
+    downstream forward-fill/z-score propagate identical values on both
+    engines."""
+    e = timed_events(spark, sf_dir)
+    return (
+        e.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("h")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("s"),
+        )
+    )
+
+
+_HOURLY_SQL = """
+  SELECT event_type, DATE_TRUNC('hour', ts) AS h,
+         COUNT(*) AS n, ROUND(SUM(value), 4) AS s
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY event_type, DATE_TRUNC('hour', ts)
+"""
+
+
+def w09_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + forward-fill: a dense hourly grid per
+    event type (min..max observed hour), hours with no events flagged
+    as gaps and their value forward-filled from the last observed hour.
+
+    Scale shape: the grid is generated from a |keys|-row bounds
+    aggregate (sequence + explode — grid rows ≈ keys × hours, never a
+    cross join of raw events); the grid joins the hourly rollup on
+    (type, hour) — an equi-join between two AGGREGATED frames; the
+    forward-fill is one keyed window (last value, ignore nulls). Raw
+    events are touched exactly once."""
+    hourly = _hourly(spark, sf_dir)
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("h").alias("hmin"), F.max("h").alias("hmax")
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence("hmin", "hmax", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            F.col("h").alias("hour_start"),
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+            F.last("s", ignorenulls=True).over(w).alias("filled_sum"),
+            F.col("n").isNull().alias("is_gap"),
+        )
+        .orderBy("event_type", "hour_start")
+    )
+
+
+W09_SQL = f"""
+WITH hourly AS ({_HOURLY_SQL}),
+bounds AS (
+  SELECT event_type, MIN(h) AS hmin, MAX(h) AS hmax
+  FROM hourly GROUP BY event_type
+),
+grid AS (
+  SELECT event_type,
+         UNNEST(generate_series(hmin, hmax, INTERVAL 1 HOUR)) AS h
+  FROM bounds
+)
+SELECT g.event_type, g.h AS hour_start,
+       CAST(COALESCE(hourly.n, 0) AS BIGINT) AS n_events,
+       last_value(hourly.s IGNORE NULLS)
+         OVER (PARTITION BY g.event_type ORDER BY g.h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS filled_sum,
+       hourly.n IS NULL AS is_gap
+FROM grid g LEFT JOIN hourly USING (event_type, h)
+ORDER BY event_type, hour_start
+"""
+
+
+def w10_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-rate anomaly detection: z-score of each hour's event count
+    against the TRAILING 24 observed hours (excluding the current hour
+    — the baseline must not contain the point under test). Hours with
+    fewer than 2 baseline points, or a zero-variance baseline, yield a
+    NULL z-score (never an anomaly) on both engines via NULLIF.
+
+    Scale shape: one hash agg to hourly counts, then one keyed window
+    over the AGGREGATED series (|keys| × hours rows, not raw events);
+    the explicit ROWS frame keeps state bounded at 24 rows per key —
+    the same shape a streaming job maintains incrementally."""
+    hourly = _hourly(spark, sf_dir)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(-24, -1)
+    )
+    nn = F.col("n").cast("double")
+    base_avg = F.avg(nn).over(w)
+    base_std = F.stddev_samp(nn).over(w)
+    z = (nn - base_avg) / F.nullif(base_std, F.lit(0.0))
+    return (
+        hourly.select(
+            "event_type",
+            F.col("h").alias("hour_start"),
+            F.col("n").cast("long").alias("n_events"),
+            F.round(z, 4).alias("z_score"),
+            F.coalesce(F.abs(z) > 3.0, F.lit(False)).alias("is_anomaly"),
+        )
+        .orderBy("event_type", "hour_start")
+    )
+
+
+W10_SQL = f"""
+WITH hourly AS ({_HOURLY_SQL}),
+scored AS (
+  SELECT event_type, h,
+         CAST(n AS BIGINT) AS n_events,
+         (CAST(n AS DOUBLE)
+          - AVG(CAST(n AS DOUBLE)) OVER tw)
+         / NULLIF(STDDEV_SAMP(CAST(n AS DOUBLE)) OVER tw, 0.0) AS z
+  FROM hourly
+  WINDOW tw AS (PARTITION BY event_type ORDER BY h
+                ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, h AS hour_start, n_events,
+       ROUND(z, 4) AS z_score,
+       COALESCE(ABS(z) > 3.0, FALSE) AS is_anomaly
+FROM scored
+ORDER BY event_type, hour_start
+"""
+
+
 QUERIES = [
     Query("w01_tumbling", w01_tumbling, W01_SQL, "tumbling 1h windows"),
     Query("w02_sliding", w02_sliding, W02_SQL, "sliding 1h/30m windows"),
@@ -437,4 +577,10 @@ QUERIES = [
     Query("w08_disorder_profile", w08_disorder_profile, W08_SQL,
           "out-of-orderness profile (watermark calibration: late "
           "counts + max/avg disorder per key)"),
+    Query("w09_gap_fill", w09_gap_fill, W09_SQL,
+          "hourly resample + forward-fill (dense grid from bounds, "
+          "keyed ffill window)"),
+    Query("w10_rate_anomaly", w10_rate_anomaly, W10_SQL,
+          "event-rate z-score vs trailing 24h baseline (bounded ROWS "
+          "frame)"),
 ]

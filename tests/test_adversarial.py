@@ -78,7 +78,8 @@ SWEEP = [
     "p03_sequence_packing", "p04_global_shuffle", "p05_clean_corpus",
     "p06_domain_mix", "p07_corpus_pipeline", "p08_flatten_mix",
     "p09_incremental_refresh", "p10_budget_select",
-    "p11_curriculum_stages", "p12_temperature_mix",
+    "p11_curriculum_stages", "p12_temperature_mix", "p13_pps_sample",
+    "t13_zipf_fit",
 ]
 
 
@@ -129,14 +130,15 @@ EVENTS_SWEEP = [
     "q28_sessionization", "q29_keep_first", "q17_date_fns",
     "q18_json_fns", "q41_map_fns", "q51_skew_profile",
     "q52_interval_frame", "q53_funnel", "q55_robust_outliers",
-    "q58_scd2_intervals",
+    "q58_scd2_intervals", "q59_concurrency", "q61_gaps_islands",
+    "w09_gap_fill", "w10_rate_anomaly",
 ]
 
 EMB_SWEEP = [
     "s01_cosine_topk", "s02_lsh_buckets", "s03_lsh_topk",
     "s04_ivf_topk", "s05_trained_ivf", "s06_quantize", "s07_knn_label",
     "s08_ann_recall", "s09_knn_graph", "s10_pagerank",
-    "d05_embedding_neardup", "q19_array_fns",
+    "d05_embedding_neardup", "d15_semdedup", "q19_array_fns",
 ]
 
 

@@ -634,3 +634,115 @@ def test_q56_mom_growth_window_over_aggregate(spark, sf_dir):
         assert set(cols) == {
             "o_orderpriority", "o_orderdate", "o_totalprice"
         }
+
+
+def test_q59_q61_keyed_windows_no_joins(spark, sf_dir):
+    # sweep-line and gaps-and-islands are pure agg+keyed-window
+    # dataflows: no join anywhere, never a global single-partition sort
+    # (beyond the final presentation orderBy), no Python
+    from kafka2clickhouse_py_streamer_spark.operators.windows import (
+        q59_concurrency,
+        q61_gaps_islands,
+    )
+
+    for df in (
+        q59_concurrency(spark, sf_dir),
+        q61_gaps_islands(spark, sf_dir),
+    ):
+        plan = formatted_plan(df)
+        assert "Join" not in plan
+        assert "SinglePartition" not in plan
+        assert python_row_ops(df) == 0
+
+
+def test_q60_trend_single_agg_shuffle_pruned(spark, sf_dir):
+    # regr_* moments are partial-aggregatable: partial+final hash agg =
+    # one hash exchange (+1 range for the presentation sort); the scan
+    # reads only the three needed columns
+    from kafka2clickhouse_py_streamer_spark.operators.statistics import (
+        q60_linear_trend,
+    )
+
+    df = q60_linear_trend(spark, sf_dir)
+    assert count_exchanges(df) <= 2
+    assert python_row_ops(df) == 0
+    for cols in read_schema_columns(df):
+        assert set(cols) == {
+            "o_orderpriority", "o_orderdate", "o_totalprice"
+        }
+
+
+def test_w09_gap_fill_joins_aggregates_only(spark, sf_dir):
+    # the dense grid must join the AGGREGATED hourly frame (equi-join,
+    # possibly broadcast under AQE) — never a cartesian against raw
+    # events; the forward-fill window is keyed by event_type
+    from kafka2clickhouse_py_streamer_spark.streaming.batch_windows import (
+        w09_gap_fill,
+    )
+
+    df = w09_gap_fill(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SinglePartition" not in plan
+    assert python_row_ops(df) == 0
+
+
+def test_w10_anomaly_window_over_aggregate_no_joins(spark, sf_dir):
+    # z-scoring runs over the hourly AGGREGATE (bounded 24-row frame),
+    # never raw events: agg-then-window, no joins, scan pruned to the
+    # three columns the rollup needs
+    from kafka2clickhouse_py_streamer_spark.streaming.batch_windows import (
+        w10_rate_anomaly,
+    )
+
+    df = w10_rate_anomaly(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial+final before window
+    assert python_row_ops(df) == 0
+    # the shared _hourly rollup also computes sum(value), but w10 never
+    # reads it — Catalyst must prune `value` out of the scan entirely
+    for cols in read_schema_columns(df):
+        assert set(cols) == {"event_type", "ts"}
+
+
+def test_p13_pps_never_single_partition(spark, sf_dir):
+    # the global weight-line offsets must be the two-pass pattern; the
+    # only SinglePartition is the broadcast one-row total
+    from kafka2clickhouse_py_streamer_spark.llm.sampling import (
+        p13_pps_sample,
+    )
+
+    df = p13_pps_sample(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("SinglePartition") <= 1  # the one-row total only
+    assert "CartesianProduct" not in plan
+    assert python_row_ops(df) == 0
+
+
+def test_d15_semdedup_bucket_join_no_cartesian(spark, sf_dir):
+    # candidates come only from LSH bucket collisions: the pair join is
+    # an equi-join on the bucket id — no cartesian, no nested loop
+    from kafka2clickhouse_py_streamer_spark.llm.similarity import (
+        d15_semdedup,
+    )
+
+    df = d15_semdedup(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert python_row_ops(df) == 0
+
+
+def test_t13_zipf_window_over_vocab_aggregate(spark, sf_dir):
+    # the rank window must run over the (source, token) AGGREGATE (a
+    # word count with map-side combine), never the raw token stream;
+    # regr moments aggregate the ranked frame — all JVM
+    from kafka2clickhouse_py_streamer_spark.llm.text import t13_zipf_fit
+
+    df = t13_zipf_fit(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("HashAggregate") >= 2  # partial+final vocab count
+    assert "Join" not in plan
+    assert python_row_ops(df) == 0
