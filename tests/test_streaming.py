@@ -1030,3 +1030,75 @@ def test_live_smoke_end_to_end_if_infra_present():
     if missing:
         pytest.skip(f"live infra not configured (missing env {missing})")
     assert live_smoke.main() == 0
+
+
+def test_w10_anomaly_scores_streamed_rollup(spark, tmp_path):
+    """w10's streaming posture, exercised live: the watermarked hourly
+    count rollup runs under readStream (append mode — only watermark-
+    closed hours emit), accumulating into a rollup store; the z-score
+    pass then runs over the STORED rollup. Because the trailing-24h
+    frame only looks backward, every score computed on the streamed
+    prefix must equal the batch w10 row for that hour exactly."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from kafka2clickhouse_py_streamer_spark.operators.base import table
+
+    sf = "/root/testdata/sf0.001"
+    e = (
+        table(spark, sf, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("ts", "event_type")
+    )
+    src = str(tmp_path / "events_w10")
+    e.coalesce(1).write.mode("overwrite").parquet(src)
+
+    es = spark.readStream.schema(e.schema).parquet(src)
+    agg = (
+        es.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("h"), "event_type", "n")
+    )
+    rollup: list = []
+
+    def store_batch(df, _id):
+        rollup.extend((r.event_type, r.h, r.n) for r in df.collect())
+
+    q = (
+        agg.writeStream.outputMode("append")
+        .foreachBatch(store_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt_w10"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert rollup, "watermark must finalize at least one hourly window"
+
+    stored = spark.createDataFrame(rollup, ["event_type", "h", "n"])
+    tw = W.partitionBy("event_type").orderBy("h").rowsBetween(-24, -1)
+    nn = F.col("n").cast("double")
+    z = (nn - F.avg(nn).over(tw)) / F.nullif(
+        F.stddev_samp(nn).over(tw), F.lit(0.0)
+    )
+    scored = {
+        (r.event_type, r.h, r.n, r.z)
+        for r in stored.select(
+            "event_type", "h", "n", F.round(z, 4).alias("z")
+        ).collect()
+    }
+
+    from kafka2clickhouse_py_streamer_spark.streaming.batch_windows import (
+        w10_rate_anomaly,
+    )
+
+    batch = {
+        (r.event_type, r.hour_start, r.n_events, r.z_score)
+        for r in w10_rate_anomaly(spark, sf).collect()
+    }
+    # streamed rollup is the watermark-closed prefix; backward-looking
+    # frames mean every streamed score must match its batch twin
+    assert scored <= batch

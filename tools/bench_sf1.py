@@ -54,6 +54,13 @@ HEAVY = [
     "d12_span_dedup",
     "d14_lsh_admission",
     "t12_lexical_diversity",
+    # session additions: the bucket-occupancy² pair join (same trap the
+    # plane-count knob governs), the per-source vocab rank window, and
+    # the global weight-line offsets — the three new shapes that could
+    # go super-linear
+    "d15_semdedup",
+    "t13_zipf_fit",
+    "p13_pps_sample",
 ]
 VOWELS = "aeiou"
 
