@@ -379,19 +379,11 @@ ORDER BY query_id, rk
 """
 
 
-def s05_trained_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF with TRAINED centroids (s04 uses fixed pseudo-random ones):
-    centroid k = the element-wise mean of the corpus vectors whose
-    vec_id ≡ k (mod K) — a deterministic stand-in for sampled k-means
-    seeding, so both engines train identically. Assignment, cell join,
-    and exact re-rank are then s04's plan.
-
-    The train step is 64 avg aggregates per cell (pure JVM hash agg,
-    one shuffle on the K-value cell key); its output is K×64 doubles —
-    collected to the driver and inlined as literals, the real-world
-    'train small, broadcast into the scan projection' IVF shape (at
-    100 TB the corpus never reshuffles for assignment)."""
-    base = _base(spark, sf_dir)
+def _train_centroids(base: DataFrame) -> dict[int, list[float]]:
+    """The s05 train step, shared with the s11 audit: centroid k = the
+    element-wise mean of the corpus vectors with vec_id ≡ k (mod K) —
+    deterministic k-means seeding both engines reproduce. Returns the
+    K×DIM doubles (driver-side: K×64 values, broadcast as literals)."""
     corpus = base.filter(F.col("vec_id") >= N_QUERIES)
     seeds = (
         corpus.withColumn(
@@ -407,18 +399,42 @@ def s05_trained_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("g")
         .collect()
     )
-    cents = {
-        row["g"]: [row[f"m{i}"] for i in range(DIM)] for row in seeds
-    }
-    dots = [
+    return {row["g"]: [row[f"m{i}"] for i in range(DIM)] for row in seeds}
+
+
+def _cell_dots(cents: dict[int, list[float]]) -> list:
+    return [
         dot("v", F.array(*[F.lit(cents[c][i]) for i in range(DIM)]))
-        for c in range(N_CENTROIDS)
+        for c in sorted(cents)
     ]
+
+
+def _assign_cell(cents: dict[int, list[float]]):
+    """Argmax-inner-product cell id (ties to the lowest cell), matching
+    the oracle's ROW_NUMBER ... ORDER BY d DESC, g ASC."""
+    dots = _cell_dots(cents)
     best = F.greatest(*dots)
     cell = F.lit(None)
-    for c in range(N_CENTROIDS - 1, -1, -1):
+    for c in range(len(dots) - 1, -1, -1):
         cell = F.when(dots[c] == best, F.lit(c)).otherwise(cell)
-    tagged = base.withColumn("cell", cell.cast("long"))
+    return cell.cast("long")
+
+
+def s05_trained_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with TRAINED centroids (s04 uses fixed pseudo-random ones):
+    centroid k = the element-wise mean of the corpus vectors whose
+    vec_id ≡ k (mod K) — a deterministic stand-in for sampled k-means
+    seeding, so both engines train identically. Assignment, cell join,
+    and exact re-rank are then s04's plan.
+
+    The train step is 64 avg aggregates per cell (pure JVM hash agg,
+    one shuffle on the K-value cell key); its output is K×64 doubles —
+    collected to the driver and inlined as literals, the real-world
+    'train small, broadcast into the scan projection' IVF shape (at
+    100 TB the corpus never reshuffles for assignment)."""
+    base = _base(spark, sf_dir)
+    cents = _train_centroids(base)
+    tagged = base.withColumn("cell", _assign_cell(cents))
     q = tagged.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -1067,6 +1083,104 @@ ORDER BY s.bucket
 """
 
 
+def s11_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index-health audit over the s05 trained cells: per cell, the
+    member count, occupancy share, and compactness (mean / max squared
+    euclidean distance to the cell centroid — the inertia the index
+    build would minimize). The check a pipeline runs before committing
+    to an IVF layout: a dominant cell or an inflated inertia means the
+    probe cost model is wrong and the index needs re-training.
+
+    Scale shape: centroids are trained small and broadcast as literals
+    (the s05 shape); distance is ‖v‖² − 2·(v·c) + ‖c‖², all codegen
+    arithmetic on the scan projection; ONE hash agg on the cell key;
+    the occupancy share joins back a broadcast one-row total."""
+    base = _base(spark, sf_dir)
+    corpus = base.filter(F.col("vec_id") >= N_QUERIES)
+    cents = _train_centroids(base)
+    dots = _cell_dots(cents)
+    cell = _assign_cell(cents)
+    cnorm2 = {
+        c: sum(x * x for x in cents[c]) for c in sorted(cents)
+    }
+    best = F.greatest(*dots)
+    cc2 = F.lit(None)
+    for c in range(len(dots) - 1, -1, -1):
+        cc2 = F.when(dots[c] == best, F.lit(cnorm2[c])).otherwise(cc2)
+    # dot(v,v), not norm², for bit-parity with the oracle's
+    # list_dot_product(v, v) (sqrt-then-square would differ in the
+    # last ulp before rounding)
+    sqd = dot("v", F.col("v")) - 2.0 * best + cc2
+    assigned = corpus.select(cell.alias("cell"), sqd.alias("sqd"))
+    per_cell = assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.round(F.avg("sqd"), 4).alias("mean_sqdist"),
+        F.round(F.max("sqd"), 4).alias("max_sqdist"),
+    )
+    total = corpus.agg(F.count(F.lit(1)).cast("double").alias("t"))
+    return (
+        per_cell.crossJoin(F.broadcast(total))
+        .select(
+            "cell",
+            "n_vectors",
+            F.round(F.col("n_vectors") / F.col("t"), 6).alias("share"),
+            "mean_sqdist",
+            "max_sqdist",
+        )
+        .orderBy("cell")
+    )
+
+
+def _s11_sql() -> str:
+    means = ",\n         ".join(
+        f"AVG(v[{i + 1}]) AS m{i}" for i in range(DIM)
+    )
+    centv = "[" + ", ".join(f"m{i}" for i in range(DIM)) + "]"
+    return f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+  WHERE {valid_emb_sql(DIM)}
+),
+seeds AS (
+  SELECT CAST(vec_id % {N_CENTROIDS} AS INTEGER) AS g,
+         {means}
+  FROM base
+  WHERE vec_id >= {N_QUERIES}
+  GROUP BY CAST(vec_id % {N_CENTROIDS} AS INTEGER)
+),
+centv AS (
+  SELECT g, {centv} AS cv FROM seeds
+),
+dotted AS (
+  SELECT b.vec_id, b.v, c.g, c.cv, list_dot_product(b.v, c.cv) AS d
+  FROM base b CROSS JOIN centv c
+  WHERE b.vec_id >= {N_QUERIES}
+),
+assigned AS (
+  SELECT vec_id,
+         CAST(g AS BIGINT) AS cell,
+         list_dot_product(v, v) - 2 * d + list_dot_product(cv, cv) AS sqd
+  FROM (
+    SELECT vec_id, v, g, cv, d,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY d DESC, g ASC) AS rn
+    FROM dotted
+  )
+  WHERE rn = 1
+),
+t AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM assigned)
+SELECT cell,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       ROUND(COUNT(*) / t.t, 6) AS share,
+       ROUND(AVG(sqd), 4) AS mean_sqdist,
+       ROUND(MAX(sqd), 4) AS max_sqdist
+FROM assigned, t
+GROUP BY cell, t.t
+ORDER BY cell
+"""
+
+
 QUERIES = [
     Query("s01_cosine_topk", s01_cosine_topk, S01_SQL,
           "exact brute-force cosine top-k"),
@@ -1093,4 +1207,7 @@ QUERIES = [
     Query("d15_semdedup", d15_semdedup, _d15_sql(),
           "SemDeDup: bucket-blocked semantic prune audit (pessimistic "
           "smaller-id admission, no iteration)"),
+    Query("s11_cluster_quality", s11_cluster_quality, _s11_sql(),
+          "IVF index-health audit: occupancy share + inertia per "
+          "trained cell"),
 ]

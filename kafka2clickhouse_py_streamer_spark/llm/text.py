@@ -795,6 +795,93 @@ ORDER BY d.doc_id
 """
 
 
+def t14_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy scoring with a corpus-trained BIGRAM LM — the
+    sharper sibling of t08's unigram filter: score(doc) = mean over its
+    bigrams of ln p(w2|w1) = ln c(w1,w2) − ln c(w1). Templated/repeated
+    text scores high, token-salad gibberish scores low even when its
+    unigrams are common (the failure t08 can't see).
+
+    Scale shape: the conditional is attached to the BIGRAM VOCAB first
+    (a vocab-sized equi-join of bigram counts to unigram counts), so
+    the big (doc, bigram) stream pays exactly ONE join against the
+    scored vocab — never two passes of the token stream. All hash aggs
+    take map-side combine; everything is JVM codegen."""
+    d = table(spark, sf_dir, "documents")
+    tk = d.select("doc_id", F.expr(tokens_expr("text")).alias("tk"))
+    bigram_list = F.expr(
+        "CASE WHEN size(tk) >= 2 THEN transform(sequence(1, size(tk) - 1),"
+        " i -> struct(element_at(tk, i) AS w1, element_at(tk, i + 1) AS w2))"
+        " ELSE array() END"
+    )
+    bg = (
+        tk.select("doc_id", F.explode(bigram_list).alias("b"))
+        .select("doc_id", "b.w1", "b.w2")
+        .filter((F.length("w1") > 0) & (F.length("w2") > 0))
+    )
+    uni = (
+        tk.select(F.explode("tk").alias("token"))
+        .filter(F.length("token") > 0)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("double").alias("c1"))
+    )
+    big = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("double").alias("c2")
+    )
+    scored_vocab = big.join(uni, big.w1 == uni.token).select(
+        "w1", "w2", (F.log("c2") - F.log("c1")).alias("lp")
+    )
+    return (
+        bg.join(scored_vocab, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(F.avg("lp"), 6).alias("avg_logp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+T14_SQL = r"""
+WITH tk AS (
+  SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS tk
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, b[1] AS w1, b[2] AS w2
+  FROM (
+    SELECT doc_id,
+           UNNEST(CASE WHEN len(tk) >= 2
+                  THEN list_transform(generate_series(1, len(tk) - 1),
+                                      i -> [tk[i], tk[i + 1]])
+                  ELSE [] END) AS b
+    FROM tk
+  )
+  WHERE LENGTH(b[1]) > 0 AND LENGTH(b[2]) > 0
+),
+uni AS (
+  SELECT token, CAST(COUNT(*) AS DOUBLE) AS c1
+  FROM (SELECT UNNEST(tk) AS token FROM tk)
+  WHERE LENGTH(token) > 0
+  GROUP BY token
+),
+big AS (
+  SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS c2
+  FROM bg GROUP BY w1, w2
+),
+scored AS (
+  SELECT big.w1, big.w2, LN(big.c2) - LN(uni.c1) AS lp
+  FROM big JOIN uni ON uni.token = big.w1
+)
+SELECT bg.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(AVG(s.lp), 6) AS avg_logp
+FROM bg JOIN scored s ON s.w1 = bg.w1 AND s.w2 = bg.w2
+GROUP BY bg.doc_id
+ORDER BY bg.doc_id
+"""
+
+
 ZIPF_TOP = 100
 
 
@@ -902,4 +989,7 @@ QUERIES = [
     Query("t13_zipf_fit", t13_zipf_fit, T13_SQL,
           "Zipf-law fit per source (OLS of ln freq vs ln rank over "
           "top terms)"),
+    Query("t14_bigram_logprob", t14_bigram_logprob, T14_SQL,
+          "corpus-trained bigram LM perplexity proxy (conditional "
+          "ln p(w2|w1), vocab-side join)"),
 ]

@@ -161,6 +161,8 @@ _VERIFY_FIRST = [
     "p13_pps_sample",
     "w09_gap_fill",
     "w10_rate_anomaly",
+    "s11_cluster_quality",
+    "t14_bigram_logprob",
     # green-r01 but file churned since
     "q36_range_frame",
     "q37_ntile_cume",

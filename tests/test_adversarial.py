@@ -79,7 +79,7 @@ SWEEP = [
     "p06_domain_mix", "p07_corpus_pipeline", "p08_flatten_mix",
     "p09_incremental_refresh", "p10_budget_select",
     "p11_curriculum_stages", "p12_temperature_mix", "p13_pps_sample",
-    "t13_zipf_fit",
+    "t13_zipf_fit", "t14_bigram_logprob",
 ]
 
 
@@ -138,7 +138,8 @@ EMB_SWEEP = [
     "s01_cosine_topk", "s02_lsh_buckets", "s03_lsh_topk",
     "s04_ivf_topk", "s05_trained_ivf", "s06_quantize", "s07_knn_label",
     "s08_ann_recall", "s09_knn_graph", "s10_pagerank",
-    "d05_embedding_neardup", "d15_semdedup", "q19_array_fns",
+    "d05_embedding_neardup", "d15_semdedup", "s11_cluster_quality",
+    "q19_array_fns",
 ]
 
 

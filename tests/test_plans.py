@@ -746,3 +746,35 @@ def test_t13_zipf_window_over_vocab_aggregate(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2  # partial+final vocab count
     assert "Join" not in plan
     assert python_row_ops(df) == 0
+
+
+def test_t14_bigram_vocab_side_join_only(spark, sf_dir):
+    # the conditional ln p(w2|w1) must be attached to the bigram VOCAB
+    # (vocab-sized join), and the (doc, bigram) stream pays exactly one
+    # join against that scored vocab — no cartesian, all JVM
+    from kafka2clickhouse_py_streamer_spark.llm.text import (
+        t14_bigram_logprob,
+    )
+
+    df = t14_bigram_logprob(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert python_row_ops(df) == 0
+
+
+def test_s11_cluster_audit_single_agg_broadcast_total(spark, sf_dir):
+    # centroids are literals in the scan projection (the s05 'train
+    # small, broadcast' shape): one hash agg on the cell key, the
+    # occupancy total joins back as a one-row broadcast — never a
+    # shuffle join of the corpus
+    from kafka2clickhouse_py_streamer_spark.llm.similarity import (
+        s11_cluster_quality,
+    )
+
+    df = s11_cluster_quality(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial+final cell agg
+    assert python_row_ops(df) == 0
