@@ -320,7 +320,10 @@ def p04_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-column projection instead of one scan plus a pinned
     multi-terabyte checkpoint."""
     d = table(spark, sf_dir, "documents")
-    key = F.md5(F.col("doc_id").cast("string"))
+    # COALESCE before hashing (as in p13): a NULL doc_id must not
+    # yield a NULL sort key — the engines' opposite NULLS FIRST/LAST
+    # window defaults would place it at opposite ends of the line
+    key = F.md5(F.coalesce(F.col("doc_id").cast("string"), F.lit("")))
     parts = spark.sparkContext.defaultParallelism
     # Monotone in shuffle_key: fixed-width lowercase hex sorts
     # lexicographically == numerically, so floor(prefix * parts / 16^4)
@@ -358,8 +361,9 @@ def p04_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 P04_SQL = """
 SELECT doc_id,
-       md5(CAST(doc_id AS VARCHAR)) AS shuffle_key,
-       CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+       md5(COALESCE(CAST(doc_id AS VARCHAR), '')) AS shuffle_key,
+       CAST(ROW_NUMBER() OVER (
+            ORDER BY md5(COALESCE(CAST(doc_id AS VARCHAR), '')), doc_id)
             AS BIGINT) AS shuffle_pos
 FROM documents
 ORDER BY shuffle_pos
@@ -851,7 +855,13 @@ def p13_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(
             F.coalesce(F.col("n_chars"), F.lit(0)), F.lit(1)
         ).cast("long").alias("w"),
-        F.md5(F.col("doc_id").cast("string")).alias("skey"),
+        # COALESCE before hashing: a NULL doc_id must not yield a NULL
+        # sort key (Spark windows default NULLS FIRST, DuckDB NULLS
+        # LAST — an unpinned null key shifts every downstream offset).
+        # Distinct doc_ids are the contract (primary key), as in p04.
+        F.md5(
+            F.coalesce(F.col("doc_id").cast("string"), F.lit(""))
+        ).alias("skey"),
     )
     off = _two_pass_offsets(base, [], val_col="w", order_col="skey")
     total = base.agg(F.sum("w").alias("total"))
@@ -878,7 +888,7 @@ P13_SQL = f"""
 WITH base AS (
   SELECT doc_id, source,
          CAST(GREATEST(COALESCE(n_chars, 0), 1) AS BIGINT) AS w,
-         md5(CAST(doc_id AS VARCHAR)) AS skey
+         md5(COALESCE(CAST(doc_id AS VARCHAR), '')) AS skey
   FROM documents
 ),
 o AS (

@@ -402,22 +402,33 @@ def _train_centroids(base: DataFrame) -> dict[int, list[float]]:
     return {row["g"]: [row[f"m{i}"] for i in range(DIM)] for row in seeds}
 
 
-def _cell_dots(cents: dict[int, list[float]]) -> list:
-    return [
-        dot("v", F.array(*[F.lit(cents[c][i]) for i in range(DIM)]))
-        for c in sorted(cents)
-    ]
+def _cell_dots(cents: dict[int, list[float]]) -> dict:
+    """KEY-indexed dot products with each centroid. Keys, not list
+    positions: a residue class with no valid corpus vector yields a
+    missing key, and positional numbering would silently relabel every
+    later cell away from the oracle's g."""
+    return {
+        k: dot("v", F.array(*[F.lit(cents[k][i]) for i in range(DIM)]))
+        for k in sorted(cents)
+    }
+
+
+def _argmax_payload(cents: dict[int, list[float]], payload: dict):
+    """``payload[k]`` of the argmax-inner-product centroid k (ties to
+    the LOWEST key), matching the oracle's ROW_NUMBER ... ORDER BY
+    d DESC, g ASC. Single source for the tie-break CASE chain — cell
+    ids and per-cell constants (s11's centroid norms) must never
+    disagree on the winner."""
+    dots = _cell_dots(cents)
+    best = F.greatest(*dots.values())
+    out = F.lit(None)
+    for k in sorted(cents, reverse=True):
+        out = F.when(dots[k] == best, F.lit(payload[k])).otherwise(out)
+    return out
 
 
 def _assign_cell(cents: dict[int, list[float]]):
-    """Argmax-inner-product cell id (ties to the lowest cell), matching
-    the oracle's ROW_NUMBER ... ORDER BY d DESC, g ASC."""
-    dots = _cell_dots(cents)
-    best = F.greatest(*dots)
-    cell = F.lit(None)
-    for c in range(len(dots) - 1, -1, -1):
-        cell = F.when(dots[c] == best, F.lit(c)).otherwise(cell)
-    return cell.cast("long")
+    return _argmax_payload(cents, {k: k for k in cents}).cast("long")
 
 
 def s05_trained_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1098,15 +1109,10 @@ def s11_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _base(spark, sf_dir)
     corpus = base.filter(F.col("vec_id") >= N_QUERIES)
     cents = _train_centroids(base)
-    dots = _cell_dots(cents)
     cell = _assign_cell(cents)
-    cnorm2 = {
-        c: sum(x * x for x in cents[c]) for c in sorted(cents)
-    }
-    best = F.greatest(*dots)
-    cc2 = F.lit(None)
-    for c in range(len(dots) - 1, -1, -1):
-        cc2 = F.when(dots[c] == best, F.lit(cnorm2[c])).otherwise(cc2)
+    cnorm2 = {k: sum(x * x for x in cents[k]) for k in cents}
+    best = F.greatest(*_cell_dots(cents).values())
+    cc2 = _argmax_payload(cents, cnorm2)
     # dot(v,v), not norm², for bit-parity with the oracle's
     # list_dot_product(v, v) (sqrt-then-square would differ in the
     # last ulp before rounding)

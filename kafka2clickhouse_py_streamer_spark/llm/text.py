@@ -805,8 +805,13 @@ def t14_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the conditional is attached to the BIGRAM VOCAB first
     (a vocab-sized equi-join of bigram counts to unigram counts), so
     the big (doc, bigram) stream pays exactly ONE join against the
-    scored vocab — never two passes of the token stream. All hash aggs
-    take map-side combine; everything is JVM codegen."""
+    scored vocab. The tokenize/explode subtree is re-derived by
+    Catalyst for its three consumers (bigram stream twice, unigram
+    count once) — as with d03's signature frame, recompute beats
+    materializing at fixture scale, while a 100 TB deployment would
+    persist the bigram stream (or write a signatures table) at that
+    seam. All hash aggs take map-side combine; everything is JVM
+    codegen."""
     d = table(spark, sf_dir, "documents")
     tk = d.select("doc_id", F.expr(tokens_expr("text")).alias("tk"))
     bigram_list = F.expr(

@@ -635,7 +635,7 @@ def q60_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.regr_slope(y, x), 6).alias("slope"),
             F.round(F.regr_intercept(y, x), 4).alias("intercept"),
-            F.round(F.regr_r2(y, x), 8).alias("r2"),
+            F.round(F.regr_r2(y, x), 6).alias("r2"),
             F.regr_count(y, x).cast("long").alias("n_obs"),
         )
         .orderBy("o_orderpriority")
@@ -652,7 +652,7 @@ SELECT o_orderpriority,
                   AS DOUBLE)), 4) AS intercept,
        ROUND(regr_r2(o_totalprice,
              CAST(date_diff('day', DATE '1992-01-01', o_orderdate)
-                  AS DOUBLE)), 8) AS r2,
+                  AS DOUBLE)), 6) AS r2,
        CAST(regr_count(o_totalprice,
              CAST(date_diff('day', DATE '1992-01-01', o_orderdate)
                   AS DOUBLE)) AS BIGINT) AS n_obs

@@ -456,7 +456,7 @@ def w09_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     (type, hour) — an equi-join between two AGGREGATED frames; the
     forward-fill is one keyed window (last value, ignore nulls). Raw
     events are touched exactly once."""
-    hourly = _hourly(spark, sf_dir)
+    hourly = _hourly(spark, sf_dir).alias("hr")
     bounds = hourly.groupBy("event_type").agg(
         F.min("h").alias("hmin"), F.max("h").alias("hmax")
     )
@@ -465,20 +465,30 @@ def w09_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.sequence("hmin", "hmax", F.expr("INTERVAL 1 HOUR"))
         ).alias("h"),
-    )
+    ).alias("g")
     w = (
-        Window.partitionBy("event_type")
-        .orderBy("h")
+        Window.partitionBy("g.event_type")
+        .orderBy("g.h")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # eqNullSafe on the type key: a NULL event_type is a real group in
+    # the rollup (and in the grid bounds) — a plain equi-join would
+    # never match it back, silently zeroing its observed hours and
+    # mislabeling them as gaps on BOTH engines (the oracle mirrors
+    # with IS NOT DISTINCT FROM)
     return (
-        grid.join(hourly, ["event_type", "h"], "left")
+        grid.join(
+            hourly,
+            F.col("g.event_type").eqNullSafe(F.col("hr.event_type"))
+            & (F.col("g.h") == F.col("hr.h")),
+            "left",
+        )
         .select(
-            "event_type",
-            F.col("h").alias("hour_start"),
-            F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
-            F.last("s", ignorenulls=True).over(w).alias("filled_sum"),
-            F.col("n").isNull().alias("is_gap"),
+            F.col("g.event_type").alias("event_type"),
+            F.col("g.h").alias("hour_start"),
+            F.coalesce("hr.n", F.lit(0)).cast("long").alias("n_events"),
+            F.last("hr.s", ignorenulls=True).over(w).alias("filled_sum"),
+            F.col("hr.n").isNull().alias("is_gap"),
         )
         .orderBy("event_type", "hour_start")
     )
@@ -502,8 +512,10 @@ SELECT g.event_type, g.h AS hour_start,
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          AS filled_sum,
        hourly.n IS NULL AS is_gap
-FROM grid g LEFT JOIN hourly USING (event_type, h)
-ORDER BY event_type, hour_start
+FROM grid g LEFT JOIN hourly
+  ON g.event_type IS NOT DISTINCT FROM hourly.event_type
+ AND g.h = hourly.h
+ORDER BY g.event_type, hour_start
 """
 
 

@@ -304,3 +304,104 @@ def test_vector_gate_excludes_only_malformed(spark, adv_ev_dir):
     em = table(spark, adv_ev_dir, "embeddings")
     kept = {r.vec_id for r in valid_embeddings(em, 64).collect()}
     assert kept == set(range(40)) - {20, 21, 22, 23}
+
+
+def test_w09_null_event_type_hours_are_counted(spark, adv_ev_dir):
+    # event 4 has event_type NULL and a valid ts: its hour must appear
+    # in the gap-fill output with its count, NOT as a zeroed fake gap —
+    # the regression a plain (non-null-safe) grid join reintroduces on
+    # BOTH engines at once (so only a semantic assertion catches it)
+    from kafka2clickhouse_py_streamer_spark.streaming.batch_windows import (
+        w09_gap_fill,
+    )
+
+    rows = w09_gap_fill(spark, adv_ev_dir).collect()
+    null_rows = [r for r in rows if r.event_type is None]
+    assert null_rows, "NULL event_type must form its own series"
+    counted = [r for r in null_rows if r.n_events > 0]
+    assert counted and not counted[0].is_gap
+
+
+def test_s11_s05_survive_missing_residue_class(spark, tmp_path):
+    # every corpus vector with vec_id % 4 == 3 is malformed -> centroid
+    # class 3 never trains; cell ids must stay KEYED to the surviving
+    # residues (0,1,2) and match the oracle — positional renumbering
+    # (the pre-fix bug) would crash or silently shift cell 3's members
+    import numpy as np
+
+    from kafka2clickhouse_py_streamer_spark.llm.similarity import (
+        s05_trained_ivf,
+        s11_cluster_quality,
+    )
+    from tests.oracle_harness import compare, duckdb_conn
+    from kafka2clickhouse_py_streamer_spark.operators.base import (
+        all_queries,
+    )
+
+    root = str(tmp_path / "gap_emb")
+    os.makedirs(root)
+    vecs = []
+    for i in range(50):
+        if i >= 10 and i % 4 == 3:
+            vecs.append(None)  # kill the whole residue class
+        else:
+            rng = np.random.RandomState(1000 + i)
+            vecs.append([float(x) for x in rng.randn(64)])
+    emb = pa.table({
+        "vec_id": pa.array(list(range(50)), pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        "label": pa.array([i % 3 for i in range(50)], pa.int32()),
+    })
+    pq.write_table(emb, os.path.join(root, "embeddings.parquet"))
+    con = duckdb_conn(root)
+    try:
+        qs = all_queries()
+        for name, fn in (
+            ("s05_trained_ivf", s05_trained_ivf),
+            ("s11_cluster_quality", s11_cluster_quality),
+        ):
+            r = compare(fn(spark, root), con, qs[name].oracle)
+            assert r.get("values_match"), (name, r)
+    finally:
+        con.close()
+
+
+def test_p04_p13_null_doc_id_parity(spark, tmp_path):
+    # a NULL doc_id must hash to a PINNED position on the weight line:
+    # an unpinned NULL sort key lands at opposite ends under Spark's
+    # NULLS FIRST vs DuckDB's NULLS LAST window defaults, shifting
+    # every downstream offset
+    from kafka2clickhouse_py_streamer_spark.llm.sampling import (
+        p04_global_shuffle,
+        p13_pps_sample,
+    )
+    from tests.oracle_harness import compare, duckdb_conn
+    from kafka2clickhouse_py_streamer_spark.operators.base import (
+        all_queries,
+    )
+
+    root = str(tmp_path / "null_id_docs")
+    os.makedirs(root)
+    ids = [None] + list(range(1, 30))
+    tbl = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(
+            [f"doc body number {i} with several words" for i in range(30)],
+            pa.string(),
+        ),
+        "lang": pa.array(["en"] * 30, pa.string()),
+        "source": pa.array(["web", "books"] * 15, pa.string()),
+        "n_chars": pa.array([20 + 3 * i for i in range(30)], pa.int64()),
+    })
+    pq.write_table(tbl, os.path.join(root, "documents.parquet"))
+    con = duckdb_conn(root)
+    try:
+        qs = all_queries()
+        for name, fn in (
+            ("p04_global_shuffle", p04_global_shuffle),
+            ("p13_pps_sample", p13_pps_sample),
+        ):
+            r = compare(fn(spark, root), con, qs[name].oracle)
+            assert r.get("values_match"), (name, r)
+    finally:
+        con.close()
