@@ -1187,6 +1187,134 @@ ORDER BY cell
 """
 
 
+PQ_SUBSPACES = 8
+PQ_SUBDIM = DIM // PQ_SUBSPACES  # 8 dims per subspace
+
+
+def s12_product_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (Jégou et al. 2011) — the IVF-PQ storage
+    half s06's scalar int8 can't reach: the 64-dim vector splits into
+    8 subvectors, each encoded as the id of its nearest codeword from
+    a per-subspace codebook (here 4 codewords per subspace = the s05
+    residue-class means, sliced per subspace — deterministic training
+    both engines reproduce). 8 codes × 2 bits ≈ 32× compression; the
+    audit reports each vector's code word and total squared
+    reconstruction-ish error (sum over subspaces of the distance to
+    the chosen codeword).
+
+    Scale shape: codebooks train on ONE hash agg (the shared s05 train
+    collect — K×64 doubles) and enter the plan as literals; assignment
+    explodes each vector into |subspaces|×K candidate rows (a bounded
+    32× expansion of |corpus|, each row a handful of doubles, NEVER a
+    join), takes the per-(vector, subspace) argmin with a keyed
+    window, and folds back to one row per vector. No shuffle touches
+    raw vectors except the explode's own exchange."""
+    base = _base(spark, sf_dir)
+    corpus = base.filter(F.col("vec_id") >= N_QUERIES)
+    cents = _train_centroids(base)
+    cand = []
+    for s in range(PQ_SUBSPACES):
+        lo = s * PQ_SUBDIM  # 0-based start of the subspace
+        sub = F.slice("v", lo + 1, PQ_SUBDIM)
+        sub_dot = dot(sub, sub)
+        for g in sorted(cents):
+            cw = [cents[g][lo + i] for i in range(PQ_SUBDIM)]
+            cw_arr = F.array(*[F.lit(x) for x in cw])
+            d = (
+                sub_dot
+                - 2.0 * dot(sub, cw_arr)
+                + F.lit(sum(x * x for x in cw))
+            )
+            cand.append(
+                F.struct(
+                    F.lit(s).alias("s"),
+                    F.lit(g).alias("g"),
+                    d.alias("dist"),
+                )
+            )
+    exploded = corpus.select(
+        "vec_id", F.explode(F.array(*cand)).alias("c")
+    ).select("vec_id", "c.s", "c.g", "c.dist")
+    w = Window.partitionBy("vec_id", "s").orderBy(
+        F.col("dist").asc(), F.col("g").asc()
+    )
+    best = exploded.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return (
+        best.groupBy("vec_id")
+        .agg(
+            F.concat_ws(
+                "-",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("s", "g"))
+                    ),
+                    lambda x: x["g"].cast("string"),
+                ),
+            ).alias("code"),
+            F.round(F.sum("dist"), 4).alias("recon_sq_err"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _s12_sql() -> str:
+    means = ",\n         ".join(
+        f"AVG(v[{i + 1}]) AS m{i}" for i in range(DIM)
+    )
+    sub_rows = []
+    for s in range(PQ_SUBSPACES):
+        lo = s * PQ_SUBDIM
+        sub = f"v[{lo + 1}:{lo + PQ_SUBDIM}]"
+        cw = ("[" + ", ".join(f"m{lo + i}" for i in range(PQ_SUBDIM))
+              + "]")
+        sub_rows.append(
+            f"SELECT vec_id, {s} AS s, g,\n"
+            f"       list_dot_product({sub}, {sub})\n"
+            f"       - 2 * list_dot_product({sub}, {cw})\n"
+            f"       + list_dot_product({cw}, {cw}) AS dist\n"
+            f"FROM corpus CROSS JOIN seeds"
+        )
+    cand = "\nUNION ALL\n".join(sub_rows)
+    return f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+  WHERE {valid_emb_sql(DIM)}
+),
+seeds AS (
+  SELECT CAST(vec_id % {N_CENTROIDS} AS INTEGER) AS g,
+         {means}
+  FROM base
+  WHERE vec_id >= {N_QUERIES}
+  GROUP BY CAST(vec_id % {N_CENTROIDS} AS INTEGER)
+),
+corpus AS (
+  SELECT vec_id, v FROM base WHERE vec_id >= {N_QUERIES}
+),
+cand AS (
+{cand}
+),
+best AS (
+  SELECT vec_id, s, g, dist
+  FROM (
+    SELECT *,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                              ORDER BY dist ASC, g ASC) AS rn
+    FROM cand
+  )
+  WHERE rn = 1
+)
+SELECT vec_id,
+       STRING_AGG(CAST(g AS VARCHAR), '-' ORDER BY s) AS code,
+       ROUND(SUM(dist), 4) AS recon_sq_err
+FROM best
+GROUP BY vec_id
+ORDER BY vec_id
+"""
+
+
 QUERIES = [
     Query("s01_cosine_topk", s01_cosine_topk, S01_SQL,
           "exact brute-force cosine top-k"),
@@ -1216,4 +1344,7 @@ QUERIES = [
     Query("s11_cluster_quality", s11_cluster_quality, _s11_sql(),
           "IVF index-health audit: occupancy share + inertia per "
           "trained cell"),
+    Query("s12_product_quantize", s12_product_quantize, _s12_sql(),
+          "product quantization: per-subspace codebook assignment + "
+          "reconstruction audit (IVF-PQ storage half)"),
 ]

@@ -163,6 +163,8 @@ _VERIFY_FIRST = [
     "w10_rate_anomaly",
     "s11_cluster_quality",
     "t14_bigram_logprob",
+    "s12_product_quantize",
+    "w11_rollup_cascade",
     # green-r01 but file churned since
     "q36_range_frame",
     "q37_ntile_cume",

@@ -572,6 +572,89 @@ ORDER BY event_type, hour_start
 """
 
 
+def w11_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate cascade (the hypertable rollup pattern):
+    ONE scan builds the hourly rollup; the daily tier re-aggregates the
+    HOURLY frame (24× fewer rows), the monthly tier re-aggregates the
+    DAILY frame — sums of sums, counts of counts, avg recomposed as
+    sum/count at each tier. All three resolutions union into one frame.
+
+    This is the maintenance shape a streaming deployment runs: the
+    watermarked hourly agg is the only operator that ever sees raw
+    events (proven live for this rollup in the w10 twin test); coarser
+    tiers are cheap periodic re-aggregations of the stored tier below.
+
+    Rounding discipline: raw sums cascade unrounded; every tier rounds
+    only at output, so the engines' summation-order noise is absorbed
+    once per row, never compounded."""
+    e = timed_events(spark, sf_dir)
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("b")
+    ).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("s")
+    )
+    daily = hourly.groupBy(
+        "event_type", F.date_trunc("day", "b").alias("b")
+    ).agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+    monthly = daily.groupBy(
+        "event_type", F.date_trunc("month", "b").alias("b")
+    ).agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+
+    def finish(df: DataFrame, res: str) -> DataFrame:
+        return df.select(
+            F.lit(res).alias("resolution"),
+            "event_type",
+            F.col("b").alias("bucket_start"),
+            F.col("n").cast("long").alias("n_events"),
+            F.round("s", 4).alias("sum_value"),
+            # +1e-9 before rounding: integer-count divisions land
+            # exactly on decimal half-points (3609.66/64 = 56.4009375)
+            # where last-ulp noise flips ROUND between engines — the
+            # shared shift moves the boundary off the half-point (w02)
+            F.round(F.col("s") / F.col("n") + 1e-9, 6).alias("avg_value"),
+        )
+
+    return (
+        finish(hourly, "hour")
+        .unionAll(finish(daily, "day"))
+        .unionAll(finish(monthly, "month"))
+        .orderBy("resolution", "event_type", "bucket_start")
+    )
+
+
+W11_SQL = """
+WITH hourly AS (
+  SELECT event_type, DATE_TRUNC('hour', ts) AS b,
+         COUNT(*) AS n, SUM(value) AS s
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY event_type, DATE_TRUNC('hour', ts)
+),
+daily AS (
+  SELECT event_type, DATE_TRUNC('day', b) AS b,
+         SUM(n) AS n, SUM(s) AS s
+  FROM hourly GROUP BY event_type, DATE_TRUNC('day', b)
+),
+monthly AS (
+  SELECT event_type, DATE_TRUNC('month', b) AS b,
+         SUM(n) AS n, SUM(s) AS s
+  FROM daily GROUP BY event_type, DATE_TRUNC('month', b)
+)
+SELECT 'hour' AS resolution, event_type, b AS bucket_start,
+       CAST(n AS BIGINT) AS n_events, ROUND(s, 4) AS sum_value,
+       ROUND(s / n + 1e-9, 6) AS avg_value
+FROM hourly
+UNION ALL
+SELECT 'day', event_type, b, CAST(n AS BIGINT), ROUND(s, 4),
+       ROUND(s / n + 1e-9, 6)
+FROM daily
+UNION ALL
+SELECT 'month', event_type, b, CAST(n AS BIGINT), ROUND(s, 4),
+       ROUND(s / n + 1e-9, 6)
+FROM monthly
+ORDER BY resolution, event_type, bucket_start
+"""
+
+
 QUERIES = [
     Query("w01_tumbling", w01_tumbling, W01_SQL, "tumbling 1h windows"),
     Query("w02_sliding", w02_sliding, W02_SQL, "sliding 1h/30m windows"),
@@ -595,4 +678,7 @@ QUERIES = [
     Query("w10_rate_anomaly", w10_rate_anomaly, W10_SQL,
           "event-rate z-score vs trailing 24h baseline (bounded ROWS "
           "frame)"),
+    Query("w11_rollup_cascade", w11_rollup_cascade, W11_SQL,
+          "continuous-aggregate cascade: hourly -> daily -> monthly "
+          "re-aggregation tiers in one frame"),
 ]

@@ -131,7 +131,7 @@ EVENTS_SWEEP = [
     "q18_json_fns", "q41_map_fns", "q51_skew_profile",
     "q52_interval_frame", "q53_funnel", "q55_robust_outliers",
     "q58_scd2_intervals", "q59_concurrency", "q61_gaps_islands",
-    "w09_gap_fill", "w10_rate_anomaly",
+    "w09_gap_fill", "w10_rate_anomaly", "w11_rollup_cascade",
 ]
 
 EMB_SWEEP = [
@@ -139,7 +139,7 @@ EMB_SWEEP = [
     "s04_ivf_topk", "s05_trained_ivf", "s06_quantize", "s07_knn_label",
     "s08_ann_recall", "s09_knn_graph", "s10_pagerank",
     "d05_embedding_neardup", "d15_semdedup", "s11_cluster_quality",
-    "q19_array_fns",
+    "s12_product_quantize", "q19_array_fns",
 ]
 
 

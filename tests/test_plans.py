@@ -778,3 +778,32 @@ def test_s11_cluster_audit_single_agg_broadcast_total(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert plan.count("HashAggregate") >= 2  # partial+final cell agg
     assert python_row_ops(df) == 0
+
+
+def test_w11_cascade_join_free_keyed_aggs(spark, sf_dir):
+    # the rollup cascade is pure re-aggregation: no joins anywhere, no
+    # single-partition funnel, all tiers keyed hash aggs
+    from kafka2clickhouse_py_streamer_spark.streaming.batch_windows import (
+        w11_rollup_cascade,
+    )
+
+    df = w11_rollup_cascade(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Join" not in plan
+    assert "SinglePartition" not in plan
+    assert python_row_ops(df) == 0
+
+
+def test_s12_pq_no_join_bounded_explode(spark, sf_dir):
+    # PQ assignment is explode + keyed argmin window + fold — the
+    # codebooks are literals, so NO join of any kind touches the
+    # vectors
+    from kafka2clickhouse_py_streamer_spark.llm.similarity import (
+        s12_product_quantize,
+    )
+
+    df = s12_product_quantize(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    assert python_row_ops(df) == 0
