@@ -1315,6 +1315,162 @@ ORDER BY vec_id
 """
 
 
+def s13_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance search (the query half of IVF-PQ): the
+    corpus is represented ONLY by its s12 codes; each query computes
+    its per-subspace distance to every codeword (a |subspaces|×K
+    lookup table) and a candidate's approximate distance is the sum of
+    table entries its codes select. Top-k per query by that ADC
+    distance — the memory-bound ANN shape where the corpus never
+    touches float vectors at query time.
+
+    Scale shape: codes are 8 small ints per vector, computed in the
+    scan projection (argmin over literal codebooks — no explode, no
+    join); the 10-query side broadcasts and the coded corpus STREAMS
+    past it (the s01 exact-baseline shape, but over 32-byte codes
+    instead of 512-byte vectors). Ranking is on the ROUNDED distance
+    (both engines), cand_id tiebreak."""
+    base = _base(spark, sf_dir)
+    cents = _train_centroids(base)
+    keys = sorted(cents)
+
+    def sub_dists(vcol: str, s: int) -> dict:
+        lo = s * PQ_SUBDIM
+        sub = F.slice(vcol, lo + 1, PQ_SUBDIM)
+        sub_dot = dot(sub, sub)
+        out = {}
+        for g in keys:
+            cw = [cents[g][lo + i] for i in range(PQ_SUBDIM)]
+            cw_arr = F.array(*[F.lit(x) for x in cw])
+            out[g] = (
+                sub_dot - 2.0 * dot(sub, cw_arr)
+                + F.lit(sum(x * x for x in cw))
+            )
+        return out
+
+    def argmin_code(dists: dict):
+        best = F.least(*dists.values())
+        code = F.lit(None)
+        for g in sorted(keys, reverse=True):
+            code = F.when(dists[g] == best, F.lit(g)).otherwise(code)
+        return code
+
+    corpus = base.filter(F.col("vec_id") >= N_QUERIES)
+    codes = corpus.select(
+        F.col("vec_id").alias("cand_id"),
+        *[
+            argmin_code(sub_dists("v", s)).alias(f"code_{s}")
+            for s in range(PQ_SUBSPACES)
+        ],
+    )
+    queries = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    adc_terms = []
+    for s in range(PQ_SUBSPACES):
+        dists = sub_dists("qv", s)
+        term = F.lit(None)
+        for g in sorted(keys, reverse=True):
+            term = F.when(
+                F.col(f"code_{s}") == g, dists[g]
+            ).otherwise(term)
+        adc_terms.append(term)
+    adc = sum(adc_terms[1:], adc_terms[0])
+    scored = codes.crossJoin(F.broadcast(queries)).select(
+        "query_id", "cand_id", F.round(adc, 6).alias("adc_dist")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= TOP_K)
+        .orderBy("query_id", "rk")
+    )
+
+
+def _s13_sql() -> str:
+    means = ",\n         ".join(
+        f"AVG(v[{i + 1}]) AS m{i}" for i in range(DIM)
+    )
+    # per-subspace candidate distances for the CORPUS (code training)
+    code_rows = []
+    adc_cases = []
+    for s in range(PQ_SUBSPACES):
+        lo = s * PQ_SUBDIM
+        sub = f"v[{lo + 1}:{lo + PQ_SUBDIM}]"
+        qsub = f"qv[{lo + 1}:{lo + PQ_SUBDIM}]"
+        cw = ("[" + ", ".join(f"m{lo + i}" for i in range(PQ_SUBDIM))
+              + "]")
+        code_rows.append(
+            f"SELECT vec_id, {s} AS s, g,\n"
+            f"       list_dot_product({sub}, {sub})\n"
+            f"       - 2 * list_dot_product({sub}, {cw})\n"
+            f"       + list_dot_product({cw}, {cw}) AS dist\n"
+            f"FROM corpus CROSS JOIN seeds"
+        )
+        qcw = cw.replace("m", "sd.m")
+        adc_cases.append(
+            f"WHEN b.s = {s} THEN"
+            f" list_dot_product(q.{qsub}, q.{qsub})"
+            f" - 2 * list_dot_product(q.{qsub}, {qcw})"
+            f" + list_dot_product({qcw}, {qcw})"
+        )
+    cand = "\nUNION ALL\n".join(code_rows)
+    case = "CASE " + "\n           ".join(adc_cases) + " END"
+    return f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+  WHERE {valid_emb_sql(DIM)}
+),
+seeds AS (
+  SELECT CAST(vec_id % {N_CENTROIDS} AS INTEGER) AS g,
+         {means}
+  FROM base
+  WHERE vec_id >= {N_QUERIES}
+  GROUP BY CAST(vec_id % {N_CENTROIDS} AS INTEGER)
+),
+corpus AS (
+  SELECT vec_id, v FROM base WHERE vec_id >= {N_QUERIES}
+),
+cand AS (
+{cand}
+),
+best AS (
+  SELECT vec_id AS cand_id, s, g
+  FROM (
+    SELECT *,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                              ORDER BY dist ASC, g ASC) AS rn
+    FROM cand
+  )
+  WHERE rn = 1
+),
+queries AS (
+  SELECT vec_id AS query_id, v AS qv FROM base
+  WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, b.cand_id,
+         ROUND(SUM({case}), 6) AS adc_dist
+  FROM best b
+  JOIN seeds sd ON sd.g = b.g
+  CROSS JOIN queries q
+  GROUP BY q.query_id, b.cand_id
+),
+ranked AS (
+  SELECT query_id, cand_id, adc_dist,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist ASC, cand_id ASC) AS rk
+  FROM scored
+)
+SELECT query_id, cand_id, adc_dist, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= {TOP_K}
+ORDER BY query_id, rk
+"""
+
+
 QUERIES = [
     Query("s01_cosine_topk", s01_cosine_topk, S01_SQL,
           "exact brute-force cosine top-k"),
@@ -1347,4 +1503,7 @@ QUERIES = [
     Query("s12_product_quantize", s12_product_quantize, _s12_sql(),
           "product quantization: per-subspace codebook assignment + "
           "reconstruction audit (IVF-PQ storage half)"),
+    Query("s13_pq_adc_topk", s13_pq_adc_topk, _s13_sql(),
+          "PQ asymmetric-distance top-k: queries score the CODED "
+          "corpus via codeword lookup sums (IVF-PQ query half)"),
 ]

@@ -165,6 +165,7 @@ _VERIFY_FIRST = [
     "t14_bigram_logprob",
     "s12_product_quantize",
     "w11_rollup_cascade",
+    "s13_pq_adc_topk",
     # green-r01 but file churned since
     "q36_range_frame",
     "q37_ntile_cume",

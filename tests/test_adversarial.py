@@ -139,7 +139,7 @@ EMB_SWEEP = [
     "s04_ivf_topk", "s05_trained_ivf", "s06_quantize", "s07_knn_label",
     "s08_ann_recall", "s09_knn_graph", "s10_pagerank",
     "d05_embedding_neardup", "d15_semdedup", "s11_cluster_quality",
-    "s12_product_quantize", "q19_array_fns",
+    "s12_product_quantize", "s13_pq_adc_topk", "q19_array_fns",
 ]
 
 

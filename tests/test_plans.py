@@ -807,3 +807,18 @@ def test_s12_pq_no_join_bounded_explode(spark, sf_dir):
     assert "Join" not in plan
     assert "CartesianProduct" not in plan
     assert python_row_ops(df) == 0
+
+
+def test_s13_adc_codes_never_touch_vectors_at_rank(spark, sf_dir):
+    # the ADC join streams the CODED corpus past a broadcast query
+    # side: codes come from literal codebooks in the scan projection
+    # (no join/ explode to compute them), and no SortMergeJoin or
+    # Python appears anywhere
+    from kafka2clickhouse_py_streamer_spark.llm.similarity import (
+        s13_pq_adc_topk,
+    )
+
+    df = s13_pq_adc_topk(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" not in plan
+    assert python_row_ops(df) == 0
