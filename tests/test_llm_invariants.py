@@ -488,3 +488,162 @@ def test_d11_uncapped_degrades_to_d02(spark, sf_dir):
     }
     plain = {tuple(r) for r in d02_ngram_jaccard(spark, sf_dir).collect()}
     assert capped_off == plain
+
+
+def test_p13_pps_slot_invariants(spark, sf_dir):
+    """PPS systematic sampling structure: slot counts are positive,
+    total selected slots == PPS_SAMPLES exactly (the weight line is
+    fully partitioned into m steps), and any doc heavier than one step
+    is a certainty selection."""
+    from kafka2clickhouse_py_streamer_spark.llm.sampling import (
+        PPS_SAMPLES,
+        p13_pps_sample,
+    )
+
+    rows = p13_pps_sample(spark, sf_dir).collect()
+    assert rows, "sample must be non-empty"
+    assert all(r.n_slots >= 1 for r in rows)
+    assert sum(r.n_slots for r in rows) == PPS_SAMPLES
+    assert len(rows) <= PPS_SAMPLES
+
+
+def test_q59_sweepline_matches_bruteforce(spark):
+    """Property: the sweep-line max concurrency equals a brute-force
+    per-instant count over random tiny event sets, including exact
+    boundary collisions (an interval closing exactly when another
+    opens must NOT overlap it — half-open semantics)."""
+    import datetime
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from kafka2clickhouse_py_streamer_spark.operators.windows import (
+        q59_concurrency,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    gap = 1800  # the operator's 30-min interval length
+
+    events_strategy = st.lists(
+        st.integers(min_value=0, max_value=6 * gap),  # start offsets s
+        min_size=1,
+        max_size=25,
+    )
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(events_strategy)
+    def check(offsets):
+        import os
+        import tempfile
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        ev = [
+            (i, t0 + datetime.timedelta(seconds=s), 1, "view", 1.0, None)
+            for i, s in enumerate(offsets)
+        ]
+        with tempfile.TemporaryDirectory() as root:
+            tbl = pa.table({
+                "event_id": pa.array([r[0] for r in ev], pa.int64()),
+                "ts": pa.array([r[1] for r in ev], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in ev], pa.int64()),
+                "event_type": pa.array(
+                    [r[3] for r in ev], pa.string()
+                ),
+                "value": pa.array([r[4] for r in ev], pa.float64()),
+                "props": pa.array([r[5] for r in ev], pa.string()),
+            })
+            pq.write_table(tbl, os.path.join(root, "events.parquet"))
+            got = {
+                r.event_type: r.max_concurrent
+                for r in q59_concurrency(spark, root).collect()
+            }
+        # brute force: concurrency just after each start instant
+        brute = 0
+        for s in offsets:
+            c = sum(1 for o in offsets if o <= s < o + gap)
+            brute = max(brute, c)
+        assert got == {"view": brute}, (offsets, got, brute)
+
+    check()
+
+
+def test_w11_cascade_tiers_are_consistent(spark, sf_dir):
+    """Re-aggregation correctness: every tier's totals must fold
+    exactly into the tier above (sum of hourly counts in a day == the
+    daily count; sum of daily == monthly), and the hourly tier must
+    equal w01's independent tumbling aggregation."""
+    from collections import defaultdict
+
+    from kafka2clickhouse_py_streamer_spark.streaming.batch_windows import (
+        w01_tumbling,
+        w11_rollup_cascade,
+    )
+
+    rows = w11_rollup_cascade(spark, sf_dir).collect()
+    tiers = defaultdict(dict)
+    for r in rows:
+        tiers[r.resolution][(r.event_type, r.bucket_start)] = r.n_events
+
+    def fold(fine, trunc):
+        agg = defaultdict(int)
+        for (typ, b), n in tiers[fine].items():
+            agg[(typ, trunc(b))] += n
+        return dict(agg)
+
+    assert tiers["day"] == fold(
+        "hour", lambda b: b.replace(hour=0)
+    )
+    assert tiers["month"] == fold(
+        "day", lambda b: b.replace(day=1)
+    )
+    w01 = {
+        (r.event_type, r.window_start): r.n_events
+        for r in w01_tumbling(spark, sf_dir).collect()
+    }
+    assert tiers["hour"] == w01
+
+
+def test_s12_s13_pq_consistency(spark, sf_dir):
+    """ADC consistency with the stored codes: a candidate's ADC
+    distance to a query equals the sum over subspaces of the distance
+    from the query's subvector to the candidate's ASSIGNED codeword —
+    recomputed here serially from the s12 codes and the trained
+    centroids."""
+    from kafka2clickhouse_py_streamer_spark.llm.similarity import (
+        DIM,
+        N_QUERIES,
+        PQ_SUBDIM,
+        PQ_SUBSPACES,
+        _base,
+        _train_centroids,
+        s12_product_quantize,
+        s13_pq_adc_topk,
+    )
+
+    base = _base(spark, sf_dir)
+    cents = _train_centroids(base)
+    codes = {
+        r.vec_id: [int(x) for x in r.code.split("-")]
+        for r in s12_product_quantize(spark, sf_dir).collect()
+    }
+    queries = {
+        r["vec_id"]: r["v"]
+        for r in base.filter(f"vec_id < {N_QUERIES}").collect()
+    }
+    top = s13_pq_adc_topk(spark, sf_dir).collect()
+    assert top, "top-k must be non-empty"
+    for r in top[:10]:
+        qv = queries[r.query_id]
+        expect = 0.0
+        for s in range(PQ_SUBSPACES):
+            lo = s * PQ_SUBDIM
+            cw = cents[codes[r.cand_id][s]][lo:lo + PQ_SUBDIM]
+            sub = qv[lo:lo + PQ_SUBDIM]
+            expect += sum((a - b) ** 2 for a, b in zip(sub, cw))
+        assert abs(expect - r.adc_dist) < 1e-4, (r, expect)
