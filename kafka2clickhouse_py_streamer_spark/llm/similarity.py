@@ -1002,6 +1002,30 @@ ORDER BY n.vec_id
 SEMDEDUP_TAU = 0.3
 
 
+def semdedup_pruned(tagged: DataFrame) -> DataFrame:
+    """d15's prune rule on a tagged (vec_id, v, norm, bucket) frame:
+    DISTINCT (vec_id, bucket) of every vector with a τ-similar
+    smaller-id bucket-mate. Shared by the batch audit and the
+    streaming admitter's within-batch pass (one source of truth for
+    the pessimistic-admission predicate)."""
+    a = tagged.alias("a")
+    b = tagged.alias("b")
+    cos = F.round(_cosine("a.v", "b.v", "a.norm", "b.norm"), 6)
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos >= SEMDEDUP_TAU)
+        .select(
+            F.col("b.vec_id").alias("vec_id"),
+            F.col("b.bucket").alias("bucket"),
+        )
+        .distinct()
+    )
+
+
 def d15_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): LSH
     buckets stand in for the k-means clusters, and within each bucket a
@@ -1024,22 +1048,7 @@ def d15_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged = base.select(
         "vec_id", "v", "norm", _bucket_expr().alias("bucket")
     )
-    a = tagged.alias("a")
-    b = tagged.alias("b")
-    cos = F.round(_cosine("a.v", "b.v", "a.norm", "b.norm"), 6)
-    pruned = (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .filter(cos >= SEMDEDUP_TAU)
-        .select(
-            F.col("b.vec_id").alias("vec_id"),
-            F.col("b.bucket").alias("bucket"),
-        )
-        .distinct()
-    )
+    pruned = semdedup_pruned(tagged)
     n_pruned = pruned.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n_pruned")
     )

@@ -223,6 +223,114 @@ def start_streaming_neardup(
     )
 
 
+def semdedup_admit_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    out_dir: str,
+    state_dir: str,
+) -> None:
+    """SEMANTIC near-dup admission for one micro-batch (d15's
+    pessimistic predicate, computed incrementally): a vector is
+    admitted iff NO smaller-id bucket-mate — within this batch or among
+    ALL previously seen vectors — is τ-similar by rounded cosine.
+
+    Cut-independence mirrors the d14 admitter: the state carries every
+    SEEN vector (admitted or not), so for id-ordered arrival the
+    global predicate is exactly batch d15's "∃ τ-similar smaller-id
+    bucket-mate", wherever the micro-batch boundaries fall.
+
+    State here stores the VECTORS (bucket, vec_id, v, norm) — unlike
+    the digest/band-key states above, the semantic decision needs the
+    actual embedding to score new arrivals against. At 100 TB of
+    corpus that is |docs| × 512 B of floats — the same footprint as
+    the embedding column itself, partitioned by batch_id, bucket-
+    pruned on every probe join (candidates come only from bucket
+    collisions). Replay overwrites its own partition (dynamic
+    overwrite + self-exclusion, the module contract)."""
+    from kafka2clickhouse_py_streamer_spark.functions import (
+        cosine,
+        l2_norm,
+        to_double_vec,
+        valid_embeddings,
+    )
+    from kafka2clickhouse_py_streamer_spark.llm.similarity import (
+        DIM,
+        SEMDEDUP_TAU,
+        _bucket_expr,
+        semdedup_pruned,
+    )
+
+    spark = batch_df.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    vec_d = to_double_vec("embedding")
+    tagged = (
+        valid_embeddings(batch_df, DIM)
+        .select("vec_id", vec_d.alias("v"))
+        .withColumn("norm", l2_norm(F.col("v")))
+        .withColumn("bucket", _bucket_expr())
+    )
+    blocked_within = semdedup_pruned(tagged).select("vec_id")
+    try:
+        state = (
+            spark.read.parquet(state_dir)
+            .filter(F.col("batch_id") != F.lit(batch_id))
+            .select("vec_id", "v", "norm", "bucket")
+            .alias("s")
+        )
+        t = tagged.alias("t")
+        cos = F.round(cosine("s.v", "t.v", "s.norm", "t.norm"), 6)
+        blocked_state = (
+            t.join(
+                state,
+                (F.col("s.bucket") == F.col("t.bucket"))
+                & (F.col("s.vec_id") < F.col("t.vec_id")),
+            )
+            .filter(cos >= SEMDEDUP_TAU)
+            .select("t.vec_id")
+            .distinct()
+        )
+        blocked = blocked_within.union(blocked_state).distinct()
+    except AnalysisException:
+        # first batch only (state path absent); other failures must
+        # propagate — see dedup_admit_batch
+        blocked = blocked_within
+    tagged_out = tagged.withColumn("batch_id", F.lit(batch_id)).persist()
+    try:
+        tagged_out.count()
+        admitted = tagged_out.join(blocked, "vec_id", "left_anti")
+        (
+            admitted.select("vec_id", "bucket", "batch_id")
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+        (
+            tagged_out.write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(state_dir)
+        )
+    finally:
+        tagged_out.unpersist()
+
+
+def start_streaming_semdedup(
+    stream_df: DataFrame,
+    out_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Wire ``semdedup_admit_batch`` under writeStream.foreachBatch."""
+    return (
+        stream_df.writeStream.foreachBatch(
+            lambda df, bid: semdedup_admit_batch(
+                df, bid, out_dir, state_dir
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def scrub_stream(stream_df: DataFrame, text_col: str = "text") -> DataFrame:
     """t09's scrub on a streaming frame: identical code, no state —
     compose with any sink (``writeStream.format("parquet")`` in

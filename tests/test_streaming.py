@@ -1102,3 +1102,89 @@ def test_w10_anomaly_scores_streamed_rollup(spark, tmp_path):
     # streamed rollup is the watermark-closed prefix; backward-looking
     # frames mean every streamed score must match its batch twin
     assert scored <= batch
+
+
+def test_d15_streaming_semdedup_matches_batch(spark, tmp_path):
+    """Semantic admission under readStream: embeddings stream in three
+    genuine micro-batches (maxFilesPerTrigger=1) through the
+    vector-state admitter. The admitted set must equal batch d15's
+    kept set exactly — the pessimistic predicate is cut-independent
+    for id-ordered arrival because the state carries every SEEN
+    vector, not only admitted ones."""
+    from pyspark.sql import functions as F
+
+    from kafka2clickhouse_py_streamer_spark.functions import (
+        l2_norm,
+        to_double_vec,
+        valid_embeddings,
+    )
+    from kafka2clickhouse_py_streamer_spark.llm.similarity import (
+        DIM,
+        _base,
+        _bucket_expr,
+        semdedup_pruned,
+    )
+    from kafka2clickhouse_py_streamer_spark.operators.base import table
+    from kafka2clickhouse_py_streamer_spark.streaming.corpus_stream import (
+        start_streaming_semdedup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    em = table(spark, sf, "embeddings").orderBy("vec_id").collect()
+    src = tmp_path / "semdedup_stream"
+    src.mkdir()
+    third = len(em) // 3
+    for chunk in (em[:third], em[third : 2 * third], em[2 * third :]):
+        spark.createDataFrame(
+            chunk, table(spark, sf, "embeddings").schema
+        ).coalesce(1).write.mode("append").parquet(str(src))
+
+    out = str(tmp_path / "sd_admitted")
+    state = str(tmp_path / "vec_state")
+    stream = (
+        spark.readStream.schema(table(spark, sf, "embeddings").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = start_streaming_semdedup(
+        stream, out, state, str(tmp_path / "ckpt_d15")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    streamed = {
+        r.vec_id for r in spark.read.parquet(out).select("vec_id").collect()
+    }
+    tagged = _base(spark, sf).select(
+        "vec_id", "v", "norm", _bucket_expr().alias("bucket")
+    )
+    all_valid = {r.vec_id for r in tagged.select("vec_id").collect()}
+    pruned = {r.vec_id for r in semdedup_pruned(tagged).collect()}
+    assert streamed == all_valid - pruned
+    # the vector state carries every SEEN valid vector, admitted or not
+    assert spark.read.parquet(state).count() == len(all_valid)
+
+
+def test_d15_streaming_semdedup_replay_idempotent(spark, tmp_path):
+    """Re-delivering a micro-batch (the at-least-once contract after a
+    checkpoint restart) must overwrite its own state/output partition,
+    not double-admit or double-claim."""
+    from kafka2clickhouse_py_streamer_spark.operators.base import table
+    from kafka2clickhouse_py_streamer_spark.streaming.corpus_stream import (
+        semdedup_admit_batch,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    em = table(spark, sf, "embeddings").limit(40)
+    out = str(tmp_path / "sd_out")
+    state = str(tmp_path / "sd_state")
+    semdedup_admit_batch(em, 0, out, state)
+    first_out = {r.vec_id for r in spark.read.parquet(out).collect()}
+    first_state = spark.read.parquet(state).count()
+    semdedup_admit_batch(em, 0, out, state)  # replay of batch 0
+    assert {
+        r.vec_id for r in spark.read.parquet(out).collect()
+    } == first_out
+    assert spark.read.parquet(state).count() == first_state
