@@ -61,6 +61,10 @@ HEAVY = [
     "d15_semdedup",
     "t13_zipf_fit",
     "p13_pps_sample",
+    # PQ pair: 32x bounded explode (s12) and the coded-corpus ADC
+    # stream (s13) — both must stay linear in the corpus
+    "s12_product_quantize",
+    "s13_pq_adc_topk",
 ]
 VOWELS = "aeiou"
 
