@@ -1358,10 +1358,17 @@ def s13_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
 
     def argmin_code(dists: dict):
+        """POSITION of the argmin codeword within sorted(keys) (not the
+        raw key): the ADC lookup indexes dtable[s] positionally, and a
+        missing residue class must not desynchronize code values from
+        array slots. Ordering by position ≡ ordering by key (sorted),
+        so the tie-break matches the oracle's ORDER BY dist, g."""
         best = F.least(*dists.values())
         code = F.lit(None)
-        for g in sorted(keys, reverse=True):
-            code = F.when(dists[g] == best, F.lit(g)).otherwise(code)
+        for pos in range(len(keys) - 1, -1, -1):
+            code = F.when(
+                dists[keys[pos]] == best, F.lit(pos)
+            ).otherwise(code)
         return code
 
     corpus = base.filter(F.col("vec_id") >= N_QUERIES)
@@ -1372,19 +1379,33 @@ def s13_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             for s in range(PQ_SUBSPACES)
         ],
     )
+    # The ADC LOOKUP TABLE, materialized per query BEFORE the join:
+    # dtable[s][g] = distance of the query's subvector s to codeword g
+    # (|subspaces|×K doubles, computed once per query row on the
+    # 10-row broadcast side). The per-candidate hot path is then pure
+    # array indexing — no dot product ever runs per (query, candidate)
+    # pair, which is the entire point of ADC.
     queries = base.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.array(
+            *[
+                F.array(
+                    *[
+                        sub_dists("v", s)[g]
+                        for g in keys
+                    ]
+                )
+                for s in range(PQ_SUBSPACES)
+            ]
+        ).alias("dtable"),
     )
-    adc_terms = []
-    for s in range(PQ_SUBSPACES):
-        dists = sub_dists("qv", s)
-        term = F.lit(None)
-        for g in sorted(keys, reverse=True):
-            term = F.when(
-                F.col(f"code_{s}") == g, dists[g]
-            ).otherwise(term)
-        adc_terms.append(term)
-    adc = sum(adc_terms[1:], adc_terms[0])
+    lookups = [
+        F.element_at(
+            F.element_at("dtable", s + 1), F.col(f"code_{s}") + 1
+        )
+        for s in range(PQ_SUBSPACES)
+    ]
+    adc = sum(lookups[1:], lookups[0])
     scored = codes.crossJoin(F.broadcast(queries)).select(
         "query_id", "cand_id", F.round(adc, 6).alias("adc_dist")
     )
