@@ -372,6 +372,102 @@ ORDER BY canonical_id
 """
 
 
+MM_PATCH_BYTES = 4     # fake "patch" granularity over the payload
+MM_SEQ_BUDGET = 256    # tokens per packed multimodal sequence
+
+
+def m06_multimodal_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved image-text sequence packing — the multimodal
+    pretraining batch-builder: each document costs its TEXT tokens plus
+    its media PATCH tokens (payload bytes / MM_PATCH_BYTES — the stand-
+    in for (H/14)×(W/14) ViT patches, which real metadata would supply),
+    and documents pack greedily in doc_id order into fixed
+    ``MM_SEQ_BUDGET``-token sequences (first-fit by running offset —
+    a doc belongs to the sequence its offset starts in).
+
+    Scale shape: the modality fusion is ONE 1:1 equi-join of the token
+    projection with the media metadata on doc_id; the global running
+    offset is the distributed two-pass pattern (no SinglePartition);
+    packing assignment is pure integer arithmetic. Output is the
+    packing manifest (doc → sequence) a loader materializes from."""
+    from kafka2clickhouse_py_streamer_spark.llm.sampling import (
+        _n_tokens,
+        _two_pass_offsets,
+    )
+
+    media = media_table(spark, sf_dir).select(
+        "doc_id", "media_type", "n_bytes"
+    )
+    text = table(spark, sf_dir, "documents").select(
+        "doc_id", _n_tokens().alias("text_tokens")
+    )
+    fused = text.join(media, "doc_id").select(
+        "doc_id",
+        "media_type",
+        "text_tokens",
+        # integer div, not /-then-cast: CAST(double AS BIGINT) ROUNDS
+        # on DuckDB but truncates on Spark — div/// sidestep the seam
+        F.expr(f"n_bytes div {MM_PATCH_BYTES}").alias("patch_tokens"),
+    ).withColumn(
+        "total_tokens", F.col("text_tokens") + F.col("patch_tokens")
+    )
+    packed = _two_pass_offsets(
+        fused, [], val_col="total_tokens", order_col="doc_id"
+    )
+    return (
+        packed.select(
+            "doc_id",
+            "media_type",
+            "text_tokens",
+            "patch_tokens",
+            "total_tokens",
+            F.expr(f"stream_offset div {MM_SEQ_BUDGET}").alias(
+                "seq_id"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+M06_SQL = rf"""
+WITH media AS (
+  SELECT doc_id,
+         ['image','audio','video'][CAST(doc_id % 3 + 1 AS INTEGER)]
+           AS media_type,
+         -- null text -> null payload (md5(NULL)) -> null byte count,
+         -- mirrored from the Spark media_table derivation
+         CASE WHEN text IS NULL THEN NULL
+              ELSE CAST(16 * (1 + doc_id % 4) AS BIGINT) END AS n_bytes
+  FROM documents
+),
+text AS (
+  SELECT doc_id,
+         CAST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+              ELSE LEN(regexp_split_to_array(TRIM(text), '\s+')) END
+              AS BIGINT) AS text_tokens
+  FROM documents
+),
+fused AS (
+  SELECT t.doc_id, m.media_type, t.text_tokens,
+         CAST(m.n_bytes // {MM_PATCH_BYTES} AS BIGINT) AS patch_tokens,
+         t.text_tokens + CAST(m.n_bytes // {MM_PATCH_BYTES} AS BIGINT)
+           AS total_tokens
+  FROM text t JOIN media m ON m.doc_id = t.doc_id
+),
+offs AS (
+  SELECT *,
+         COALESCE(SUM(total_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS off
+  FROM fused
+)
+SELECT doc_id, media_type, text_tokens, patch_tokens, total_tokens,
+       CAST(off // {MM_SEQ_BUDGET} AS BIGINT) AS seq_id
+FROM offs
+ORDER BY doc_id
+"""
+
+
 QUERIES = [
     Query("m01_media_metadata", m01_media_metadata, M01_SQL,
           "binary media metadata scan"),
@@ -383,4 +479,7 @@ QUERIES = [
           "mapInPandas byte-feature extraction (oracle-checked)"),
     Query("m05_media_dedup", m05_media_dedup, M05_SQL,
           "exact dedup of binary payloads by content fingerprint"),
+    Query("m06_multimodal_packing", m06_multimodal_packing, M06_SQL,
+          "interleaved image-text sequence packing (text tokens + "
+          "media patch tokens, two-pass offsets)"),
 ]

@@ -166,6 +166,7 @@ _VERIFY_FIRST = [
     "s12_product_quantize",
     "w11_rollup_cascade",
     "s13_pq_adc_topk",
+    "m06_multimodal_packing",
     # green-r01 but file churned since
     "q36_range_frame",
     "q37_ntile_cume",
@@ -214,6 +215,11 @@ _VERIFY_FIRST = [
     "w03_session_window",
     "w04_enriched_windows",
     "q41_map_fns",
+    "m01_media_metadata",
+    "m02_decode_stats",
+    "m03_frame_sample",
+    "m04_feature_extract",
+    "m05_media_dedup",
     # green-r03 but file churned since
     "p03_sequence_packing",
     "q27_approx_stats",
@@ -255,13 +261,6 @@ _VERIFY_FIRST = [
     "q43_ratio_to_report",
     "q45_calendar_arithmetic",
     "q46_string_agg",
-    # green-r02
-    "m01_media_metadata",
-    "m02_decode_stats",
-    "m03_frame_sample",
-    "m04_feature_extract",
-    "m05_media_dedup",
-    # green-r03
     "q50_range_join",
     "q02_region_revenue",
     "q03_top_orders",

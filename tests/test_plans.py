@@ -822,3 +822,18 @@ def test_s13_adc_codes_never_touch_vectors_at_rank(spark, sf_dir):
     plan = formatted_plan(df)
     assert "SortMergeJoin" not in plan
     assert python_row_ops(df) == 0
+
+
+def test_m06_packing_one_join_no_single_partition(spark, sf_dir):
+    # modality fusion is one 1:1 equi-join; the global offsets are the
+    # two-pass pattern (SinglePartition never appears); assignment is
+    # JVM integer arithmetic
+    from kafka2clickhouse_py_streamer_spark.llm.multimodal import (
+        m06_multimodal_packing,
+    )
+
+    df = m06_multimodal_packing(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+    assert python_row_ops(df) == 0
