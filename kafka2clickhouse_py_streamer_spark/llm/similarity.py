@@ -379,11 +379,24 @@ ORDER BY query_id, rk
 """
 
 
-def _train_centroids(base: DataFrame) -> dict[int, list[float]]:
-    """The s05 train step, shared with the s11 audit: centroid k = the
-    element-wise mean of the corpus vectors with vec_id ≡ k (mod K) —
-    deterministic k-means seeding both engines reproduce. Returns the
-    K×DIM doubles (driver-side: K×64 values, broadcast as literals)."""
+# centroid training collects K×DIM doubles per (session, sf_dir) —
+# four operators (s05/s11/s12/s13) share identical trained codebooks,
+# so the collect runs once per session (the d07 label-cache pattern)
+_CENTROID_CACHE: dict[tuple[int, str], dict[int, list[float]]] = {}
+
+
+def _train_centroids(
+    base: DataFrame, sf_dir: str | None = None
+) -> dict[int, list[float]]:
+    """The s05 train step, shared with the s11/s12/s13 family:
+    centroid k = the element-wise mean of the corpus vectors with
+    vec_id ≡ k (mod K) — deterministic k-means seeding both engines
+    reproduce. Returns the K×DIM doubles (driver-side: K×64 values,
+    broadcast as literals). Cached per (session, sf_dir) when sf_dir
+    is given — the four consumers train identical codebooks."""
+    key = (id(base.sparkSession), sf_dir) if sf_dir else None
+    if key is not None and key in _CENTROID_CACHE:
+        return _CENTROID_CACHE[key]
     corpus = base.filter(F.col("vec_id") >= N_QUERIES)
     seeds = (
         corpus.withColumn(
@@ -399,36 +412,55 @@ def _train_centroids(base: DataFrame) -> dict[int, list[float]]:
         .orderBy("g")
         .collect()
     )
-    return {row["g"]: [row[f"m{i}"] for i in range(DIM)] for row in seeds}
-
-
-def _cell_dots(cents: dict[int, list[float]]) -> dict:
-    """KEY-indexed dot products with each centroid. Keys, not list
-    positions: a residue class with no valid corpus vector yields a
-    missing key, and positional numbering would silently relabel every
-    later cell away from the oracle's g."""
-    return {
-        k: dot("v", F.array(*[F.lit(cents[k][i]) for i in range(DIM)]))
-        for k in sorted(cents)
+    cents = {
+        row["g"]: [row[f"m{i}"] for i in range(DIM)] for row in seeds
     }
+    if key is not None:
+        _CENTROID_CACHE[key] = cents
+    return cents
 
 
-def _argmax_payload(cents: dict[int, list[float]], payload: dict):
-    """``payload[k]`` of the argmax-inner-product centroid k (ties to
-    the LOWEST key), matching the oracle's ROW_NUMBER ... ORDER BY
-    d DESC, g ASC. Single source for the tie-break CASE chain — cell
-    ids and per-cell constants (s11's centroid norms) must never
-    disagree on the winner."""
-    dots = _cell_dots(cents)
-    best = F.greatest(*dots.values())
-    out = F.lit(None)
-    for k in sorted(cents, reverse=True):
-        out = F.when(dots[k] == best, F.lit(payload[k])).otherwise(out)
-    return out
+def _dots_array(cents: dict[int, list[float]], vcol: str = "v"):
+    """All centroid dot products of ``vcol`` as ONE array column
+    (positions follow sorted keys). Materializing the array means each
+    HOF dot product is evaluated exactly once per row — the earlier
+    when-chain argmax re-evaluated every interpreted dot per
+    comparison branch, measured at ~6× the work."""
+    return F.array(
+        *[
+            dot(vcol, F.array(*[F.lit(cents[k][i]) for i in range(DIM)]))
+            for k in sorted(cents)
+        ]
+    )
 
 
-def _assign_cell(cents: dict[int, list[float]]):
-    return _argmax_payload(cents, {k: k for k in cents}).cast("long")
+def _argmax_pos(dots_col):
+    """1-based POSITION of the max dot (first occurrence on ties ⇒
+    lowest position ⇒ lowest key), matching the oracle's ROW_NUMBER
+    ... ORDER BY d DESC, g ASC. Works on a materialized array column
+    so the dots are never recomputed per comparison."""
+    c = F.col(dots_col) if isinstance(dots_col, str) else dots_col
+    return F.array_position(c, F.array_max(c)).cast("int")
+
+
+def _pos_payload(cents: dict[int, list[float]], payload: dict, pos):
+    """``payload[k]`` of the winner at 1-based position ``pos`` within
+    sorted(cents) — keys, not list positions, index the payload, so a
+    residue class with no valid corpus vector cannot silently relabel
+    later cells away from the oracle's g."""
+    vals = F.array(*[F.lit(payload[k]) for k in sorted(cents)])
+    return F.element_at(vals, pos)
+
+
+def _assign_cell_df(df: DataFrame, cents: dict[int, list[float]]):
+    """df + a ``cell`` column (argmax-inner-product key). Two-step
+    select: the dots array materializes in its own projection so the
+    argmax's two references (max + position) don't duplicate the HOF
+    dot evaluations."""
+    with_dots = df.withColumn("_dots", _dots_array(cents))
+    pos = _argmax_pos("_dots")
+    cell = _pos_payload(cents, {k: k for k in cents}, pos).cast("long")
+    return with_dots.withColumn("cell", cell).drop("_dots")
 
 
 def s05_trained_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -444,8 +476,13 @@ def s05_trained_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     'train small, broadcast into the scan projection' IVF shape (at
     100 TB the corpus never reshuffles for assignment)."""
     base = _base(spark, sf_dir)
-    cents = _train_centroids(base)
-    tagged = base.withColumn("cell", _assign_cell(cents))
+    cents = _train_centroids(base, sf_dir)
+    if not cents:
+        return spark.createDataFrame(
+            [], "query_id long, cand_id long, cell long, cosine double,"
+            " rk long"
+        )
+    tagged = _assign_cell_df(base, cents)
     q = tagged.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -1117,16 +1154,23 @@ def s11_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     the occupancy share joins back a broadcast one-row total."""
     base = _base(spark, sf_dir)
     corpus = base.filter(F.col("vec_id") >= N_QUERIES)
-    cents = _train_centroids(base)
-    cell = _assign_cell(cents)
+    cents = _train_centroids(base, sf_dir)
+    if not cents:
+        return spark.createDataFrame(
+            [], "cell long, n_vectors long, share double,"
+            " mean_sqdist double, max_sqdist double"
+        )
     cnorm2 = {k: sum(x * x for x in cents[k]) for k in cents}
-    best = F.greatest(*_cell_dots(cents).values())
-    cc2 = _argmax_payload(cents, cnorm2)
+    with_dots = corpus.withColumn("_dots", _dots_array(cents))
+    pos = _argmax_pos("_dots")
+    cell = _pos_payload(cents, {k: k for k in cents}, pos).cast("long")
+    best = F.array_max("_dots")
+    cc2 = _pos_payload(cents, cnorm2, pos)
     # dot(v,v), not norm², for bit-parity with the oracle's
     # list_dot_product(v, v) (sqrt-then-square would differ in the
     # last ulp before rounding)
     sqd = dot("v", F.col("v")) - 2.0 * best + cc2
-    assigned = corpus.select(cell.alias("cell"), sqd.alias("sqd"))
+    assigned = with_dots.select(cell.alias("cell"), sqd.alias("sqd"))
     per_cell = assigned.groupBy("cell").agg(
         F.count(F.lit(1)).cast("long").alias("n_vectors"),
         F.round(F.avg("sqd"), 4).alias("mean_sqdist"),
@@ -1200,6 +1244,43 @@ PQ_SUBSPACES = 8
 PQ_SUBDIM = DIM // PQ_SUBSPACES  # 8 dims per subspace
 
 
+def _pq_sub_dist(vcol, s: int, g: int, cents: dict):
+    """Squared L2 distance from ``vcol``'s subspace-``s`` slice to
+    codeword ``g`` (the class-g centroid sliced to that subspace).
+    SINGLE SOURCE for the s12 assignment and the s13 lookup-table
+    construction — the two sides of the PQ contract must never
+    disagree on the distance formula."""
+    lo = s * PQ_SUBDIM
+    sub = F.slice(vcol, lo + 1, PQ_SUBDIM)
+    cw = [cents[g][lo + i] for i in range(PQ_SUBDIM)]
+    cw_arr = F.array(*[F.lit(x) for x in cw])
+    return (
+        dot(sub, sub)
+        - 2.0 * dot(sub, cw_arr)
+        + F.lit(sum(x * x for x in cw))
+    )
+
+
+def _pq_cand_sql() -> str:
+    """The per-(vector, subspace, codeword) distance UNION — shared by
+    _s12_sql and _s13_sql (expects ``corpus``/``seeds`` CTEs in
+    scope)."""
+    rows = []
+    for s in range(PQ_SUBSPACES):
+        lo = s * PQ_SUBDIM
+        sub = f"v[{lo + 1}:{lo + PQ_SUBDIM}]"
+        cw = ("[" + ", ".join(f"m{lo + i}" for i in range(PQ_SUBDIM))
+              + "]")
+        rows.append(
+            f"SELECT vec_id, {s} AS s, g,\n"
+            f"       list_dot_product({sub}, {sub})\n"
+            f"       - 2 * list_dot_product({sub}, {cw})\n"
+            f"       + list_dot_product({cw}, {cw}) AS dist\n"
+            f"FROM corpus CROSS JOIN seeds"
+        )
+    return "\nUNION ALL\n".join(rows)
+
+
 def s12_product_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization (Jégou et al. 2011) — the IVF-PQ storage
     half s06's scalar int8 can't reach: the 64-dim vector splits into
@@ -1220,27 +1301,20 @@ def s12_product_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw vectors except the explode's own exchange."""
     base = _base(spark, sf_dir)
     corpus = base.filter(F.col("vec_id") >= N_QUERIES)
-    cents = _train_centroids(base)
-    cand = []
-    for s in range(PQ_SUBSPACES):
-        lo = s * PQ_SUBDIM  # 0-based start of the subspace
-        sub = F.slice("v", lo + 1, PQ_SUBDIM)
-        sub_dot = dot(sub, sub)
-        for g in sorted(cents):
-            cw = [cents[g][lo + i] for i in range(PQ_SUBDIM)]
-            cw_arr = F.array(*[F.lit(x) for x in cw])
-            d = (
-                sub_dot
-                - 2.0 * dot(sub, cw_arr)
-                + F.lit(sum(x * x for x in cw))
-            )
-            cand.append(
-                F.struct(
-                    F.lit(s).alias("s"),
-                    F.lit(g).alias("g"),
-                    d.alias("dist"),
-                )
-            )
+    cents = _train_centroids(base, sf_dir)
+    if not cents:
+        return spark.createDataFrame(
+            [], "vec_id long, code string, recon_sq_err double"
+        )
+    cand = [
+        F.struct(
+            F.lit(s).alias("s"),
+            F.lit(g).alias("g"),
+            _pq_sub_dist("v", s, g, cents).alias("dist"),
+        )
+        for s in range(PQ_SUBSPACES)
+        for g in sorted(cents)
+    ]
     exploded = corpus.select(
         "vec_id", F.explode(F.array(*cand)).alias("c")
     ).select("vec_id", "c.s", "c.g", "c.dist")
@@ -1272,20 +1346,7 @@ def _s12_sql() -> str:
     means = ",\n         ".join(
         f"AVG(v[{i + 1}]) AS m{i}" for i in range(DIM)
     )
-    sub_rows = []
-    for s in range(PQ_SUBSPACES):
-        lo = s * PQ_SUBDIM
-        sub = f"v[{lo + 1}:{lo + PQ_SUBDIM}]"
-        cw = ("[" + ", ".join(f"m{lo + i}" for i in range(PQ_SUBDIM))
-              + "]")
-        sub_rows.append(
-            f"SELECT vec_id, {s} AS s, g,\n"
-            f"       list_dot_product({sub}, {sub})\n"
-            f"       - 2 * list_dot_product({sub}, {cw})\n"
-            f"       + list_dot_product({cw}, {cw}) AS dist\n"
-            f"FROM corpus CROSS JOIN seeds"
-        )
-    cand = "\nUNION ALL\n".join(sub_rows)
+    cand = _pq_cand_sql()
     return f"""
 WITH base AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -1340,42 +1401,37 @@ def s13_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of 512-byte vectors). Ranking is on the ROUNDED distance
     (both engines), cand_id tiebreak."""
     base = _base(spark, sf_dir)
-    cents = _train_centroids(base)
+    cents = _train_centroids(base, sf_dir)
+    if not cents:
+        return spark.createDataFrame(
+            [], "query_id long, cand_id long, adc_dist double, rk long"
+        )
     keys = sorted(cents)
 
-    def sub_dists(vcol: str, s: int) -> dict:
-        lo = s * PQ_SUBDIM
-        sub = F.slice(vcol, lo + 1, PQ_SUBDIM)
-        sub_dot = dot(sub, sub)
-        out = {}
-        for g in keys:
-            cw = [cents[g][lo + i] for i in range(PQ_SUBDIM)]
-            cw_arr = F.array(*[F.lit(x) for x in cw])
-            out[g] = (
-                sub_dot - 2.0 * dot(sub, cw_arr)
-                + F.lit(sum(x * x for x in cw))
-            )
-        return out
-
-    def argmin_code(dists: dict):
-        """POSITION of the argmin codeword within sorted(keys) (not the
-        raw key): the ADC lookup indexes dtable[s] positionally, and a
-        missing residue class must not desynchronize code values from
-        array slots. Ordering by position ≡ ordering by key (sorted),
-        so the tie-break matches the oracle's ORDER BY dist, g."""
-        best = F.least(*dists.values())
-        code = F.lit(None)
-        for pos in range(len(keys) - 1, -1, -1):
-            code = F.when(
-                dists[keys[pos]] == best, F.lit(pos)
-            ).otherwise(code)
-        return code
+    def dist_arr(vcol: str, s: int):
+        return F.array(
+            *[_pq_sub_dist(vcol, s, g, cents) for g in keys]
+        )
 
     corpus = base.filter(F.col("vec_id") >= N_QUERIES)
-    codes = corpus.select(
+    # Two-step select: the per-subspace distance arrays materialize in
+    # their own projection, then the argmin reads each array twice
+    # (min + position) WITHOUT re-evaluating the HOF dot products —
+    # the earlier when-chain argmin re-ran every interpreted dot per
+    # comparison branch (measured ~6× the work). Codes are the 1-based
+    # POSITION within sorted(keys) (first occurrence on ties ⇒ lowest
+    # key, matching the oracle's ORDER BY dist, g), so a missing
+    # residue class cannot desynchronize code values from dtable slots.
+    with_d = corpus.select(
         F.col("vec_id").alias("cand_id"),
+        *[dist_arr("v", s).alias(f"_d{s}") for s in range(PQ_SUBSPACES)],
+    )
+    codes = with_d.select(
+        "cand_id",
         *[
-            argmin_code(sub_dists("v", s)).alias(f"code_{s}")
+            F.array_position(
+                F.col(f"_d{s}"), F.array_min(f"_d{s}")
+            ).cast("int").alias(f"code_{s}")
             for s in range(PQ_SUBSPACES)
         ],
     )
@@ -1388,20 +1444,12 @@ def s13_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = base.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.array(
-            *[
-                F.array(
-                    *[
-                        sub_dists("v", s)[g]
-                        for g in keys
-                    ]
-                )
-                for s in range(PQ_SUBSPACES)
-            ]
+            *[dist_arr("v", s) for s in range(PQ_SUBSPACES)]
         ).alias("dtable"),
     )
     lookups = [
         F.element_at(
-            F.element_at("dtable", s + 1), F.col(f"code_{s}") + 1
+            F.element_at("dtable", s + 1), F.col(f"code_{s}")
         )
         for s in range(PQ_SUBSPACES)
     ]
@@ -1423,30 +1471,23 @@ def _s13_sql() -> str:
     means = ",\n         ".join(
         f"AVG(v[{i + 1}]) AS m{i}" for i in range(DIM)
     )
-    # per-subspace candidate distances for the CORPUS (code training)
-    code_rows = []
+    # corpus code assignment reuses the SHARED cand fragment (s12's);
+    # the ADC side recomputes the query-to-codeword distance per
+    # (query, code) row — the oracle states the semantics, the Spark
+    # plan holds the lookup-table structure
     adc_cases = []
     for s in range(PQ_SUBSPACES):
         lo = s * PQ_SUBDIM
-        sub = f"v[{lo + 1}:{lo + PQ_SUBDIM}]"
         qsub = f"qv[{lo + 1}:{lo + PQ_SUBDIM}]"
-        cw = ("[" + ", ".join(f"m{lo + i}" for i in range(PQ_SUBDIM))
-              + "]")
-        code_rows.append(
-            f"SELECT vec_id, {s} AS s, g,\n"
-            f"       list_dot_product({sub}, {sub})\n"
-            f"       - 2 * list_dot_product({sub}, {cw})\n"
-            f"       + list_dot_product({cw}, {cw}) AS dist\n"
-            f"FROM corpus CROSS JOIN seeds"
-        )
-        qcw = cw.replace("m", "sd.m")
+        qcw = ("[" + ", ".join(f"sd.m{lo + i}" for i in range(PQ_SUBDIM))
+               + "]")
         adc_cases.append(
             f"WHEN b.s = {s} THEN"
             f" list_dot_product(q.{qsub}, q.{qsub})"
             f" - 2 * list_dot_product(q.{qsub}, {qcw})"
             f" + list_dot_product({qcw}, {qcw})"
         )
-    cand = "\nUNION ALL\n".join(code_rows)
+    cand = _pq_cand_sql()
     case = "CASE " + "\n           ".join(adc_cases) + " END"
     return f"""
 WITH base AS (

@@ -50,6 +50,24 @@ from pyspark.sql.streaming import StreamingQuery
 from kafka2clickhouse_py_streamer_spark.llm.text import scrub_pii
 
 
+def _read_prior_state(spark, state_dir: str, batch_id: int):
+    """Read the persisted state EXCLUDING the current batch's
+    partition. Returns None ONLY when the state path does not exist
+    yet (the first batch). A bare ``except AnalysisException`` would
+    also swallow schema errors — a state_dir misconfigured to point at
+    a DIFFERENT operator's state table would then silently degrade
+    every batch to first-batch behavior and re-admit duplicates — so
+    the guard is scoped to the missing-path error class and any other
+    failure propagates."""
+    try:
+        df = spark.read.parquet(state_dir)
+    except AnalysisException as exc:
+        if "PATH_NOT_FOUND" in (exc.getCondition() or str(exc)):
+            return None
+        raise
+    return df.filter(F.col("batch_id") != F.lit(batch_id))
+
+
 def dedup_admit_batch(
     batch_df: DataFrame,
     batch_id: int,
@@ -74,19 +92,12 @@ def dedup_admit_batch(
         .filter(F.col(id_col) == F.col("_keeper"))
         .drop("_keeper")
     )
-    try:
-        seen = (
-            spark.read.parquet(state_dir)
-            # replay safety: never anti-join against our own partition
-            .filter(F.col("batch_id") != F.lit(batch_id))
-            .select("fp")
-        )
-        admitted = uniq.join(seen, "fp", "left_anti")
-    except AnalysisException:
-        # first batch only: the state path does not exist yet. Any
-        # OTHER read failure (corrupt footer, transient FS error) must
-        # propagate — swallowing it would silently re-admit duplicates.
+    # replay safety: _read_prior_state never includes our own partition
+    state = _read_prior_state(spark, state_dir, batch_id)
+    if state is None:  # first batch: state path absent
         admitted = uniq
+    else:
+        admitted = uniq.join(state.select("fp"), "fp", "left_anti")
     admitted = admitted.withColumn("batch_id", F.lit(batch_id)).persist()
     try:
         admitted.count()  # materialize once; both writes read the cache
@@ -167,22 +178,19 @@ def neardup_admit_batch(
         .select(id_col)
         .distinct()
     )
-    try:
-        claimed = (
-            spark.read.parquet(state_dir)
-            .filter(F.col("batch_id") != F.lit(batch_id))
-            .select("band_id", "band_key")
-        )
+    state = _read_prior_state(spark, state_dir, batch_id)
+    if state is None:  # first batch: state path absent
+        blocked = blocked_within
+    else:
         blocked_state = (
-            bands.join(claimed, ["band_id", "band_key"])
+            bands.join(
+                state.select("band_id", "band_key"),
+                ["band_id", "band_key"],
+            )
             .select(id_col)
             .distinct()
         )
         blocked = blocked_within.union(blocked_state).distinct()
-    except AnalysisException:
-        # first batch only (state path absent); other failures must
-        # propagate — see dedup_admit_batch
-        blocked = blocked_within
     admitted = batch_df.join(blocked, id_col, "left_anti").withColumn(
         "batch_id", F.lit(batch_id)
     )
@@ -263,25 +271,29 @@ def semdedup_admit_batch(
     spark = batch_df.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     vec_d = to_double_vec("embedding")
+    # persist the TAGGED frame itself (not a derived child): the
+    # within-batch self-join reads it twice and the state probe a
+    # third time — caching is plan-identity based, so persisting only
+    # a derived frame would recompute the validity gate + bucket
+    # hashing (N_PLANES 64-dim dots per row) on every consumer
     tagged = (
         valid_embeddings(batch_df, DIM)
         .select("vec_id", vec_d.alias("v"))
         .withColumn("norm", l2_norm(F.col("v")))
         .withColumn("bucket", _bucket_expr())
+        .persist()
     )
     blocked_within = semdedup_pruned(tagged).select("vec_id")
-    try:
-        state = (
-            spark.read.parquet(state_dir)
-            .filter(F.col("batch_id") != F.lit(batch_id))
-            .select("vec_id", "v", "norm", "bucket")
-            .alias("s")
-        )
+    state = _read_prior_state(spark, state_dir, batch_id)
+    if state is None:  # first batch: state path absent
+        blocked = blocked_within
+    else:
+        s = state.select("vec_id", "v", "norm", "bucket").alias("s")
         t = tagged.alias("t")
         cos = F.round(cosine("s.v", "t.v", "s.norm", "t.norm"), 6)
         blocked_state = (
             t.join(
-                state,
+                s,
                 (F.col("s.bucket") == F.col("t.bucket"))
                 & (F.col("s.vec_id") < F.col("t.vec_id")),
             )
@@ -290,13 +302,8 @@ def semdedup_admit_batch(
             .distinct()
         )
         blocked = blocked_within.union(blocked_state).distinct()
-    except AnalysisException:
-        # first batch only (state path absent); other failures must
-        # propagate — see dedup_admit_batch
-        blocked = blocked_within
-    tagged_out = tagged.withColumn("batch_id", F.lit(batch_id)).persist()
     try:
-        tagged_out.count()
+        tagged_out = tagged.withColumn("batch_id", F.lit(batch_id))
         admitted = tagged_out.join(blocked, "vec_id", "left_anti")
         (
             admitted.select("vec_id", "bucket", "batch_id")
@@ -310,7 +317,7 @@ def semdedup_admit_batch(
             .parquet(state_dir)
         )
     finally:
-        tagged_out.unpersist()
+        tagged.unpersist()
 
 
 def start_streaming_semdedup(

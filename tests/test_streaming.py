@@ -1188,3 +1188,28 @@ def test_d15_streaming_semdedup_replay_idempotent(spark, tmp_path):
         r.vec_id for r in spark.read.parquet(out).collect()
     } == first_out
     assert spark.read.parquet(state).count() == first_state
+
+
+def test_admitters_raise_on_wrong_state_schema(spark, tmp_path):
+    """A state_dir misconfigured to point at a DIFFERENT operator's
+    state table must RAISE, not silently degrade to first-batch
+    behavior and re-admit duplicates (a bare except AnalysisException
+    would swallow the schema error — the guard is scoped to the
+    missing-path error class only)."""
+    import pytest
+
+    from kafka2clickhouse_py_streamer_spark.operators.base import table
+    from kafka2clickhouse_py_streamer_spark.streaming.corpus_stream import (
+        semdedup_admit_batch,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    em = table(spark, sf, "embeddings").limit(20)
+    out = str(tmp_path / "out")
+    wrong_state = str(tmp_path / "wrong_state")
+    # a digest-style state table: wrong schema for the vector admitter
+    spark.createDataFrame(
+        [("abc", 0)], "fp string, batch_id int"
+    ).write.partitionBy("batch_id").parquet(wrong_state)
+    with pytest.raises(Exception):
+        semdedup_admit_batch(em, 1, out, wrong_state)
