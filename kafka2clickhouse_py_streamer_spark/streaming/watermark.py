@@ -77,17 +77,25 @@ def stream_stream_join(
     right_ts: str = "ts_r",
     watermark: str = "1 hour",
     max_delay: str = "30 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join with an event-time range constraint.
+    """Stream-stream join with an event-time range constraint.
 
     Both sides carry watermarks and the join condition bounds how far
     the right event may trail the left one — the two ingredients that
     let Spark EVICT join state (unbounded stream-stream joins never
     ship, same discipline as everything else in this module). State per
-    side ≈ events within (watermark + max_delay) of the front."""
+    side ≈ events within (watermark + max_delay) of the front.
+
+    ``how`` extends to the OUTER variants ("left_outer" /
+    "right_outer" / "full_outer"): Spark holds the unmatched side in
+    state until the watermark proves no in-bound partner can still
+    arrive, then emits it with NULLs — the time-bound is what makes
+    outer results FINAL (an unbounded outer stream-stream join could
+    never emit an unmatched row)."""
     lw = left.withWatermark(left_ts, watermark)
     rw = right.withWatermark(right_ts, watermark)
-    return lw.join(
+    joined = lw.join(
         rw,
         (lw[key] == rw[key])
         & (F.col(right_ts) >= F.col(left_ts))
@@ -95,8 +103,13 @@ def stream_stream_join(
             F.col(right_ts)
             <= F.col(left_ts) + F.expr(f"INTERVAL {max_delay}")
         ),
-        "inner",
-    ).drop(rw[key])
+        how,
+    )
+    # keep ONE key column; coalesce for outer shapes where either side
+    # may be null
+    return joined.withColumn(
+        "__k", F.coalesce(lw[key], rw[key])
+    ).drop(lw[key]).drop(rw[key]).withColumnRenamed("__k", key)
 
 
 def sessionized(

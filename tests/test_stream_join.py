@@ -144,3 +144,68 @@ def test_w05_streaming_twin_matches_batch(spark, tmp_path):
     }
     assert {(v, c, d) for v, (c, d) in first.items()} == batch_rows
     assert len(stream_pairs) >= len(batch_rows)
+
+
+def test_stream_stream_left_outer_emits_unmatched_after_watermark(
+    spark, tmp_path
+):
+    """LEFT OUTER stream-stream join: a left event with no in-bound
+    right partner must eventually emit with a NULL right side — but
+    only after the watermark proves no partner can still arrive (the
+    time bound is what makes the outer result FINAL). A matched pair
+    must emit exactly as in the inner join."""
+    lsrc = str(tmp_path / "l")
+    rsrc = str(tmp_path / "r")
+    os.makedirs(lsrc)
+    os.makedirs(rsrc)
+
+    left = _src(spark, lsrc, "ts")
+    right = _src(spark, rsrc, "ts_r")
+    joined = stream_stream_join(left, right, how="left_outer")
+
+    batches: list[list] = []
+    q = (
+        joined.writeStream.outputMode("append")
+        .foreachBatch(lambda df, _id: batches.append(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt_outer"))
+        .start()
+    )
+
+    def push(src, n, rows):
+        with open(os.path.join(src, f"b{n}.txt"), "w") as f:
+            for r in rows:
+                f.write(json.dumps({"value": json.dumps(r)}) + "\n")
+        q.processAllAvailable()
+
+    try:
+        # user 1: click with an in-bound view (matched);
+        # user 3: click with NO partner ever (must emit with NULLs)
+        push(lsrc, 0, [
+            {"user_id": 1, "ts": "2024-01-01 10:00:00", "tag": "click"},
+            {"user_id": 3, "ts": "2024-01-01 10:00:00", "tag": "lonely"},
+        ])
+        push(rsrc, 0, [
+            {"user_id": 1, "ts": "2024-01-01 10:10:00", "tag": "view"},
+        ])
+        # advance BOTH watermarks far past 10:00 + watermark + bound so
+        # the unmatched left row becomes provably final
+        push(lsrc, 1, [
+            {"user_id": 9, "ts": "2024-01-01 15:00:00", "tag": "advance"},
+        ])
+        push(rsrc, 1, [
+            {"user_id": 9, "ts": "2024-01-01 15:00:00", "tag": "advance"},
+        ])
+        # one more tick so the state store finalizes eviction
+        push(lsrc, 2, [
+            {"user_id": 9, "ts": "2024-01-01 16:00:00", "tag": "advance2"},
+        ])
+        push(rsrc, 2, [
+            {"user_id": 9, "ts": "2024-01-01 16:00:00", "tag": "advance2"},
+        ])
+    finally:
+        q.stop()
+
+    rows = [r for b in batches for r in b]
+    trios = {(r.user_id, r.tag_l, r.tag_r) for r in rows}
+    assert (1, "click", "view") in trios          # matched pair
+    assert (3, "lonely", None) in trios           # unmatched -> NULLs
