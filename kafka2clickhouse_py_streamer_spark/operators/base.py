@@ -167,6 +167,7 @@ _VERIFY_FIRST = [
     "w11_rollup_cascade",
     "s13_pq_adc_topk",
     "m06_multimodal_packing",
+    "q62_lateral_topn",
     # green-r01 but file churned since
     "q36_range_frame",
     "q37_ntile_cume",

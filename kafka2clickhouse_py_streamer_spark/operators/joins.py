@@ -543,6 +543,46 @@ ORDER BY click_id, purchase_id
 """
 
 
+def q62_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL derived table: for each nation, the top-2
+    customers by account balance — the per-row-subquery SQL surface
+    (Spark 3.2+ LATERAL). Catalyst decorrelates the ORDER BY ... LIMIT
+    lateral into a window top-k over the join (verified: no nested
+    loop per nation row), so the plan scales exactly like q08's
+    explicit row_number form — the point of exposing both spellings."""
+    for t in ("nation", "customer"):
+        table(spark, sf_dir, t).createOrReplaceTempView(f"{t}_q62")
+    return spark.sql(
+        """
+        SELECT n.n_name, top.c_name,
+               ROUND(top.c_acctbal, 2) AS acctbal
+        FROM nation_q62 n,
+        LATERAL (
+            SELECT c_name, c_acctbal
+            FROM customer_q62 c
+            WHERE c.c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_custkey ASC
+            LIMIT 2
+        ) AS top
+        ORDER BY n.n_name, acctbal DESC, top.c_name
+        """
+    )
+
+
+Q62_SQL = """
+SELECT n.n_name, top.c_name, ROUND(top.c_acctbal, 2) AS acctbal
+FROM nation n,
+LATERAL (
+    SELECT c_name, c_acctbal
+    FROM customer c
+    WHERE c.c_nationkey = n.n_nationkey
+    ORDER BY c_acctbal DESC, c_custkey ASC
+    LIMIT 2
+) AS top
+ORDER BY n.n_name, acctbal DESC, top.c_name
+"""
+
+
 QUERIES = [
     Query("q02_region_revenue", q02_region_revenue, Q02_SQL,
           "fact⋈broadcast-dims revenue rollup"),
@@ -566,4 +606,7 @@ QUERIES = [
           "CDC upsert (MERGE twin) via one full-outer join"),
     Query("q50_range_join", q50_range_join, Q50_SQL,
           "time-range join via bucketed equi-join (no cartesian)"),
+    Query("q62_lateral_topn", q62_lateral_topn, Q62_SQL,
+          "correlated LATERAL derived table (decorrelated to window "
+          "top-k)"),
 ]

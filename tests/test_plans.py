@@ -837,3 +837,16 @@ def test_m06_packing_one_join_no_single_partition(spark, sf_dir):
     assert "SinglePartition" not in plan
     assert "CartesianProduct" not in plan
     assert python_row_ops(df) == 0
+
+
+def test_q62_lateral_decorrelates_no_nested_loop(spark, sf_dir):
+    # the ORDER BY ... LIMIT lateral must decorrelate (window/limit
+    # over a join), never execute per-outer-row as a nested loop
+    from kafka2clickhouse_py_streamer_spark.operators.joins import (
+        q62_lateral_topn,
+    )
+
+    df = q62_lateral_topn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert python_row_ops(df) == 0
