@@ -1051,6 +1051,161 @@ ORDER BY span
 """
 
 
+def d16_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL half of exact-substring dedup (d12 is the
+    detection half): every ``SPAN_W``-token window appearing in ≥2
+    distinct documents keeps its occurrences in the FIRST document
+    (min doc_id) and is excised everywhere else — token positions
+    covered by any removed span are dropped and the document is
+    rebuilt from the survivors. Reports per-doc token counts before/
+    after and the fingerprint of the scrubbed text (whitespace-
+    normalized; the rebuilt body is what a deployment would write).
+
+    Scale shape: tokens and spans are linear explodes of the corpus
+    (digests + positions cross the wire, never bodies); duplicated
+    spans come from d12's count-only hash aggregate (no pair join);
+    the covered-position set is ≤ SPAN_W × |removed occurrences|; the
+    rebuild is one per-doc hash aggregate (array_sort over collected
+    (pos, token) structs ≡ the oracle's string_agg ORDER BY pos).
+    Null/empty text follows the dedup-family contract (null ≡ empty →
+    zero tokens, fingerprint of '')."""
+    d = table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.split(F.trim(F.coalesce("text", F.lit(""))), r"\s+").alias("t"),
+    )
+    tokens = (
+        base.select(
+            "doc_id", F.posexplode("t").alias("idx", "tok")
+        )
+        .filter(F.length("tok") > 0)
+        .select("doc_id", (F.col("idx") + 1).alias("pos"), "tok")
+    )
+    eligible = base.filter(F.size("t") >= SPAN_W)
+    spans = eligible.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(t) - {SPAN_W} + 1), "
+                f"i -> md5(concat_ws(' ', slice(t, i, {SPAN_W}))))"
+            )
+        ).alias("idx", "span"),
+    ).select("doc_id", (F.col("idx") + 1).alias("i"), "span")
+    dup = (
+        spans.groupBy("span")
+        .agg(
+            F.countDistinct("doc_id").alias("nd"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("nd") >= 2)
+        .select("span", "first_doc")
+    )
+    covered = (
+        spans.join(dup, "span")
+        .filter(F.col("doc_id") != F.col("first_doc"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("i"), F.col("i") + (SPAN_W - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = tokens.join(covered, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x["tok"],
+            ),
+        ).alias("body"),
+    )
+    counts = tokens.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens")
+    )
+    return (
+        d.select("doc_id")
+        .join(counts, "doc_id", "left")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            (
+                F.coalesce("n_tokens", F.lit(0))
+                - F.coalesce("n_kept", F.lit(0))
+            ).cast("long").alias("n_removed"),
+            F.md5(F.coalesce("body", F.lit(""))).alias("scrubbed_fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+D16_SQL = rf"""
+WITH base AS (
+  SELECT doc_id,
+         regexp_split_to_array(TRIM(COALESCE(text, '')), '\s+') AS t
+  FROM documents
+),
+tokens AS (
+  SELECT doc_id, pos, t[pos] AS tok
+  FROM (
+    SELECT doc_id, t, UNNEST(generate_series(1, LEN(t))) AS pos
+    FROM base
+  )
+  WHERE LENGTH(t[pos]) > 0
+),
+spans AS (
+  SELECT doc_id, i,
+         MD5(array_to_string(t[i : i + {SPAN_W - 1}], ' ')) AS span
+  FROM (
+    SELECT doc_id, t,
+           UNNEST(generate_series(1, LEN(t) - {SPAN_W - 1})) AS i
+    FROM base WHERE LEN(t) >= {SPAN_W}
+  )
+),
+dup AS (
+  SELECT span, MIN(doc_id) AS first_doc
+  FROM spans GROUP BY span
+  HAVING COUNT(DISTINCT doc_id) >= 2
+),
+covered AS (
+  SELECT DISTINCT s.doc_id, UNNEST(generate_series(s.i, s.i + {SPAN_W - 1}))
+           AS pos
+  FROM spans s JOIN dup ON dup.span = s.span
+  WHERE s.doc_id != dup.first_doc
+),
+kept AS (
+  SELECT tk.doc_id, tk.pos, tk.tok
+  FROM tokens tk
+  WHERE NOT EXISTS (
+    SELECT 1 FROM covered c
+    WHERE c.doc_id = tk.doc_id AND c.pos = tk.pos
+  )
+),
+rebuilt AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_kept,
+         string_agg(tok, ' ' ORDER BY pos) AS body
+  FROM kept GROUP BY doc_id
+),
+counts AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens
+  FROM tokens GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(c.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(c.n_tokens, 0) - COALESCE(r.n_kept, 0) AS BIGINT)
+         AS n_removed,
+       MD5(COALESCE(r.body, '')) AS scrubbed_fp
+FROM documents d
+LEFT JOIN counts c ON c.doc_id = d.doc_id
+LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 def minhash_band_keys(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -1193,6 +1348,9 @@ QUERIES = [
     Query("d11_ngram_jaccard_capped", d11_ngram_jaccard_capped, _d11_sql(),
           "d02 with stop-shingle removal (DF cap bounds hot-shingle "
           "skew)"),
+    Query("d16_span_scrub", d16_span_scrub, D16_SQL,
+          "exact-substring REMOVAL: excise non-canonical duplicated "
+          "spans, rebuild docs, report counts + fingerprint"),
     Query("d12_span_dedup", d12_span_dedup, D12_SQL,
           "repeated cross-document token-span detection (substring-"
           "level dedup a la Lee et al. 2022)"),

@@ -168,6 +168,7 @@ _VERIFY_FIRST = [
     "s13_pq_adc_topk",
     "m06_multimodal_packing",
     "q62_lateral_topn",
+    "d16_span_scrub",
     # green-r01 but file churned since
     "q36_range_frame",
     "q37_ntile_cume",

@@ -647,3 +647,46 @@ def test_s12_s13_pq_consistency(spark, sf_dir):
             sub = qv[lo:lo + PQ_SUBDIM]
             expect += sum((a - b) ** 2 for a, b in zip(sub, cw))
         assert abs(expect - r.adc_dist) < 1e-4, (r, expect)
+
+
+def test_d16_scrub_semantics_on_crafted_spans(spark, tmp_path):
+    """Crafted fixture: the canonical (first) doc keeps its span; an
+    exact duplicate is fully excised; a doc EMBEDDING the span keeps
+    only its novel tokens."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kafka2clickhouse_py_streamer_spark.llm.dedup import (
+        d16_span_scrub,
+    )
+
+    span = "a b c d e f g h"  # exactly SPAN_W=8 tokens
+    rows = [
+        (1, span),
+        (2, span),                     # exact dup -> fully excised
+        (3, f"x {span} y"),            # embedded -> keeps "x y"
+        (4, "totally unrelated words here"),
+    ]
+    root = str(tmp_path / "span_docs")
+    os.makedirs(root)
+    tbl = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array(["en"] * 4, pa.string()),
+        "source": pa.array(["web"] * 4, pa.string()),
+        "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+    })
+    pq.write_table(tbl, os.path.join(root, "documents.parquet"))
+
+    out = {r.doc_id: r for r in d16_span_scrub(spark, root).collect()}
+    import hashlib
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert out[1].n_removed == 0 and out[1].scrubbed_fp == md5(span)
+    assert out[2].n_removed == 8 and out[2].scrubbed_fp == md5("")
+    # doc 3: only the embedded window matches a duplicated span; the
+    # novel tokens survive
+    assert out[3].scrubbed_fp == md5("x y")
+    assert out[4].n_removed == 0

@@ -850,3 +850,18 @@ def test_q62_lateral_decorrelates_no_nested_loop(spark, sf_dir):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert python_row_ops(df) == 0
+
+
+def test_d16_scrub_no_pair_join_linear_explodes(spark, sf_dir):
+    # removal must stay linear: spans meet the DUP AGGREGATE (hash
+    # agg), never each other — no cartesian, no Python, and the only
+    # joins are digest/position equi-joins
+    from kafka2clickhouse_py_streamer_spark.llm.dedup import (
+        d16_span_scrub,
+    )
+
+    df = d16_span_scrub(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert python_row_ops(df) == 0
