@@ -983,6 +983,17 @@ ORDER BY cluster_id
 
 SPAN_W = 8  # tokens per d12 span window
 
+# SINGLE SOURCE for the span hash — d16's removal is only correct while
+# its span definition matches d12's detection exactly (same lesson as
+# s12/s13's shared _pq_sub_dist). Spark: array of md5 window hashes
+# over a token-array column ``t``; SQL: the scalar hash of the window
+# starting at 1-based position i over the same ``t``.
+SPAN_HASHES_EXPR = (
+    f"transform(sequence(1, size(t) - {SPAN_W} + 1), "
+    f"i -> md5(concat_ws(' ', slice(t, i, {SPAN_W}))))"
+)
+SPAN_HASH_SQL = f"MD5(array_to_string(t[i : i + {SPAN_W - 1}], ' '))"
+
 
 def d12_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level dedup signal: every ``SPAN_W``-token window of
@@ -1008,13 +1019,7 @@ def d12_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.length(F.trim("text")) > 0) & (F.size("t") >= SPAN_W)
     )
     spans = toks.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, size(t) - {SPAN_W} + 1), "
-                f"i -> md5(concat_ws(' ', slice(t, i, {SPAN_W}))))"
-            )
-        ).alias("span"),
+        "doc_id", F.explode(F.expr(SPAN_HASHES_EXPR)).alias("span")
     )
     return (
         spans.groupBy("span")
@@ -1035,10 +1040,10 @@ WITH toks AS (
 ),
 eligible AS (SELECT doc_id, t FROM toks WHERE LEN(t) >= {SPAN_W}),
 spans AS (
-  SELECT doc_id,
-         UNNEST(list_transform(generate_series(1, LEN(t) - {SPAN_W - 1}),
-                i -> MD5(array_to_string(t[i : i + {SPAN_W - 1}], ' ')))) AS span
-  FROM eligible
+  SELECT doc_id, {SPAN_HASH_SQL} AS span
+  FROM (SELECT doc_id, t,
+               UNNEST(generate_series(1, LEN(t) - {SPAN_W - 1})) AS i
+        FROM eligible)
 )
 SELECT span,
        CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
@@ -1057,7 +1062,13 @@ def d16_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct documents keeps its occurrences in the FIRST document
     (min doc_id) and is excised everywhere else — token positions
     covered by any removed span are dropped and the document is
-    rebuilt from the survivors. Reports per-doc token counts before/
+    rebuilt from the survivors. Pessimistic at span OVERLAPS: a
+    canonical occurrence's positions can still be excised when a
+    DIFFERENT duplicated span covering them was removed, so a phrase
+    straddling two overlapping duplicated spans may survive in no
+    document — the price of a join-free single-pass policy (an
+    occurrence-level resolution would need iterative conflict
+    resolution). Reports per-doc token counts before/
     after and the fingerprint of the scrubbed text (whitespace-
     normalized; the rebuilt body is what a deployment would write).
 
@@ -1084,12 +1095,7 @@ def d16_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     eligible = base.filter(F.size("t") >= SPAN_W)
     spans = eligible.select(
         "doc_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(1, size(t) - {SPAN_W} + 1), "
-                f"i -> md5(concat_ws(' ', slice(t, i, {SPAN_W}))))"
-            )
-        ).alias("idx", "span"),
+        F.posexplode(F.expr(SPAN_HASHES_EXPR)).alias("idx", "span"),
     ).select("doc_id", (F.col("idx") + 1).alias("i"), "span")
     dup = (
         spans.groupBy("span")
@@ -1122,19 +1128,21 @@ def d16_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("body"),
     )
-    counts = tokens.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_tokens")
+    # n_tokens is row-local on the token ARRAY (no second corpus
+    # explode+shuffle just to count): size of the non-empty tokens
+    spine = base.select(
+        "doc_id",
+        F.size(
+            F.filter("t", lambda x: F.length(x) > 0)
+        ).cast("long").alias("n_tokens"),
     )
     return (
-        d.select("doc_id")
-        .join(counts, "doc_id", "left")
-        .join(rebuilt, "doc_id", "left")
+        spine.join(rebuilt, "doc_id", "left")
         .select(
             "doc_id",
-            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            "n_tokens",
             (
-                F.coalesce("n_tokens", F.lit(0))
-                - F.coalesce("n_kept", F.lit(0))
+                F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))
             ).cast("long").alias("n_removed"),
             F.md5(F.coalesce("body", F.lit(""))).alias("scrubbed_fp"),
         )
@@ -1158,7 +1166,7 @@ tokens AS (
 ),
 spans AS (
   SELECT doc_id, i,
-         MD5(array_to_string(t[i : i + {SPAN_W - 1}], ' ')) AS span
+         {SPAN_HASH_SQL} AS span
   FROM (
     SELECT doc_id, t,
            UNNEST(generate_series(1, LEN(t) - {SPAN_W - 1})) AS i
@@ -1190,19 +1198,19 @@ rebuilt AS (
          string_agg(tok, ' ' ORDER BY pos) AS body
   FROM kept GROUP BY doc_id
 ),
-counts AS (
-  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens
-  FROM tokens GROUP BY doc_id
+spine AS (
+  SELECT doc_id,
+         CAST(LEN(list_filter(t, x -> LENGTH(x) > 0)) AS BIGINT)
+           AS n_tokens
+  FROM base
 )
-SELECT d.doc_id,
-       CAST(COALESCE(c.n_tokens, 0) AS BIGINT) AS n_tokens,
-       CAST(COALESCE(c.n_tokens, 0) - COALESCE(r.n_kept, 0) AS BIGINT)
-         AS n_removed,
+SELECT sp.doc_id,
+       sp.n_tokens,
+       CAST(sp.n_tokens - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
        MD5(COALESCE(r.body, '')) AS scrubbed_fp
-FROM documents d
-LEFT JOIN counts c ON c.doc_id = d.doc_id
-LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
-ORDER BY d.doc_id
+FROM spine sp
+LEFT JOIN rebuilt r ON r.doc_id = sp.doc_id
+ORDER BY sp.doc_id
 """
 
 

@@ -849,6 +849,10 @@ def test_q62_lateral_decorrelates_no_nested_loop(spark, sf_dir):
     df = q62_lateral_topn(spark, sf_dir)
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
+    # a NON-decorrelated ORDER BY ... LIMIT lateral compiles to a
+    # BroadcastNestedLoopJoin, not a CartesianProduct — assert the
+    # shape that would actually regress (currently Window + hash join)
+    assert "BroadcastNestedLoopJoin" not in plan
     assert python_row_ops(df) == 0
 
 

@@ -209,3 +209,65 @@ def test_stream_stream_left_outer_emits_unmatched_after_watermark(
     trios = {(r.user_id, r.tag_l, r.tag_r) for r in rows}
     assert (1, "click", "view") in trios          # matched pair
     assert (3, "lonely", None) in trios           # unmatched -> NULLs
+
+
+def _push_rows(q, src, n, rows):
+    """Shared micro-batch pusher for the stream-join tests: write one
+    json-lines file and drain the stream."""
+    with open(os.path.join(src, f"b{n}.txt"), "w") as f:
+        for r in rows:
+            f.write(json.dumps({"value": json.dumps(r)}) + "\n")
+    q.processAllAvailable()
+
+
+def test_stream_stream_full_outer_unmatched_right_key_survives(
+    spark, tmp_path
+):
+    """FULL OUTER stream-stream join: an unmatched RIGHT event must
+    emit with a NULL left side AND a non-null key — this exercises the
+    coalesce(lw[key], rw[key]) path where the LEFT key is NULL, the
+    branch the outer rewrite exists for (left_outer alone never runs
+    it)."""
+    lsrc = str(tmp_path / "l")
+    rsrc = str(tmp_path / "r")
+    os.makedirs(lsrc)
+    os.makedirs(rsrc)
+
+    left = _src(spark, lsrc, "ts")
+    right = _src(spark, rsrc, "ts_r")
+    joined = stream_stream_join(left, right, how="full_outer")
+
+    batches: list[list] = []
+    q = (
+        joined.writeStream.outputMode("append")
+        .foreachBatch(lambda df, _id: batches.append(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt_full"))
+        .start()
+    )
+    try:
+        # user 1 matches; user 5's view arrives on the RIGHT with no
+        # left partner ever
+        _push_rows(q, lsrc, 0, [
+            {"user_id": 1, "ts": "2024-01-01 10:00:00", "tag": "click"},
+        ])
+        _push_rows(q, rsrc, 0, [
+            {"user_id": 1, "ts": "2024-01-01 10:10:00", "tag": "view"},
+            {"user_id": 5, "ts": "2024-01-01 10:10:00", "tag": "orphan"},
+        ])
+        # advance both watermarks far past the bound, twice, so the
+        # unmatched rows become provably final and evict
+        for n, t in ((1, "15:00:00"), (2, "16:00:00")):
+            _push_rows(q, lsrc, n, [
+                {"user_id": 9, "ts": f"2024-01-01 {t}", "tag": "adv"},
+            ])
+            _push_rows(q, rsrc, n, [
+                {"user_id": 9, "ts": f"2024-01-01 {t}", "tag": "adv"},
+            ])
+    finally:
+        q.stop()
+
+    rows = [r for b in batches for r in b]
+    trios = {(r.user_id, r.tag_l, r.tag_r) for r in rows}
+    assert (1, "click", "view") in trios
+    # unmatched right row: key taken from the RIGHT side, left NULL
+    assert (5, None, "orphan") in trios
