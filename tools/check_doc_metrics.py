@@ -1,0 +1,133 @@
+"""Verify per-query metric quotes in prose docs against bench artifacts.
+
+Round-4 verdict (VERDICT.md "What's wrong" #2) flagged the second
+occurrence of doc-vs-artifact drift: SCALE.md / ROUND4.md quoted sf1
+scaling ratios from intermediate re-recordings that contradicted the
+final BENCH_sf1.json. This tool makes the fix structural: it greps
+SCALE.md and ROUND*.md for `<query-key> <N.N>x` ratio quotes and
+`<query-key> ... <N.NNN> s` timing quotes, and checks each against the
+union of recorded artifact numbers for that query:
+
+  - BENCH_sf1.json  sf0.1 / sf1 seconds and scaling_ratio
+  - BENCH_r{NN}.json per-query seconds
+  - cross-round ratios r{N}/r{M} for every recorded round pair
+
+A quote matches if some candidate rounds to the quoted value at the
+quoted precision. Lines carrying the marker "(unrecorded)" are exempt
+(fixture-scale observations that were never artifact-recorded must say
+so explicitly). Exit 1 with a per-quote report on any mismatch.
+
+Run: python tools/check_doc_metrics.py   (wired into tests/test_doc_metrics.py)
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+DOCS = sorted(
+    glob.glob(os.path.join(REPO, "ROUND*.md")) + [os.path.join(REPO, "SCALE.md")]
+)
+
+# d03, q03, s13, w07, m06, t12, p04 ... optionally followed by _suffix
+KEY_RE = re.compile(r"\b([qdstpwm]\d{2})(?:_[a-z0-9_]+)?\b")
+# 5.4x / 1.27× — a decimal immediately suffixed by x or ×
+RATIO_RE = re.compile(r"\b(\d+\.\d+)[x×]\b")
+# 1.843 s / 1.843s / "0.734 s)" — >=2 decimals so "5 s" prose never matches
+SECS_RE = re.compile(r"\b(\d+\.\d{2,})\s?s\b")
+EXEMPT_MARK = "(unrecorded)"
+
+
+def _load_candidates():
+    """key -> set of recorded numbers that may legitimately be quoted."""
+    cands: dict[str, set[float]] = {}
+
+    def add(key, val):
+        if isinstance(val, (int, float)):
+            cands.setdefault(key, set()).add(float(val))
+
+    sf1_path = os.path.join(REPO, "BENCH_sf1.json")
+    if os.path.exists(sf1_path):
+        sf1 = json.load(open(sf1_path))
+        for section in ("sf0.1", "sf1", "scaling_ratio"):
+            for k, v in sf1.get(section, {}).items():
+                add(k[:3], v)
+
+    rounds = {}
+    for p in sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json"))):
+        data = json.load(open(p))
+        # driver rounds wrap the bench JSON line under "parsed"
+        qs = data.get("parsed", data).get("queries", {})
+        rounds[p] = qs
+        for k, v in qs.items():
+            add(k[:3], v)
+
+    # cross-round ratios (e.g. "p04 0.61x" = r04/r03)
+    round_list = list(rounds.values())
+    for i, qa in enumerate(round_list):
+        for qb in round_list[i + 1 :]:
+            for k in set(qa) & set(qb):
+                if qa[k] and qb[k]:
+                    add(k[:3], qb[k] / qa[k])
+                    add(k[:3], qa[k] / qb[k])
+    return cands
+
+
+def _matches(quoted: str, candidates: set[float]) -> bool:
+    v = float(quoted)
+    decimals = len(quoted.split(".")[1]) if "." in quoted else 0
+    tol = 0.5 * 10 ** (-decimals) + 1e-9
+    return any(abs(c - v) <= tol for c in candidates)
+
+
+def check() -> list[str]:
+    cands = _load_candidates()
+    problems = []
+    for doc in DOCS:
+        if not os.path.exists(doc):
+            continue
+        for lineno, line in enumerate(open(doc, encoding="utf-8"), 1):
+            if EXEMPT_MARK in line:
+                continue
+            keys = [m for m in KEY_RE.finditer(line)]
+            if not keys:
+                continue
+            nums = [m for m in RATIO_RE.finditer(line)] + [
+                m for m in SECS_RE.finditer(line)
+            ]
+            for nm in nums:
+                # attribute the number to the nearest preceding key on the line
+                prior = [k for k in keys if k.start() < nm.start()]
+                if not prior:
+                    continue
+                key = prior[-1].group(1)
+                # skip numbers inside an A->B arrow (before/after pairs
+                # whose "before" is an unrecorded working measurement)
+                pre = line[max(0, nm.start() - 2) : nm.start()]
+                post = line[nm.end() : nm.end() + 2]
+                if "→" in pre or "→" in post or "->" in pre or "->" in post:
+                    continue
+                if key not in cands:
+                    continue  # query never benched; prose-only mention
+                if not _matches(nm.group(1), cands[key]):
+                    problems.append(
+                        f"{os.path.basename(doc)}:{lineno}: {key} quoted as "
+                        f"{nm.group(0)!r} matches no recorded artifact number; "
+                        f"line: {line.strip()[:120]}"
+                    )
+    return problems
+
+
+if __name__ == "__main__":
+    probs = check()
+    for p in probs:
+        print(p)
+    if probs:
+        print(f"\n{len(probs)} doc metric quote(s) contradict recorded artifacts.")
+        sys.exit(1)
+    print("doc metric quotes consistent with bench artifacts")
