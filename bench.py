@@ -13,9 +13,10 @@ results would bottleneck the driver — ``df.count()`` after the terminal
 operator executes the whole plan).
 
 The headline set covers every subsystem: scan+agg (q01, q06), joins
-(q02, q03, q48 salted), windows (q08), dedup (d01, d03), similarity
-(s03), text (t01, t02), time windows (w01, w02, w03), sampling (p04),
-and the composed corpus-prep pipeline (p07).
+(q02, q03, q48 salted), windows (q08), dedup (d01, d03, d12 spans,
+d14 admission), similarity (s03, s12/s13 PQ), text (t01, t02), time
+windows (w01, w02, w03), sampling (p04), and the composed corpus-prep
+pipeline (p07).
 """
 
 from __future__ import annotations
@@ -51,6 +52,14 @@ HEADLINE = [
     # decontaminate → domain mix → split → pack): regressions in any of
     # its six stages surface here
     "p07_corpus_pipeline",
+    # added in round 5: the heavy round-3/4 operators, previously only
+    # visible to the one-off sf1 probe. Their r04 sf0.1 baselines (from
+    # BENCH_sf1.json "sf0.1", recorded in the same harness shape):
+    # d12 1.061 s, d14 1.351 s, s12 2.682 s, s13 4.384 s.
+    "d12_span_dedup",
+    "d14_lsh_admission",
+    "s12_product_quantize",
+    "s13_pq_adc_topk",
 ]
 
 
