@@ -381,20 +381,91 @@ ORDER BY query_id, rk
 
 # centroid training collects K×DIM doubles per (session, sf_dir) —
 # four operators (s05/s11/s12/s13) share identical trained codebooks,
-# so the collect runs once per session (the d07 label-cache pattern)
-_CENTROID_CACHE: dict[tuple[int, str], dict[int, list[float]]] = {}
+# so the collect runs once per session (the d07 label-cache pattern).
+# Keyed on the SparkContext applicationId (unique per JVM context,
+# never recycled) rather than Python id(): id() values can be reused
+# after a session is garbage-collected, which could silently serve a
+# dead session's codebooks (round-4 advice).
+_CENTROID_CACHE: dict[tuple[str, str, int], dict[int, list[float]]] = {}
+
+# Lloyd refinement rounds after the deterministic mod-K seeding. Each
+# round is one corpus scan (argmin-L2 assignment against broadcast
+# literal centroids) + one K-group hash agg + a K×DIM driver collect —
+# the classic train-small/broadcast-wide IVF shape; the corpus never
+# shuffles for training.
+LLOYD_ITERS = 2
+
+
+def _q9(x: float) -> float:
+    """Quantize a trained centroid coordinate to a 1e-9 grid with an
+    explicit floor(x·1e9 + 0.5)/1e9 — the same arithmetic DuckDB runs
+    in the oracle twin, so a sub-1e-9 cross-engine difference in the
+    AVG accumulation order cannot leak into the next Lloyd round's
+    assignments (both engines snap to the same grid point)."""
+    import math
+
+    return math.floor(x * 1e9 + 0.5) / 1e9
+
+
+def _lloyd_round(
+    corpus: DataFrame, cents: dict[int, list[float]]
+) -> dict[int, list[float]]:
+    """One Lloyd iteration: argmin squared-L2 assignment against the
+    broadcast centroid literals, then per-cell mean re-center. The
+    per-row ‖v‖² term is constant across centroids, so BOTH engines
+    rank on ‖c_k‖² − 2·(v·c_k) only; ties break to the lowest key
+    (array_position first-occurrence ≡ the oracle's ORDER BY dist, g).
+    Cells that lose every member keep their previous centroid (the
+    standard empty-cell rule, mirrored by the oracle's LEFT JOIN +
+    COALESCE). Re-centered means are 1e-9-quantized on both engines
+    (`_q9`) so FP summation-order noise cannot compound across
+    rounds."""
+    keys = sorted(cents)
+    dists = F.array(
+        *[
+            F.lit(sum(x * x for x in cents[k]))
+            - 2.0
+            * dot("v", F.array(*[F.lit(cents[k][i]) for i in range(DIM)]))
+            for k in keys
+        ]
+    )
+    with_d = corpus.withColumn("_ld", dists)
+    pos = F.array_position(F.col("_ld"), F.array_min("_ld")).cast("int")
+    cell = _pos_payload(cents, {k: k for k in cents}, pos).cast("int")
+    means = (
+        with_d.withColumn("g", cell)
+        .groupBy("g")
+        .agg(
+            *[
+                F.avg(F.element_at("v", i + 1)).alias(f"m{i}")
+                for i in range(DIM)
+            ]
+        )
+        .collect()
+    )
+    got = {
+        row["g"]: [_q9(row[f"m{i}"]) for i in range(DIM)] for row in means
+    }
+    return {k: got.get(k, cents[k]) for k in keys}
 
 
 def _train_centroids(
-    base: DataFrame, sf_dir: str | None = None
+    base: DataFrame, sf_dir: str | None = None, iters: int = LLOYD_ITERS
 ) -> dict[int, list[float]]:
     """The s05 train step, shared with the s11/s12/s13 family:
-    centroid k = the element-wise mean of the corpus vectors with
-    vec_id ≡ k (mod K) — deterministic k-means seeding both engines
-    reproduce. Returns the K×DIM doubles (driver-side: K×64 values,
-    broadcast as literals). Cached per (session, sf_dir) when sf_dir
-    is given — the four consumers train identical codebooks."""
-    key = (id(base.sparkSession), sf_dir) if sf_dir else None
+    deterministic mod-K residue-class means as the k-means seeding
+    (both engines reproduce it bit-for-bit), then ``iters`` Lloyd
+    rounds (`_lloyd_round`) — real assign→re-center k-means expressed
+    as broadcast-assignment + hash-agg dataflow, oracle-twinned by
+    `_train_cte_sql`. Returns the K×DIM doubles (driver-side: K×64
+    values, broadcast as literals). Cached per (applicationId, sf_dir,
+    iters) when sf_dir is given — the four consumers train identical
+    codebooks once per session."""
+    key = (
+        (base.sparkSession.sparkContext.applicationId, sf_dir, iters)
+        if sf_dir
+        else None
+    )
     if key is not None and key in _CENTROID_CACHE:
         return _CENTROID_CACHE[key]
     corpus = base.filter(F.col("vec_id") >= N_QUERIES)
@@ -415,9 +486,72 @@ def _train_centroids(
     cents = {
         row["g"]: [row[f"m{i}"] for i in range(DIM)] for row in seeds
     }
+    for _ in range(iters):
+        if not cents:
+            break
+        cents = _lloyd_round(corpus, cents)
     if key is not None:
         _CENTROID_CACHE[key] = cents
     return cents
+
+
+def _train_cte_sql(iters: int = LLOYD_ITERS) -> str:
+    """The DuckDB twin of `_train_centroids`, as a CTE chain (expects
+    ``base`` in scope): seeds0 = mod-K residue means, then per round t
+    an argmin-L2 assignment (``ROW_NUMBER ... ORDER BY ‖c‖²−2(v·c), g``
+    — the same v·v-free ranking Spark uses) and a 1e-9-quantized mean
+    re-center with LEFT JOIN + COALESCE as the empty-cell rule. The
+    final round is named ``seeds`` with columns (g, m0..m{DIM-1}) so
+    the four consumers' SQL reads trained centroids exactly as it read
+    the one-shot seeds before Lloyd training existed."""
+    means = ",\n         ".join(
+        f"AVG(v[{i + 1}]) AS m{i}" for i in range(DIM)
+    )
+    name0 = "seeds" if iters == 0 else "seeds0"
+    parts = [
+        f"""{name0} AS (
+  SELECT CAST(vec_id % {N_CENTROIDS} AS INTEGER) AS g,
+         {means}
+  FROM base
+  WHERE vec_id >= {N_QUERIES}
+  GROUP BY CAST(vec_id % {N_CENTROIDS} AS INTEGER)
+)"""
+    ]
+    centv = "[" + ", ".join(f"m{i}" for i in range(DIM)) + "]"
+    qmeans = ",\n         ".join(
+        f"FLOOR(AVG(v[{i + 1}]) * 1e9 + 0.5) / 1e9 AS m{i}"
+        for i in range(DIM)
+    )
+    coal = ",\n         ".join(
+        f"COALESCE(a.m{i}, s.m{i}) AS m{i}" for i in range(DIM)
+    )
+    for t in range(1, iters + 1):
+        prev = f"seeds{t - 1}"
+        name = "seeds" if t == iters else f"seeds{t}"
+        parts.append(
+            f"""cv{t - 1} AS (
+  SELECT g, {centv} AS cv FROM {prev}
+),
+asg{t} AS (
+  SELECT vec_id, v, g FROM (
+    SELECT b.vec_id, b.v, c.g,
+           ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+             list_dot_product(c.cv, c.cv)
+             - 2 * list_dot_product(b.v, c.cv) ASC, c.g ASC) AS rn
+    FROM base b CROSS JOIN cv{t - 1} c
+    WHERE b.vec_id >= {N_QUERIES}
+  ) WHERE rn = 1
+),
+agg{t} AS (
+  SELECT g, {qmeans}
+  FROM asg{t} GROUP BY g
+),
+{name} AS (
+  SELECT s.g, {coal}
+  FROM {prev} s LEFT JOIN agg{t} a ON a.g = s.g
+)"""
+        )
+    return ",\n".join(parts)
 
 
 def _dots_array(cents: dict[int, list[float]], vcol: str = "v"):
@@ -512,9 +646,6 @@ def s05_trained_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _s05_sql() -> str:
-    means = ",\n         ".join(
-        f"AVG(v[{i + 1}]) AS m{i}" for i in range(DIM)
-    )
     centv = "[" + ", ".join(f"m{i}" for i in range(DIM)) + "]"
     return f"""
 WITH base AS (
@@ -522,13 +653,7 @@ WITH base AS (
   FROM embeddings
   WHERE {valid_emb_sql(DIM)}
 ),
-seeds AS (
-  SELECT CAST(vec_id % {N_CENTROIDS} AS INTEGER) AS g,
-         {means}
-  FROM base
-  WHERE vec_id >= {N_QUERIES}
-  GROUP BY CAST(vec_id % {N_CENTROIDS} AS INTEGER)
-),
+{_train_cte_sql()},
 centv AS (
   SELECT g, {centv} AS cv FROM seeds
 ),
@@ -1191,9 +1316,6 @@ def s11_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _s11_sql() -> str:
-    means = ",\n         ".join(
-        f"AVG(v[{i + 1}]) AS m{i}" for i in range(DIM)
-    )
     centv = "[" + ", ".join(f"m{i}" for i in range(DIM)) + "]"
     return f"""
 WITH base AS (
@@ -1201,13 +1323,7 @@ WITH base AS (
   FROM embeddings
   WHERE {valid_emb_sql(DIM)}
 ),
-seeds AS (
-  SELECT CAST(vec_id % {N_CENTROIDS} AS INTEGER) AS g,
-         {means}
-  FROM base
-  WHERE vec_id >= {N_QUERIES}
-  GROUP BY CAST(vec_id % {N_CENTROIDS} AS INTEGER)
-),
+{_train_cte_sql()},
 centv AS (
   SELECT g, {centv} AS cv FROM seeds
 ),
@@ -1343,9 +1459,6 @@ def s12_product_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _s12_sql() -> str:
-    means = ",\n         ".join(
-        f"AVG(v[{i + 1}]) AS m{i}" for i in range(DIM)
-    )
     cand = _pq_cand_sql()
     return f"""
 WITH base AS (
@@ -1353,13 +1466,7 @@ WITH base AS (
   FROM embeddings
   WHERE {valid_emb_sql(DIM)}
 ),
-seeds AS (
-  SELECT CAST(vec_id % {N_CENTROIDS} AS INTEGER) AS g,
-         {means}
-  FROM base
-  WHERE vec_id >= {N_QUERIES}
-  GROUP BY CAST(vec_id % {N_CENTROIDS} AS INTEGER)
-),
+{_train_cte_sql()},
 corpus AS (
   SELECT vec_id, v FROM base WHERE vec_id >= {N_QUERIES}
 ),
@@ -1468,9 +1575,6 @@ def s13_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _s13_sql() -> str:
-    means = ",\n         ".join(
-        f"AVG(v[{i + 1}]) AS m{i}" for i in range(DIM)
-    )
     # corpus code assignment reuses the SHARED cand fragment (s12's);
     # the ADC side recomputes the query-to-codeword distance per
     # (query, code) row — the oracle states the semantics, the Spark
@@ -1495,13 +1599,7 @@ WITH base AS (
   FROM embeddings
   WHERE {valid_emb_sql(DIM)}
 ),
-seeds AS (
-  SELECT CAST(vec_id % {N_CENTROIDS} AS INTEGER) AS g,
-         {means}
-  FROM base
-  WHERE vec_id >= {N_QUERIES}
-  GROUP BY CAST(vec_id % {N_CENTROIDS} AS INTEGER)
-),
+{_train_cte_sql()},
 corpus AS (
   SELECT vec_id, v FROM base WHERE vec_id >= {N_QUERIES}
 ),
@@ -1523,8 +1621,13 @@ queries AS (
   WHERE vec_id < {N_QUERIES}
 ),
 scored AS (
+  -- list(... ORDER BY b.s) + list_sum: the 8 subspace lookups
+  -- accumulate in fixed s=0..7 order, matching Spark's sequential
+  -- sum — an unordered SUM() leaves the non-associative FP
+  -- accumulation order to the engine, which can flip the 6-decimal
+  -- round on boundary values (round-4 advice).
   SELECT q.query_id, b.cand_id,
-         ROUND(SUM({case}), 6) AS adc_dist
+         ROUND(list_sum(list({case} ORDER BY b.s)), 6) AS adc_dist
   FROM best b
   JOIN seeds sd ON sd.g = b.g
   CROSS JOIN queries q
