@@ -1056,21 +1056,25 @@ ORDER BY span
 """
 
 
-def d16_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The REMOVAL half of exact-substring dedup (d12 is the
-    detection half): every ``SPAN_W``-token window appearing in ≥2
-    distinct documents keeps its occurrences in the FIRST document
-    (min doc_id) and is excised everywhere else — token positions
-    covered by any removed span are dropped and the document is
-    rebuilt from the survivors. Pessimistic at span OVERLAPS: a
-    canonical occurrence's positions can still be excised when a
-    DIFFERENT duplicated span covering them was removed, so a phrase
-    straddling two overlapping duplicated spans may survive in no
-    document — the price of a join-free single-pass policy (an
-    occurrence-level resolution would need iterative conflict
-    resolution). Reports per-doc token counts before/
-    after and the fingerprint of the scrubbed text (whitespace-
-    normalized; the rebuilt body is what a deployment would write).
+def _span_scrubbed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span removal, as a reusable frame: one row per
+    document with ``(doc_id, n_tokens, n_kept, n_removed, body)``
+    where ``body`` is the whitespace-normalized text rebuilt from the
+    tokens that survive d12-span excision (empty string when nothing
+    survives). SINGLE SOURCE for d16 (the audit projection) and p14
+    (the detection→removal→repack pipeline) — the two consumers must
+    never disagree on what "scrubbed" means.
+
+    Every ``SPAN_W``-token window appearing in ≥2 distinct documents
+    keeps its occurrences in the FIRST document (min doc_id) and is
+    excised everywhere else — token positions covered by any removed
+    span are dropped and the document is rebuilt from the survivors.
+    Pessimistic at span OVERLAPS: a canonical occurrence's positions
+    can still be excised when a DIFFERENT duplicated span covering
+    them was removed, so a phrase straddling two overlapping
+    duplicated spans may survive in no document — the price of a
+    join-free single-pass policy (an occurrence-level resolution would
+    need iterative conflict resolution).
 
     Scale shape: tokens and spans are linear explodes of the corpus
     (digests + positions cross the wire, never bodies); duplicated
@@ -1079,7 +1083,7 @@ def d16_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     rebuild is one per-doc hash aggregate (array_sort over collected
     (pos, token) structs ≡ the oracle's string_agg ORDER BY pos).
     Null/empty text follows the dedup-family contract (null ≡ empty →
-    zero tokens, fingerprint of '')."""
+    zero tokens, body '')."""
     d = table(spark, sf_dir, "documents")
     base = d.select(
         "doc_id",
@@ -1136,22 +1140,37 @@ def d16_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.filter("t", lambda x: F.length(x) > 0)
         ).cast("long").alias("n_tokens"),
     )
+    return spine.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        (
+            F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))
+        ).cast("long").alias("n_removed"),
+        F.coalesce("body", F.lit("")).alias("body"),
+    )
+
+
+def d16_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL half of exact-substring dedup (d12 is the detection
+    half) — `_span_scrubbed`'s policy, projected as an audit: per-doc
+    token counts before/after and the fingerprint of the scrubbed text
+    (the rebuilt body is what a deployment would write)."""
     return (
-        spine.join(rebuilt, "doc_id", "left")
+        _span_scrubbed(spark, sf_dir)
         .select(
             "doc_id",
             "n_tokens",
-            (
-                F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))
-            ).cast("long").alias("n_removed"),
-            F.md5(F.coalesce("body", F.lit(""))).alias("scrubbed_fp"),
+            "n_removed",
+            F.md5("body").alias("scrubbed_fp"),
         )
         .orderBy("doc_id")
     )
 
 
-D16_SQL = rf"""
-WITH base AS (
+# CTE chain shared by D16_SQL and p14's oracle (llm/sampling.py): the
+# SQL twin of `_span_scrubbed` up to the (spine, rebuilt) frames.
+_D16_CTE = rf"""base AS (
   SELECT doc_id,
          regexp_split_to_array(TRIM(COALESCE(text, '')), '\s+') AS t
   FROM documents
@@ -1203,7 +1222,10 @@ spine AS (
          CAST(LEN(list_filter(t, x -> LENGTH(x) > 0)) AS BIGINT)
            AS n_tokens
   FROM base
-)
+)"""
+
+D16_SQL = rf"""
+WITH {_D16_CTE}
 SELECT sp.doc_id,
        sp.n_tokens,
        CAST(sp.n_tokens - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,

@@ -1088,6 +1088,95 @@ ORDER BY source
 """
 
 
+def p14_span_scrub_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup END TO END in one DAG — the way a real
+    pretraining pipeline runs it (Lee et al. 2022 detection + removal,
+    then repack):
+
+      1. detect duplicated ``SPAN_W``-token spans (d12's count-only
+         hash aggregate — no pair join)
+      2. excise every non-canonical occurrence and rebuild each doc
+         (d16's policy, via the shared ``_span_scrubbed`` core)
+      3. drop documents scrubbed to nothing (they carry no signal)
+      4. assign the p01 hash split
+      5. pack each split's stream into PACK_BUDGET-token sequences
+         over the POST-scrub token counts (p03's two-pass offsets —
+         packing pre-scrub counts would misplace every boundary)
+
+    Declaring the five stages in one DataFrame DAG keeps the plan at
+    the SUM of its parts: the scrub's explode/agg shuffles, then the
+    packing exchange — the split assignment and empty-doc gate are
+    row-local projections Catalyst fuses into their neighbors (no
+    extra shuffle anywhere; pinned in tests/test_plans.py).
+
+    Scale shape: inherits `_span_scrubbed`'s linear explodes (digests
+    + positions on the wire) and `_two_pass_offsets`' no-SinglePartition
+    packing; nothing here adds a driver collect beyond the
+    |partitions|-row offsets."""
+    from kafka2clickhouse_py_streamer_spark.llm.dedup import (
+        _span_scrubbed,
+    )
+
+    s = _span_scrubbed(spark, sf_dir).filter(F.col("n_kept") > 0)
+    b = _bucket(F.col("doc_id"))
+    split = (
+        F.when(b < TRAIN_END, F.lit("train"))
+        .when(b < VAL_END, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    tagged = s.select(
+        "doc_id",
+        F.col("n_kept").alias("n_tokens"),
+        "n_removed",
+        split.alias("split"),
+    )
+    packed = _two_pass_offsets(tagged, ["split"])
+    return (
+        packed.select(
+            "doc_id",
+            "split",
+            "n_tokens",
+            "n_removed",
+            F.floor(F.col("stream_offset") / PACK_BUDGET)
+            .cast("long")
+            .alias("pack_id"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _p14_sql() -> str:
+    from kafka2clickhouse_py_streamer_spark.llm.dedup import _D16_CTE
+
+    return rf"""
+WITH {_D16_CTE},
+scrubbed AS (
+  SELECT sp.doc_id,
+         COALESCE(r.n_kept, 0) AS n_kept,
+         CAST(sp.n_tokens - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
+  FROM spine sp
+  LEFT JOIN rebuilt r ON r.doc_id = sp.doc_id
+),
+tagged AS (
+  SELECT doc_id,
+         CAST(n_kept AS BIGINT) AS n_tokens,
+         n_removed,
+         CASE WHEN {_bucket_sql('doc_id')} < {TRAIN_END} THEN 'train'
+              WHEN {_bucket_sql('doc_id')} < {VAL_END} THEN 'val'
+              ELSE 'test' END AS split
+  FROM scrubbed
+  WHERE n_kept > 0
+)
+SELECT doc_id, split, n_tokens, n_removed,
+       CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (PARTITION BY split
+                ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            / {PACK_BUDGET}) AS BIGINT) AS pack_id
+FROM tagged
+ORDER BY doc_id
+"""
+
+
 QUERIES = [
     Query("p01_train_test_split", p01_train_test_split, P01_SQL,
           "hash-deterministic train/val/test split"),
@@ -1121,4 +1210,8 @@ QUERIES = [
     Query("p13_pps_sample", p13_pps_sample, P13_SQL,
           "PPS systematic sampling (integer weight-line crossings, "
           "two-pass offsets)"),
+    Query("p14_span_scrub_pipeline", p14_span_scrub_pipeline,
+          _p14_sql(),
+          "exact-substring dedup end to end: span detect -> excise -> "
+          "drop-empty -> split -> repack in one DAG"),
 ]

@@ -134,6 +134,8 @@ def spread(df: DataFrame) -> DataFrame:
 # asserts the committed list matches the tool and that no query's
 # evidence can age out of the driver window unseen.
 _VERIFY_FIRST = [
+    # never-green
+    "p14_span_scrub_pipeline",
     # green-r02 but file churned since
     "d07_dedup_clusters",
     "d08_canonical_corpus",
@@ -221,46 +223,49 @@ _VERIFY_FIRST = [
     "q25_theta_join",
     "q26_asof_join",
     "q47_exists_pair",
-    # green-r04
-    "q53_funnel",
+    # green-r04 but file churned since
     "d12_span_dedup",
-    "t11_readability",
     "p10_budget_select",
     "d13_quality_canonical",
+    "p11_curriculum_stages",
+    "d14_lsh_admission",
+    "s09_knn_graph",
+    "p12_temperature_mix",
+    "s10_pagerank",
+    "d15_semdedup",
+    "p13_pps_sample",
+    "s11_cluster_quality",
+    "s12_product_quantize",
+    "s13_pq_adc_topk",
+    "d16_span_scrub",
+    "d01_exact_dedup",
+    "d02_ngram_jaccard",
+    "d03_minhash_lsh",
+    "d04_simhash",
+    "d05_embedding_neardup",
+    "d06_simhash_pairs",
+    "q53_funnel",
+    "t11_readability",
     "q56_mom_growth",
     "q54_histogram",
     "q55_robust_outliers",
     "t12_lexical_diversity",
-    "p11_curriculum_stages",
     "w07_window_topk",
-    "d14_lsh_admission",
     "q57_cohort_retention",
-    "s09_knn_graph",
     "q58_scd2_intervals",
     "w08_disorder_profile",
-    "p12_temperature_mix",
-    "s10_pagerank",
     "q59_concurrency",
     "q61_gaps_islands",
     "q60_linear_trend",
-    "d15_semdedup",
     "t13_zipf_fit",
-    "p13_pps_sample",
     "w09_gap_fill",
     "w10_rate_anomaly",
-    "s11_cluster_quality",
     "t14_bigram_logprob",
-    "s12_product_quantize",
     "w11_rollup_cascade",
-    "s13_pq_adc_topk",
     "m06_multimodal_packing",
     "q62_lateral_topn",
-    "d16_span_scrub",
     "q36_range_frame",
     "q37_ntile_cume",
-    "d01_exact_dedup",
-    "d02_ngram_jaccard",
-    "d03_minhash_lsh",
     "q01_pricing_summary",
     "q06_revenue_filter",
     "q12_distinct_agg",
@@ -269,9 +274,6 @@ _VERIFY_FIRST = [
     "q49_upsert_merge",
     "q51_skew_profile",
     "q38_collect_agg",
-    "d04_simhash",
-    "d05_embedding_neardup",
-    "d06_simhash_pairs",
 ]
 
 

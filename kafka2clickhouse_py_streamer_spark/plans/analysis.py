@@ -58,9 +58,31 @@ def has_broadcast_join(df: DataFrame) -> bool:
 
 
 def count_exchanges(df: DataFrame) -> int:
-    """Number of shuffle exchanges (excludes broadcast exchanges)."""
+    """Number of shuffle exchanges (excludes broadcast exchanges).
+
+    Formatted explain renders each exchange as a numbered tree node
+    (``(20) Exchange``) whose partitioning lives on a separate
+    ``Arguments: hashpartitioning(...)`` line — the original
+    single-line ``Exchange hashpartitioning`` pattern (simple-mode
+    syntax) matched NOTHING in formatted output, so every shuffle-count
+    pin silently passed at 0 (round-5 find). Both layouts are counted
+    so the helper keeps working if the explain mode ever changes."""
     plan = formatted_plan(df)
-    return len(re.findall(r"\bExchange hashpartitioning|\bExchange rangepartitioning|\bExchange SinglePartition", plan))
+    inline = re.findall(
+        r"\bExchange (?:hashpartitioning|rangepartitioning|"
+        r"SinglePartition)",
+        plan,
+    )
+    if inline:
+        return len(inline)
+    return len(
+        re.findall(
+            r"\(\d+\) Exchange\s*\nInput[^\n]*\n"
+            r"Arguments: (?:hashpartitioning|rangepartitioning|"
+            r"SinglePartition)",
+            plan,
+        )
+    )
 
 
 def whole_stage_codegen_spans(df: DataFrame) -> int:

@@ -278,6 +278,58 @@ def test_t08_logprob_token_stream_stays_jvm(spark, sf_dir):
     assert python_row_ops(df) == 0
 
 
+def test_p14_composition_adds_no_shuffles(spark, sf_dir):
+    # detection→removal→repack in one DAG must cost the SUM of its
+    # stages: the split assignment and empty-doc gate are row-local
+    # projections that fuse into the scrub (same pre-packing exchange
+    # count as the bare scrub), and the packing tail pays only its
+    # own window + presentation-sort exchanges past the offsets
+    # checkpoint. Nothing cartesian, nothing single-partition,
+    # nothing Python.
+    from pyspark.sql import functions as F
+
+    from kafka2clickhouse_py_streamer_spark.llm.dedup import (
+        _span_scrubbed,
+    )
+    from kafka2clickhouse_py_streamer_spark.llm.sampling import (
+        TRAIN_END,
+        VAL_END,
+        _bucket,
+        p14_span_scrub_pipeline,
+    )
+
+    scrub_ex = count_exchanges(_span_scrubbed(spark, sf_dir))
+    assert scrub_ex >= 3  # the counter must be live (round-5 fix)
+
+    b = _bucket(F.col("doc_id"))
+    split = (
+        F.when(b < TRAIN_END, F.lit("train"))
+        .when(b < VAL_END, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    tagged = (
+        _span_scrubbed(spark, sf_dir)
+        .filter(F.col("n_kept") > 0)
+        .select(
+            "doc_id",
+            F.col("n_kept").alias("n_tokens"),
+            "n_removed",
+            split.alias("split"),
+        )
+    )
+    assert count_exchanges(tagged) == scrub_ex
+
+    df = p14_span_scrub_pipeline(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SinglePartition" not in plan
+    assert python_row_ops(df) == 0
+    # past the offsets checkpoint: the partition-local window's hash
+    # exchange + the presentation sort — nothing else
+    assert count_exchanges(df) <= 2
+
+
 def test_p07_pipeline_composition_shape(spark, sf_dir):
     # six stages, one DAG: the benchmark probe must broadcast, nothing
     # may go cartesian or fall out of the JVM, and no global

@@ -65,6 +65,9 @@ HEAVY = [
     # stream (s13) — both must stay linear in the corpus
     "s12_product_quantize",
     "s13_pq_adc_topk",
+    # round 5: the composed span-dedup pipeline — the scrub's token +
+    # span explodes feeding the packing offsets in one DAG
+    "p14_span_scrub_pipeline",
 ]
 VOWELS = "aeiou"
 
