@@ -860,6 +860,81 @@ def test_d14_streaming_neardup_replay_idempotent(spark, tmp_path):
     assert again == first
 
 
+def test_d14_compaction_during_live_stream(spark, tmp_path):
+    """The real maintenance-window scenario (round-4 verdict #7):
+    ``compact_state`` runs WHILE the near-dup admission stream is
+    live — after its first two micro-batches commit, between triggers,
+    with the StreamingQuery still active — and the remaining batches
+    then process against the compacted claim partition. Admission
+    decisions must be byte-identical to batch d14's predicate, exactly
+    as in the uncompacted twin."""
+    import os
+
+    from kafka2clickhouse_py_streamer_spark.llm.dedup import (
+        d14_lsh_admission,
+    )
+    from kafka2clickhouse_py_streamer_spark.operators.base import table
+    from kafka2clickhouse_py_streamer_spark.streaming.corpus_stream import (
+        compact_state,
+        start_streaming_neardup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = (
+        table(spark, sf, "documents")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .collect()
+    )
+    third = len(docs) // 3
+    chunks = (docs[:third], docs[third : 2 * third], docs[2 * third :])
+
+    src = tmp_path / "live_compact_src"
+    src.mkdir()
+    for chunk in chunks[:2]:  # only the first two files exist at start
+        spark.createDataFrame(chunk).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    out = str(tmp_path / "live_compact_out")
+    state = str(tmp_path / "live_compact_state")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = start_streaming_neardup(
+        stream, out, state, str(tmp_path / "ckpt_live_compact")
+    )
+    try:
+        q.processAllAvailable()  # batches 0 and 1 committed
+        # maintenance window: the query is STILL ACTIVE, idle between
+        # triggers — fold the two committed partitions
+        assert q.isActive
+        removed = compact_state(spark, state, through_batch=1)
+        assert removed == 2
+        parts = {
+            p for p in os.listdir(state) if p.startswith("batch_id=")
+        }
+        assert parts == {"batch_id=-1"}
+        # the stream resumes over the compacted state
+        spark.createDataFrame(chunks[2]).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    streamed = {
+        r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()
+    }
+    batch = {
+        r.doc_id
+        for r in d14_lsh_admission(spark, sf).filter("admitted").collect()
+    }
+    assert streamed == batch
+
+
 def test_state_compaction_preserves_admission(spark, tmp_path):
     """Folding committed per-batch state partitions into the compacted
     partition must change NOTHING about subsequent admission decisions
