@@ -288,6 +288,26 @@ def semdedup_admit_batch(
     if state is None:  # first batch: state path absent
         blocked = blocked_within
     else:
+        # FAIL LOUDLY on out-of-order arrival (round-4 advice): the
+        # cut-independence contract holds only for increasing vec_id
+        # across batches — an out-of-order batch containing a smaller
+        # id than an already-admitted τ-similar mate would leave the
+        # earlier admission in place and silently diverge from batch
+        # d15. Dying with the violation beats diverging. (A deployment
+        # would carry the high-water mark in a one-row sidecar instead
+        # of aggregating the state table per batch; at test/maintenance
+        # scale the two tiny aggs are fine.)
+        hwm = state.agg(F.max("vec_id")).first()[0]
+        low = tagged.agg(F.min("vec_id")).first()[0]
+        if hwm is not None and low is not None and low <= hwm:
+            tagged.unpersist()
+            raise ValueError(
+                "semdedup_admit_batch: out-of-order arrival — min "
+                f"incoming vec_id {low} <= max previously seen {hwm}; "
+                "the incremental admission predicate requires "
+                "increasing vec_id across micro-batches (append-only "
+                "ingest key)"
+            )
         s = state.select("vec_id", "v", "norm", "bucket").alias("s")
         t = tagged.alias("t")
         cos = F.round(cosine("s.v", "t.v", "s.norm", "t.norm"), 6)

@@ -1265,6 +1265,37 @@ def test_d15_streaming_semdedup_replay_idempotent(spark, tmp_path):
     assert spark.read.parquet(state).count() == first_state
 
 
+def test_semdedup_raises_on_out_of_order_batch(spark, tmp_path):
+    """The incremental semantic admitter's cut-independence holds only
+    for increasing vec_id across batches (documented precondition).
+    Delivering a batch whose min vec_id is <= the state's high-water
+    mark must RAISE (round-4 advice: fail loudly, never silently
+    diverge from batch d15) — and a replay of the SAME batch must NOT
+    trip the check (its own partition is self-excluded)."""
+    import pytest
+
+    from kafka2clickhouse_py_streamer_spark.operators.base import table
+    from kafka2clickhouse_py_streamer_spark.streaming.corpus_stream import (
+        semdedup_admit_batch,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    em = table(spark, sf, "embeddings")
+    first = em.filter("vec_id < 30")
+    out = str(tmp_path / "ooo_out")
+    state = str(tmp_path / "ooo_state")
+    semdedup_admit_batch(first, 0, out, state)
+    # replay of batch 0 (same ids, same batch_id): allowed
+    semdedup_admit_batch(first, 0, out, state)
+    # a NEW batch re-delivering already-seen ids: loud failure
+    with pytest.raises(ValueError, match="out-of-order"):
+        semdedup_admit_batch(em.filter("vec_id < 10"), 1, out, state)
+    # in-order continuation still works
+    semdedup_admit_batch(
+        em.filter("vec_id >= 30 and vec_id < 50"), 1, out, state
+    )
+
+
 def test_admitters_raise_on_wrong_state_schema(spark, tmp_path):
     """A state_dir misconfigured to point at a DIFFERENT operator's
     state table must RAISE, not silently degrade to first-batch
