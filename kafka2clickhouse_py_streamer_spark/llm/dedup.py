@@ -981,6 +981,99 @@ ORDER BY cluster_id
 """
 
 
+CONTAINMENT_THRESHOLD = 0.5  # d17: fraction of the SMALLER side's
+# shingles that must appear in the other doc
+
+
+def d17_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup detection (Broder's containment
+    C(A→B) = |A∩B| / |A|): catches a document EMBEDDED in a larger one
+    — quoted mails, syndicated articles wrapped in boilerplate — where
+    symmetric Jaccard (d02) is diluted by the larger side's size and
+    never fires. Every ordered pair with containment ≥ threshold is
+    reported as (contained, container).
+
+    Scale shape: identical to d02 — candidate pairs come from the
+    inverted-index equi-join on the shingle (never a cross join), the
+    intersection is a count aggregate, and each unordered pair is
+    joined/sized ONCE then exploded into its two directions row-wise
+    (a row-local explode, not a second pair join). Hot-shingle skew is
+    the same risk d11's DF cap removes at the source."""
+    sh = _shingle_rows(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
+    inter = (
+        a.join(
+            b,
+            (F.col("s_b") == F.col("s_a"))
+            & (F.col("doc_b") > F.col("doc_a")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    sized = inter.join(sa, F.col("doc_a") == F.col("sa.doc_id")).join(
+        sb, F.col("doc_b") == F.col("sb.doc_id")
+    )
+    both = sized.select(
+        "n_common",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("contained"),
+                    F.col("doc_b").alias("container"),
+                    F.col("sa.n").alias("n_contained"),
+                ),
+                F.struct(
+                    F.col("doc_b").alias("contained"),
+                    F.col("doc_a").alias("container"),
+                    F.col("sb.n").alias("n_contained"),
+                ),
+            )
+        ).alias("p"),
+    ).select("p.contained", "p.container", "p.n_contained", "n_common")
+    raw = F.col("n_common") / F.col("n_contained")
+    return (
+        both.filter(raw >= CONTAINMENT_THRESHOLD)
+        .select(
+            "contained",
+            "container",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.round(raw, 6).alias("containment"),
+        )
+        .orderBy("contained", "container")
+    )
+
+
+D17_SQL = f"""
+WITH {_DUCK_SHINGLES_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM shingles a
+  JOIN shingles b ON b.s = a.s AND b.doc_id > a.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+both_dirs AS (
+  SELECT i.doc_a AS contained, i.doc_b AS container,
+         sa.n AS n_contained, i.n_common
+  FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+  UNION ALL
+  SELECT i.doc_b AS contained, i.doc_a AS container,
+         sb.n AS n_contained, i.n_common
+  FROM inter i JOIN sizes sb ON sb.doc_id = i.doc_b
+)
+SELECT contained, container,
+       CAST(n_common AS BIGINT) AS n_common,
+       ROUND(CAST(n_common AS DOUBLE) / n_contained, 6) AS containment
+FROM both_dirs
+WHERE CAST(n_common AS DOUBLE) / n_contained >= {CONTAINMENT_THRESHOLD}
+ORDER BY contained, container
+"""
+
+
 SPAN_W = 8  # tokens per d12 span window
 
 # SINGLE SOURCE for the span hash — d16's removal is only correct while
@@ -1390,4 +1483,7 @@ QUERIES = [
     Query("d14_lsh_admission", d14_lsh_admission, _d14_sql(),
           "greedy LSH admission (bucket-min predicate; batch twin of "
           "the streaming near-dup filter)"),
+    Query("d17_containment_pairs", d17_containment_pairs, D17_SQL,
+          "asymmetric containment near-dup (|A intersect B| / |A|): "
+          "embedded-document detection Jaccard dilutes away"),
 ]

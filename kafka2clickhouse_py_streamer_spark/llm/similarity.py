@@ -1645,6 +1645,329 @@ ORDER BY query_id, rk
 """
 
 
+MRL_DIMS = (8, 16, 32)  # truncation prefixes audited by s15
+
+
+def s15_mrl_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation audit (Kusupati et al. 2022): for
+    each prefix length d in MRL_DIMS, run exact cosine top-k using only
+    the FIRST d dimensions and report per-query recall against the
+    full-DIM ground truth (s01). The measurement that decides whether
+    an embedding column can be stored/searched at a fraction of its
+    width — the storage-side sibling of s06/s12's quantization audits.
+
+    Scale shape: like s08, this is offline index calibration — every
+    brute-force pass broadcasts the small query side and streams the
+    corpus once per d (|MRL_DIMS| scans); the recall join operates on
+    |queries|×k rows. The slice+dot arithmetic is identical in both
+    engines (list_dot_product over v[1:d])."""
+    base = _base(spark, sf_dir)
+    exact = s01_cosine_topk(spark, sf_dir).select("query_id", "cand_id")
+
+    def trunc_topk(d: int) -> DataFrame:
+        sq = F.slice(F.col("v"), 1, d)
+        q = base.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), sq.alias("qv")
+        )
+        c = base.filter(F.col("vec_id") >= N_QUERIES).select(
+            F.col("vec_id").alias("cand_id"), sq.alias("cv")
+        )
+        cos = F.round(
+            dot("qv", F.col("cv"))
+            / (
+                F.sqrt(dot("qv", F.col("qv")))
+                * F.sqrt(dot("cv", F.col("cv")))
+            ),
+            6,
+        )
+        scored = F.broadcast(q).crossJoin(c).select(
+            "query_id", "cand_id", cos.alias("cosine")
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("cand_id").asc()
+        )
+        return (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= TOP_K)
+            .select(
+                F.lit(d).cast("int").alias("d_trunc"),
+                F.col("query_id").alias("aq"),
+                F.col("cand_id").alias("ac"),
+            )
+        )
+
+    ann = trunc_topk(MRL_DIMS[0])
+    for d in MRL_DIMS[1:]:
+        ann = ann.unionByName(trunc_topk(d))
+    exactd = exact.select(
+        "query_id",
+        "cand_id",
+        F.explode(
+            F.array(*[F.lit(d).cast("int") for d in MRL_DIMS])
+        ).alias("d_trunc"),
+    )
+    ann = ann.withColumnRenamed("d_trunc", "ad")
+    hit = exactd.join(
+        ann,
+        (F.col("d_trunc") == F.col("ad"))
+        & (F.col("query_id") == F.col("aq"))
+        & (F.col("cand_id") == F.col("ac")),
+        "left",
+    )
+    return (
+        hit.groupBy("d_trunc", "query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.count("ac").cast("long").alias("n_hit"),
+        )
+        .select(
+            "d_trunc",
+            "query_id",
+            "n_exact",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_exact"), 6).alias(
+                "recall_at_k"
+            ),
+        )
+        .orderBy("d_trunc", "query_id")
+    )
+
+
+def _s15_sql() -> str:
+    blocks = []
+    for d in MRL_DIMS:
+        blocks.append(
+            f"""  SELECT * FROM (
+    SELECT {d} AS d_trunc, query_id, cand_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, cand_id ASC) AS rk
+    FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             ROUND(list_dot_product(q.v[1:{d}], c.v[1:{d}])
+                   / (SQRT(list_dot_product(q.v[1:{d}], q.v[1:{d}]))
+                      * SQRT(list_dot_product(c.v[1:{d}], c.v[1:{d}]))),
+                   6) AS cosine
+      FROM base q, base c
+      WHERE q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
+    )
+  ) WHERE rk <= {TOP_K}"""
+        )
+    ann = "\nUNION ALL\n".join(blocks)
+    dims = ", ".join(str(d) for d in MRL_DIMS)
+    return f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+  WHERE {valid_emb_sql(DIM)}
+),
+exact AS ({S01_SQL}),
+ann AS (
+{ann}
+),
+dims AS (SELECT UNNEST([{dims}]) AS d_trunc),
+exactd AS (
+  SELECT CAST(d.d_trunc AS INTEGER) AS d_trunc, e.query_id, e.cand_id
+  FROM exact e CROSS JOIN dims d
+)
+SELECT e.d_trunc, e.query_id,
+       CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(COUNT(a.cand_id) AS BIGINT) AS n_hit,
+       ROUND(CAST(COUNT(a.cand_id) AS DOUBLE) / COUNT(*), 6)
+         AS recall_at_k
+FROM exactd e
+LEFT JOIN ann a ON a.d_trunc = e.d_trunc
+               AND a.query_id = e.query_id AND a.cand_id = e.cand_id
+GROUP BY e.d_trunc, e.query_id
+ORDER BY e.d_trunc, e.query_id
+"""
+
+
+N_PROBE = 2  # coarse cells each query probes in s14
+
+
+def s14_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL IVF-PQ index, composed end to end (Jégou et al. 2011):
+    Lloyd-trained coarse centroids partition the corpus into cells
+    (s05's assignment), every corpus vector is stored only as its s12
+    PQ codes, and each query (a) picks its N_PROBE nearest coarse
+    cells by inner product, (b) builds its ADC lookup table once, and
+    (c) scores ONLY the coded vectors inside the probed cells by
+    summed codeword lookups. Top-k per query on the rounded ADC
+    distance, cand_id tiebreak.
+
+    Scale shape: the corpus is hash-partitioned by cell and carries
+    32-byte codes, not vectors; the 10-query side (probe cells + ADC
+    tables) broadcasts and meets the corpus on a cell EQUI-join, so
+    each query touches |corpus| × (N_PROBE / K) candidates — the knob
+    (nprobe, K) that makes ANN cost sub-linear in the corpus. No dot
+    product ever runs per (query, candidate) pair; the hot path is
+    array indexing, like s13, but over the probed subset only."""
+    base = _base(spark, sf_dir)
+    cents = _train_centroids(base, sf_dir)
+    if not cents:
+        return spark.createDataFrame(
+            [],
+            "query_id long, cand_id long, probe_cell long,"
+            " adc_dist double, rk long",
+        )
+    keys = sorted(cents)
+
+    def dist_arr(vcol: str, s: int):
+        return F.array(
+            *[_pq_sub_dist(vcol, s, g, cents) for g in keys]
+        )
+
+    corpus = _assign_cell_df(
+        base.filter(F.col("vec_id") >= N_QUERIES), cents
+    )
+    with_d = corpus.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("cell"),
+        *[dist_arr("v", s).alias(f"_d{s}") for s in range(PQ_SUBSPACES)],
+    )
+    codes = with_d.select(
+        "cand_id",
+        "cell",
+        *[
+            F.array_position(F.col(f"_d{s}"), F.array_min(f"_d{s}"))
+            .cast("int")
+            .alias(f"code_{s}")
+            for s in range(PQ_SUBSPACES)
+        ],
+    )
+    # query side: N_PROBE nearest centroids (argmax dot, lowest-key
+    # ties — pos1 is the array argmax; pos2 re-argmaxes with pos1
+    # masked to -inf, i.e. the first occurrence among the rest ≡ the
+    # oracle's ROW_NUMBER rn=2 under (d DESC, g ASC)) + the ADC table
+    q = base.filter(F.col("vec_id") < N_QUERIES).withColumn(
+        "_cd", _dots_array(cents)
+    )
+    pos1 = _argmax_pos("_cd")
+    q = q.withColumn("_p1", pos1)
+    masked = F.transform(
+        F.col("_cd"),
+        lambda x, i: F.when(
+            i == F.col("_p1") - 1, F.lit(float("-inf"))
+        ).otherwise(x),
+    )
+    q = q.withColumn("_p2", _argmax_pos(masked))
+    cell_of = {k: k for k in cents}
+    probes = q.select(
+        F.col("vec_id").alias("query_id"),
+        F.array(
+            *[dist_arr("v", s) for s in range(PQ_SUBSPACES)]
+        ).alias("dtable"),
+        F.explode(
+            F.array(
+                _pos_payload(cents, cell_of, F.col("_p1")).cast("long"),
+                _pos_payload(cents, cell_of, F.col("_p2")).cast("long"),
+            )
+        ).alias("cell"),
+    )
+    lookups = [
+        F.element_at(F.element_at("dtable", s + 1), F.col(f"code_{s}"))
+        for s in range(PQ_SUBSPACES)
+    ]
+    adc = sum(lookups[1:], lookups[0])
+    scored = codes.join(F.broadcast(probes), "cell").select(
+        "query_id",
+        "cand_id",
+        F.col("cell").alias("probe_cell"),
+        F.round(adc, 6).alias("adc_dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= TOP_K)
+        .orderBy("query_id", "rk")
+    )
+
+
+def _s14_sql() -> str:
+    centv = "[" + ", ".join(f"m{i}" for i in range(DIM)) + "]"
+    cand = _pq_cand_sql()
+    adc_cases = []
+    for s in range(PQ_SUBSPACES):
+        lo = s * PQ_SUBDIM
+        qsub = f"qv[{lo + 1}:{lo + PQ_SUBDIM}]"
+        qcw = (
+            "[" + ", ".join(f"sd.m{lo + i}" for i in range(PQ_SUBDIM)) + "]"
+        )
+        adc_cases.append(
+            f"WHEN b.s = {s} THEN"
+            f" list_dot_product({qsub}, {qsub})"
+            f" - 2 * list_dot_product({qsub}, {qcw})"
+            f" + list_dot_product({qcw}, {qcw})"
+        )
+    case = "CASE " + "\n           ".join(adc_cases) + " END"
+    return f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+  WHERE {valid_emb_sql(DIM)}
+),
+{_train_cte_sql()},
+centv AS (
+  SELECT g, {centv} AS cv FROM seeds
+),
+corpus AS (
+  SELECT vec_id, v FROM base WHERE vec_id >= {N_QUERIES}
+),
+assigned AS (
+  SELECT vec_id, CAST(g AS BIGINT) AS cell
+  FROM (
+    SELECT b.vec_id, c.g,
+           ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                ORDER BY list_dot_product(b.v, c.cv) DESC, c.g ASC) AS rn
+    FROM corpus b CROSS JOIN centv c
+  ) WHERE rn = 1
+),
+cand AS (
+{cand}
+),
+best AS (
+  SELECT vec_id AS cand_id, s, g
+  FROM (
+    SELECT *,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                              ORDER BY dist ASC, g ASC) AS rn
+    FROM cand
+  )
+  WHERE rn = 1
+),
+qprobe AS (
+  SELECT vec_id AS query_id, qv, CAST(g AS BIGINT) AS cell
+  FROM (
+    SELECT b.vec_id, b.v AS qv, c.g,
+           ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                ORDER BY list_dot_product(b.v, c.cv) DESC, c.g ASC) AS rn
+    FROM base b CROSS JOIN centv c
+    WHERE b.vec_id < {N_QUERIES}
+  ) WHERE rn <= {N_PROBE}
+),
+scored AS (
+  SELECT q.query_id, a.cell AS probe_cell, b.cand_id,
+         ROUND(list_sum(list({case} ORDER BY b.s)), 6) AS adc_dist
+  FROM qprobe q
+  JOIN assigned a ON a.cell = q.cell
+  JOIN best b ON b.cand_id = a.vec_id
+  JOIN seeds sd ON sd.g = b.g
+  GROUP BY q.query_id, a.cell, b.cand_id
+),
+ranked AS (
+  SELECT query_id, cand_id, probe_cell, adc_dist,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist ASC, cand_id ASC) AS rk
+  FROM scored
+)
+SELECT query_id, cand_id, probe_cell, adc_dist, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= {TOP_K}
+ORDER BY query_id, rk
+"""
+
+
 QUERIES = [
     Query("s01_cosine_topk", s01_cosine_topk, S01_SQL,
           "exact brute-force cosine top-k"),
@@ -1680,4 +2003,11 @@ QUERIES = [
     Query("s13_pq_adc_topk", s13_pq_adc_topk, _s13_sql(),
           "PQ asymmetric-distance top-k: queries score the CODED "
           "corpus via codeword lookup sums (IVF-PQ query half)"),
+    Query("s14_ivfpq_search", s14_ivfpq_search, _s14_sql(),
+          "full IVF-PQ: Lloyd coarse cells + nprobe cell probe + ADC "
+          "over PQ codes of the probed subset only"),
+    Query("s15_mrl_truncation_recall", s15_mrl_truncation_recall,
+          _s15_sql(),
+          "Matryoshka truncation audit: per-query recall@k of "
+          "prefix-dim search vs full-dim exact ground truth"),
 ]

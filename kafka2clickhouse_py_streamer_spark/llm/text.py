@@ -966,6 +966,69 @@ ORDER BY source
 """
 
 
+def t15_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al., LREC 2020):
+    documents split into head/middle/tail by LM score thresholds —
+    the standard pretraining-data triage that keeps the cleanest third
+    and lets a curriculum (p11) or mixture (p12) weight the rest.
+    t14's corpus-trained bigram avg-logprob is the perplexity proxy
+    (higher = more predictable = cleaner under this LM).
+
+    Deliberately THRESHOLD bucketing, not a global NTILE: an ntile
+    window over all docs is a SinglePartition funnel — the cut points
+    are instead a ONE-ROW exact-percentile aggregate (1/3 and 2/3,
+    rounded to 1e-9 on both engines so interpolation FP noise cannot
+    flip a boundary doc) broadcast back to a row-local CASE. At 100 TB
+    the same plan holds with approx percentiles; ties at a cut land in
+    the higher bucket on both engines (>= comparisons), so buckets are
+    equal-count only up to ties — the scalable semantics."""
+    scored = t14_bigram_logprob(spark, sf_dir)
+    # CAST(... AS DOUBLE)/3, NOT 1.0/3: Spark parses 1.0 as DECIMAL,
+    # so 2.0/3 becomes the 6-digit 0.666667 and the percentile rank
+    # shifts by 5e-6 — enough to interpolate against the WRONG
+    # neighbor and flip a boundary doc (caught by the adversarial
+    # sweep). Both engines now divide doubles.
+    cuts = scored.agg(
+        F.round(
+            F.expr("percentile(avg_logp, CAST(1 AS DOUBLE)/3)"), 9
+        ).alias("cut_lo"),
+        F.round(
+            F.expr("percentile(avg_logp, CAST(2 AS DOUBLE)/3)"), 9
+        ).alias("cut_hi"),
+    )
+    bucket = (
+        F.when(F.col("avg_logp") >= F.col("cut_hi"), F.lit("head"))
+        .when(F.col("avg_logp") >= F.col("cut_lo"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        scored.crossJoin(F.broadcast(cuts))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "avg_logp",
+            bucket.alias("ppl_bucket"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+T15_SQL = f"""
+WITH scored AS ({T14_SQL}),
+cuts AS (
+  SELECT ROUND(quantile_cont(avg_logp, CAST(1 AS DOUBLE)/3), 9) AS cut_lo,
+         ROUND(quantile_cont(avg_logp, CAST(2 AS DOUBLE)/3), 9) AS cut_hi
+  FROM scored
+)
+SELECT doc_id, n_bigrams, avg_logp,
+       CASE WHEN avg_logp >= cut_hi THEN 'head'
+            WHEN avg_logp >= cut_lo THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM scored, cuts
+ORDER BY doc_id
+"""
+
+
 QUERIES = [
     Query("t01_token_count", t01_token_count, T01_SQL,
           "whitespace + subword-proxy token counts"),
@@ -997,4 +1060,7 @@ QUERIES = [
     Query("t14_bigram_logprob", t14_bigram_logprob, T14_SQL,
           "corpus-trained bigram LM perplexity proxy (conditional "
           "ln p(w2|w1), vocab-side join)"),
+    Query("t15_perplexity_buckets", t15_perplexity_buckets, T15_SQL,
+          "CCNet-style head/middle/tail perplexity triage via "
+          "broadcast percentile cuts (no global ntile)"),
 ]

@@ -136,6 +136,11 @@ def spread(df: DataFrame) -> DataFrame:
 _VERIFY_FIRST = [
     # never-green
     "p14_span_scrub_pipeline",
+    "d17_containment_pairs",
+    "s14_ivfpq_search",
+    "s15_mrl_truncation_recall",
+    "t15_perplexity_buckets",
+    "w12_countmin_heavyhitters",
     # green-r02 but file churned since
     "d07_dedup_clusters",
     "d08_canonical_corpus",
@@ -244,24 +249,24 @@ _VERIFY_FIRST = [
     "d04_simhash",
     "d05_embedding_neardup",
     "d06_simhash_pairs",
-    "q53_funnel",
     "t11_readability",
-    "q56_mom_growth",
-    "q54_histogram",
-    "q55_robust_outliers",
     "t12_lexical_diversity",
     "w07_window_topk",
-    "q57_cohort_retention",
-    "q58_scd2_intervals",
     "w08_disorder_profile",
-    "q59_concurrency",
-    "q61_gaps_islands",
-    "q60_linear_trend",
     "t13_zipf_fit",
     "w09_gap_fill",
     "w10_rate_anomaly",
     "t14_bigram_logprob",
     "w11_rollup_cascade",
+    "q53_funnel",
+    "q56_mom_growth",
+    "q54_histogram",
+    "q55_robust_outliers",
+    "q57_cohort_retention",
+    "q58_scd2_intervals",
+    "q59_concurrency",
+    "q61_gaps_islands",
+    "q60_linear_trend",
     "m06_multimodal_packing",
     "q62_lateral_topn",
     "q36_range_frame",

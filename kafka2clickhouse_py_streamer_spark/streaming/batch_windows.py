@@ -655,6 +655,159 @@ ORDER BY resolution, event_type, bucket_start
 """
 
 
+CM_ROWS = 3  # count-min depth (independent hash rows)
+CM_WIDTH = 16  # counters per row — deliberately << |users| so the
+# audit SHOWS collision overestimate instead of hiding it
+CM_P = 2147483647
+CM_AS = [2 * j + 3 for j in range(CM_ROWS)]
+CM_BS = [5 * j + 1 for j in range(CM_ROWS)]
+
+
+def _cm_bucket(j: int, key):
+    """Row-j count-min bucket of an integer key — explicit affine
+    arithmetic both engines reproduce (all operands positive, so % is
+    identical; a_j·(key%P)+b_j ≤ ~2e10 fits BIGINT)."""
+    return ((F.lit(CM_AS[j]) * (key % CM_P) + F.lit(CM_BS[j])) % CM_P) % CM_WIDTH
+
+
+def w12_countmin_heavyhitters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Count-min sketch heavy hitters (Cormode & Muthukrishnan 2005):
+    per-user event counts estimated from a fixed CM_ROWS×CM_WIDTH
+    counter grid, audited against exact counts — top-10 users by
+    estimate with their overestimate. The sketch never underestimates
+    (est ≥ exact always — asserted by the llm-invariants suite) and
+    the audit shows exactly how much the 48-cell grid overcounts at
+    the fixture's cardinality.
+
+    Scale shape: THE streaming-frequency pattern — the sketch update
+    is a row-local explode into (row, bucket) pairs whose count
+    aggregate map-side combines to ≤ CM_ROWS×CM_WIDTH rows PER
+    PARTITION regardless of event volume, and sketches merge by
+    cell-wise addition (the same agg), so state is O(k·w) while exact
+    per-key state is O(|keys|). The probe side joins the 48-row
+    sketch broadcast. The exact twin here exists only for the audit;
+    a deployment keeps the sketch alone."""
+    ev = table(spark, sf_dir, "events").select("user_id")
+    cells = ev.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        _cm_bucket(j, F.col("user_id")).alias("bucket"),
+                    )
+                    for j in range(CM_ROWS)
+                ]
+            )
+        ).alias("c")
+    ).select("c.j", "c.bucket")
+    sketch = cells.groupBy("j", "bucket").agg(
+        F.count(F.lit(1)).alias("cell")
+    )
+    probes = (
+        ev.distinct()
+        .select(
+            "user_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("j"),
+                            _cm_bucket(j, F.col("user_id")).alias(
+                                "bucket"
+                            ),
+                        )
+                        for j in range(CM_ROWS)
+                    ]
+                )
+            ).alias("c"),
+        )
+        .select("user_id", "c.j", "c.bucket")
+    )
+    est = (
+        probes.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("cell").cast("long").alias("est"))
+    )
+    exact = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("exact")
+    )
+    # top-10 via orderBy().limit() -> TakeOrderedAndProject (per-
+    # partition heaps + driver merge); the rank window then runs on
+    # the 10-row result, never on the |users|-sized frame (a bare
+    # global row_number would funnel every user through one task)
+    top = (
+        est.join(exact, "user_id")
+        .orderBy(F.col("est").desc(), F.col("user_id").asc())
+        .limit(10)
+    )
+    w = Window.orderBy(F.col("est").desc(), F.col("user_id").asc())
+    return (
+        top.withColumn("rk", F.row_number().over(w).cast("long"))
+        .select(
+            "user_id",
+            "est",
+            "exact",
+            (F.col("est") - F.col("exact")).cast("long").alias("overest"),
+            "rk",
+        )
+        .orderBy("rk")
+    )
+
+
+def _cm_bucket_sql(j: int, key: str) -> str:
+    return (
+        f"(({CM_AS[j]} * ({key} % {CM_P}) + {CM_BS[j]})"
+        f" % {CM_P}) % {CM_WIDTH}"
+    )
+
+
+def _w12_sql() -> str:
+    cell_rows = "\nUNION ALL\n".join(
+        f"SELECT {j} AS j, {_cm_bucket_sql(j, 'user_id')} AS bucket"
+        f" FROM events"
+        for j in range(CM_ROWS)
+    )
+    probe_rows = "\nUNION ALL\n".join(
+        f"SELECT user_id, {j} AS j,"
+        f" {_cm_bucket_sql(j, 'user_id')} AS bucket"
+        f" FROM (SELECT DISTINCT user_id FROM events)"
+        for j in range(CM_ROWS)
+    )
+    return f"""
+WITH cells AS (
+{cell_rows}
+),
+sketch AS (
+  SELECT j, bucket, COUNT(*) AS cell FROM cells GROUP BY j, bucket
+),
+probes AS (
+{probe_rows}
+),
+est AS (
+  SELECT p.user_id, CAST(MIN(s.cell) AS BIGINT) AS est
+  FROM probes p JOIN sketch s ON s.j = p.j AND s.bucket = p.bucket
+  GROUP BY p.user_id
+),
+exact AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact
+  FROM events GROUP BY user_id
+),
+ranked AS (
+  SELECT e.user_id, e.est, x.exact,
+         CAST(e.est - x.exact AS BIGINT) AS overest,
+         CAST(ROW_NUMBER() OVER (ORDER BY e.est DESC, e.user_id ASC)
+              AS BIGINT) AS rk
+  FROM est e JOIN exact x ON x.user_id = e.user_id
+)
+SELECT user_id, est, exact, overest, rk
+FROM ranked WHERE rk <= 10
+ORDER BY rk
+"""
+
+
 QUERIES = [
     Query("w01_tumbling", w01_tumbling, W01_SQL, "tumbling 1h windows"),
     Query("w02_sliding", w02_sliding, W02_SQL, "sliding 1h/30m windows"),
@@ -681,4 +834,8 @@ QUERIES = [
     Query("w11_rollup_cascade", w11_rollup_cascade, W11_SQL,
           "continuous-aggregate cascade: hourly -> daily -> monthly "
           "re-aggregation tiers in one frame"),
+    Query("w12_countmin_heavyhitters", w12_countmin_heavyhitters,
+          _w12_sql(),
+          "count-min sketch heavy hitters: fixed k x w counter grid, "
+          "min-over-rows estimate, exact-count overestimate audit"),
 ]

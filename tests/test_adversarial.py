@@ -81,7 +81,8 @@ SWEEP = [
     "p09_incremental_refresh", "p10_budget_select",
     "p11_curriculum_stages", "p12_temperature_mix", "p13_pps_sample",
     "p14_span_scrub_pipeline",
-    "t13_zipf_fit", "t14_bigram_logprob", "m06_multimodal_packing",
+    "t13_zipf_fit", "t14_bigram_logprob", "t15_perplexity_buckets",
+    "d17_containment_pairs", "m06_multimodal_packing",
 ]
 
 
@@ -134,6 +135,7 @@ EVENTS_SWEEP = [
     "q52_interval_frame", "q53_funnel", "q55_robust_outliers",
     "q58_scd2_intervals", "q59_concurrency", "q61_gaps_islands",
     "w09_gap_fill", "w10_rate_anomaly", "w11_rollup_cascade",
+    "w12_countmin_heavyhitters",
 ]
 
 EMB_SWEEP = [
@@ -142,6 +144,7 @@ EMB_SWEEP = [
     "s08_ann_recall", "s09_knn_graph", "s10_pagerank",
     "d05_embedding_neardup", "d15_semdedup", "s11_cluster_quality",
     "s12_product_quantize", "s13_pq_adc_topk", "q19_array_fns",
+    "s14_ivfpq_search", "s15_mrl_truncation_recall",
 ]
 
 

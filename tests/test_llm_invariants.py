@@ -740,3 +740,49 @@ def test_d16_scrub_semantics_on_crafted_spans(spark, tmp_path):
     # novel tokens survive
     assert out[3].scrubbed_fp == md5("x y")
     assert out[4].n_removed == 0
+
+
+def test_w12_countmin_never_underestimates(spark, sf_dir):
+    """Count-min's defining guarantee — est >= exact for EVERY key,
+    not just the reported top-10 — checked against a serial Python
+    rebuild of the sketch, which also independently reproduces the
+    operator's top-10 rows."""
+    import collections
+
+    from kafka2clickhouse_py_streamer_spark.operators.base import table
+    from kafka2clickhouse_py_streamer_spark.streaming.batch_windows import (
+        CM_AS,
+        CM_BS,
+        CM_P,
+        CM_ROWS,
+        CM_WIDTH,
+        w12_countmin_heavyhitters,
+    )
+
+    users = [
+        r.user_id
+        for r in table(spark, sf_dir, "events")
+        .select("user_id")
+        .collect()
+        if r.user_id is not None
+    ]
+    exact = collections.Counter(users)
+    cells: collections.Counter = collections.Counter()
+
+    def bucket(j, u):
+        return ((CM_AS[j] * (u % CM_P) + CM_BS[j]) % CM_P) % CM_WIDTH
+
+    for u in users:
+        for j in range(CM_ROWS):
+            cells[(j, bucket(j, u))] += 1
+    est = {
+        u: min(cells[(j, bucket(j, u))] for j in range(CM_ROWS))
+        for u in exact
+    }
+    assert all(est[u] >= exact[u] for u in exact)
+
+    top = sorted(exact, key=lambda u: (-est[u], u))[:10]
+    rows = w12_countmin_heavyhitters(spark, sf_dir).collect()
+    assert [(r.user_id, r.est, r.exact) for r in rows] == [
+        (u, est[u], exact[u]) for u in top
+    ]

@@ -921,3 +921,81 @@ def test_d16_scrub_no_pair_join_linear_explodes(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert python_row_ops(df) == 0
+
+
+def test_s14_ivfpq_probe_is_broadcast_equi_join(spark, sf_dir):
+    # the full IVF-PQ search: the query side (probe cells + ADC
+    # tables) BROADCASTS and meets the coded corpus on a cell
+    # equi-join — never a cartesian against the corpus, never a
+    # SortMergeJoin of the big side, zero Python
+    from kafka2clickhouse_py_streamer_spark.llm.similarity import (
+        s14_ivfpq_search,
+    )
+
+    df = s14_ivfpq_search(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert python_row_ops(df) == 0
+
+
+def test_s15_truncation_audit_is_labeled_baseline(spark, sf_dir):
+    # like s08: every brute-force pass broadcasts the bounded query
+    # side (the labeled exact-baseline shape); the recall join is
+    # |queries|*k-sized; zero Python anywhere
+    from kafka2clickhouse_py_streamer_spark.llm.similarity import (
+        s15_mrl_truncation_recall,
+    )
+
+    df = s15_mrl_truncation_recall(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan  # the labeled baseline cross
+    assert python_row_ops(df) == 0
+
+
+def test_d17_containment_no_pair_materialization(spark, sf_dir):
+    # containment reuses d02's inverted-index shape: pairs come from
+    # the shingle equi-join + count aggregate; the two directions are
+    # a row-local explode of the sized pair, NEVER a second pair join
+    # — and nothing cartesian or Python anywhere
+    from kafka2clickhouse_py_streamer_spark.llm.dedup import (
+        d17_containment_pairs,
+    )
+
+    df = d17_containment_pairs(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert python_row_ops(df) == 0
+
+
+def test_t15_buckets_have_no_global_window(spark, sf_dir):
+    # CCNet bucketing must be threshold-CASE over broadcast percentile
+    # cuts — a global ntile would funnel the corpus through one task.
+    # The only SinglePartition is the one-row cuts aggregate.
+    from kafka2clickhouse_py_streamer_spark.llm.text import (
+        t15_perplexity_buckets,
+    )
+
+    df = t15_perplexity_buckets(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Window" not in plan or "ntile" not in plan
+    assert python_row_ops(df) == 0
+
+
+def test_w12_sketch_agg_is_bounded_and_topk_is_heap(spark, sf_dir):
+    # the count-min cells aggregate map-side combines to <= k*w rows
+    # per partition (partial+final hash agg pair), the probe joins the
+    # broadcast sketch, and the top-10 is TakeOrderedAndProject — no
+    # |users|-sized global window funnel
+    from kafka2clickhouse_py_streamer_spark.streaming.batch_windows import (
+        w12_countmin_heavyhitters,
+    )
+
+    df = w12_countmin_heavyhitters(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert python_row_ops(df) == 0
