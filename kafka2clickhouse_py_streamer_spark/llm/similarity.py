@@ -1968,6 +1968,102 @@ ORDER BY query_id, rk
 """
 
 
+RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
+
+
+def s16_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of the engine's two
+    ANN legs — s03's hyperplane-LSH ranking and s14's IVF-PQ ranking:
+    rrf(d) = Σ_r 1/(K + rank_r(d)) over the rankings that retrieved d.
+    Fused top-3 per query, audited with an ``in_exact`` flag against
+    s01's full-precision ground truth — the ensemble trick that lifts
+    recall when two cheap indexes fail on DIFFERENT queries.
+
+    Scale shape: both inputs are |queries|×k rank lists, so the fusion
+    join/window is trivial next to the retrievals themselves; the two
+    reciprocal terms add in fixed (lsh, ivfpq) order on both engines
+    (the non-associative-FP lesson), and 1/(K+rk) divides DOUBLES
+    explicitly — DuckDB's bare ``1.0`` literal is DECIMAL and divides
+    at decimal scale."""
+    a = s03_lsh_topk(spark, sf_dir).select(
+        "query_id", "cand_id", F.col("rk").alias("rk_lsh")
+    )
+    b = s14_ivfpq_search(spark, sf_dir).select(
+        "query_id", "cand_id", F.col("rk").alias("rk_ivfpq")
+    )
+    fused = a.join(b, ["query_id", "cand_id"], "full")
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(float(RRF_K)) + F.col("rk_lsh")),
+        F.lit(0.0),
+    ) + F.coalesce(
+        F.lit(1.0) / (F.lit(float(RRF_K)) + F.col("rk_ivfpq")),
+        F.lit(0.0),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf").desc(), F.col("cand_id").asc()
+    )
+    top = (
+        fused.select(
+            "query_id", "cand_id", F.round(rrf, 6).alias("rrf")
+        )
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= TOP_K)
+    )
+    exact = s01_cosine_topk(spark, sf_dir).select(
+        F.col("query_id").alias("eq"),
+        F.col("cand_id").alias("ec"),
+        F.lit(True).alias("hit"),
+    )
+    return (
+        top.join(
+            exact,
+            (F.col("query_id") == F.col("eq"))
+            & (F.col("cand_id") == F.col("ec")),
+            "left",
+        )
+        .select(
+            "query_id",
+            "cand_id",
+            "rrf",
+            "rk",
+            F.coalesce("hit", F.lit(False)).alias("in_exact"),
+        )
+        .orderBy("query_id", "rk")
+    )
+
+
+def _s16_sql() -> str:
+    inv = f"CAST(1 AS DOUBLE) / ({RRF_K} + {{rk}})"
+    return f"""
+WITH ann_lsh AS ({_s03_sql()}),
+ann_ivfpq AS ({_s14_sql()}),
+exact AS ({S01_SQL}),
+fused AS (
+  SELECT COALESCE(a.query_id, b.query_id) AS query_id,
+         COALESCE(a.cand_id, b.cand_id) AS cand_id,
+         COALESCE({inv.format(rk='a.rk')}, 0.0)
+         + COALESCE({inv.format(rk='b.rk')}, 0.0) AS rrf
+  FROM ann_lsh a
+  FULL JOIN ann_ivfpq b
+    ON b.query_id = a.query_id AND b.cand_id = a.cand_id
+),
+ranked AS (
+  SELECT query_id, cand_id, ROUND(rrf, 6) AS rrf,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY ROUND(rrf, 6) DESC, cand_id ASC) AS BIGINT)
+           AS rk
+  FROM fused
+)
+SELECT r.query_id, r.cand_id, r.rrf, r.rk,
+       COALESCE(e.query_id IS NOT NULL, FALSE) AS in_exact
+FROM ranked r
+LEFT JOIN exact e
+  ON e.query_id = r.query_id AND e.cand_id = r.cand_id
+WHERE r.rk <= {TOP_K}
+ORDER BY r.query_id, r.rk
+"""
+
+
 QUERIES = [
     Query("s01_cosine_topk", s01_cosine_topk, S01_SQL,
           "exact brute-force cosine top-k"),
@@ -2010,4 +2106,7 @@ QUERIES = [
           _s15_sql(),
           "Matryoshka truncation audit: per-query recall@k of "
           "prefix-dim search vs full-dim exact ground truth"),
+    Query("s16_rrf_fusion", s16_rrf_fusion, _s16_sql(),
+          "reciprocal-rank fusion of the LSH and IVF-PQ rankings, "
+          "audited against exact ground truth"),
 ]

@@ -1029,6 +1029,148 @@ ORDER BY doc_id
 """
 
 
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("join", "spark", "window")  # kept sorted: the per-term
+# contributions sum in this fixed order on BOTH engines (pivoted
+# columns, not a GROUP BY SUM whose FP accumulation order the engine
+# chooses — the s13 ADC lesson)
+
+
+def t16_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval (Robertson/Spärck Jones; Lucene's
+    always-positive idf variant ln(1 + (N−df+0.5)/(df+0.5))) for a
+    fixed query-term set — the LEXICAL retrieval leg next to the
+    s-family's vector legs (s16 fuses the two). Top-10 documents among
+    those matching ≥1 term, ranked by (score desc, doc_id).
+
+    Scale shape: the token explode feeds (a) the per-doc length agg
+    and (b) an early `isin(query-terms)` filter, so only matching
+    tokens reach the tf/df aggregates — the inverted-list probe, not a
+    corpus-wide score. df/idf (|terms| rows) and the one-row N/avgdl
+    frame broadcast back; avgdl is an exact integer SUM divided by
+    COUNT on both engines (never an engine-accumulated AVG). Top-10 is
+    TakeOrderedAndProject; the rank window runs on the 10-row
+    result."""
+    d = table(spark, sf_dir, "documents")
+    tk = d.select(
+        "doc_id", F.explode(F.expr(tokens_expr("text"))).alias("tok")
+    ).filter(F.length("tok") > 0)
+    dl = tk.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (
+            F.sum("dl").cast("double") / F.count(F.lit(1))
+        ).alias("avgdl"),
+    )
+    tf = (
+        tk.filter(F.col("tok").isin(*BM25_QUERY))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        1.0
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    contrib = (
+        idf
+        * F.col("tf")
+        * (BM25_K1 + 1.0)
+        / (
+            F.col("tf")
+            + BM25_K1
+            * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    pivoted = scored.groupBy("doc_id").agg(
+        *[
+            F.max(
+                F.when(F.col("tok") == t, contrib)
+            ).alias(f"c_{t}")
+            for t in BM25_QUERY
+        ]
+    )
+    score = None
+    for t in BM25_QUERY:
+        term = F.coalesce(F.col(f"c_{t}"), F.lit(0.0))
+        score = term if score is None else score + term
+    top = (
+        pivoted.select("doc_id", F.round(score, 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+    w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    return top.withColumn(
+        "rk", F.row_number().over(w).cast("long")
+    ).orderBy("rk")
+
+
+def _t16_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY)
+    pivots = ",\n         ".join(
+        f"MAX(CASE WHEN tok = '{t}' THEN contrib END) AS c_{t}"
+        for t in BM25_QUERY
+    )
+    score = " + ".join(f"COALESCE(c_{t}, 0.0)" for t in BM25_QUERY)
+    return rf"""
+WITH tk AS (
+  SELECT doc_id, tok
+  FROM (SELECT doc_id,
+               UNNEST(regexp_split_to_array(TRIM(LOWER(text)), '\s+'))
+                 AS tok
+        FROM documents)
+  WHERE LENGTH(tok) > 0
+),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tk GROUP BY doc_id),
+stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM tk WHERE tok IN ({terms})
+  GROUP BY doc_id, tok
+),
+dfreq AS (
+  SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY tok
+),
+contribs AS (
+  SELECT t.doc_id, t.tok,
+         LN(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+         * t.tf * ({BM25_K1} + 1.0)
+         / (t.tf + {BM25_K1}
+            * (1.0 - {BM25_B} + {BM25_B} * d.dl / s.avgdl)) AS contrib
+  FROM tf t
+  JOIN dfreq f ON f.tok = t.tok
+  JOIN dl d ON d.doc_id = t.doc_id
+  CROSS JOIN stats s
+),
+pivoted AS (
+  SELECT doc_id,
+         {pivots}
+  FROM contribs GROUP BY doc_id
+),
+ranked AS (
+  SELECT doc_id, ROUND({score}, 6) AS bm25
+  FROM pivoted
+)
+SELECT doc_id, bm25,
+       CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC)
+            AS BIGINT) AS rk
+FROM (SELECT * FROM ranked ORDER BY bm25 DESC, doc_id ASC LIMIT 10)
+ORDER BY rk
+"""
+
+
 QUERIES = [
     Query("t01_token_count", t01_token_count, T01_SQL,
           "whitespace + subword-proxy token counts"),
@@ -1063,4 +1205,7 @@ QUERIES = [
     Query("t15_perplexity_buckets", t15_perplexity_buckets, T15_SQL,
           "CCNet-style head/middle/tail perplexity triage via "
           "broadcast percentile cuts (no global ntile)"),
+    Query("t16_bm25_topk", t16_bm25_topk, _t16_sql(),
+          "BM25 keyword retrieval: Lucene-idf scoring of the matching "
+          "docs only (inverted-list probe), top-10"),
 ]

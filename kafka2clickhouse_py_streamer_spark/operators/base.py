@@ -141,6 +141,8 @@ _VERIFY_FIRST = [
     "s15_mrl_truncation_recall",
     "t15_perplexity_buckets",
     "w12_countmin_heavyhitters",
+    "s16_rrf_fusion",
+    "t16_bm25_topk",
     # green-r02 but file churned since
     "d07_dedup_clusters",
     "d08_canonical_corpus",

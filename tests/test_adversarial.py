@@ -82,7 +82,7 @@ SWEEP = [
     "p11_curriculum_stages", "p12_temperature_mix", "p13_pps_sample",
     "p14_span_scrub_pipeline",
     "t13_zipf_fit", "t14_bigram_logprob", "t15_perplexity_buckets",
-    "d17_containment_pairs", "m06_multimodal_packing",
+    "t16_bm25_topk", "d17_containment_pairs", "m06_multimodal_packing",
 ]
 
 
@@ -145,6 +145,7 @@ EMB_SWEEP = [
     "d05_embedding_neardup", "d15_semdedup", "s11_cluster_quality",
     "s12_product_quantize", "s13_pq_adc_topk", "q19_array_fns",
     "s14_ivfpq_search", "s15_mrl_truncation_recall",
+    "s16_rrf_fusion",
 ]
 
 

@@ -999,3 +999,31 @@ def test_w12_sketch_agg_is_bounded_and_topk_is_heap(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert python_row_ops(df) == 0
+
+
+def test_t16_bm25_probes_inverted_list(spark, sf_dir):
+    # the query-term isin() filter must reach the token stream BEFORE
+    # the tf aggregate (only matching tokens are aggregated), df/stats
+    # come back via broadcast, and the top-10 is a heap — no global
+    # sort of the scored frame, no Python
+    from kafka2clickhouse_py_streamer_spark.llm.text import t16_bm25_topk
+
+    df = t16_bm25_topk(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert python_row_ops(df) == 0
+
+
+def test_s16_fusion_is_rank_list_sized(spark, sf_dir):
+    # fusion operates on |queries|*k rank lists: the only non-broadcast
+    # joins are between the two tiny rank frames; nothing cartesian
+    # against the corpus, zero Python
+    from kafka2clickhouse_py_streamer_spark.llm.similarity import (
+        s16_rrf_fusion,
+    )
+
+    df = s16_rrf_fusion(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert python_row_ops(df) == 0
