@@ -60,6 +60,9 @@ HEADLINE = [
     "d14_lsh_admission",
     "s12_product_quantize",
     "s13_pq_adc_topk",
+    # round 5: the second flagship composition — span detect → excise
+    # → repack in one DAG (no prior round baseline; first recording)
+    "p14_span_scrub_pipeline",
 ]
 
 
