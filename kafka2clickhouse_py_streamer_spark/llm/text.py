@@ -1171,6 +1171,91 @@ ORDER BY rk
 """
 
 
+CHUNK_SIZE = 32  # tokens per passage
+CHUNK_STRIDE = 24  # overlap = CHUNK_SIZE - CHUNK_STRIDE = 8 tokens
+
+
+def t17_chunk_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window passage chunking — the retrieval-prep staple
+    (RAG indexing, long-document embedding): each document's token
+    stream becomes overlapping CHUNK_SIZE-token passages at
+    CHUNK_STRIDE intervals, with per-chunk token spans and content
+    fingerprints. Chunk count is 1 for docs ≤ CHUNK_SIZE tokens, else
+    1 + ceil((n − size)/stride) — the final chunk clips at the
+    document end, so every token is covered and no degenerate chunk
+    fully inside the previous one is emitted. The ceil uses integer
+    ``div`` (Spark) / ``//`` (DuckDB): CAST would round on one engine
+    and truncate on the other.
+
+    Scale shape: pure row-local arithmetic + one explode (output is
+    ~n/stride rows per doc, linear); no join, no aggregate — the only
+    exchange is the presentation sort, so a 100 TB corpus chunks at
+    scan speed."""
+    d = table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", F.expr(tokens_expr("text")).alias("t")
+    ).filter(F.length(F.trim("text")) > 0)
+    n = F.size("t")
+    k_chunks = F.when(n <= CHUNK_SIZE, F.lit(1)).otherwise(
+        F.lit(1)
+        + F.expr(
+            f"(size(t) - {CHUNK_SIZE} + {CHUNK_STRIDE} - 1)"
+            f" div {CHUNK_STRIDE}"
+        )
+    )
+    chunks = base.select(
+        "doc_id",
+        "t",
+        n.alias("n"),
+        F.explode(
+            F.sequence(F.lit(0), k_chunks - 1)
+        ).alias("chunk_id"),
+    )
+    start = F.lit(1) + F.col("chunk_id") * CHUNK_STRIDE
+    clen = F.least(F.lit(CHUNK_SIZE), F.col("n") - start + 1)
+    body = F.concat_ws(" ", F.slice("t", start, clen))
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        start.cast("long").alias("start_pos"),
+        clen.cast("long").alias("n_chunk_tokens"),
+        F.md5(body).alias("chunk_fp"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+T17_SQL = rf"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS t
+  FROM documents WHERE LENGTH(TRIM(text)) > 0
+),
+sized AS (
+  SELECT doc_id, t, LEN(t) AS n,
+         CASE WHEN LEN(t) <= {CHUNK_SIZE} THEN 1
+              ELSE 1 + (LEN(t) - {CHUNK_SIZE} + {CHUNK_STRIDE} - 1)
+                       // {CHUNK_STRIDE}
+         END AS k_chunks
+  FROM base
+),
+chunks AS (
+  SELECT doc_id, t, n,
+         UNNEST(generate_series(0, k_chunks - 1)) AS chunk_id
+  FROM sized
+)
+SELECT doc_id,
+       CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(1 + chunk_id * {CHUNK_STRIDE} AS BIGINT) AS start_pos,
+       CAST(LEAST({CHUNK_SIZE}, n - (1 + chunk_id * {CHUNK_STRIDE}) + 1)
+            AS BIGINT) AS n_chunk_tokens,
+       MD5(array_to_string(
+         t[(1 + chunk_id * {CHUNK_STRIDE}) :
+           (chunk_id * {CHUNK_STRIDE}
+            + LEAST({CHUNK_SIZE}, n - (1 + chunk_id * {CHUNK_STRIDE}) + 1))],
+         ' ')) AS chunk_fp
+FROM chunks
+ORDER BY doc_id, chunk_id
+"""
+
+
 QUERIES = [
     Query("t01_token_count", t01_token_count, T01_SQL,
           "whitespace + subword-proxy token counts"),
@@ -1208,4 +1293,7 @@ QUERIES = [
     Query("t16_bm25_topk", t16_bm25_topk, _t16_sql(),
           "BM25 keyword retrieval: Lucene-idf scoring of the matching "
           "docs only (inverted-list probe), top-10"),
+    Query("t17_chunk_passages", t17_chunk_passages, T17_SQL,
+          "sliding-window passage chunking (size/stride, short tail "
+          "absorbed) with per-chunk fingerprints"),
 ]

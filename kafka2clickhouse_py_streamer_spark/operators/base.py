@@ -143,6 +143,7 @@ _VERIFY_FIRST = [
     "w12_countmin_heavyhitters",
     "s16_rrf_fusion",
     "t16_bm25_topk",
+    "t17_chunk_passages",
     # green-r02 but file churned since
     "d07_dedup_clusters",
     "d08_canonical_corpus",

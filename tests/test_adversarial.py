@@ -82,7 +82,8 @@ SWEEP = [
     "p11_curriculum_stages", "p12_temperature_mix", "p13_pps_sample",
     "p14_span_scrub_pipeline",
     "t13_zipf_fit", "t14_bigram_logprob", "t15_perplexity_buckets",
-    "t16_bm25_topk", "d17_containment_pairs", "m06_multimodal_packing",
+    "t16_bm25_topk", "t17_chunk_passages", "d17_containment_pairs",
+    "m06_multimodal_packing",
 ]
 
 

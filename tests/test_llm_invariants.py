@@ -786,3 +786,38 @@ def test_w12_countmin_never_underestimates(spark, sf_dir):
     assert [(r.user_id, r.est, r.exact) for r in rows] == [
         (u, est[u], exact[u]) for u in top
     ]
+
+
+def test_t17_chunks_tile_the_document(spark, sf_dir):
+    """Chunk geometry: starts advance by exactly CHUNK_STRIDE, every
+    non-final chunk is full-size, the final chunk ends exactly at the
+    document's last token, and consecutive chunks overlap by
+    size − stride — checked per document against t01's token counts."""
+    from kafka2clickhouse_py_streamer_spark.llm.text import (
+        CHUNK_SIZE,
+        CHUNK_STRIDE,
+        t01_token_count,
+        t17_chunk_passages,
+    )
+
+    n_tokens = {
+        r.doc_id: r.n_tokens
+        for r in t01_token_count(spark, sf_dir).collect()
+    }
+    by_doc: dict[int, list] = {}
+    for r in t17_chunk_passages(spark, sf_dir).collect():
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert by_doc
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_id)
+        n = n_tokens[doc_id]
+        for i, c in enumerate(chunks):
+            assert c.chunk_id == i
+            assert c.start_pos == 1 + i * CHUNK_STRIDE
+            if i < len(chunks) - 1:
+                assert c.n_chunk_tokens == CHUNK_SIZE
+        last = chunks[-1]
+        assert last.start_pos + last.n_chunk_tokens - 1 == n
+        # docs that fit in one window produce exactly one chunk
+        if n <= CHUNK_SIZE:
+            assert len(chunks) == 1

@@ -1027,3 +1027,18 @@ def test_s16_fusion_is_rank_list_sized(spark, sf_dir):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert python_row_ops(df) == 0
+
+
+def test_t17_chunking_is_scan_speed(spark, sf_dir):
+    # chunking must be row-local arithmetic + one explode: no join, no
+    # aggregate, no exchange beyond the presentation sort, no Python —
+    # a 100 TB corpus chunks at scan speed
+    from kafka2clickhouse_py_streamer_spark.llm.text import (
+        t17_chunk_passages,
+    )
+
+    df = t17_chunk_passages(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert count_exchanges(df) <= 1
+    assert "Join" not in plan
+    assert python_row_ops(df) == 0
