@@ -981,6 +981,169 @@ ORDER BY cluster_id
 """
 
 
+BLOOM_BITS = 1024  # d18 filter width (deliberately small so the
+# fixture SHOWS false positives instead of hiding them)
+BLOOM_K = 3  # hash functions
+BLOOM_P = 2147483647
+BLOOM_AS = [2 * j + 3 for j in range(BLOOM_K)]
+BLOOM_BS = [5 * j + 1 for j in range(BLOOM_K)]
+
+
+def _bloom_pos(j: int, h):
+    """Bit position j of a 60-bit shingle digest — explicit affine
+    arithmetic both engines reproduce (operands positive; a_j·(h%P)+b_j
+    fits BIGINT)."""
+    return (
+        (F.lit(BLOOM_AS[j]) * (h % BLOOM_P) + F.lit(BLOOM_BS[j]))
+        % BLOOM_P
+    ) % BLOOM_BITS
+
+
+def d18_bloom_decontamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bloom-filter decontamination probe — the FIXED-SIZE fast path
+    of d09's exact screen: the eval set's shingle digests populate a
+    BLOOM_BITS-bit filter (k affine hash positions, distinct-bit
+    aggregate), and every corpus shingle tests membership by joining
+    its k positions against the set bits (a hit = all k present).
+    Per-doc audit columns compare against exact membership in the
+    same eval shingle set: Bloom guarantees NO false negatives
+    (n_bloom_hits ≥ n_true_hits — pinned by the invariants suite);
+    fp_shingles measures the collision cost of the chosen width.
+
+    Scale shape: d09 broadcasts the eval SHINGLE SET, which at a real
+    eval-suite size is MBs-to-GBs; the Bloom filter is a fixed
+    ≤ BLOOM_BITS-row bit table (bytes) whatever the eval set grows to
+    — the probe stays one broadcast semi-join per hash row with a
+    count==k test, and the corpus side still never shuffles. The
+    audit's exact join exists only to measure the FP rate; a
+    deployment ships the bits alone."""
+    sh = _shingle_rows(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.conv(F.substring(F.md5("s"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("hs"),
+    )
+    bench = sh.filter(F.col("source") == "src0").select("hs").distinct()
+    bits = (
+        bench.select(
+            F.explode(
+                F.array(
+                    *[
+                        _bloom_pos(j, F.col("hs"))
+                        for j in range(BLOOM_K)
+                    ]
+                )
+            ).alias("bit")
+        )
+        .distinct()
+    )
+    corpus = sh.filter(F.col("source") != "src0").select("doc_id", "hs")
+    probe = corpus.select(
+        "doc_id",
+        "hs",
+        F.explode(
+            F.array(*[_bloom_pos(j, F.col("hs")) for j in range(BLOOM_K)])
+        ).alias("bit"),
+    )
+    hits = (
+        probe.join(F.broadcast(bits), "bit")
+        .groupBy("doc_id", "hs")
+        .agg(F.count(F.lit(1)).alias("k_set"))
+        .filter(F.col("k_set") == BLOOM_K)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bloom_hits"))
+    )
+    true_hits = (
+        corpus.join(F.broadcast(bench), "hs", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_true_hits"))
+    )
+    sizes = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    nb = F.coalesce("n_bloom_hits", F.lit(0))
+    nt = F.coalesce("n_true_hits", F.lit(0))
+    return (
+        sizes.join(hits, "doc_id", "left")
+        .join(true_hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n").cast("long").alias("n_shingles"),
+            nb.cast("long").alias("n_bloom_hits"),
+            nt.cast("long").alias("n_true_hits"),
+            (nb - nt).cast("long").alias("fp_shingles"),
+            (nb / F.col("n") >= CONTAM_FLAG).alias("bloom_flagged"),
+            (nt / F.col("n") >= CONTAM_FLAG).alias("true_flagged"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _d18_sql() -> str:
+    def pos(j, h):
+        return (
+            f"(({BLOOM_AS[j]} * ({h} % {BLOOM_P}) + {BLOOM_BS[j]})"
+            f" % {BLOOM_P}) % {BLOOM_BITS}"
+        )
+
+    bit_rows = "\nUNION ALL\n".join(
+        f"SELECT {pos(j, 'hs')} AS bit FROM bench"
+        for j in range(BLOOM_K)
+    )
+    probe_rows = "\nUNION ALL\n".join(
+        f"SELECT doc_id, hs, {pos(j, 'hs')} AS bit FROM corpus"
+        for j in range(BLOOM_K)
+    )
+    return f"""
+WITH {_DUCK_SHINGLES_CTE},
+hashed AS (
+  SELECT doc_id, source,
+         CAST('0x' || SUBSTRING(MD5(s), 1, 15) AS BIGINT) AS hs
+  FROM shingles
+),
+bench AS (SELECT DISTINCT hs FROM hashed WHERE source = 'src0'),
+corpus AS (SELECT doc_id, hs FROM hashed WHERE source <> 'src0'),
+bits AS (SELECT DISTINCT bit FROM (
+{bit_rows}
+)),
+probe AS (
+{probe_rows}
+),
+hits AS (
+  SELECT doc_id, COUNT(*) AS n_bloom_hits
+  FROM (
+    SELECT p.doc_id, p.hs, COUNT(*) AS k_set
+    FROM probe p JOIN bits b ON b.bit = p.bit
+    GROUP BY p.doc_id, p.hs
+    HAVING COUNT(*) = {BLOOM_K}
+  )
+  GROUP BY doc_id
+),
+true_hits AS (
+  SELECT c.doc_id, COUNT(*) AS n_true_hits
+  FROM corpus c
+  WHERE c.hs IN (SELECT hs FROM bench)
+  GROUP BY c.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM corpus GROUP BY doc_id)
+SELECT s.doc_id,
+       CAST(s.n AS BIGINT) AS n_shingles,
+       CAST(COALESCE(h.n_bloom_hits, 0) AS BIGINT) AS n_bloom_hits,
+       CAST(COALESCE(t.n_true_hits, 0) AS BIGINT) AS n_true_hits,
+       CAST(COALESCE(h.n_bloom_hits, 0) - COALESCE(t.n_true_hits, 0)
+            AS BIGINT) AS fp_shingles,
+       CAST(COALESCE(h.n_bloom_hits, 0) AS DOUBLE) / s.n
+         >= {CONTAM_FLAG} AS bloom_flagged,
+       CAST(COALESCE(t.n_true_hits, 0) AS DOUBLE) / s.n
+         >= {CONTAM_FLAG} AS true_flagged
+FROM sizes s
+LEFT JOIN hits h ON h.doc_id = s.doc_id
+LEFT JOIN true_hits t ON t.doc_id = s.doc_id
+ORDER BY s.doc_id
+"""
+
+
 CONTAINMENT_THRESHOLD = 0.5  # d17: fraction of the SMALLER side's
 # shingles that must appear in the other doc
 
@@ -1486,4 +1649,9 @@ QUERIES = [
     Query("d17_containment_pairs", d17_containment_pairs, D17_SQL,
           "asymmetric containment near-dup (|A intersect B| / |A|): "
           "embedded-document detection Jaccard dilutes away"),
+    Query("d18_bloom_decontamination", d18_bloom_decontamination,
+          _d18_sql(),
+          "Bloom-filter decontamination probe: fixed-size bit table "
+          "replaces the broadcast eval shingle set; no-false-negative "
+          "guarantee + measured FP rate vs exact membership"),
 ]

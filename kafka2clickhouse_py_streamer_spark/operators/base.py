@@ -144,6 +144,7 @@ _VERIFY_FIRST = [
     "s16_rrf_fusion",
     "t16_bm25_topk",
     "t17_chunk_passages",
+    "d18_bloom_decontamination",
     # green-r02 but file churned since
     "d07_dedup_clusters",
     "d08_canonical_corpus",

@@ -821,3 +821,22 @@ def test_t17_chunks_tile_the_document(spark, sf_dir):
         # docs that fit in one window produce exactly one chunk
         if n <= CHUNK_SIZE:
             assert len(chunks) == 1
+
+
+def test_d18_bloom_never_misses(spark, sf_dir):
+    """The Bloom guarantee: no false negatives — every doc's
+    n_bloom_hits >= n_true_hits, and every exactly-flagged doc is also
+    bloom-flagged. The fixture's small filter must also SHOW collision
+    cost somewhere (a zero-FP run would mean the audit can't see)."""
+    from kafka2clickhouse_py_streamer_spark.llm.dedup import (
+        d18_bloom_decontamination,
+    )
+
+    rows = d18_bloom_decontamination(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_bloom_hits >= r.n_true_hits, r
+        assert r.fp_shingles == r.n_bloom_hits - r.n_true_hits
+        if r.true_flagged:
+            assert r.bloom_flagged, r
+    assert any(r.n_true_hits > 0 for r in rows)

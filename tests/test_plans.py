@@ -1042,3 +1042,19 @@ def test_t17_chunking_is_scan_speed(spark, sf_dir):
     assert count_exchanges(df) <= 1
     assert "Join" not in plan
     assert python_row_ops(df) == 0
+
+
+def test_d18_bloom_probe_broadcasts_bits_not_shingles(spark, sf_dir):
+    # the whole point: the corpus joins a broadcast of the <=1024-row
+    # BIT table (and the audit's exact semi-join broadcasts too) — the
+    # corpus side never shuffles for the probe, nothing cartesian,
+    # zero Python
+    from kafka2clickhouse_py_streamer_spark.llm.dedup import (
+        d18_bloom_decontamination,
+    )
+
+    df = d18_bloom_decontamination(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert python_row_ops(df) == 0
