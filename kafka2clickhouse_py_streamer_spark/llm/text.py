@@ -1175,24 +1175,13 @@ CHUNK_SIZE = 32  # tokens per passage
 CHUNK_STRIDE = 24  # overlap = CHUNK_SIZE - CHUNK_STRIDE = 8 tokens
 
 
-def t17_chunk_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding-window passage chunking — the retrieval-prep staple
-    (RAG indexing, long-document embedding): each document's token
-    stream becomes overlapping CHUNK_SIZE-token passages at
-    CHUNK_STRIDE intervals, with per-chunk token spans and content
-    fingerprints. Chunk count is 1 for docs ≤ CHUNK_SIZE tokens, else
-    1 + ceil((n − size)/stride) — the final chunk clips at the
-    document end, so every token is covered and no degenerate chunk
-    fully inside the previous one is emitted. The ceil uses integer
-    ``div`` (Spark) / ``//`` (DuckDB): CAST would round on one engine
-    and truncate on the other.
-
-    Scale shape: pure row-local arithmetic + one explode (output is
-    ~n/stride rows per doc, linear); no join, no aggregate — the only
-    exchange is the presentation sort, so a 100 TB corpus chunks at
-    scan speed."""
-    d = table(spark, sf_dir, "documents")
-    base = d.select(
+def chunk_passages(docs: DataFrame) -> DataFrame:
+    """The t17 transformation over any (doc_id, text) frame — a pure
+    stateless projection+explode, so the SAME code runs under
+    readStream (twin-tested in tests/test_streaming.py). No ordering
+    is applied here; t17 adds the presentation sort for the batch
+    registry form."""
+    base = docs.select(
         "doc_id", F.expr(tokens_expr("text")).alias("t")
     ).filter(F.length(F.trim("text")) > 0)
     n = F.size("t")
@@ -1220,7 +1209,29 @@ def t17_chunk_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
         start.cast("long").alias("start_pos"),
         clen.cast("long").alias("n_chunk_tokens"),
         F.md5(body).alias("chunk_fp"),
-    ).orderBy("doc_id", "chunk_id")
+    )
+
+
+def t17_chunk_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window passage chunking — the retrieval-prep staple
+    (RAG indexing, long-document embedding): each document's token
+    stream becomes overlapping CHUNK_SIZE-token passages at
+    CHUNK_STRIDE intervals, with per-chunk token spans and content
+    fingerprints. Chunk count is 1 for docs ≤ CHUNK_SIZE tokens, else
+    1 + ceil((n − size)/stride) — the final chunk clips at the
+    document end, so every token is covered and no degenerate chunk
+    fully inside the previous one is emitted. The ceil uses integer
+    ``div`` (Spark) / ``//`` (DuckDB): CAST would round on one engine
+    and truncate on the other.
+
+    Scale shape: pure row-local arithmetic + one explode (output is
+    ~n/stride rows per doc, linear); no join, no aggregate — the only
+    exchange is the presentation sort, so a 100 TB corpus chunks at
+    scan speed (and the same `chunk_passages` projection runs
+    unchanged under readStream)."""
+    return chunk_passages(table(spark, sf_dir, "documents")).orderBy(
+        "doc_id", "chunk_id"
+    )
 
 
 T17_SQL = rf"""

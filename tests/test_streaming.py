@@ -1319,3 +1319,52 @@ def test_admitters_raise_on_wrong_state_schema(spark, tmp_path):
     ).write.partitionBy("batch_id").parquet(wrong_state)
     with pytest.raises(Exception):
         semdedup_admit_batch(em, 1, out, wrong_state)
+
+
+def test_t17_streaming_chunking_matches_batch(spark, tmp_path):
+    """Chunking is a stateless projection+explode, so the SAME
+    chunk_passages code runs under readStream: streamed chunks must
+    equal the batch transformation row-for-row over any micro-batch
+    cut."""
+    from kafka2clickhouse_py_streamer_spark.llm.text import (
+        chunk_passages,
+    )
+
+    rows = [
+        (1, " ".join(f"w{i}" for i in range(100))),  # 4 chunks
+        (2, "short doc"),                            # 1 chunk
+        (3, " ".join(f"x{i}" for i in range(40))),   # 2 chunks
+        (4, "   "),                                  # excluded
+    ]
+    src = tmp_path / "chunk_stream"
+    src.mkdir()
+    for chunk in (rows[:2], rows[2:]):
+        spark.createDataFrame(
+            chunk, "doc_id long, text string"
+        ).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(src)
+    )
+    q = (
+        chunk_passages(stream)
+        .writeStream.format("memory")
+        .queryName("t17_twin")
+        .option("checkpointLocation", str(tmp_path / "ckpt_t17"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    streamed = {
+        tuple(r) for r in spark.sql("select * from t17_twin").collect()
+    }
+    batch = {
+        tuple(r)
+        for r in chunk_passages(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    assert streamed == batch and len(batch) == 7
