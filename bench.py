@@ -53,9 +53,10 @@ HEADLINE = [
     # its six stages surface here
     "p07_corpus_pipeline",
     # added in round 5: the heavy round-3/4 operators, previously only
-    # visible to the one-off sf1 probe. Their r04 sf0.1 baselines (from
-    # BENCH_sf1.json "sf0.1", recorded in the same harness shape):
-    # d12 1.061 s, d14 1.351 s, s12 2.682 s, s13 4.384 s.
+    # visible to the one-off sf1 probe. Historical r04 sf0.1 baselines
+    # (unrecorded — taken from the r04 BENCH_sf1.json recording, which
+    # later probe re-runs overwrite): d12 1.061 s, d14 1.351 s,
+    # s12 2.682 s, s13 4.384 s.
     "d12_span_dedup",
     "d14_lsh_admission",
     "s12_product_quantize",

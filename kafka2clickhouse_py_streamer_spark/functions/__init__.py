@@ -7,12 +7,16 @@ from kafka2clickhouse_py_streamer_spark.functions.vectors import (
     valid_embeddings,
 )
 from kafka2clickhouse_py_streamer_spark.functions.hashing import (
+    affine_bucket,
+    affine_bucket_sql,
     poly_hash_sql,
     shingles_expr,
     tokens_expr,
 )
 
 __all__ = [
+    "affine_bucket",
+    "affine_bucket_sql",
     "cosine",
     "dot",
     "l2_norm",

@@ -41,3 +41,29 @@ def shingles_expr(tokens_col: str = "tk", n: int = 3) -> str:
         f"array_distinct(transform(sequence(1, greatest(size({tokens_col})"
         f" - {n - 1}, 1)), i -> concat_ws(' ', slice({tokens_col}, i, {n}))))"
     )
+
+
+AFFINE_P = 2147483647  # modulus of the shared affine bucket family
+
+
+def affine_bucket(key, j: int, width: int):
+    """Row-``j`` affine bucket ``((a_j·(key%P)+b_j) % P) % width`` of a
+    non-negative integer key Column, with a_j = 2j+3, b_j = 5j+1 —
+    ONE hash family for every fixed-width sketch (w12's count-min
+    grid, d18's Bloom positions). All operands are positive so ``%``
+    agrees across engines, and a_j·(key%P)+b_j ≤ ~2e10 fits BIGINT.
+    SQL twin: :func:`affine_bucket_sql`."""
+    from pyspark.sql import functions as F
+
+    a, b = 2 * j + 3, 5 * j + 1
+    return ((F.lit(a) * (key % AFFINE_P) + F.lit(b)) % AFFINE_P) % width
+
+
+def affine_bucket_sql(key: str, j: int, width: int) -> str:
+    """The DuckDB twin of :func:`affine_bucket` (identical
+    arithmetic, SQL-expression string)."""
+    a, b = 2 * j + 3, 5 * j + 1
+    return (
+        f"((({a} * ({key} % {AFFINE_P}) + {b})"
+        f" % {AFFINE_P}) % {width})"
+    )

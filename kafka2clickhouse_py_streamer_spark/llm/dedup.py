@@ -984,19 +984,17 @@ ORDER BY cluster_id
 BLOOM_BITS = 1024  # d18 filter width (deliberately small so the
 # fixture SHOWS false positives instead of hiding them)
 BLOOM_K = 3  # hash functions
-BLOOM_P = 2147483647
-BLOOM_AS = [2 * j + 3 for j in range(BLOOM_K)]
-BLOOM_BS = [5 * j + 1 for j in range(BLOOM_K)]
 
 
 def _bloom_pos(j: int, h):
-    """Bit position j of a 60-bit shingle digest — explicit affine
-    arithmetic both engines reproduce (operands positive; a_j·(h%P)+b_j
-    fits BIGINT)."""
-    return (
-        (F.lit(BLOOM_AS[j]) * (h % BLOOM_P) + F.lit(BLOOM_BS[j]))
-        % BLOOM_P
-    ) % BLOOM_BITS
+    """Bit position j of a 60-bit shingle digest: the shared affine
+    family (functions.hashing.affine_bucket — same construction w12's
+    count-min grid uses)."""
+    from kafka2clickhouse_py_streamer_spark.functions import (
+        affine_bucket,
+    )
+
+    return affine_bucket(h, j, BLOOM_BITS)
 
 
 def d18_bloom_decontamination(
@@ -1081,11 +1079,12 @@ def d18_bloom_decontamination(
 
 
 def _d18_sql() -> str:
+    from kafka2clickhouse_py_streamer_spark.functions import (
+        affine_bucket_sql,
+    )
+
     def pos(j, h):
-        return (
-            f"(({BLOOM_AS[j]} * ({h} % {BLOOM_P}) + {BLOOM_BS[j]})"
-            f" % {BLOOM_P}) % {BLOOM_BITS}"
-        )
+        return affine_bucket_sql(h, j, BLOOM_BITS)
 
     bit_rows = "\nUNION ALL\n".join(
         f"SELECT {pos(j, 'hs')} AS bit FROM bench"

@@ -483,8 +483,14 @@ def _train_centroids(
         .orderBy("g")
         .collect()
     )
+    # seeds quantize too (not only the Lloyd round outputs): the FIRST
+    # assignment is just as exposed to cross-engine AVG accumulation-
+    # order noise as later ones — an unsnapped seed mean could flip a
+    # razor-edge round-1 cell and put the engines on divergent
+    # trajectories no later quantization can reconcile
     cents = {
-        row["g"]: [row[f"m{i}"] for i in range(DIM)] for row in seeds
+        row["g"]: [_q9(row[f"m{i}"]) for i in range(DIM)]
+        for row in seeds
     }
     for _ in range(iters):
         if not cents:
@@ -503,9 +509,12 @@ def _train_cte_sql(iters: int = LLOYD_ITERS) -> str:
     re-center with LEFT JOIN + COALESCE as the empty-cell rule. The
     final round is named ``seeds`` with columns (g, m0..m{DIM-1}) so
     the four consumers' SQL reads trained centroids exactly as it read
-    the one-shot seeds before Lloyd training existed."""
+    the one-shot seeds before Lloyd training existed. Seed means are
+    1e-9-quantized exactly like the round outputs (`_q9`) — the first
+    assignment must not see unsnapped AVG noise either."""
     means = ",\n         ".join(
-        f"AVG(v[{i + 1}]) AS m{i}" for i in range(DIM)
+        f"FLOOR(AVG(v[{i + 1}]) * 1e9 + 0.5) / 1e9 AS m{i}"
+        for i in range(DIM)
     )
     name0 = "seeds" if iters == 0 else "seeds0"
     parts = [
@@ -1835,34 +1844,40 @@ def s14_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             for s in range(PQ_SUBSPACES)
         ],
     )
-    # query side: N_PROBE nearest centroids (argmax dot, lowest-key
-    # ties — pos1 is the array argmax; pos2 re-argmaxes with pos1
-    # masked to -inf, i.e. the first occurrence among the rest ≡ the
-    # oracle's ROW_NUMBER rn=2 under (d DESC, g ASC)) + the ADC table
+    # query side: min(N_PROBE, |cells|) nearest centroids (argmax dot,
+    # lowest-key ties — pos1 is the array argmax; pos2 re-argmaxes
+    # with pos1 masked to -inf, i.e. the first occurrence among the
+    # rest ≡ the oracle's ROW_NUMBER rn=2 under (d DESC, g ASC)) + the
+    # ADC table. With a single trained cell there IS no second probe —
+    # the masked argmax would degenerate to _p1 and every candidate
+    # would join twice (duplicate top-k rows the oracle's rn<=N_PROBE
+    # form never emits).
     q = base.filter(F.col("vec_id") < N_QUERIES).withColumn(
         "_cd", _dots_array(cents)
     )
     pos1 = _argmax_pos("_cd")
     q = q.withColumn("_p1", pos1)
-    masked = F.transform(
-        F.col("_cd"),
-        lambda x, i: F.when(
-            i == F.col("_p1") - 1, F.lit(float("-inf"))
-        ).otherwise(x),
-    )
-    q = q.withColumn("_p2", _argmax_pos(masked))
     cell_of = {k: k for k in cents}
+    probe_cells = [
+        _pos_payload(cents, cell_of, F.col("_p1")).cast("long")
+    ]
+    if len(cents) > 1:
+        masked = F.transform(
+            F.col("_cd"),
+            lambda x, i: F.when(
+                i == F.col("_p1") - 1, F.lit(float("-inf"))
+            ).otherwise(x),
+        )
+        q = q.withColumn("_p2", _argmax_pos(masked))
+        probe_cells.append(
+            _pos_payload(cents, cell_of, F.col("_p2")).cast("long")
+        )
     probes = q.select(
         F.col("vec_id").alias("query_id"),
         F.array(
             *[dist_arr("v", s) for s in range(PQ_SUBSPACES)]
         ).alias("dtable"),
-        F.explode(
-            F.array(
-                _pos_payload(cents, cell_of, F.col("_p1")).cast("long"),
-                _pos_payload(cents, cell_of, F.col("_p2")).cast("long"),
-            )
-        ).alias("cell"),
+        F.explode(F.array(*probe_cells)).alias("cell"),
     )
     lookups = [
         F.element_at(F.element_at("dtable", s + 1), F.col(f"code_{s}"))

@@ -658,16 +658,15 @@ ORDER BY resolution, event_type, bucket_start
 CM_ROWS = 3  # count-min depth (independent hash rows)
 CM_WIDTH = 16  # counters per row — deliberately << |users| so the
 # audit SHOWS collision overestimate instead of hiding it
-CM_P = 2147483647
-CM_AS = [2 * j + 3 for j in range(CM_ROWS)]
-CM_BS = [5 * j + 1 for j in range(CM_ROWS)]
 
 
 def _cm_bucket(j: int, key):
-    """Row-j count-min bucket of an integer key — explicit affine
-    arithmetic both engines reproduce (all operands positive, so % is
-    identical; a_j·(key%P)+b_j ≤ ~2e10 fits BIGINT)."""
-    return ((F.lit(CM_AS[j]) * (key % CM_P) + F.lit(CM_BS[j])) % CM_P) % CM_WIDTH
+    """Row-j count-min bucket: the shared affine family
+    (functions.hashing.affine_bucket — same construction d18's Bloom
+    positions use)."""
+    from kafka2clickhouse_py_streamer_spark.functions import affine_bucket
+
+    return affine_bucket(key, j, CM_WIDTH)
 
 
 def w12_countmin_heavyhitters(
@@ -758,10 +757,11 @@ def w12_countmin_heavyhitters(
 
 
 def _cm_bucket_sql(j: int, key: str) -> str:
-    return (
-        f"(({CM_AS[j]} * ({key} % {CM_P}) + {CM_BS[j]})"
-        f" % {CM_P}) % {CM_WIDTH}"
+    from kafka2clickhouse_py_streamer_spark.functions import (
+        affine_bucket_sql,
     )
+
+    return affine_bucket_sql(key, j, CM_WIDTH)
 
 
 def _w12_sql() -> str:

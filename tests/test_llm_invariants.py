@@ -749,11 +749,11 @@ def test_w12_countmin_never_underestimates(spark, sf_dir):
     operator's top-10 rows."""
     import collections
 
+    from kafka2clickhouse_py_streamer_spark.functions.hashing import (
+        AFFINE_P,
+    )
     from kafka2clickhouse_py_streamer_spark.operators.base import table
     from kafka2clickhouse_py_streamer_spark.streaming.batch_windows import (
-        CM_AS,
-        CM_BS,
-        CM_P,
         CM_ROWS,
         CM_WIDTH,
         w12_countmin_heavyhitters,
@@ -770,7 +770,8 @@ def test_w12_countmin_never_underestimates(spark, sf_dir):
     cells: collections.Counter = collections.Counter()
 
     def bucket(j, u):
-        return ((CM_AS[j] * (u % CM_P) + CM_BS[j]) % CM_P) % CM_WIDTH
+        a, b = 2 * j + 3, 5 * j + 1
+        return ((a * (u % AFFINE_P) + b) % AFFINE_P) % CM_WIDTH
 
     for u in users:
         for j in range(CM_ROWS):
