@@ -468,6 +468,123 @@ ORDER BY doc_id
 """
 
 
+PHASH_HAMMING_MAX = 3  # m07 near-dup verify threshold (16-bit hash)
+
+
+def m07_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup detection over media PAYLOADS — the
+    multimodal sibling of d06's text SimHash: the payload's 16 feature
+    bytes (read from the BINARY column via hex(); with the stub codec
+    these are the MD5-block bytes — a real deployment swaps in
+    pHash/aHash features at the decoder seam, everything downstream
+    unchanged) threshold against their own mean into a 16-bit hash;
+    hashes block into 2×8-bit bands; band collisions verify by exact
+    Hamming distance ≤ PHASH_HAMMING_MAX (bit_count of xor — pure
+    integer arithmetic both engines reproduce).
+
+    Scale shape: d06's — candidate pairs come from band equi-
+    collisions, never |media|² comparisons; only (doc_id, 16-bit hash)
+    cross the wire; the byte→hash projection rides the scan. The mean
+    divides by 16 (a power of two), so the threshold comparison is
+    exact in binary on both engines."""
+    m = media_table(spark, sf_dir)
+    hx = F.hex("payload")
+    bytes_ = [
+        F.conv(F.substring(hx, 2 * b + 1, 2), 16, 10).cast("long")
+        for b in range(16)
+    ]
+    mean = sum(bytes_[1:], bytes_[0]) / F.lit(16.0)
+    ph = sum(
+        (
+            F.when(bytes_[b] >= mean, F.lit(1 << b)).otherwise(F.lit(0))
+            for b in range(1, 16)
+        ),
+        F.when(bytes_[0] >= mean, F.lit(1)).otherwise(F.lit(0)),
+    ).cast("long")
+    hashed = m.select("doc_id", ph.alias("ph"))
+    banded = hashed.select(
+        "doc_id",
+        "ph",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("band_id"),
+                    (F.col("ph") % 256).alias("band_val"),
+                ),
+                F.struct(
+                    F.lit(1).alias("band_id"),
+                    F.expr("ph div 256").alias("band_val"),
+                ),
+            )
+        ).alias("b"),
+    ).select("doc_id", "ph", "b.band_id", "b.band_val")
+    x = banded.alias("x")
+    y = banded.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.band_val") == F.col("y.band_val"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.ph").alias("ph_a"),
+            F.col("y.ph").alias("ph_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(
+        F.col("ph_a").bitwiseXOR(F.col("ph_b"))
+    ).cast("long")
+    return (
+        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _m07_sql() -> str:
+    bytes_ = [
+        f"CAST('0x' || substring(md5(text), {2 * b + 1}, 2) AS BIGINT)"
+        for b in range(16)
+    ]
+    mean = "(" + " + ".join(f"bs[{b + 1}]" for b in range(16)) + ") / 16.0"
+    ph = " + ".join(
+        f"(CASE WHEN bs[{b + 1}] >= m THEN {1 << b} ELSE 0 END)"
+        for b in range(16)
+    )
+    return f"""
+WITH b AS (
+  SELECT doc_id, [{', '.join(bytes_)}] AS bs
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id, CAST({ph} AS BIGINT) AS ph
+  FROM (SELECT doc_id, bs, {mean} AS m FROM b)
+),
+banded AS (
+  SELECT doc_id, ph, 0 AS band_id, ph % 256 AS band_val FROM hashed
+  UNION ALL
+  SELECT doc_id, ph, 1 AS band_id, ph // 256 AS band_val FROM hashed
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         x.ph AS ph_a, y.ph AS ph_b
+  FROM banded x
+  JOIN banded y ON y.band_id = x.band_id
+              AND y.band_val = x.band_val
+              AND y.doc_id > x.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(ph_a, ph_b)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(ph_a, ph_b)) <= {PHASH_HAMMING_MAX}
+ORDER BY doc_a, doc_b
+"""
+
+
 QUERIES = [
     Query("m01_media_metadata", m01_media_metadata, M01_SQL,
           "binary media metadata scan"),
@@ -482,4 +599,8 @@ QUERIES = [
     Query("m06_multimodal_packing", m06_multimodal_packing, M06_SQL,
           "interleaved image-text sequence packing (text tokens + "
           "media patch tokens, two-pass offsets)"),
+    Query("m07_phash_neardup", m07_phash_neardup, _m07_sql(),
+          "perceptual-hash near-dup over media payload bytes: "
+          "mean-threshold 16-bit hash, 2x8-bit bands, exact Hamming "
+          "verify"),
 ]

@@ -145,6 +145,7 @@ _VERIFY_FIRST = [
     "t16_bm25_topk",
     "t17_chunk_passages",
     "d18_bloom_decontamination",
+    "m07_phash_neardup",
     # green-r02 but file churned since
     "d07_dedup_clusters",
     "d08_canonical_corpus",
@@ -262,6 +263,7 @@ _VERIFY_FIRST = [
     "w10_rate_anomaly",
     "t14_bigram_logprob",
     "w11_rollup_cascade",
+    "m06_multimodal_packing",
     "q53_funnel",
     "q56_mom_growth",
     "q54_histogram",
@@ -271,7 +273,6 @@ _VERIFY_FIRST = [
     "q59_concurrency",
     "q61_gaps_islands",
     "q60_linear_trend",
-    "m06_multimodal_packing",
     "q62_lateral_topn",
     "q36_range_frame",
     "q37_ntile_cume",

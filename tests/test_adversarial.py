@@ -84,7 +84,7 @@ SWEEP = [
     "t13_zipf_fit", "t14_bigram_logprob", "t15_perplexity_buckets",
     "t16_bm25_topk", "t17_chunk_passages", "d17_containment_pairs",
     "d18_bloom_decontamination",
-    "m06_multimodal_packing",
+    "m06_multimodal_packing", "m07_phash_neardup",
 ]
 
 

@@ -1058,3 +1058,19 @@ def test_d18_bloom_probe_broadcasts_bits_not_shingles(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert python_row_ops(df) == 0
+
+
+def test_m07_phash_bands_never_pair_scan(spark, sf_dir):
+    # perceptual near-dup: candidates come from band equi-collisions
+    # (never a cross of the media table); the byte->hash projection is
+    # JVM-only — no mapInPandas, no Python row ops, nothing cartesian
+    from kafka2clickhouse_py_streamer_spark.llm.multimodal import (
+        m07_phash_neardup,
+    )
+
+    df = m07_phash_neardup(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "MapInPandas" not in plan
+    assert python_row_ops(df) == 0
