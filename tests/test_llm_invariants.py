@@ -841,3 +841,132 @@ def test_d18_bloom_never_misses(spark, sf_dir):
         if r.true_flagged:
             assert r.bloom_flagged, r
     assert any(r.n_true_hits > 0 for r in rows)
+
+
+def _write_docs(tmp_path, name, rows):
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / name)
+    os.makedirs(root)
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+            "source": pa.array(["web"] * len(rows), pa.string()),
+            "n_chars": pa.array(
+                [len(r[1]) for r in rows], pa.int64()
+            ),
+        }),
+        os.path.join(root, "documents.parquet"),
+    )
+    return root
+
+
+def test_t16_bm25_matches_serial_reference(spark, tmp_path):
+    """BM25 on a crafted corpus equals a from-the-formula serial
+    computation (Lucene idf, k1/b as configured) — independent of the
+    DuckDB oracle, which shares the dataflow's structure."""
+    import math
+
+    from kafka2clickhouse_py_streamer_spark.llm.text import (
+        BM25_B,
+        BM25_K1,
+        BM25_QUERY,
+        t16_bm25_topk,
+    )
+
+    rows = [
+        (1, "spark join window spark spark"),
+        (2, "window join"),
+        (3, "nothing relevant here at all"),
+        (4, "join join join join join join join join"),
+        (5, "spark"),
+    ]
+    root = _write_docs(tmp_path, "bm25_docs", rows)
+
+    docs = {i: t.split() for i, t in rows}
+    n_docs = len(docs)
+    avgdl = sum(len(t) for t in docs.values()) / n_docs
+    scores = {}
+    for d, toks in docs.items():
+        s = 0.0
+        for term in BM25_QUERY:  # fixed sorted order, like the engine
+            tf = toks.count(term)
+            if tf == 0:
+                continue
+            df = sum(1 for t in docs.values() if term in t)
+            idf = math.log(1 + (n_docs - df + 0.5) / (df + 0.5))
+            s += (
+                idf
+                * tf
+                * (BM25_K1 + 1)
+                / (
+                    tf
+                    + BM25_K1
+                    * (1 - BM25_B + BM25_B * len(toks) / avgdl)
+                )
+            )
+        if s > 0:
+            scores[d] = round(s, 6)
+    expect = sorted(scores, key=lambda d: (-scores[d], d))
+
+    got = t16_bm25_topk(spark, root).collect()
+    assert [r.doc_id for r in got] == expect
+    for r in got:
+        assert abs(r.bm25 - scores[r.doc_id]) < 2e-6, r
+
+
+def test_d17_containment_matches_serial_reference(spark, tmp_path):
+    """Containment on crafted docs equals the set-arithmetic
+    definition: a small doc embedded in a large one fires in the
+    small→large direction even though Jaccard would be diluted."""
+    from kafka2clickhouse_py_streamer_spark.llm.dedup import (
+        CONTAINMENT_THRESHOLD,
+        SHINGLE_WORDS,
+        d17_containment_pairs,
+    )
+
+    core = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"f{i}" for i in range(40))
+    rows = [
+        (1, core),                    # small doc
+        (2, f"{filler} {core}"),      # large doc embedding the small
+        (3, "unrelated words only here nothing shared"),
+    ]
+    root = _write_docs(tmp_path, "contain_docs", rows)
+
+    def shingles(text):
+        toks = text.lower().split()
+        k = max(len(toks) - SHINGLE_WORDS + 1, 1)
+        return {
+            " ".join(toks[i : i + SHINGLE_WORDS]) for i in range(k)
+        }
+
+    sh = {i: shingles(t) for i, t in rows}
+    expect = []
+    for a in sh:
+        for b in sh:
+            if a == b:
+                continue
+            inter = len(sh[a] & sh[b])
+            if inter and inter / len(sh[a]) >= CONTAINMENT_THRESHOLD:
+                expect.append(
+                    (a, b, inter, round(inter / len(sh[a]), 6))
+                )
+    expect.sort()
+    # the embedded direction must actually be present in the fixture
+    assert any(e[0] == 1 and e[1] == 2 for e in expect)
+    # ...and Jaccard on that pair is below the threshold (the case
+    # d02-style symmetric measures miss)
+    j = len(sh[1] & sh[2]) / len(sh[1] | sh[2])
+    assert j < CONTAINMENT_THRESHOLD
+
+    got = sorted(
+        (r.contained, r.container, r.n_common, r.containment)
+        for r in d17_containment_pairs(spark, root).collect()
+    )
+    assert got == expect
