@@ -68,6 +68,12 @@ HEAVY = [
     # round 5: the composed span-dedup pipeline — the scrub's token +
     # span explodes feeding the packing offsets in one DAG
     "p14_span_scrub_pipeline",
+    # round 5 late: the containment pair join (d02's quadratic-risk
+    # shape with a second emission direction), the IVF-PQ probe path,
+    # and the BM25 inverted-list probe
+    "d17_containment_pairs",
+    "s14_ivfpq_search",
+    "t16_bm25_topk",
 ]
 VOWELS = "aeiou"
 
