@@ -1177,6 +1177,125 @@ ORDER BY doc_id
 """
 
 
+def p15_dedup_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup SHIFTS the mixture: exact dedup (d01's keep-min-id
+    policy) removes copies unevenly across sources, so temperature
+    weights computed on the raw corpus (p12) are wrong for the corpus
+    that actually trains. p15 reports, per source, token mass and
+    share^α weight BEFORE vs AFTER exact dedup and the weight delta —
+    the correction a real pipeline applies between its dedup and
+    mixing stages (heavy-duplication sources lose weight; clean
+    sources gain it).
+
+    Scale shape: one MD5-key window marks keepers (d01/p07's pattern,
+    one hash shuffle), two |sources|-row aggregates, and the α
+    normalization on those tiny frames against one-row broadcast
+    totals — the corpus is touched twice, shuffled once."""
+    d = table(spark, sf_dir, "documents")
+    nt = F.coalesce(_n_tokens(), F.lit(0))
+    base = d.select(
+        "doc_id",
+        "source",
+        nt.alias("nt"),
+        F.md5("text").alias("fp"),
+    ).withColumn(
+        "keeper", F.min("doc_id").over(Window.partitionBy("fp"))
+    )
+    before = base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs_before"),
+        F.sum("nt").alias("tok_before"),
+    )
+    after = base.filter(F.col("doc_id") == F.col("keeper")).groupBy(
+        "source"
+    ).agg(
+        F.count(F.lit(1)).alias("docs_after"),
+        F.sum("nt").alias("tok_after"),
+    )
+    joined = before.join(after, "source", "left").select(
+        "source",
+        "docs_before",
+        "tok_before",
+        F.coalesce("docs_after", F.lit(0)).alias("docs_after"),
+        F.coalesce("tok_after", F.lit(0)).alias("tok_after"),
+    )
+    totals = joined.agg(
+        F.sum(F.pow(F.col("tok_before").cast("double"), MIX_ALPHA)).alias(
+            "zb"
+        ),
+        F.sum(F.pow(F.col("tok_after").cast("double"), MIX_ALPHA)).alias(
+            "za"
+        ),
+    )
+    wb = F.pow(F.col("tok_before").cast("double"), MIX_ALPHA) / F.col("zb")
+    wa = F.pow(F.col("tok_after").cast("double"), MIX_ALPHA) / F.col("za")
+    return (
+        joined.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            F.col("docs_before").cast("long").alias("docs_before"),
+            F.col("docs_after").cast("long").alias("docs_after"),
+            F.col("tok_before").cast("long").alias("tokens_before"),
+            F.col("tok_after").cast("long").alias("tokens_after"),
+            F.when(F.col("zb") > 0, F.round(wb, 6)).alias("w_before"),
+            F.when(F.col("za") > 0, F.round(wa, 6)).alias("w_after"),
+            F.when(
+                (F.col("zb") > 0) & (F.col("za") > 0),
+                F.round(wa - wb, 6),
+            ).alias("w_delta"),
+        )
+        .orderBy("source")
+    )
+
+
+def _p15_sql() -> str:
+    return rf"""
+WITH base AS (
+  SELECT doc_id, source,
+         COALESCE(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                       ELSE LEN(regexp_split_to_array(TRIM(text), '\s+'))
+                  END, 0) AS nt,
+         MIN(doc_id) OVER (PARTITION BY MD5(text)) AS keeper
+  FROM documents
+),
+before_agg AS (
+  SELECT source, COUNT(*) AS docs_before, SUM(nt) AS tok_before
+  FROM base GROUP BY source
+),
+after_agg AS (
+  SELECT source, COUNT(*) AS docs_after, SUM(nt) AS tok_after
+  FROM base WHERE doc_id = keeper GROUP BY source
+),
+joined AS (
+  SELECT b.source, b.docs_before, b.tok_before,
+         COALESCE(a.docs_after, 0) AS docs_after,
+         COALESCE(a.tok_after, 0) AS tok_after
+  FROM before_agg b LEFT JOIN after_agg a ON a.source = b.source
+),
+totals AS (
+  SELECT SUM(POW(CAST(tok_before AS DOUBLE), {MIX_ALPHA})) AS zb,
+         SUM(POW(CAST(tok_after AS DOUBLE), {MIX_ALPHA})) AS za
+  FROM joined
+)
+SELECT source,
+       CAST(docs_before AS BIGINT) AS docs_before,
+       CAST(docs_after AS BIGINT) AS docs_after,
+       CAST(tok_before AS BIGINT) AS tokens_before,
+       CAST(tok_after AS BIGINT) AS tokens_after,
+       CASE WHEN zb > 0 THEN
+         ROUND(POW(CAST(tok_before AS DOUBLE), {MIX_ALPHA}) / zb, 6)
+       END AS w_before,
+       CASE WHEN za > 0 THEN
+         ROUND(POW(CAST(tok_after AS DOUBLE), {MIX_ALPHA}) / za, 6)
+       END AS w_after,
+       CASE WHEN zb > 0 AND za > 0 THEN
+         ROUND(POW(CAST(tok_after AS DOUBLE), {MIX_ALPHA}) / za
+               - POW(CAST(tok_before AS DOUBLE), {MIX_ALPHA}) / zb, 6)
+       END AS w_delta
+FROM joined, totals
+ORDER BY source
+"""
+
+
 QUERIES = [
     Query("p01_train_test_split", p01_train_test_split, P01_SQL,
           "hash-deterministic train/val/test split"),
@@ -1214,4 +1333,7 @@ QUERIES = [
           _p14_sql(),
           "exact-substring dedup end to end: span detect -> excise -> "
           "drop-empty -> split -> repack in one DAG"),
+    Query("p15_dedup_rebalance", p15_dedup_rebalance, _p15_sql(),
+          "mixture correction after dedup: per-source temperature "
+          "weights before vs after exact dedup, with deltas"),
 ]

@@ -146,6 +146,7 @@ _VERIFY_FIRST = [
     "t17_chunk_passages",
     "d18_bloom_decontamination",
     "m07_phash_neardup",
+    "p15_dedup_rebalance",
     # green-r02 but file churned since
     "d07_dedup_clusters",
     "d08_canonical_corpus",

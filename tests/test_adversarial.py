@@ -80,7 +80,7 @@ SWEEP = [
     "p06_domain_mix", "p07_corpus_pipeline", "p08_flatten_mix",
     "p09_incremental_refresh", "p10_budget_select",
     "p11_curriculum_stages", "p12_temperature_mix", "p13_pps_sample",
-    "p14_span_scrub_pipeline",
+    "p14_span_scrub_pipeline", "p15_dedup_rebalance",
     "t13_zipf_fit", "t14_bigram_logprob", "t15_perplexity_buckets",
     "t16_bm25_topk", "t17_chunk_passages", "d17_containment_pairs",
     "d18_bloom_decontamination",

@@ -1074,3 +1074,18 @@ def test_m07_phash_bands_never_pair_scan(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "MapInPandas" not in plan
     assert python_row_ops(df) == 0
+
+
+def test_p15_rebalance_touches_corpus_twice(spark, sf_dir):
+    # the rebalance reads the corpus for one MD5-key dedup window and
+    # two |sources|-row aggregates; the alpha normalization works on
+    # broadcast one-row totals — no cartesian against the corpus, no
+    # SinglePartition beyond the one-row totals, no Python
+    from kafka2clickhouse_py_streamer_spark.llm.sampling import (
+        p15_dedup_rebalance,
+    )
+
+    df = p15_dedup_rebalance(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert python_row_ops(df) == 0
