@@ -1983,6 +1983,266 @@ ORDER BY query_id, rk
 """
 
 
+PROBE_SWEEP = (1, 2, 3)  # nprobe values s17 audits
+
+
+def s17_probe_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nprobe tuning curve for the IVF-PQ index (s14): per-query
+    recall@k of the ADC search against s01 exact ground truth at
+    nprobe ∈ PROBE_SWEEP — the knob analysis that decides how many
+    cells a deployment probes (recall rises with nprobe, cost rises
+    linearly; this measures WHERE the curve flattens, the same role
+    the s09 plane-occupancy study plays for LSH).
+
+    Scale shape: the scored candidate set is built ONCE with each
+    query's probe RANK attached (cells ranked by argmax dot via a
+    sorted (−dot, g) struct array — negation keeps doubles exact, ties
+    fall to the lowest key like the oracle's ROW_NUMBER), then each
+    nprobe tier is a filter + per-query top-k over that one frame; the
+    corpus side is s14's (cell, codes) broadcast-probe join, paid
+    once."""
+    base = _base(spark, sf_dir)
+    cents = _train_centroids(base, sf_dir)
+    if not cents:
+        return spark.createDataFrame(
+            [],
+            "nprobe int, query_id long, n_exact long, n_hit long,"
+            " recall_at_k double",
+        )
+    keys = sorted(cents)
+    max_probe = min(max(PROBE_SWEEP), len(keys))
+
+    def dist_arr(vcol: str, s: int):
+        return F.array(
+            *[_pq_sub_dist(vcol, s, g, cents) for g in keys]
+        )
+
+    corpus = _assign_cell_df(
+        base.filter(F.col("vec_id") >= N_QUERIES), cents
+    )
+    with_d = corpus.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("cell"),
+        *[dist_arr("v", s).alias(f"_d{s}") for s in range(PQ_SUBSPACES)],
+    )
+    codes = with_d.select(
+        "cand_id",
+        "cell",
+        *[
+            F.array_position(F.col(f"_d{s}"), F.array_min(f"_d{s}"))
+            .cast("int")
+            .alias(f"code_{s}")
+            for s in range(PQ_SUBSPACES)
+        ],
+    )
+    # per-query cell ranking: sort (−dot, g) structs — rank r is the
+    # r-th nearest centroid under (dot DESC, g ASC)
+    ranked_cells = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    (
+                        -dot(
+                            "v",
+                            F.array(
+                                *[F.lit(cents[k][i]) for i in range(DIM)]
+                            ),
+                        )
+                    ).alias("nd"),
+                    F.lit(k).cast("long").alias("g"),
+                )
+                for k in keys
+            ]
+        )
+    )
+    probes = (
+        base.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.array(
+                *[dist_arr("v", s) for s in range(PQ_SUBSPACES)]
+            ).alias("dtable"),
+            F.posexplode(F.slice(ranked_cells, 1, max_probe)).alias(
+                "pos", "rc"
+            ),
+        )
+        .select(
+            "query_id",
+            "dtable",
+            (F.col("pos") + 1).cast("int").alias("probe_rank"),
+            F.col("rc.g").alias("cell"),
+        )
+    )
+    lookups = [
+        F.element_at(F.element_at("dtable", s + 1), F.col(f"code_{s}"))
+        for s in range(PQ_SUBSPACES)
+    ]
+    adc = sum(lookups[1:], lookups[0])
+    scored = codes.join(F.broadcast(probes), "cell").select(
+        "query_id",
+        "cand_id",
+        "probe_rank",
+        F.round(adc, 6).alias("adc_dist"),
+    )
+    exact = s01_cosine_topk(spark, sf_dir).select(
+        F.col("query_id").alias("eq"),
+        F.col("cand_id").alias("ec"),
+    )
+    tiers = None
+    for np_ in PROBE_SWEEP:
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("adc_dist").asc(), F.col("cand_id").asc()
+        )
+        tier = (
+            scored.filter(F.col("probe_rank") <= min(np_, max_probe))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= TOP_K)
+            .select(
+                F.lit(np_).cast("int").alias("nprobe"),
+                "query_id",
+                "cand_id",
+            )
+        )
+        tiers = tier if tiers is None else tiers.unionByName(tier)
+    exactd = exact.select(
+        "eq",
+        "ec",
+        F.explode(
+            F.array(*[F.lit(np_).cast("int") for np_ in PROBE_SWEEP])
+        ).alias("nprobe"),
+    )
+    tiers = tiers.withColumnRenamed("nprobe", "tn")
+    hit = exactd.join(
+        tiers,
+        (F.col("nprobe") == F.col("tn"))
+        & (F.col("eq") == F.col("query_id"))
+        & (F.col("ec") == F.col("cand_id")),
+        "left",
+    )
+    return (
+        hit.groupBy("nprobe", "eq")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.count("cand_id").cast("long").alias("n_hit"),
+        )
+        .select(
+            "nprobe",
+            F.col("eq").alias("query_id"),
+            "n_exact",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_exact"), 6).alias(
+                "recall_at_k"
+            ),
+        )
+        .orderBy("nprobe", "query_id")
+    )
+
+
+def _s17_sql() -> str:
+    centv = "[" + ", ".join(f"m{i}" for i in range(DIM)) + "]"
+    cand = _pq_cand_sql()
+    adc_cases = []
+    for s in range(PQ_SUBSPACES):
+        lo = s * PQ_SUBDIM
+        qsub = f"qv[{lo + 1}:{lo + PQ_SUBDIM}]"
+        qcw = (
+            "[" + ", ".join(f"sd.m{lo + i}" for i in range(PQ_SUBDIM)) + "]"
+        )
+        adc_cases.append(
+            f"WHEN b.s = {s} THEN"
+            f" list_dot_product({qsub}, {qsub})"
+            f" - 2 * list_dot_product({qsub}, {qcw})"
+            f" + list_dot_product({qcw}, {qcw})"
+        )
+    case = "CASE " + "\n           ".join(adc_cases) + " END"
+    max_probe = max(PROBE_SWEEP)
+    tier_blocks = "\nUNION ALL\n".join(
+        f"""  SELECT {np_} AS nprobe, query_id, cand_id FROM (
+    SELECT query_id, cand_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY adc_dist ASC, cand_id ASC) AS rk
+    FROM scored WHERE probe_rank <= {np_}
+  ) WHERE rk <= {TOP_K}"""
+        for np_ in PROBE_SWEEP
+    )
+    nprobes = ", ".join(str(n) for n in PROBE_SWEEP)
+    return f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+  WHERE {valid_emb_sql(DIM)}
+),
+{_train_cte_sql()},
+centv AS (
+  SELECT g, {centv} AS cv FROM seeds
+),
+corpus AS (
+  SELECT vec_id, v FROM base WHERE vec_id >= {N_QUERIES}
+),
+assigned AS (
+  SELECT vec_id, CAST(g AS BIGINT) AS cell
+  FROM (
+    SELECT b.vec_id, c.g,
+           ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                ORDER BY list_dot_product(b.v, c.cv) DESC, c.g ASC) AS rn
+    FROM corpus b CROSS JOIN centv c
+  ) WHERE rn = 1
+),
+cand AS (
+{cand}
+),
+best AS (
+  SELECT vec_id AS cand_id, s, g
+  FROM (
+    SELECT *,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                              ORDER BY dist ASC, g ASC) AS rn
+    FROM cand
+  )
+  WHERE rn = 1
+),
+qprobe AS (
+  SELECT vec_id AS query_id, qv, CAST(g AS BIGINT) AS cell,
+         CAST(rn AS INTEGER) AS probe_rank
+  FROM (
+    SELECT b.vec_id, b.v AS qv, c.g,
+           ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                ORDER BY list_dot_product(b.v, c.cv) DESC, c.g ASC) AS rn
+    FROM base b CROSS JOIN centv c
+    WHERE b.vec_id < {N_QUERIES}
+  ) WHERE rn <= {max_probe}
+),
+scored AS (
+  SELECT q.query_id, b.cand_id, q.probe_rank,
+         ROUND(list_sum(list({case} ORDER BY b.s)), 6) AS adc_dist
+  FROM qprobe q
+  JOIN assigned a ON a.cell = q.cell
+  JOIN best b ON b.cand_id = a.vec_id
+  JOIN seeds sd ON sd.g = b.g
+  GROUP BY q.query_id, q.probe_rank, b.cand_id
+),
+tiers AS (
+{tier_blocks}
+),
+exact AS ({S01_SQL}),
+exactd AS (
+  SELECT CAST(n.nprobe AS INTEGER) AS nprobe, e.query_id, e.cand_id
+  FROM exact e
+  CROSS JOIN (SELECT UNNEST([{nprobes}]) AS nprobe) n
+)
+SELECT e.nprobe, e.query_id,
+       CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(COUNT(t.cand_id) AS BIGINT) AS n_hit,
+       ROUND(CAST(COUNT(t.cand_id) AS DOUBLE) / COUNT(*), 6)
+         AS recall_at_k
+FROM exactd e
+LEFT JOIN tiers t ON t.nprobe = e.nprobe
+                 AND t.query_id = e.query_id AND t.cand_id = e.cand_id
+GROUP BY e.nprobe, e.query_id
+ORDER BY e.nprobe, e.query_id
+"""
+
+
 RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
 
 
@@ -2124,4 +2384,8 @@ QUERIES = [
     Query("s16_rrf_fusion", s16_rrf_fusion, _s16_sql(),
           "reciprocal-rank fusion of the LSH and IVF-PQ rankings, "
           "audited against exact ground truth"),
+    Query("s17_probe_recall_sweep", s17_probe_recall_sweep,
+          _s17_sql(),
+          "IVF-PQ nprobe tuning curve: recall@k vs probed-cell count "
+          "over one scored candidate frame"),
 ]

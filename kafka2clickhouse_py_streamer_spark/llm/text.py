@@ -1267,6 +1267,83 @@ ORDER BY doc_id, chunk_id
 """
 
 
+def t18_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's distinct
+    word-3-shingles FIRST introduced by that doc (min doc_id over the
+    whole corpus) — the soft-dedup curation signal: low novelty means
+    the doc mostly recombines already-seen text even when no single
+    near-dup pair fires, which is exactly what repeated boilerplate
+    looks like before d02/d03 thresholds trip.
+
+    Scale shape: first-occurrence is one count-only hash aggregate on
+    the 60-bit shingle digest (min doc_id per digest — no pair join,
+    d12's class), re-joined to the per-doc digest stream on the digest
+    key; 8-byte digests cross the wire, never shingle strings. Two
+    aggs + one equi-join, linear in corpus shingles."""
+    from kafka2clickhouse_py_streamer_spark.llm.dedup import (
+        _shingle_rows,
+    )
+
+    sh = _shingle_rows(spark, sf_dir).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("s"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("hs"),
+    )
+    first = sh.groupBy("hs").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first, "hs")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_shingles"), 6).alias(
+                "novelty"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _t18_sql() -> str:
+    from kafka2clickhouse_py_streamer_spark.llm.dedup import (
+        _DUCK_SHINGLES_CTE,
+    )
+
+    return f"""
+WITH {_DUCK_SHINGLES_CTE},
+hashed AS (
+  SELECT doc_id,
+         CAST('0x' || SUBSTRING(MD5(s), 1, 15) AS BIGINT) AS hs
+  FROM shingles
+),
+first_seen AS (
+  SELECT hs, MIN(doc_id) AS first_doc FROM hashed GROUP BY hs
+)
+SELECT h.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN f.first_doc = h.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       ROUND(CAST(SUM(CASE WHEN f.first_doc = h.doc_id THEN 1 ELSE 0
+                      END) AS DOUBLE) / COUNT(*), 6) AS novelty
+FROM hashed h
+JOIN first_seen f ON f.hs = h.hs
+GROUP BY h.doc_id
+ORDER BY h.doc_id
+"""
+
+
 QUERIES = [
     Query("t01_token_count", t01_token_count, T01_SQL,
           "whitespace + subword-proxy token counts"),
@@ -1307,4 +1384,7 @@ QUERIES = [
     Query("t17_chunk_passages", t17_chunk_passages, T17_SQL,
           "sliding-window passage chunking (size/stride, short tail "
           "absorbed) with per-chunk fingerprints"),
+    Query("t18_ngram_novelty", t18_ngram_novelty, _t18_sql(),
+          "per-doc n-gram novelty: fraction of shingles first "
+          "introduced by the doc (corpus-order first-occurrence)"),
 ]

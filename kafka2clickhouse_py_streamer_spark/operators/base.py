@@ -147,6 +147,8 @@ _VERIFY_FIRST = [
     "d18_bloom_decontamination",
     "m07_phash_neardup",
     "p15_dedup_rebalance",
+    "s17_probe_recall_sweep",
+    "t18_ngram_novelty",
     # green-r02 but file churned since
     "d07_dedup_clusters",
     "d08_canonical_corpus",

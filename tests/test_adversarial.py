@@ -82,7 +82,8 @@ SWEEP = [
     "p11_curriculum_stages", "p12_temperature_mix", "p13_pps_sample",
     "p14_span_scrub_pipeline", "p15_dedup_rebalance",
     "t13_zipf_fit", "t14_bigram_logprob", "t15_perplexity_buckets",
-    "t16_bm25_topk", "t17_chunk_passages", "d17_containment_pairs",
+    "t16_bm25_topk", "t17_chunk_passages", "t18_ngram_novelty",
+    "d17_containment_pairs",
     "d18_bloom_decontamination",
     "m06_multimodal_packing", "m07_phash_neardup",
 ]
@@ -147,7 +148,7 @@ EMB_SWEEP = [
     "d05_embedding_neardup", "d15_semdedup", "s11_cluster_quality",
     "s12_product_quantize", "s13_pq_adc_topk", "q19_array_fns",
     "s14_ivfpq_search", "s15_mrl_truncation_recall",
-    "s16_rrf_fusion",
+    "s16_rrf_fusion", "s17_probe_recall_sweep",
 ]
 
 

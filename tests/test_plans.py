@@ -1089,3 +1089,33 @@ def test_p15_rebalance_touches_corpus_twice(spark, sf_dir):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert python_row_ops(df) == 0
+
+
+def test_s17_sweep_scores_candidates_once(spark, sf_dir):
+    # the nprobe sweep builds ONE scored candidate frame (cell-join
+    # against the broadcast probe ranks) and derives every tier from
+    # it — no cartesian against the corpus, no SortMergeJoin of the
+    # coded side, no Python
+    from kafka2clickhouse_py_streamer_spark.llm.similarity import (
+        s17_probe_recall_sweep,
+    )
+
+    df = s17_probe_recall_sweep(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert python_row_ops(df) == 0
+
+
+def test_t18_novelty_is_two_aggs_one_join(spark, sf_dir):
+    # first-occurrence is a count-only hash agg on the digest (d12's
+    # class — no pair join anywhere); the per-doc fraction is one
+    # equi-join + one more agg. Nothing cartesian, zero Python.
+    from kafka2clickhouse_py_streamer_spark.llm.text import (
+        t18_ngram_novelty,
+    )
+
+    df = t18_ngram_novelty(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert python_row_ops(df) == 0
