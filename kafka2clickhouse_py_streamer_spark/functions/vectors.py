@@ -49,16 +49,27 @@ def cosine(a: Column | str, b: Column | str,
 
 def valid_embeddings(df, dim: int, col: str = "embedding"):
     """Admission gate for vector operators: drop NULL, wrong-dimension,
-    and zero-norm embeddings. Cosine is undefined for a zero vector
-    (the division crashes under ANSI arithmetic), and a short/empty
-    array silently degrades every dot product — a 100 TB corpus WILL
-    contain all three corruptions. Mirrored on the oracle side by
-    ``VALID_EMB_SQL`` (LEN + list_dot_product guard)."""
+    zero-norm, and NON-FINITE embeddings. Cosine is undefined for a
+    zero vector (the division crashes under ANSI arithmetic), a
+    short/empty array silently degrades every dot product, and a
+    single NaN/Inf element poisons every downstream score — worse, it
+    CRASHES the Lloyd centroid trainer driver-side (math.floor(NaN) in
+    the 1e-9 quantizer). A 100 TB corpus WILL contain all of these.
+
+    The finite check is one conjunct: ‖v‖² ∈ (0, ∞). A NaN element
+    makes the sum-of-squares NaN, which fails ``< Infinity`` on BOTH
+    engines (each orders NaN above +Inf); an Inf element makes it +Inf,
+    which also fails. Mirrored on the oracle side by
+    :func:`valid_emb_sql`."""
     c = F.col(col)
+    norm2 = F.aggregate(
+        to_double_vec(c), F.lit(0.0), lambda acc, x: acc + x * x
+    )
     return df.filter(
         c.isNotNull()
         & (F.size(c) == dim)
-        & (l2_norm(to_double_vec(c)) > 0)
+        & (norm2 > 0)
+        & (norm2 < F.lit(float("inf")))
     )
 
 
@@ -68,4 +79,5 @@ def valid_emb_sql(dim: int, col: str = "embedding") -> str:
     return (
         f"{col} IS NOT NULL AND LEN({col}) = {dim}"
         f" AND list_dot_product({v}, {v}) > 0"
+        f" AND list_dot_product({v}, {v}) < CAST('Infinity' AS DOUBLE)"
     )

@@ -8,7 +8,9 @@
   JSON props, ±1e15 values, duplicate rows, an exact-30-min session
   gap (the session_window merge boundary).
 - embeddings: NULL vector, empty vector, all-zero vector (zero norm),
-  wrong-dimension vector, null label.
+  wrong-dimension vector, all-NaN / single-NaN / single-Inf vectors
+  (non-finite norms crashed the Lloyd trainer before the finite gate),
+  null label.
 
 These sweeps exist because they caught real bugs the friendly driver
 fixtures cannot: d04's token hash overflowed INT32 on emoji code
@@ -202,6 +204,18 @@ def adv_ev_dir(tmp_path_factory) -> str:
             v = [0.0] * 64  # zero norm
         elif i == 23:
             v = [1.0] * 8  # wrong dimension
+        elif i == 24:
+            v = [float("nan")] * 64  # all-NaN: poisons every score
+        elif i == 25:
+            rng = np.random.RandomState(i)
+            v = [float(x) for x in rng.randn(64)]
+            v[0] = float("inf")  # one Inf element
+        elif i == 26:
+            rng = np.random.RandomState(i)
+            v = [float(x) for x in rng.randn(64)]
+            v[3] = float("nan")  # one NaN element — crashed the Lloyd
+            # trainer driver-side (math.floor(NaN)) before the finite
+            # admission gate
         else:
             rng = np.random.RandomState(i)
             v = [float(x) for x in rng.randn(64)]
