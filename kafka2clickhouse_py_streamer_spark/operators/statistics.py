@@ -488,8 +488,19 @@ def q55_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     (event_type) with the per-group medians re-joined broadcast (the
     medians frame is |keys| rows). Exact ``percentile`` holds the group
     multiset in agg state — fine for bounded-cardinality keys; for
-    unbounded keys swap approx_percentile, same plan shape."""
-    e = table(spark, sf_dir, "events").select("event_type", "value")
+    unbounded keys swap approx_percentile, same plan shape.
+
+    Contract: robust statistics are computed over MEASUREMENTS — rows
+    whose value is NULL/NaN/±Inf are excluded up front (one conjunct,
+    ``ABS(value) < Infinity``, identical NaN-ordering semantics on
+    both engines). Without it a single NaN poisons the exact
+    percentile differently per engine (caught by the adversarial
+    NaN/Inf event rows)."""
+    e = (
+        table(spark, sf_dir, "events")
+        .select("event_type", "value")
+        .filter(F.abs("value") < F.lit(float("inf")))
+    )
     med = e.groupBy("event_type").agg(
         F.percentile("value", F.lit(0.5)).alias("med")
     )
@@ -518,13 +529,19 @@ def q55_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q55_SQL = """
-WITH med AS (
+WITH meas AS (
+  -- measurements only: NULL/NaN/Inf excluded (NaN orders above
+  -- Infinity on both engines, so one conjunct covers all three)
+  SELECT event_type, value FROM events
+  WHERE ABS(value) < CAST('Infinity' AS DOUBLE)
+),
+med AS (
   SELECT event_type, quantile_cont(value, 0.5) AS med
-  FROM events GROUP BY event_type
+  FROM meas GROUP BY event_type
 ),
 dev AS (
   SELECT e.event_type, e.value, m.med, ABS(e.value - m.med) AS adev
-  FROM events e JOIN med m ON m.event_type = e.event_type
+  FROM meas e JOIN med m ON m.event_type = e.event_type
 ),
 mad AS (
   SELECT event_type, quantile_cont(adev, 0.5) AS mad

@@ -5,8 +5,8 @@
   astral-plane unicode (emoji), 50× repeated words, a 1000-token doc,
   punctuation-only and numeral-only text.
 - events: null user_id / event_type / value / ts, malformed and nested
-  JSON props, ±1e15 values, duplicate rows, an exact-30-min session
-  gap (the session_window merge boundary).
+  JSON props, ±1e15 values, NaN/Inf values, duplicate rows, an
+  exact-30-min session gap (the session_window merge boundary).
 - embeddings: NULL vector, empty vector, all-zero vector (zero norm),
   wrong-dimension vector, all-NaN / single-NaN / single-Inf vectors
   (non-finite norms crashed the Lloyd trainer before the finite gate),
@@ -183,6 +183,11 @@ def adv_ev_dir(tmp_path_factory) -> str:
         (8, ts(100), 4, "click", 7.0, None),
         (9, ts(0), 5, "view", 5.0, None),
         (10, ts(0), 5, "view", 5.0, None),  # duplicate values
+        # non-finite measurements: both engines propagate NaN/Inf
+        # through sums identically (verified; the harness
+        # canonicalizes them) — these rows pin that equivalence
+        (11, ts(3), 6, "view", float("nan"), None),
+        (12, ts(3, 5), 6, "click", float("inf"), None),
     ]
     tbl = pa.table({
         "event_id": pa.array([r[0] for r in ev], pa.int64()),
