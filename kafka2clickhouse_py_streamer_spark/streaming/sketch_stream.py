@@ -1,0 +1,193 @@
+"""Streaming count-min sketch — w12's frequency grid maintained
+incrementally under ``readStream``.
+
+This is the payoff of choosing count-min for streaming frequency:
+sketches MERGE BY CELL-WISE ADDITION, so the streaming form needs no
+reconciliation logic at all — each micro-batch contributes its own
+k×w cell-count partition, and the live sketch is one ``SUM(cell)
+GROUP BY (j, bucket)`` over the state table. The merged estimates are
+IDENTICAL to running the batch sketch over the concatenated input
+(twin-tested in tests/test_streaming.py), wherever the micro-batch
+boundaries fall — no ordering precondition, unlike the dedup/semdedup
+admitters (addition commutes; admission does not).
+
+State/recovery contract (the corpus_stream module conventions):
+
+- State partitions are ``batch_id=N`` under dynamic partition
+  overwrite, so an at-least-once re-delivery overwrites its own
+  partition instead of double-counting.
+- ``compact_state`` (corpus_stream) does NOT apply here — its
+  DISTINCT fold would collapse equal cell counts from different
+  batches. Sketch maintenance is :func:`compact_sketch_state` below:
+  the fold is the SUM-merge itself (cells re-aggregate to ≤ k·w rows),
+  run only over checkpoint-committed batches like its digest cousin.
+- At scale the state table is ≤ k·w rows per batch regardless of
+  event volume (the map-side-combined sketch is the ONLY thing
+  persisted), so a year of 30 s batches is ~1M tiny partitions —
+  exactly the small-files problem compact_sketch_state folds away.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from kafka2clickhouse_py_streamer_spark.streaming.batch_windows import (
+    CM_ROWS,
+    _cm_bucket,
+)
+from kafka2clickhouse_py_streamer_spark.streaming.corpus_stream import (
+    COMPACTED_BATCH_ID,
+)
+
+
+def _batch_cells(batch_df: DataFrame, key_col: str) -> DataFrame:
+    """The per-batch sketch: (j, bucket, cell) counts of ``key_col``
+    — w12's update aggregate, ≤ CM_ROWS×CM_WIDTH rows whatever the
+    batch size."""
+    return (
+        batch_df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("j"),
+                            _cm_bucket(j, F.col(key_col)).alias(
+                                "bucket"
+                            ),
+                        )
+                        for j in range(CM_ROWS)
+                    ]
+                )
+            ).alias("c")
+        )
+        .select("c.j", "c.bucket")
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("cell"))
+    )
+
+
+def countmin_update_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    key_col: str = "user_id",
+) -> None:
+    """Fold one micro-batch into the persisted sketch: write THIS
+    batch's k×w cell counts to its own ``batch_id`` partition
+    (dynamic overwrite ⇒ replay-idempotent). No read of prior state is
+    needed — merging happens at query time by summation."""
+    spark = batch_df.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (
+        _batch_cells(batch_df.filter(F.col(key_col).isNotNull()), key_col)
+        .withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(state_dir)
+    )
+
+
+def start_streaming_countmin(
+    stream_df: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    key_col: str = "user_id",
+) -> StreamingQuery:
+    """Wire ``countmin_update_batch`` under writeStream.foreachBatch."""
+    return (
+        stream_df.writeStream.foreachBatch(
+            lambda df, bid: countmin_update_batch(
+                df, bid, state_dir, key_col=key_col
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def merged_sketch(spark, state_dir: str) -> DataFrame:
+    """The LIVE sketch: cell-wise sum over every persisted batch
+    partition — ≤ k·w rows."""
+    return (
+        spark.read.parquet(state_dir)
+        .groupBy("j", "bucket")
+        .agg(F.sum("cell").alias("cell"))
+    )
+
+
+def countmin_estimates(
+    spark, state_dir: str, keys_df: DataFrame, key_col: str = "user_id"
+) -> DataFrame:
+    """Min-over-rows frequency estimates for ``keys_df`` against the
+    merged sketch (broadcast — it is ≤ k·w rows)."""
+    probes = keys_df.select(
+        key_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        _cm_bucket(j, F.col(key_col)).alias("bucket"),
+                    )
+                    for j in range(CM_ROWS)
+                ]
+            )
+        ).alias("c"),
+    ).select(key_col, "c.j", "c.bucket")
+    return (
+        probes.join(F.broadcast(merged_sketch(spark, state_dir)), ["j", "bucket"])
+        .groupBy(key_col)
+        .agg(F.min("cell").cast("long").alias("est"))
+    )
+
+
+def compact_sketch_state(spark, state_dir: str, through_batch: int) -> int:
+    """Sketch maintenance: fold the per-batch cell partitions up to
+    ``through_batch`` into ONE compacted partition by CELL-WISE SUM
+    (the sketch merge itself — corpus_stream.compact_state's DISTINCT
+    fold would wrongly collapse equal counts). Same safety contract:
+    only compact checkpoint-committed batches; the compacted partition
+    id (-1) never collides with a real batch. Returns the number of
+    partitions removed."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(state_dir)
+    fs = root.getFileSystem(hconf)
+
+    old_parts = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not name.startswith("batch_id="):
+            continue
+        bid = int(name.split("=", 1)[1])
+        if bid == COMPACTED_BATCH_ID or bid <= through_batch:
+            old_parts.append(st.getPath())
+    if not old_parts:
+        return 0
+
+    state = spark.read.parquet(state_dir)
+    consolidated = (
+        state.filter(
+            (F.col("batch_id") == COMPACTED_BATCH_ID)
+            | (F.col("batch_id") <= through_batch)
+        )
+        .groupBy("j", "bucket")
+        .agg(F.sum("cell").alias("cell"))
+    )
+    # write-to-temp → swap, exactly corpus_stream.compact_state's
+    # mechanics (dot-prefixed temp dir is invisible to parquet
+    # listings; the read completes before any delete)
+    tmp = jvm.org.apache.hadoop.fs.Path(state_dir, ".compact_tmp")
+    fs.delete(tmp, True)
+    consolidated.write.mode("overwrite").parquet(str(tmp))
+    fs.delete(jvm.org.apache.hadoop.fs.Path(str(tmp), "_SUCCESS"), False)
+    for p in old_parts:
+        fs.delete(p, True)
+    target = jvm.org.apache.hadoop.fs.Path(
+        state_dir, f"batch_id={COMPACTED_BATCH_ID}"
+    )
+    if not fs.rename(tmp, target):
+        raise RuntimeError(f"compaction swap failed: {tmp} -> {target}")
+    return len(old_parts)

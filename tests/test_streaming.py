@@ -1368,3 +1368,142 @@ def test_t17_streaming_chunking_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert streamed == batch and len(batch) == 7
+
+
+def test_w12_streaming_sketch_matches_batch(spark, tmp_path):
+    """Count-min's streaming payoff: sketches merge by cell-wise
+    addition, so the estimates from a sketch built in THREE genuine
+    micro-batches equal the batch w12 estimates for EVERY user —
+    wherever the cuts fall, with no ordering precondition (addition
+    commutes, unlike the admission operators)."""
+    from pyspark.sql import functions as F
+
+    from kafka2clickhouse_py_streamer_spark.operators.base import table
+    from kafka2clickhouse_py_streamer_spark.streaming.batch_windows import (
+        w12_countmin_heavyhitters,
+    )
+    from kafka2clickhouse_py_streamer_spark.streaming.sketch_stream import (
+        countmin_estimates,
+        start_streaming_countmin,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = (
+        table(spark, sf, "events")
+        .select("event_id", "user_id")
+        .orderBy("event_id")
+        .collect()
+    )
+    src = tmp_path / "cm_stream"
+    src.mkdir()
+    third = len(ev) // 3
+    for chunk in (ev[:third], ev[third : 2 * third], ev[2 * third :]):
+        spark.createDataFrame(chunk).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    state = str(tmp_path / "cm_state")
+    stream = (
+        spark.readStream.schema("event_id long, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = start_streaming_countmin(
+        stream, state, str(tmp_path / "ckpt_cm")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    users = (
+        table(spark, sf, "events")
+        .select("user_id")
+        .filter("user_id is not null")
+        .distinct()
+    )
+    streamed = {
+        r.user_id: r.est
+        for r in countmin_estimates(spark, state, users).collect()
+    }
+    # batch w12 reports the top-10 with exact counts; its estimates
+    # must agree with the streamed sketch on those users
+    for r in w12_countmin_heavyhitters(spark, sf).collect():
+        assert streamed[r.user_id] == r.est, r
+    # ...and the streamed estimate never underestimates any user
+    exact = {
+        r.user_id: r.n
+        for r in table(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+        if r.user_id is not None
+    }
+    assert all(streamed[u] >= exact[u] for u in exact)
+
+
+def test_w12_streaming_sketch_replay_and_compaction(spark, tmp_path):
+    """Re-delivering a micro-batch overwrites its own cell partition
+    (no double counting), and compact_sketch_state's SUM-fold leaves
+    every estimate unchanged while collapsing the per-batch
+    partitions."""
+    import os
+
+    from kafka2clickhouse_py_streamer_spark.streaming.sketch_stream import (
+        compact_sketch_state,
+        countmin_estimates,
+        countmin_update_batch,
+        merged_sketch,
+    )
+
+    state = str(tmp_path / "cmr_state")
+    b0 = spark.createDataFrame(
+        [(i, i % 5) for i in range(50)], "event_id long, user_id long"
+    )
+    b1 = spark.createDataFrame(
+        [(i, i % 7) for i in range(35)], "event_id long, user_id long"
+    )
+    b2 = spark.createDataFrame(
+        [(i, 3) for i in range(10)], "event_id long, user_id long"
+    )
+    countmin_update_batch(b0, 0, state)
+    countmin_update_batch(b1, 1, state)
+    countmin_update_batch(b1, 1, state)  # replay: same batch_id
+    countmin_update_batch(b2, 2, state)
+
+    users = spark.createDataFrame(
+        [(u,) for u in range(7)], "user_id long"
+    )
+    before = {
+        r.user_id: r.est
+        for r in countmin_estimates(spark, state, users).collect()
+    }
+    # serial exact counts: replay must NOT have double-counted b1
+    exact = {u: 0 for u in range(7)}
+    for i in range(50):
+        exact[i % 5] += 1
+    for i in range(35):
+        exact[i % 7] += 1
+    exact[3] += 10
+    assert all(before[u] >= exact[u] for u in exact)
+
+    removed = compact_sketch_state(spark, state, through_batch=1)
+    assert removed == 2
+    parts = {
+        p for p in os.listdir(state) if p.startswith("batch_id=")
+    }
+    assert parts == {"batch_id=-1", "batch_id=2"}
+    after = {
+        r.user_id: r.est
+        for r in countmin_estimates(spark, state, users).collect()
+    }
+    assert after == before
+    # repeated compaction (folding the compacted partition again) is
+    # stable too
+    compact_sketch_state(spark, state, through_batch=2)
+    again = {
+        r.user_id: r.est
+        for r in countmin_estimates(spark, state, users).collect()
+    }
+    assert again == before
+    assert merged_sketch(spark, state).count() <= 3 * 16
