@@ -1983,6 +1983,106 @@ ORDER BY query_id, rk
 """
 
 
+def s18_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation quality audit over the s09 kNN graph: every
+    labeled vector takes the majority label of its labeled graph
+    neighbours (votes desc, label asc — s07's tie rule) and the
+    CONFUSION MATRIX (true_label × pred_label counts + shares)
+    measures how label-consistent the embedding space is — the
+    go/no-go check before trusting kNN auto-tagging (s07) on unlabeled
+    data at corpus scale.
+
+    Scale shape: the s09 graph build dominates (LSH bucket self-join);
+    the eval adds two |edges|-sized equi-joins against the (vec_id,
+    label) projection, one vote agg keyed on (src, label), and a
+    |labels|²-row confusion agg with a broadcast one-row total.
+    Vectors with no labeled neighbour drop out (no vote exists)."""
+    g = s09_knn_graph(spark, sf_dir).select("src_id", "nbr_id")
+    emb = (
+        valid_embeddings(table(spark, sf_dir, "embeddings"), DIM)
+        .select("vec_id", "label")
+        .filter(F.col("label").isNotNull())
+    )
+    votes = (
+        g.join(
+            emb.select(
+                F.col("vec_id").alias("src_id"),
+                F.col("label").alias("true_label"),
+            ),
+            "src_id",
+        )
+        .join(
+            emb.select(
+                F.col("vec_id").alias("nbr_id"),
+                F.col("label").alias("nbr_label"),
+            ),
+            "nbr_id",
+        )
+        .groupBy("src_id", "true_label", "nbr_label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    pick = Window.partitionBy("src_id").orderBy(
+        F.col("votes").desc(), F.col("nbr_label").asc()
+    )
+    pred = (
+        votes.withColumn("vr", F.row_number().over(pick))
+        .filter(F.col("vr") == 1)
+        .select("src_id", "true_label", F.col("nbr_label").alias("pred_label"))
+    )
+    confusion = pred.groupBy("true_label", "pred_label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors")
+    )
+    total = confusion.agg(
+        F.sum("n_vectors").cast("double").alias("t")
+    )
+    return (
+        confusion.crossJoin(F.broadcast(total))
+        .select(
+            "true_label",
+            "pred_label",
+            "n_vectors",
+            F.round(F.col("n_vectors") / F.col("t"), 6).alias("share"),
+        )
+        .orderBy("true_label", "pred_label")
+    )
+
+
+def _s18_sql() -> str:
+    return f"""
+WITH g AS ({_s09_sql()}),
+emb AS (
+  SELECT vec_id, label FROM embeddings
+  WHERE {valid_emb_sql(DIM)} AND label IS NOT NULL
+),
+votes AS (
+  SELECT g.src_id, s.label AS true_label, n.label AS nbr_label,
+         COUNT(*) AS votes
+  FROM g
+  JOIN emb s ON s.vec_id = g.src_id
+  JOIN emb n ON n.vec_id = g.nbr_id
+  GROUP BY g.src_id, s.label, n.label
+),
+pred AS (
+  SELECT src_id, true_label, nbr_label AS pred_label
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
+                 ORDER BY votes DESC, nbr_label ASC) AS vr
+    FROM votes
+  ) WHERE vr = 1
+),
+confusion AS (
+  SELECT true_label, pred_label,
+         CAST(COUNT(*) AS BIGINT) AS n_vectors
+  FROM pred GROUP BY true_label, pred_label
+),
+t AS (SELECT CAST(SUM(n_vectors) AS DOUBLE) AS t FROM confusion)
+SELECT true_label, pred_label, n_vectors,
+       ROUND(n_vectors / t.t, 6) AS share
+FROM confusion, t
+ORDER BY true_label, pred_label
+"""
+
+
 PROBE_SWEEP = (1, 2, 3)  # nprobe values s17 audits
 
 
@@ -2388,4 +2488,7 @@ QUERIES = [
           _s17_sql(),
           "IVF-PQ nprobe tuning curve: recall@k vs probed-cell count "
           "over one scored candidate frame"),
+    Query("s18_knn_label_eval", s18_knn_label_eval, _s18_sql(),
+          "label-propagation confusion matrix over the kNN graph "
+          "(majority vote vs true label, s07's tie rule)"),
 ]

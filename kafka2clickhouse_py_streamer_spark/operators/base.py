@@ -149,6 +149,7 @@ _VERIFY_FIRST = [
     "p15_dedup_rebalance",
     "s17_probe_recall_sweep",
     "t18_ngram_novelty",
+    "s18_knn_label_eval",
     # green-r02 but file churned since
     "d07_dedup_clusters",
     "d08_canonical_corpus",
@@ -267,26 +268,26 @@ _VERIFY_FIRST = [
     "t14_bigram_logprob",
     "w11_rollup_cascade",
     "m06_multimodal_packing",
-    "q53_funnel",
-    "q56_mom_growth",
     "q54_histogram",
     "q55_robust_outliers",
     "q57_cohort_retention",
+    "q60_linear_trend",
+    "q36_range_frame",
+    "q37_ntile_cume",
+    "q51_skew_profile",
+    "q38_collect_agg",
+    "q53_funnel",
+    "q56_mom_growth",
     "q58_scd2_intervals",
     "q59_concurrency",
     "q61_gaps_islands",
-    "q60_linear_trend",
     "q62_lateral_topn",
-    "q36_range_frame",
-    "q37_ntile_cume",
     "q01_pricing_summary",
     "q06_revenue_filter",
     "q12_distinct_agg",
     "q13_rollup",
     "q48_salted_join",
     "q49_upsert_merge",
-    "q51_skew_profile",
-    "q38_collect_agg",
 ]
 
 

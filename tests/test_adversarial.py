@@ -150,7 +150,7 @@ EMB_SWEEP = [
     "d05_embedding_neardup", "d15_semdedup", "s11_cluster_quality",
     "s12_product_quantize", "s13_pq_adc_topk", "q19_array_fns",
     "s14_ivfpq_search", "s15_mrl_truncation_recall",
-    "s16_rrf_fusion", "s17_probe_recall_sweep",
+    "s16_rrf_fusion", "s17_probe_recall_sweep", "s18_knn_label_eval",
 ]
 
 

@@ -1119,3 +1119,16 @@ def test_t18_novelty_is_two_aggs_one_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert python_row_ops(df) == 0
+
+
+def test_s18_label_eval_rides_the_graph(spark, sf_dir):
+    # the eval must add only equi-joins and keyed aggs on top of the
+    # s09 graph — nothing cartesian, no Python anywhere
+    from kafka2clickhouse_py_streamer_spark.llm.similarity import (
+        s18_knn_label_eval,
+    )
+
+    df = s18_knn_label_eval(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert python_row_ops(df) == 0
