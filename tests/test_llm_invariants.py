@@ -970,3 +970,27 @@ def test_d17_containment_matches_serial_reference(spark, tmp_path):
         for r in d17_containment_pairs(spark, root).collect()
     )
     assert got == expect
+
+
+def test_p14_consistent_with_d16(spark, sf_dir):
+    """Composition honesty: p14's packed corpus must be EXACTLY d16's
+    scrub output minus the empty docs — same kept-token counts, same
+    removal counts, same surviving doc set."""
+    from kafka2clickhouse_py_streamer_spark.llm.dedup import (
+        d16_span_scrub,
+    )
+    from kafka2clickhouse_py_streamer_spark.llm.sampling import (
+        p14_span_scrub_pipeline,
+    )
+
+    d16 = {
+        r.doc_id: (r.n_tokens - r.n_removed, r.n_removed)
+        for r in d16_span_scrub(spark, sf_dir).collect()
+    }
+    p14 = {
+        r.doc_id: (r.n_tokens, r.n_removed)
+        for r in p14_span_scrub_pipeline(spark, sf_dir).collect()
+    }
+    assert set(p14) == {d for d, (kept, _) in d16.items() if kept > 0}
+    for d, (kept, removed) in p14.items():
+        assert d16[d] == (kept, removed), (d, d16[d], (kept, removed))
