@@ -10,6 +10,8 @@ from kafka2clickhouse_py_streamer_spark.functions.hashing import (
     affine_bucket,
     affine_bucket_sql,
     poly_hash_sql,
+    shingle_digest,
+    shingle_digest_sql,
     shingles_expr,
     tokens_expr,
 )
@@ -21,6 +23,8 @@ __all__ = [
     "dot",
     "l2_norm",
     "poly_hash_sql",
+    "shingle_digest",
+    "shingle_digest_sql",
     "shingles_expr",
     "to_double_vec",
     "tokens_expr",

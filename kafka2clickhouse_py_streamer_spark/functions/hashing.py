@@ -67,3 +67,19 @@ def affine_bucket_sql(key: str, j: int, width: int) -> str:
         f"((({a} * ({key} % {AFFINE_P}) + {b})"
         f" % {AFFINE_P}) % {width})"
     )
+
+
+def shingle_digest(col: str = "s"):
+    """60-bit shingle digest (first 15 hex chars of md5 as a BIGINT) —
+    THE cross-operator shingle identity: d03/d10's verify sets, d18's
+    Bloom keys, and t18's first-occurrence join must hash identically
+    or their results stop being comparable. SQL twin:
+    :func:`shingle_digest_sql`."""
+    from pyspark.sql import functions as F
+
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def shingle_digest_sql(expr: str = "s") -> str:
+    """The DuckDB twin of :func:`shingle_digest`."""
+    return f"CAST('0x' || SUBSTRING(MD5({expr}), 1, 15) AS BIGINT)"

@@ -25,6 +25,8 @@ from kafka2clickhouse_py_streamer_spark.functions import (
     cosine,
     l2_norm,
     poly_hash_sql,
+    shingle_digest,
+    shingle_digest_sql,
     shingles_expr,
     to_double_vec,
     tokens_expr,
@@ -275,9 +277,7 @@ def _minhash_sig_and_candidates(spark: SparkSession, sf_dir: str):
     sh = _shingle_rows(spark, sf_dir).select(
         "doc_id",
         F.expr(_SPARK_H.format(s="s")).cast("long").alias("h"),
-        F.conv(F.substring(F.md5("s"), 1, 15), 16, 10)
-        .cast("long")
-        .alias("hs"),
+        shingle_digest("s").alias("hs"),
     )
     # ONE aggregation of the shingle frame produces everything the rest
     # of the pipeline needs: shingle count, the hashed shingle set (for
@@ -1018,11 +1018,7 @@ def d18_bloom_decontamination(
     audit's exact join exists only to measure the FP rate; a
     deployment ships the bits alone."""
     sh = _shingle_rows(spark, sf_dir).select(
-        "doc_id",
-        "source",
-        F.conv(F.substring(F.md5("s"), 1, 15), 16, 10)
-        .cast("long")
-        .alias("hs"),
+        "doc_id", "source", shingle_digest("s").alias("hs")
     )
     bench = sh.filter(F.col("source") == "src0").select("hs").distinct()
     bits = (
@@ -1097,8 +1093,7 @@ def _d18_sql() -> str:
     return f"""
 WITH {_DUCK_SHINGLES_CTE},
 hashed AS (
-  SELECT doc_id, source,
-         CAST('0x' || SUBSTRING(MD5(s), 1, 15) AS BIGINT) AS hs
+  SELECT doc_id, source, {shingle_digest_sql('s')} AS hs
   FROM shingles
 ),
 bench AS (SELECT DISTINCT hs FROM hashed WHERE source = 'src0'),

@@ -478,9 +478,14 @@ def m07_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     these are the MD5-block bytes — a real deployment swaps in
     pHash/aHash features at the decoder seam, everything downstream
     unchanged) threshold against their own mean into a 16-bit hash;
-    hashes block into 2×8-bit bands; band collisions verify by exact
+    hashes block into 4×4-bit bands; band collisions verify by exact
     Hamming distance ≤ PHASH_HAMMING_MAX (bit_count of xor — pure
-    integer arithmetic both engines reproduce).
+    integer arithmetic both engines reproduce). FOUR bands of FOUR
+    bits is the pigeonhole guarantee: ≤3 differing bits cannot touch
+    all 4 bands, so every true pair at the verify threshold collides
+    on at least one band — banding is EXACT recall for Hamming ≤ 3
+    (2×8 banding only guaranteed Hamming ≤ 1 and measured 74% missed
+    pairs; same layout reasoning as d06's SimHash bands).
 
     Scale shape: d06's — candidate pairs come from band equi-
     collisions, never |media|² comparisons; only (doc_id, 16-bit hash)
@@ -507,14 +512,15 @@ def m07_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ph",
         F.explode(
             F.array(
-                F.struct(
-                    F.lit(0).alias("band_id"),
-                    (F.col("ph") % 256).alias("band_val"),
-                ),
-                F.struct(
-                    F.lit(1).alias("band_id"),
-                    F.expr("ph div 256").alias("band_val"),
-                ),
+                *[
+                    F.struct(
+                        F.lit(j).alias("band_id"),
+                        F.expr(f"(ph div {16 ** j}) % 16").alias(
+                            "band_val"
+                        ),
+                    )
+                    for j in range(4)
+                ]
             )
         ).alias("b"),
     ).select("doc_id", "ph", "b.band_id", "b.band_val")
@@ -565,9 +571,13 @@ hashed AS (
   FROM (SELECT doc_id, bs, {mean} AS m FROM b)
 ),
 banded AS (
-  SELECT doc_id, ph, 0 AS band_id, ph % 256 AS band_val FROM hashed
+  SELECT doc_id, ph, 0 AS band_id, (ph // 1) % 16 AS band_val FROM hashed
   UNION ALL
-  SELECT doc_id, ph, 1 AS band_id, ph // 256 AS band_val FROM hashed
+  SELECT doc_id, ph, 1 AS band_id, (ph // 16) % 16 AS band_val FROM hashed
+  UNION ALL
+  SELECT doc_id, ph, 2 AS band_id, (ph // 256) % 16 AS band_val FROM hashed
+  UNION ALL
+  SELECT doc_id, ph, 3 AS band_id, (ph // 4096) % 16 AS band_val FROM hashed
 ),
 cand AS (
   SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,

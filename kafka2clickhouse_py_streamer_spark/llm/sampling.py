@@ -1211,12 +1211,20 @@ def p15_dedup_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("docs_after"),
         F.sum("nt").alias("tok_after"),
     )
-    joined = before.join(after, "source", "left").select(
-        "source",
-        "docs_before",
-        "tok_before",
-        F.coalesce("docs_after", F.lit(0)).alias("docs_after"),
-        F.coalesce("tok_after", F.lit(0)).alias("tok_after"),
+    # eqNullSafe: a NULL source is a real group (documents with no
+    # provenance) — a plain equi-join would orphan its post-dedup mass
+    # and silently skew every weight (the repo's standing NULL-key
+    # join trap; fixtures have no NULL source, so only a semantic
+    # check can see it)
+    b, a = before.alias("b"), after.alias("a")
+    joined = b.join(
+        a, F.col("b.source").eqNullSafe(F.col("a.source")), "left"
+    ).select(
+        F.col("b.source").alias("source"),
+        F.col("b.docs_before").alias("docs_before"),
+        F.col("b.tok_before").alias("tok_before"),
+        F.coalesce("a.docs_after", F.lit(0)).alias("docs_after"),
+        F.coalesce("a.tok_after", F.lit(0)).alias("tok_after"),
     )
     totals = joined.agg(
         F.sum(F.pow(F.col("tok_before").cast("double"), MIX_ALPHA)).alias(
@@ -1269,7 +1277,8 @@ joined AS (
   SELECT b.source, b.docs_before, b.tok_before,
          COALESCE(a.docs_after, 0) AS docs_after,
          COALESCE(a.tok_after, 0) AS tok_after
-  FROM before_agg b LEFT JOIN after_agg a ON a.source = b.source
+  FROM before_agg b
+  LEFT JOIN after_agg a ON a.source IS NOT DISTINCT FROM b.source
 ),
 totals AS (
   SELECT SUM(POW(CAST(tok_before AS DOUBLE), {MIX_ALPHA})) AS zb,

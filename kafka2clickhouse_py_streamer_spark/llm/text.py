@@ -1284,11 +1284,12 @@ def t18_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         _shingle_rows,
     )
 
+    from kafka2clickhouse_py_streamer_spark.functions import (
+        shingle_digest,
+    )
+
     sh = _shingle_rows(spark, sf_dir).select(
-        "doc_id",
-        F.conv(F.substring(F.md5("s"), 1, 15), 16, 10)
-        .cast("long")
-        .alias("hs"),
+        "doc_id", shingle_digest("s").alias("hs")
     )
     first = sh.groupBy("hs").agg(F.min("doc_id").alias("first_doc"))
     return (
@@ -1317,6 +1318,9 @@ def t18_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _t18_sql() -> str:
+    from kafka2clickhouse_py_streamer_spark.functions import (
+        shingle_digest_sql,
+    )
     from kafka2clickhouse_py_streamer_spark.llm.dedup import (
         _DUCK_SHINGLES_CTE,
     )
@@ -1324,8 +1328,7 @@ def _t18_sql() -> str:
     return f"""
 WITH {_DUCK_SHINGLES_CTE},
 hashed AS (
-  SELECT doc_id,
-         CAST('0x' || SUBSTRING(MD5(s), 1, 15) AS BIGINT) AS hs
+  SELECT doc_id, {shingle_digest_sql('s')} AS hs
   FROM shingles
 ),
 first_seen AS (

@@ -669,6 +669,29 @@ def _cm_bucket(j: int, key):
     return affine_bucket(key, j, CM_WIDTH)
 
 
+def cm_bucket_pairs(df: DataFrame, key_col: str, keep_key: bool = False):
+    """SINGLE SOURCE of the (j, bucket) explode for the count-min
+    grid — the sketch update (w12 cells, streaming _batch_cells) and
+    the probe side (w12 probes, streaming countmin_estimates) must
+    hash identically or the streaming/batch twin silently breaks.
+    Returns (key?, j, bucket) rows."""
+    cols = ([key_col] if keep_key else []) + ["c.j", "c.bucket"]
+    return df.select(
+        *([key_col] if keep_key else []),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        _cm_bucket(j, F.col(key_col)).alias("bucket"),
+                    )
+                    for j in range(CM_ROWS)
+                ]
+            )
+        ).alias("c"),
+    ).select(*cols)
+
+
 def w12_countmin_heavyhitters(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -689,42 +712,10 @@ def w12_countmin_heavyhitters(
     sketch broadcast. The exact twin here exists only for the audit;
     a deployment keeps the sketch alone."""
     ev = table(spark, sf_dir, "events").select("user_id")
-    cells = ev.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("j"),
-                        _cm_bucket(j, F.col("user_id")).alias("bucket"),
-                    )
-                    for j in range(CM_ROWS)
-                ]
-            )
-        ).alias("c")
-    ).select("c.j", "c.bucket")
-    sketch = cells.groupBy("j", "bucket").agg(
+    sketch = cm_bucket_pairs(ev, "user_id").groupBy("j", "bucket").agg(
         F.count(F.lit(1)).alias("cell")
     )
-    probes = (
-        ev.distinct()
-        .select(
-            "user_id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(j).alias("j"),
-                            _cm_bucket(j, F.col("user_id")).alias(
-                                "bucket"
-                            ),
-                        )
-                        for j in range(CM_ROWS)
-                    ]
-                )
-            ).alias("c"),
-        )
-        .select("user_id", "c.j", "c.bucket")
-    )
+    probes = cm_bucket_pairs(ev.distinct(), "user_id", keep_key=True)
     est = (
         probes.join(F.broadcast(sketch), ["j", "bucket"])
         .groupBy("user_id")

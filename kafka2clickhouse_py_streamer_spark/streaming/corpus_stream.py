@@ -368,6 +368,105 @@ def scrub_stream(stream_df: DataFrame, text_col: str = "text") -> DataFrame:
 COMPACTED_BATCH_ID = -1  # never collides with a real foreachBatch id
 
 
+_TMP_NAME = ".compact_tmp"
+_THROUGH_PREFIX = "_through_"
+
+
+def _fs(spark, state_dir):
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(state_dir)
+    return jvm, root.getFileSystem(spark._jsc.hadoopConfiguration()), root
+
+
+def _recover_compaction(spark, state_dir: str) -> str | None:
+    """Repair a compaction interrupted mid-swap. The temp fold dir
+    carries a ``_through_<N>`` marker written only AFTER the fold is
+    completely materialized, so recovery is unambiguous:
+
+    - marker present → roll FORWARD: the temp holds the full fold, so
+      delete whatever folded partitions remain (batch_id ≤ N or the
+      old compacted partition) and finish the rename.
+    - marker absent → roll BACK: the fold never completed and no
+      source partition was touched (deletes only happen after the
+      marker) — drop the temp.
+
+    Called at the top of every compaction; a crash at ANY point
+    therefore loses nothing (readers between the delete and the
+    rename see missing state until recovery runs — the documented
+    maintenance-window caveat, now recoverable instead of fatal)."""
+    jvm, fs, root = _fs(spark, state_dir)
+    tmp = jvm.org.apache.hadoop.fs.Path(state_dir, _TMP_NAME)
+    if not fs.exists(tmp):
+        return None
+    through = None
+    for st in fs.listStatus(tmp):
+        name = st.getPath().getName()
+        if name.startswith(_THROUGH_PREFIX):
+            through = int(name[len(_THROUGH_PREFIX):])
+    if through is None:  # incomplete fold: sources untouched
+        fs.delete(tmp, True)
+        return "back"
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not name.startswith("batch_id="):
+            continue
+        bid = int(name.split("=", 1)[1])
+        if bid == COMPACTED_BATCH_ID or bid <= through:
+            fs.delete(st.getPath(), True)
+    target = jvm.org.apache.hadoop.fs.Path(
+        state_dir, f"batch_id={COMPACTED_BATCH_ID}"
+    )
+    if not fs.rename(tmp, target):
+        raise RuntimeError(f"compaction recovery failed: {tmp} -> {target}")
+    return "forward"
+
+
+def _list_foldable(fs, root, through_batch: int):
+    parts = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not name.startswith("batch_id="):
+            continue
+        bid = int(name.split("=", 1)[1])
+        if bid == COMPACTED_BATCH_ID or bid <= through_batch:
+            parts.append(st.getPath())
+    return parts
+
+
+def _fold_and_swap(
+    spark, state_dir: str, consolidated, old_parts, through_batch: int
+) -> None:
+    """Crash-recoverable partition swap shared by the digest compactor
+    (DISTINCT fold) and the sketch compactor (SUM fold):
+
+    1. materialize the fold to a dot-prefixed temp dir (invisible to
+       parquet listings — the read completes before any delete)
+    2. stamp the temp with ``_through_<N>`` — the commit point
+    3. delete the folded partitions
+    4. rename the temp in as ``batch_id=-1``
+
+    A crash before (2) touches nothing; after (2),
+    `_recover_compaction` rolls the swap forward from the temp's full
+    copy. The marker and ``_SUCCESS`` stay inside the final partition
+    dir — underscore-prefixed files are invisible to Spark's file
+    index."""
+    jvm, fs, root = _fs(spark, state_dir)
+    tmp = jvm.org.apache.hadoop.fs.Path(state_dir, _TMP_NAME)
+    fs.delete(tmp, True)
+    consolidated.write.mode("overwrite").parquet(str(tmp))
+    marker = jvm.org.apache.hadoop.fs.Path(
+        str(tmp), f"{_THROUGH_PREFIX}{through_batch}"
+    )
+    fs.create(marker, True).close()  # commit point
+    for p in old_parts:
+        fs.delete(p, True)
+    target = jvm.org.apache.hadoop.fs.Path(
+        state_dir, f"batch_id={COMPACTED_BATCH_ID}"
+    )
+    if not fs.rename(tmp, target):
+        raise RuntimeError(f"compaction swap failed: {tmp} -> {target}")
+
+
 def compact_state(spark, state_dir: str, through_batch: int) -> int:
     """Fold the per-batch state partitions up to ``through_batch`` into
     ONE compacted partition (``batch_id=-1``) — the maintenance step
@@ -394,19 +493,9 @@ def compact_state(spark, state_dir: str, through_batch: int) -> int:
       stream is stopped): the rewrite is write-to-temp → swap, but a
       concurrent reader could list mid-swap.
     """
-    jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
-    root = jvm.org.apache.hadoop.fs.Path(state_dir)
-    fs = root.getFileSystem(hconf)
-
-    old_parts = []
-    for st in fs.listStatus(root):
-        name = st.getPath().getName()
-        if not name.startswith("batch_id="):
-            continue
-        bid = int(name.split("=", 1)[1])
-        if bid == COMPACTED_BATCH_ID or bid <= through_batch:
-            old_parts.append(st.getPath())
+    _recover_compaction(spark, state_dir)
+    jvm, fs, root = _fs(spark, state_dir)
+    old_parts = _list_foldable(fs, root, through_batch)
     if not old_parts:
         return 0
 
@@ -420,19 +509,5 @@ def compact_state(spark, state_dir: str, through_batch: int) -> int:
         .select(*keep_cols)
         .distinct()
     )
-    # 1) materialize to a dot-prefixed temp dir (invisible to parquet
-    #    directory listings) — the read completes BEFORE any delete
-    tmp = jvm.org.apache.hadoop.fs.Path(state_dir, ".compact_tmp")
-    fs.delete(tmp, True)
-    consolidated.write.mode("overwrite").parquet(str(tmp))
-    fs.delete(jvm.org.apache.hadoop.fs.Path(str(tmp), "_SUCCESS"), False)
-    # 2) drop the folded partitions (incl. the previous compacted one)
-    for p in old_parts:
-        fs.delete(p, True)
-    # 3) swap the temp dir in as the new compacted partition
-    target = jvm.org.apache.hadoop.fs.Path(
-        state_dir, f"batch_id={COMPACTED_BATCH_ID}"
-    )
-    if not fs.rename(tmp, target):
-        raise RuntimeError(f"compaction swap failed: {tmp} -> {target}")
+    _fold_and_swap(spark, state_dir, consolidated, old_parts, through_batch)
     return len(old_parts)

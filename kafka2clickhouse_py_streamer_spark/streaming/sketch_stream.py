@@ -34,35 +34,24 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from kafka2clickhouse_py_streamer_spark.streaming.batch_windows import (
-    CM_ROWS,
-    _cm_bucket,
+    cm_bucket_pairs,
 )
 from kafka2clickhouse_py_streamer_spark.streaming.corpus_stream import (
     COMPACTED_BATCH_ID,
+    _fold_and_swap,
+    _fs,
+    _list_foldable,
+    _recover_compaction,
 )
 
 
 def _batch_cells(batch_df: DataFrame, key_col: str) -> DataFrame:
     """The per-batch sketch: (j, bucket, cell) counts of ``key_col``
-    — w12's update aggregate, ≤ CM_ROWS×CM_WIDTH rows whatever the
-    batch size."""
+    — w12's update aggregate (the SAME cm_bucket_pairs construction,
+    or the streaming/batch twin breaks), ≤ CM_ROWS×CM_WIDTH rows
+    whatever the batch size."""
     return (
-        batch_df.select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(j).alias("j"),
-                            _cm_bucket(j, F.col(key_col)).alias(
-                                "bucket"
-                            ),
-                        )
-                        for j in range(CM_ROWS)
-                    ]
-                )
-            ).alias("c")
-        )
-        .select("c.j", "c.bucket")
+        cm_bucket_pairs(batch_df, key_col)
         .groupBy("j", "bucket")
         .agg(F.count(F.lit(1)).alias("cell"))
     )
@@ -122,24 +111,24 @@ def countmin_estimates(
 ) -> DataFrame:
     """Min-over-rows frequency estimates for ``keys_df`` against the
     merged sketch (broadcast — it is ≤ k·w rows)."""
-    probes = keys_df.select(
-        key_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("j"),
-                        _cm_bucket(j, F.col(key_col)).alias("bucket"),
-                    )
-                    for j in range(CM_ROWS)
-                ]
-            )
-        ).alias("c"),
-    ).select(key_col, "c.j", "c.bucket")
+    probes = cm_bucket_pairs(keys_df, key_col, keep_key=True)
+    # LEFT join + coalesce(0): a cell with no row means NOTHING ever
+    # hashed there — its count is zero, and count-min's estimate is
+    # the MIN over cells, so a never-seen key must estimate 0. An
+    # inner join would drop such keys entirely (all cells absent) or
+    # overestimate from the surviving subset (some absent).
     return (
-        probes.join(F.broadcast(merged_sketch(spark, state_dir)), ["j", "bucket"])
+        probes.join(
+            F.broadcast(merged_sketch(spark, state_dir)),
+            ["j", "bucket"],
+            "left",
+        )
         .groupBy(key_col)
-        .agg(F.min("cell").cast("long").alias("est"))
+        .agg(
+            F.min(F.coalesce("cell", F.lit(0)))
+            .cast("long")
+            .alias("est")
+        )
     )
 
 
@@ -149,21 +138,13 @@ def compact_sketch_state(spark, state_dir: str, through_batch: int) -> int:
     (the sketch merge itself — corpus_stream.compact_state's DISTINCT
     fold would wrongly collapse equal counts). Same safety contract:
     only compact checkpoint-committed batches; the compacted partition
-    id (-1) never collides with a real batch. Returns the number of
-    partitions removed."""
-    jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
-    root = jvm.org.apache.hadoop.fs.Path(state_dir)
-    fs = root.getFileSystem(hconf)
-
-    old_parts = []
-    for st in fs.listStatus(root):
-        name = st.getPath().getName()
-        if not name.startswith("batch_id="):
-            continue
-        bid = int(name.split("=", 1)[1])
-        if bid == COMPACTED_BATCH_ID or bid <= through_batch:
-            old_parts.append(st.getPath())
+    id (-1) never collides with a real batch. Swap mechanics (and
+    crash recovery) are the SHARED `_fold_and_swap` /
+    `_recover_compaction` pair in corpus_stream — only the fold
+    differs. Returns the number of partitions removed."""
+    _recover_compaction(spark, state_dir)
+    jvm, fs, root = _fs(spark, state_dir)
+    old_parts = _list_foldable(fs, root, through_batch)
     if not old_parts:
         return 0
 
@@ -176,18 +157,5 @@ def compact_sketch_state(spark, state_dir: str, through_batch: int) -> int:
         .groupBy("j", "bucket")
         .agg(F.sum("cell").alias("cell"))
     )
-    # write-to-temp → swap, exactly corpus_stream.compact_state's
-    # mechanics (dot-prefixed temp dir is invisible to parquet
-    # listings; the read completes before any delete)
-    tmp = jvm.org.apache.hadoop.fs.Path(state_dir, ".compact_tmp")
-    fs.delete(tmp, True)
-    consolidated.write.mode("overwrite").parquet(str(tmp))
-    fs.delete(jvm.org.apache.hadoop.fs.Path(str(tmp), "_SUCCESS"), False)
-    for p in old_parts:
-        fs.delete(p, True)
-    target = jvm.org.apache.hadoop.fs.Path(
-        state_dir, f"batch_id={COMPACTED_BATCH_ID}"
-    )
-    if not fs.rename(tmp, target):
-        raise RuntimeError(f"compaction swap failed: {tmp} -> {target}")
+    _fold_and_swap(spark, state_dir, consolidated, old_parts, through_batch)
     return len(old_parts)

@@ -324,14 +324,15 @@ def test_s10_empty_after_gate_returns_empty(spark, tmp_path):
 
 
 def test_vector_gate_excludes_only_malformed(spark, adv_ev_dir):
-    # the admission gate must drop EXACTLY the 4 corrupt vectors
-    # (null, empty, zero-norm, wrong-dim) and keep all 36 valid ones
+    # the admission gate must drop EXACTLY the 7 corrupt vectors
+    # (null, empty, zero-norm, wrong-dim, all-NaN, single-NaN,
+    # single-Inf) and keep all 33 valid ones
     from kafka2clickhouse_py_streamer_spark.functions import valid_embeddings
     from kafka2clickhouse_py_streamer_spark.operators.base import table
 
     em = table(spark, adv_ev_dir, "embeddings")
     kept = {r.vec_id for r in valid_embeddings(em, 64).collect()}
-    assert kept == set(range(40)) - {20, 21, 22, 23}
+    assert kept == set(range(40)) - {20, 21, 22, 23, 24, 25, 26}
 
 
 def test_w09_null_event_type_hours_are_counted(spark, adv_ev_dir):

@@ -994,3 +994,91 @@ def test_p14_consistent_with_d16(spark, sf_dir):
     assert set(p14) == {d for d, (kept, _) in d16.items() if kept > 0}
     for d, (kept, removed) in p14.items():
         assert d16[d] == (kept, removed), (d, d16[d], (kept, removed))
+
+
+def test_m07_banding_is_exact_recall_at_threshold(spark, sf_dir):
+    """The pigeonhole guarantee: ≤3 differing bits cannot touch all 4
+    bands, so the banded candidate join must find EVERY pair at the
+    verify threshold — checked against an exhaustive serial Hamming
+    scan of the perceptual hashes."""
+    from kafka2clickhouse_py_streamer_spark.llm.multimodal import (
+        PHASH_HAMMING_MAX,
+        m07_phash_neardup,
+    )
+
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in m07_phash_neardup(spark, sf_dir).collect()
+    }
+    # serial ground truth from the same md5-derived feature bytes
+    import duckdb
+
+    con = duckdb.connect()
+    hashes = con.sql(
+        f"""
+        WITH b AS (
+          SELECT doc_id,
+                 [{', '.join(f"CAST('0x' || substring(md5(text), {2*k+1}, 2) AS BIGINT)" for k in range(16))}] AS bs
+          FROM read_parquet('{sf_dir}/documents.parquet')
+        )
+        SELECT doc_id,
+               CAST({' + '.join(f"(CASE WHEN bs[{k+1}] >= m THEN {1 << k} ELSE 0 END)" for k in range(16))} AS BIGINT) AS ph
+        FROM (SELECT doc_id, bs,
+                     ({' + '.join(f'bs[{k+1}]' for k in range(16))}) / 16.0 AS m
+              FROM b)
+        """
+    ).fetchall()
+    con.close()
+    hs = {d: p for d, p in hashes if p is not None}
+    expect = {}
+    ids = sorted(hs)
+    for i, a in enumerate(ids):
+        for b_ in ids[i + 1 :]:
+            h = bin(hs[a] ^ hs[b_]).count("1")
+            if h <= PHASH_HAMMING_MAX:
+                expect[(a, b_)] = h
+    assert got == expect and expect  # exact recall, non-trivial fixture
+
+
+def test_p15_null_source_group_not_orphaned(spark, tmp_path):
+    """A NULL-source group's post-dedup mass must survive the
+    before/after join (eqNullSafe): with a duplicate inside the NULL
+    group, docs_after = docs_before - 1 for that group and the
+    post-dedup weights still sum to 1 — a plain equi-join would zero
+    the group and skew every weight, identically on both engines."""
+    import math
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kafka2clickhouse_py_streamer_spark.llm.sampling import (
+        p15_dedup_rebalance,
+    )
+
+    rows = [
+        (1, "alpha beta gamma", None),
+        (2, "alpha beta gamma", None),  # dup inside the NULL group
+        (3, "delta epsilon zeta", None),
+        (4, "unique text one", "web"),
+        (5, "unique text two", "web"),
+    ]
+    root = str(tmp_path / "nullsrc_docs")
+    os.makedirs(root)
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+            "source": pa.array([r[2] for r in rows], pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }),
+        os.path.join(root, "documents.parquet"),
+    )
+    got = {r.source: r for r in p15_dedup_rebalance(spark, root).collect()}
+    assert set(got) == {None, "web"}
+    assert got[None].docs_before == 3 and got[None].docs_after == 2
+    assert got["web"].docs_after == 2
+    assert math.isclose(
+        sum(r.w_after for r in got.values()), 1.0, abs_tol=2e-6
+    )

@@ -1507,3 +1507,79 @@ def test_w12_streaming_sketch_replay_and_compaction(spark, tmp_path):
     }
     assert again == before
     assert merged_sketch(spark, state).count() <= 3 * 16
+
+
+def test_compaction_crash_recovery(spark, tmp_path):
+    """A compaction interrupted at either side of its commit point
+    must repair on the next maintenance call: an UNCOMMITTED temp
+    fold rolls back (state untouched), a COMMITTED one rolls forward
+    (estimates identical to an uninterrupted compaction)."""
+    import os
+
+    from kafka2clickhouse_py_streamer_spark.streaming.corpus_stream import (
+        _fs,
+        _recover_compaction,
+    )
+    from kafka2clickhouse_py_streamer_spark.streaming.sketch_stream import (
+        compact_sketch_state,
+        countmin_estimates,
+        countmin_update_batch,
+    )
+
+    state = str(tmp_path / "crash_state")
+    for bid, mod in ((0, 5), (1, 7), (2, 3)):
+        countmin_update_batch(
+            spark.createDataFrame(
+                [(i, i % mod) for i in range(40)],
+                "event_id long, user_id long",
+            ),
+            bid,
+            state,
+        )
+    users = spark.createDataFrame(
+        [(u,) for u in range(7)], "user_id long"
+    )
+    before = {
+        r.user_id: r.est
+        for r in countmin_estimates(spark, state, users).collect()
+    }
+
+    # (a) crash BEFORE the commit marker: junk temp, no _through_ file
+    os.makedirs(os.path.join(state, ".compact_tmp"))
+    with open(
+        os.path.join(state, ".compact_tmp", "part-junk.parquet"), "wb"
+    ) as f:
+        f.write(b"not a fold")
+    assert _recover_compaction(spark, state) == "back"
+    assert not os.path.exists(os.path.join(state, ".compact_tmp"))
+    assert {
+        r.user_id: r.est
+        for r in countmin_estimates(spark, state, users).collect()
+    } == before
+
+    # (b) crash AFTER the commit marker but before delete/rename:
+    # materialize a real fold + marker by hand, leave sources in place
+    from pyspark.sql import functions as F
+
+    jvm, fs, _root = _fs(spark, state)
+    folded = (
+        spark.read.parquet(state)
+        .filter(F.col("batch_id") <= 1)
+        .groupBy("j", "bucket")
+        .agg(F.sum("cell").alias("cell"))
+    )
+    tmp = os.path.join(state, ".compact_tmp")
+    folded.write.mode("overwrite").parquet(tmp)
+    fs.create(
+        jvm.org.apache.hadoop.fs.Path(tmp, "_through_1"), True
+    ).close()
+    # the next maintenance call repairs, then compacts the rest
+    removed = compact_sketch_state(spark, state, through_batch=2)
+    parts = {
+        p for p in os.listdir(state) if p.startswith("batch_id=")
+    }
+    assert parts == {"batch_id=-1"}, (removed, parts)
+    assert {
+        r.user_id: r.est
+        for r in countmin_estimates(spark, state, users).collect()
+    } == before
