@@ -80,3 +80,39 @@ def rate_stream(
     if num_partitions is not None:
         reader = reader.option("numPartitions", str(num_partitions))
     return reader.load()
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Raw-media ingestion via Spark's built-in ``binaryFile`` source:
+    one row per file with (path, modificationTime, length, content) —
+    the real on-ramp for the multimodal operators (m01-m07 consume a
+    ``payload`` binary column; this reader is where image/audio/video
+    files actually enter the engine before decode_media's Arrow-
+    batched mapInPandas).
+
+    ``glob`` filters by filename pattern (pushed into the file index —
+    non-matching files are never opened); ``max_bytes`` filters on the
+    file-status LENGTH column, which the source evaluates from
+    directory metadata, so oversize payloads are skipped without
+    reading a byte — the guard that keeps one rogue 10 GB upload from
+    OOMing an executor at corpus scale. Rows come back in the
+    operator-friendly shape (doc path + payload + n_bytes)."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    if max_bytes is not None:
+        df = df.filter(df.length <= max_bytes)
+    from pyspark.sql import functions as F
+
+    return df.select(
+        F.col("path"),
+        F.col("length").cast("long").alias("n_bytes"),
+        F.col("content").alias("payload"),
+        F.col("modificationTime").alias("modified_at"),
+    )

@@ -170,3 +170,50 @@ def test_orc_roundtrip_with_pushdown(spark, tmp_path):
     assert any("o_totalprice" in f for f in pushed_filters(q))
     [cols] = read_schema_columns(q)
     assert set(cols) == {"o_orderkey", "o_totalprice"}
+
+
+def test_binary_file_source_reads_media(spark, tmp_path):
+    """binaryFile ingestion: one row per file with the payload bytes,
+    glob filtering at the file index, and the max-bytes guard
+    evaluated from file-status metadata (oversize payloads skipped
+    without being read)."""
+    from kafka2clickhouse_py_streamer_spark.sources.files import (
+        read_binary_files,
+    )
+
+    media = tmp_path / "media"
+    media.mkdir()
+    (media / "a.img").write_bytes(b"\x89IMG" + b"x" * 10)
+    (media / "b.img").write_bytes(b"\x89IMG" + b"y" * 100)
+    (media / "notes.txt").write_text("not media")
+
+    rows = {
+        r.path.rsplit("/", 1)[-1]: r
+        for r in read_binary_files(
+            spark, str(media), glob="*.img"
+        ).collect()
+    }
+    assert set(rows) == {"a.img", "b.img"}
+    assert rows["a.img"].n_bytes == 14
+    assert bytes(rows["a.img"].payload)[:4] == b"\x89IMG"
+
+    capped = read_binary_files(
+        spark, str(media), glob="*.img", max_bytes=50
+    ).collect()
+    assert [r.path.rsplit("/", 1)[-1] for r in capped] == ["a.img"]
+
+    # the payload feeds the multimodal decode stage unchanged
+    from pyspark.sql import functions as F
+
+    from kafka2clickhouse_py_streamer_spark.llm.multimodal import (
+        decode_media,
+    )
+
+    df = read_binary_files(spark, str(media), glob="*.img").select(
+        F.monotonically_increasing_id().alias("doc_id"),
+        F.lit("image").alias("media_type"),
+        "payload",
+    )
+    decoded = decode_media(df).collect()
+    assert {r.n_bytes for r in decoded} == {14, 104}
+    assert all(r.width >= 1 and r.height >= 1 for r in decoded)

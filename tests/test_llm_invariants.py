@@ -1082,3 +1082,59 @@ def test_p15_null_source_group_not_orphaned(spark, tmp_path):
     assert math.isclose(
         sum(r.w_after for r in got.values()), 1.0, abs_tol=2e-6
     )
+
+
+def test_t17_chunker_matches_serial_reference_property(spark):
+    """Hypothesis property: for random token counts (including the
+    1-token and exact-boundary cases), the distributed chunker's
+    geometry equals a serial reference chunker built from the
+    definition."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from kafka2clickhouse_py_streamer_spark.llm.text import (
+        CHUNK_SIZE,
+        CHUNK_STRIDE,
+        chunk_passages,
+    )
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        st.lists(
+            st.integers(min_value=1, max_value=3 * CHUNK_SIZE + 5),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    def check(token_counts):
+        rows = [
+            (i, " ".join(f"w{i}x{k}" for k in range(n)))
+            for i, n in enumerate(token_counts)
+        ]
+        got: dict[int, list] = {}
+        for r in chunk_passages(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect():
+            got.setdefault(r.doc_id, []).append(
+                (r.chunk_id, r.start_pos, r.n_chunk_tokens)
+            )
+        for i, n in enumerate(token_counts):
+            if n <= CHUNK_SIZE:
+                expect = [(0, 1, n)]
+            else:
+                k = 1 + -(-(n - CHUNK_SIZE) // CHUNK_STRIDE)
+                expect = [
+                    (
+                        j,
+                        1 + j * CHUNK_STRIDE,
+                        min(CHUNK_SIZE, n - j * CHUNK_STRIDE),
+                    )
+                    for j in range(k)
+                ]
+            assert sorted(got[i]) == expect, (i, n)
+
+    check()
