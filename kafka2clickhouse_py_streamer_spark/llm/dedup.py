@@ -439,6 +439,131 @@ ORDER BY doc_a, doc_b
 """
 
 
+def d19_containment_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MinHash CONTAINMENT estimator calibration — d10's role for the
+    d17 measure: for every banded-LSH candidate pair and BOTH
+    directions, the exact containment |A∩B|/|A| next to the
+    signature-only estimate Ĉ = Ĵ·(|A|+|B|) / ((1+Ĵ)·|A|)
+    (Broder's identity: containment from estimated Jaccard + the two
+    set sizes, which a deployment has without the sets). The abs
+    error column measures whether signatures + sizes alone can drive
+    the d17 policy at corpus scale (storing shingle sets is the
+    expensive part; sizes are one long each). The estimate is NOT
+    clipped to [0,1] — calibration wants the estimator's raw bias
+    visible.
+
+    Scale shape: d10's — candidate pairs from band collisions, one
+    signature join per side, row-local arithmetic; the direction
+    split is a row-local explode."""
+    sig, cand = _minhash_sig_and_candidates(spark, sf_dir)
+    za = sig.select(
+        F.col("doc_id").alias("za_id"),
+        F.col("n").alias("na"),
+        F.col("ss").alias("ssa"),
+        *[F.col(f"mh{j}").alias(f"amh{j}") for j in range(NUM_HASHES)],
+    )
+    zb = sig.select(
+        F.col("doc_id").alias("zb_id"),
+        F.col("n").alias("nb"),
+        F.col("ss").alias("ssb"),
+        *[F.col(f"mh{j}").alias(f"bmh{j}") for j in range(NUM_HASHES)],
+    )
+    n_common = F.size(F.array_intersect(F.col("ssa"), F.col("ssb")))
+    agree = sum(
+        F.when(F.col(f"amh{j}") == F.col(f"bmh{j}"), 1).otherwise(0)
+        for j in range(NUM_HASHES)
+    )
+    paired = (
+        cand.join(za, F.col("doc_a") == F.col("za_id"))
+        .join(zb, F.col("doc_b") == F.col("zb_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "na",
+            "nb",
+            n_common.alias("n_common"),
+            (agree / F.lit(float(NUM_HASHES))).alias("est_j"),
+        )
+    )
+    both = paired.select(
+        "n_common",
+        "est_j",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("contained"),
+                    F.col("doc_b").alias("container"),
+                    F.col("na").alias("n_contained"),
+                    F.col("nb").alias("n_other"),
+                ),
+                F.struct(
+                    F.col("doc_b").alias("contained"),
+                    F.col("doc_a").alias("container"),
+                    F.col("nb").alias("n_contained"),
+                    F.col("na").alias("n_other"),
+                ),
+            )
+        ).alias("p"),
+    ).select("p.*", "n_common", "est_j")
+    exact = F.col("n_common") / F.col("n_contained")
+    est = (
+        F.col("est_j")
+        * (F.col("n_contained") + F.col("n_other"))
+        / ((1.0 + F.col("est_j")) * F.col("n_contained"))
+    )
+    return (
+        both.select(
+            "contained",
+            "container",
+            F.round(exact, 6).alias("containment"),
+            F.round(est, 6).alias("est_containment"),
+            F.round(F.abs(est - exact), 6).alias("abs_err"),
+        )
+        .orderBy("contained", "container")
+    )
+
+
+def _d19_sql() -> str:
+    d03 = _d03_sql().strip()
+    cte = d03[: d03.rindex("inter AS")].rstrip().rstrip(",")
+    agree = " + ".join(
+        f"(CASE WHEN za.mh{j} = zb.mh{j} THEN 1 ELSE 0 END)"
+        for j in range(NUM_HASHES)
+    )
+    return f"""{cte},
+cal AS (
+  SELECT c.doc_a, c.doc_b,
+         za.n AS na, zb.n AS nb,
+         LEN(list_intersect(za.hs, zb.hs)) AS n_common,
+         ({agree}) / {float(NUM_HASHES)} AS est_j
+  FROM cand c
+  JOIN sig za ON za.doc_id = c.doc_a
+  JOIN sig zb ON zb.doc_id = c.doc_b
+),
+both_dirs AS (
+  SELECT doc_a AS contained, doc_b AS container,
+         na AS n_contained, nb AS n_other, n_common, est_j
+  FROM cal
+  UNION ALL
+  SELECT doc_b AS contained, doc_a AS container,
+         nb AS n_contained, na AS n_other, n_common, est_j
+  FROM cal
+)
+SELECT contained, container,
+       ROUND(CAST(n_common AS DOUBLE) / n_contained, 6) AS containment,
+       ROUND(est_j * (n_contained + n_other)
+             / ((1.0 + est_j) * n_contained), 6) AS est_containment,
+       ROUND(ABS(est_j * (n_contained + n_other)
+                 / ((1.0 + est_j) * n_contained)
+                 - CAST(n_common AS DOUBLE) / n_contained), 6)
+         AS abs_err
+FROM both_dirs
+ORDER BY contained, container
+"""
+
+
 def _d03_sql() -> str:
     h = _DUCK_H.format(s="s")
     sig_cols = ",\n         ".join(
@@ -1648,4 +1773,8 @@ QUERIES = [
           "Bloom-filter decontamination probe: fixed-size bit table "
           "replaces the broadcast eval shingle set; no-false-negative "
           "guarantee + measured FP rate vs exact membership"),
+    Query("d19_containment_calibration", d19_containment_calibration,
+          _d19_sql(),
+          "MinHash containment estimator calibration (Broder identity "
+          "from est. Jaccard + sizes) vs exact, both directions"),
 ]

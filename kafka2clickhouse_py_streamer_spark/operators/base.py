@@ -150,6 +150,8 @@ _VERIFY_FIRST = [
     "s17_probe_recall_sweep",
     "t18_ngram_novelty",
     "s18_knn_label_eval",
+    "q63_forward_asof",
+    "d19_containment_calibration",
     # green-r02 but file churned since
     "d07_dedup_clusters",
     "d08_canonical_corpus",
@@ -276,18 +278,18 @@ _VERIFY_FIRST = [
     "q37_ntile_cume",
     "q51_skew_profile",
     "q38_collect_agg",
+    "q62_lateral_topn",
+    "q48_salted_join",
+    "q49_upsert_merge",
     "q53_funnel",
     "q56_mom_growth",
     "q58_scd2_intervals",
     "q59_concurrency",
     "q61_gaps_islands",
-    "q62_lateral_topn",
     "q01_pricing_summary",
     "q06_revenue_filter",
     "q12_distinct_agg",
     "q13_rollup",
-    "q48_salted_join",
-    "q49_upsert_merge",
 ]
 
 

@@ -583,6 +583,86 @@ ORDER BY n.n_name, acctbal DESC, top.c_name
 """
 
 
+def q63_forward_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join — q26's mirror: for each event, the EARLIEST
+    order of the same key at-or-after the event time ("what did this
+    session lead to" — the attribution direction; q26 answers "what
+    preceded it"). Same union-sort carry with the traversal REVERSED:
+    sort each key by time DESCENDING (orders before events at equal
+    instants, ties by descending orderkey so the carried row is the
+    min-orderkey winner) and carry the most recently traversed order —
+    which is the earliest upcoming one — onto each event row.
+
+    Scale shape: identical to q26 — no join operator at all, ONE
+    shuffle on the key, |events|+|orders| intermediate rows, so
+    per-key fan-out stays linear where the join+rn=1 twin (the
+    oracle) materializes every (event, later-order) pair."""
+    e = table(spark, sf_dir, "events")
+    o = table(spark, sf_dir, "orders")
+    ev = e.select(
+        F.col("user_id").alias("k"),
+        F.date_trunc("second", F.col("ts")).alias("t"),
+        F.lit(1).alias("is_event"),
+        "event_id",
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("timestamp").alias("o_orderdate"),
+    )
+    od = o.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").cast("timestamp").alias("t"),
+        F.lit(0).alias("is_event"),
+        F.lit(None).cast("long").alias("event_id"),
+        "o_orderkey",
+        F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy(
+            F.col("t").desc(),
+            F.col("is_event").asc(),
+            F.col("o_orderkey").desc(),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = ev.unionByName(od).filter(F.col("k").isNotNull()).select(
+        "k",
+        "is_event",
+        "event_id",
+        *[
+            F.last(c, ignorenulls=True).over(w).alias(c)
+            for c in ("o_orderkey", "o_orderdate")
+        ],
+    )
+    return (
+        carried.filter(
+            (F.col("is_event") == 1) & F.col("o_orderkey").isNotNull()
+        )
+        .select(
+            "event_id",
+            F.col("k").alias("user_id"),
+            F.col("o_orderkey").alias("next_orderkey"),
+            F.col("o_orderdate").alias("next_orderdate"),
+        )
+        .orderBy("event_id")
+    )
+
+
+Q63_SQL = """
+SELECT event_id, user_id, next_orderkey, next_orderdate
+FROM (
+  SELECT e.event_id, e.user_id,
+         o.o_orderkey AS next_orderkey,
+         CAST(o.o_orderdate AS TIMESTAMP) AS next_orderdate,
+         ROW_NUMBER() OVER (PARTITION BY e.event_id
+              ORDER BY o.o_orderdate ASC, o.o_orderkey ASC) AS rn
+  FROM events e
+  JOIN orders o ON o.o_custkey = e.user_id
+   AND CAST(o.o_orderdate AS TIMESTAMP) >= DATE_TRUNC('second', e.ts)
+) WHERE rn = 1
+ORDER BY event_id
+"""
+
+
 QUERIES = [
     Query("q02_region_revenue", q02_region_revenue, Q02_SQL,
           "fact⋈broadcast-dims revenue rollup"),
@@ -606,6 +686,9 @@ QUERIES = [
           "CDC upsert (MERGE twin) via one full-outer join"),
     Query("q50_range_join", q50_range_join, Q50_SQL,
           "time-range join via bucketed equi-join (no cartesian)"),
+    Query("q63_forward_asof", q63_forward_asof, Q63_SQL,
+          "forward as-of join (earliest upcoming order per event) via "
+          "the reversed union-sort carry — no join operator"),
     Query("q62_lateral_topn", q62_lateral_topn, Q62_SQL,
           "correlated LATERAL derived table (decorrelated to window "
           "top-k)"),

@@ -72,6 +72,7 @@ SWEEP = [
     "d08_canonical_corpus", "d09_contamination",
     "d10_minhash_calibration", "d11_ngram_jaccard_capped",
     "d12_span_dedup", "d13_quality_canonical", "d14_lsh_admission",
+    "d19_containment_calibration",
     "d16_span_scrub",
     "t01_token_count", "t02_quality_score", "t03_langid",
     "t04_fingerprint", "t05_rolling_hash", "t06_repetition",

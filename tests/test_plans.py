@@ -1132,3 +1132,31 @@ def test_s18_label_eval_rides_the_graph(spark, sf_dir):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert python_row_ops(df) == 0
+
+
+def test_q63_forward_asof_is_join_free(spark, sf_dir):
+    # the reversed union-sort carry: ONE hash shuffle on the key, a
+    # running window, and NO join operator — per-key fan-out stays
+    # linear where the join+rn twin materializes every pair
+    from kafka2clickhouse_py_streamer_spark.operators.joins import (
+        q63_forward_asof,
+    )
+
+    df = q63_forward_asof(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Join" not in plan
+    assert python_row_ops(df) == 0
+
+
+def test_d19_calibration_rides_the_band_join(spark, sf_dir):
+    # calibration adds signature joins + row-local direction explode
+    # on top of d03's candidate machinery — nothing cartesian, no
+    # Python
+    from kafka2clickhouse_py_streamer_spark.llm.dedup import (
+        d19_containment_calibration,
+    )
+
+    df = d19_containment_calibration(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert python_row_ops(df) == 0
