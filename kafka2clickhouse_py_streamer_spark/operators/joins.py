@@ -235,9 +235,15 @@ def q26_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     # null keys: the window would group them together (nulls compare
-    # equal in partitionBy) while the join twin drops them — filter to
-    # match equi-join semantics on any input (fixtures have no nulls)
-    carried = ev.unionByName(od).filter(F.col("k").isNotNull()).select(
+    # equal in partitionBy) while the join twin drops them; null TIMES
+    # likewise — an event with no event-time has no "before" (the
+    # time-ops contract), and the twin's range predicate drops it,
+    # while an unfiltered union-sort would PLACE it by the engine's
+    # null ordering and carry it a bogus order (caught by the null-ts
+    # probe). Filter both to match equi-join semantics on any input.
+    carried = ev.unionByName(od).filter(
+        F.col("k").isNotNull() & F.col("t").isNotNull()
+    ).select(
         "k",
         "is_event",
         "event_id",
@@ -305,6 +311,11 @@ WITH j AS (
   FROM events e
   JOIN orders o ON e.user_id = o.o_custkey
                AND o.o_orderdate <= date_trunc('second', e.ts)
+  -- explicit: DuckDB 1.0's range-join path matches NULL-ts rows when
+  -- the bound is date_trunc(ts) (plain ts <= behaves correctly) — the
+  -- guard states the no-event-time-no-as-of contract AND dodges the
+  -- engine bug
+  WHERE e.ts IS NOT NULL
 )
 SELECT event_id, user_id, o_orderkey, o_orderdate, o_totalprice
 FROM j WHERE rn = 1
@@ -624,7 +635,11 @@ def q63_forward_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = ev.unionByName(od).filter(F.col("k").isNotNull()).select(
+    # null key / null time: excluded, exactly as in q26 (no event-time
+    # means no "after" either)
+    carried = ev.unionByName(od).filter(
+        F.col("k").isNotNull() & F.col("t").isNotNull()
+    ).select(
         "k",
         "is_event",
         "event_id",
@@ -658,6 +673,8 @@ FROM (
   FROM events e
   JOIN orders o ON o.o_custkey = e.user_id
    AND CAST(o.o_orderdate AS TIMESTAMP) >= DATE_TRUNC('second', e.ts)
+  WHERE e.ts IS NOT NULL  -- same contract + DuckDB range-join NULL
+                          -- guard as Q26
 ) WHERE rn = 1
 ORDER BY event_id
 """

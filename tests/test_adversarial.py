@@ -138,6 +138,7 @@ EVENTS_SWEEP = [
     "w07_window_topk", "w08_disorder_profile", "q10_lag_lead",
     "q28_sessionization", "q29_keep_first", "q17_date_fns",
     "q18_json_fns", "q41_map_fns", "q51_skew_profile",
+    "q26_asof_join", "q63_forward_asof",
     "q52_interval_frame", "q53_funnel", "q55_robust_outliers",
     "q58_scd2_intervals", "q59_concurrency", "q61_gaps_islands",
     "w09_gap_fill", "w10_rate_anomaly", "w11_rollup_cascade",
