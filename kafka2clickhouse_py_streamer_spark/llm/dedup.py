@@ -362,6 +362,47 @@ def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sig_pair(sig: DataFrame):
+    """(za, zb) signature-side frames for candidate-pair calibration —
+    the SHARED layout of d10 (Jaccard) and d19 (containment): per-side
+    id alias, set size, digest set, and the 16 minhash components with
+    a/b prefixes. One source, or the two calibrations silently drift."""
+    za = sig.select(
+        F.col("doc_id").alias("za_id"),
+        F.col("n").alias("na"),
+        F.col("ss").alias("ssa"),
+        *[F.col(f"mh{j}").alias(f"amh{j}") for j in range(NUM_HASHES)],
+    )
+    zb = sig.select(
+        F.col("doc_id").alias("zb_id"),
+        F.col("n").alias("nb"),
+        F.col("ss").alias("ssb"),
+        *[F.col(f"mh{j}").alias(f"bmh{j}") for j in range(NUM_HASHES)],
+    )
+    return za, zb
+
+
+def _sig_agree():
+    """Count of agreeing minhash components over a `_sig_pair` join."""
+    return sum(
+        F.when(F.col(f"amh{j}") == F.col(f"bmh{j}"), 1).otherwise(0)
+        for j in range(NUM_HASHES)
+    )
+
+
+def _d03_cal_sql_parts() -> tuple[str, str]:
+    """(CTE prefix, agree expression) shared by the d10/d19 oracles:
+    d03's chain up to (excluding) its verify CTE, plus the
+    CASE-WHEN agreement sum over the joined signature rows."""
+    d03 = _d03_sql().strip()
+    cte = d03[: d03.rindex("inter AS")].rstrip().rstrip(",")
+    agree = " + ".join(
+        f"(CASE WHEN za.mh{j} = zb.mh{j} THEN 1 ELSE 0 END)"
+        for j in range(NUM_HASHES)
+    )
+    return cte, agree
+
+
 def d10_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash estimator calibration: for every banded-LSH candidate
     pair, the exact Jaccard next to the signature estimate
@@ -375,25 +416,10 @@ def d10_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whole candidate range, including the false positives the
     verify stage later drops."""
     sig, cand = _minhash_sig_and_candidates(spark, sf_dir)
-    za = sig.select(
-        F.col("doc_id").alias("za_id"),
-        F.col("n").alias("na"),
-        F.col("ss").alias("ssa"),
-        *[F.col(f"mh{j}").alias(f"amh{j}") for j in range(NUM_HASHES)],
-    )
-    zb = sig.select(
-        F.col("doc_id").alias("zb_id"),
-        F.col("n").alias("nb"),
-        F.col("ss").alias("ssb"),
-        *[F.col(f"mh{j}").alias(f"bmh{j}") for j in range(NUM_HASHES)],
-    )
+    za, zb = _sig_pair(sig)
     n_common = F.size(F.array_intersect(F.col("ssa"), F.col("ssb")))
     exact = n_common / (F.col("na") + F.col("nb") - n_common)
-    agree = sum(
-        F.when(F.col(f"amh{j}") == F.col(f"bmh{j}"), 1).otherwise(0)
-        for j in range(NUM_HASHES)
-    )
-    est = agree / F.lit(float(NUM_HASHES))
+    est = _sig_agree() / F.lit(float(NUM_HASHES))
     return (
         cand.join(za, F.col("doc_a") == F.col("za_id"))
         .join(zb, F.col("doc_b") == F.col("zb_id"))
@@ -412,12 +438,7 @@ def _d10_sql() -> str:
     # reuse d03's CTE prefix up to (excluding) its verify CTE — cal
     # below re-derives the intersection WITH the signature columns, so
     # keeping d03's `inter` would just emit dead SQL
-    d03 = _d03_sql().strip()
-    cte = d03[: d03.rindex("inter AS")].rstrip().rstrip(",")
-    agree = " + ".join(
-        f"(CASE WHEN za.mh{j} = zb.mh{j} THEN 1 ELSE 0 END)"
-        for j in range(NUM_HASHES)
-    )
+    cte, agree = _d03_cal_sql_parts()
     return f"""{cte},
 cal AS (
   SELECT c.doc_a, c.doc_b,
@@ -458,23 +479,9 @@ def d19_containment_calibration(
     signature join per side, row-local arithmetic; the direction
     split is a row-local explode."""
     sig, cand = _minhash_sig_and_candidates(spark, sf_dir)
-    za = sig.select(
-        F.col("doc_id").alias("za_id"),
-        F.col("n").alias("na"),
-        F.col("ss").alias("ssa"),
-        *[F.col(f"mh{j}").alias(f"amh{j}") for j in range(NUM_HASHES)],
-    )
-    zb = sig.select(
-        F.col("doc_id").alias("zb_id"),
-        F.col("n").alias("nb"),
-        F.col("ss").alias("ssb"),
-        *[F.col(f"mh{j}").alias(f"bmh{j}") for j in range(NUM_HASHES)],
-    )
+    za, zb = _sig_pair(sig)
     n_common = F.size(F.array_intersect(F.col("ssa"), F.col("ssb")))
-    agree = sum(
-        F.when(F.col(f"amh{j}") == F.col(f"bmh{j}"), 1).otherwise(0)
-        for j in range(NUM_HASHES)
-    )
+    agree = _sig_agree()
     paired = (
         cand.join(za, F.col("doc_a") == F.col("za_id"))
         .join(zb, F.col("doc_b") == F.col("zb_id"))
@@ -526,12 +533,7 @@ def d19_containment_calibration(
 
 
 def _d19_sql() -> str:
-    d03 = _d03_sql().strip()
-    cte = d03[: d03.rindex("inter AS")].rstrip().rstrip(",")
-    agree = " + ".join(
-        f"(CASE WHEN za.mh{j} = zb.mh{j} THEN 1 ELSE 0 END)"
-        for j in range(NUM_HASHES)
-    )
+    cte, agree = _d03_cal_sql_parts()
     return f"""{cte},
 cal AS (
   SELECT c.doc_a, c.doc_b,

@@ -18,3 +18,8 @@ import check_doc_metrics
 def test_doc_metric_quotes_match_artifacts():
     problems = check_doc_metrics.check()
     assert problems == [], "\n".join(problems)
+
+
+def test_doc_counts_match_code():
+    problems = check_doc_metrics.check_counts()
+    assert problems == [], "\n".join(problems)

@@ -123,8 +123,54 @@ def check() -> list[str]:
     return problems
 
 
+def check_counts() -> list[str]:
+    """Pinned-count checks (same drift class as the metric quotes —
+    the round-5 reviews caught 'N parity cases' and 'N registry
+    queries' wrong three times): every doc claim of registry size or
+    adversarial parity-case count must match the code."""
+    problems: list[str] = []
+    sweep_src = os.path.join(REPO, "tests", "test_adversarial.py")
+    s = open(sweep_src, encoding="utf-8").read()
+
+    def grab(name):
+        m = re.search(name + r" = \[(.*?)\]", s, re.S)
+        return len(re.findall(r'"[a-z0-9_]+"', m.group(1)))
+
+    parity = grab("SWEEP") + grab("EVENTS_SWEEP") + grab("EMB_SWEEP")
+    sys.path.insert(0, REPO)
+    from kafka2clickhouse_py_streamer_spark.operators.base import (
+        all_queries,
+    )
+
+    n_queries = len(all_queries())
+    # counts are CURRENT-state claims: check only the inventory doc and
+    # the latest round changelog (historical ROUND*.md describe their
+    # own rounds' states and must keep their numbers)
+    rounds = sorted(glob.glob(os.path.join(REPO, "ROUND*.md")))
+    current_docs = [os.path.join(REPO, "OPERATORS.md")] + rounds[-1:]
+    for doc in current_docs:
+        if not os.path.exists(doc):
+            continue
+        text = open(doc, encoding="utf-8").read()
+        for m in re.finditer(r"(\d+) parity\s*\ncases|(\d+) parity cases", text):
+            n = int(m.group(1) or m.group(2))
+            if n != parity:
+                problems.append(
+                    f"{os.path.basename(doc)}: claims {n} parity cases, "
+                    f"sweep lists total {parity}"
+                )
+        for m in re.finditer(r"(\d+) registry queries|(\d+) queries / \d+ DuckDB", text):
+            n = int(m.group(1) or m.group(2))
+            if n != n_queries:
+                problems.append(
+                    f"{os.path.basename(doc)}: claims {n} registry "
+                    f"queries, all_queries() has {n_queries}"
+                )
+    return problems
+
+
 if __name__ == "__main__":
-    probs = check()
+    probs = check() + check_counts()
     for p in probs:
         print(p)
     if probs:

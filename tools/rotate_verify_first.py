@@ -139,14 +139,27 @@ def rotation() -> tuple[list[str], dict[str, str]]:
     def key(name: str) -> tuple:
         pos = names.index(name)
         g = last_green.get(name)
+        # NEEDY = would trip the no-aging-out tripwire if left outside
+        # the driver window (never green, errored after its last green,
+        # or green more than one round ago). Needy status is the
+        # PRIMARY sort key so that, when the window is over-subscribed,
+        # it is packed exclusively with needy queries — otherwise the
+        # tool's category order could seat a freshly-green-but-churned
+        # query above a stale one and make the tripwire unsatisfiable
+        # by construction (round-5 review find).
+        needy = 0 if (
+            g is None
+            or last_err.get(name, 0) > g
+            or g < latest - 1
+        ) else 1
         if g is None or last_err.get(name, 0) > g:
             reasons[name] = "never-green" if g is None else f"errored-r{last_err[name]:02d}"
-            return (0, 0, pos)
+            return (needy, 0, 0, pos)
         if defining_file(name, registry) in churn_by_round.get(g, set()):
             reasons[name] = f"green-r{g:02d} but file churned since"
-            return (1, g, pos)
+            return (needy, 1, g, pos)
         reasons[name] = f"green-r{g:02d}"
-        return (2, g, pos)
+        return (needy, 2, g, pos)
 
     return sorted(names, key=key), reasons
 
