@@ -1583,3 +1583,39 @@ def test_compaction_crash_recovery(spark, tmp_path):
         r.user_id: r.est
         for r in countmin_estimates(spark, state, users).collect()
     } == before
+
+
+def test_countmin_estimates_unseen_key_is_zero(spark, tmp_path):
+    """A key the stream never saw must estimate 0 (count-min's min
+    over its cells, some of which have no row) — the inner-join form
+    either dropped such keys or overestimated from the surviving cell
+    subset (round-5 review find)."""
+    from kafka2clickhouse_py_streamer_spark.streaming.sketch_stream import (
+        countmin_estimates,
+        countmin_update_batch,
+    )
+
+    state = str(tmp_path / "unseen_state")
+    countmin_update_batch(
+        spark.createDataFrame(
+            [(i, 1) for i in range(9)], "event_id long, user_id long"
+        ),
+        0,
+        state,
+    )
+    got = {
+        r.user_id: r.est
+        for r in countmin_estimates(
+            spark,
+            state,
+            spark.createDataFrame(
+                [(1,), (424242,)], "user_id long"
+            ),
+        ).collect()
+    }
+    assert set(got) == {1, 424242}  # the unseen key is NOT dropped
+    assert got[1] >= 9
+    # a single-key sketch leaves most cells empty, so an unseen key
+    # whose cells miss the populated ones estimates exactly 0 (unless
+    # it collides on ALL rows, which 424242 does not with key 1)
+    assert got[424242] == 0
