@@ -147,7 +147,10 @@ def check_counts() -> list[str]:
     # the latest round changelog (historical ROUND*.md describe their
     # own rounds' states and must keep their numbers)
     rounds = sorted(glob.glob(os.path.join(REPO, "ROUND*.md")))
-    current_docs = [os.path.join(REPO, "OPERATORS.md")] + rounds[-1:]
+    current_docs = [
+        os.path.join(REPO, "OPERATORS.md"),
+        os.path.join(REPO, "README.md"),
+    ] + rounds[-1:]
     for doc in current_docs:
         if not os.path.exists(doc):
             continue
