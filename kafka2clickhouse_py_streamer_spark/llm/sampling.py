@@ -1305,6 +1305,83 @@ ORDER BY source
 """
 
 
+def p16_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency audit over p03's packs — the number that
+    directly drives training throughput (an 80%-full pack wastes 20%
+    of every forward pass): per pack, the docs that START in it, the
+    token mass contributed by docs starting there, how many tokens a
+    straddling doc carries IN from the previous pack, and the fill
+    ratio of the pack's budget. The report a shard writer checks
+    before committing a packing configuration (budget vs document
+    length distribution).
+
+    Every pack except the last is exactly full under concat-and-chunk
+    (carry_in + started mass ≥ budget by construction) — asserted by
+    the invariants suite; what this audit actually measures is the
+    straddle rate (docs cut across packs) and the tail pack's waste.
+
+    Scale shape: one hash agg keyed on pack_id over p03's (already
+    two-pass-offset) output; carry-in is row-local arithmetic
+    (budget − offset_in_pack of the first doc when it straddles). No
+    new shuffle class."""
+    packed = p03_sequence_packing(spark, sf_dir)
+    carry_in = F.when(
+        F.col("offset_in_pack") == F.min("offset_in_pack").over(
+            Window.partitionBy("pack_id")
+        ),
+        F.col("offset_in_pack"),
+    ).otherwise(F.lit(0))
+    # offset_in_pack of the FIRST doc in a pack == tokens carried in
+    # by the straddler from the previous pack (0 when aligned)
+    per_pack = (
+        packed.withColumn("carry_in", carry_in)
+        .groupBy("pack_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs_started"),
+            F.sum("n_tokens").cast("long").alias("tokens_started"),
+            F.max("carry_in").cast("long").alias("tokens_carried_in"),
+        )
+    )
+    fill = F.least(
+        F.lit(1.0),
+        (F.col("tokens_carried_in") + F.col("tokens_started"))
+        / F.lit(float(PACK_BUDGET)),
+    )
+    return (
+        per_pack.select(
+            "pack_id",
+            "n_docs_started",
+            "tokens_started",
+            "tokens_carried_in",
+            F.round(fill, 6).alias("fill_ratio"),
+        )
+        .orderBy("pack_id")
+    )
+
+
+def _p16_sql() -> str:
+    return f"""
+WITH packed AS ({P03_SQL.strip().rstrip()}),
+marked AS (
+  SELECT pack_id, n_tokens, offset_in_pack,
+         CASE WHEN offset_in_pack = MIN(offset_in_pack)
+                   OVER (PARTITION BY pack_id)
+              THEN offset_in_pack ELSE 0 END AS carry_in
+  FROM packed
+)
+SELECT pack_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs_started,
+       CAST(SUM(n_tokens) AS BIGINT) AS tokens_started,
+       CAST(MAX(carry_in) AS BIGINT) AS tokens_carried_in,
+       ROUND(LEAST(1.0, (MAX(carry_in) + SUM(n_tokens))
+                        / CAST({PACK_BUDGET} AS DOUBLE)), 6)
+         AS fill_ratio
+FROM marked
+GROUP BY pack_id
+ORDER BY pack_id
+"""
+
+
 QUERIES = [
     Query("p01_train_test_split", p01_train_test_split, P01_SQL,
           "hash-deterministic train/val/test split"),
@@ -1345,4 +1422,7 @@ QUERIES = [
     Query("p15_dedup_rebalance", p15_dedup_rebalance, _p15_sql(),
           "mixture correction after dedup: per-source temperature "
           "weights before vs after exact dedup, with deltas"),
+    Query("p16_pack_efficiency", p16_pack_efficiency, _p16_sql(),
+          "packing-efficiency audit: per-pack fill ratio, straddle "
+          "carry-in, and started-doc counts over p03's packs"),
 ]

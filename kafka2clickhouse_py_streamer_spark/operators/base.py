@@ -152,6 +152,7 @@ _VERIFY_FIRST = [
     "s18_knn_label_eval",
     "q63_forward_asof",
     "d19_containment_calibration",
+    "p16_pack_efficiency",
     # green-r02 but file churned since
     "d07_dedup_clusters",
     "d08_canonical_corpus",

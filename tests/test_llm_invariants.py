@@ -1138,3 +1138,24 @@ def test_t17_chunker_matches_serial_reference_property(spark):
             assert sorted(got[i]) == expect, (i, n)
 
     check()
+
+
+def test_p16_packs_full_except_tail(spark, sf_dir):
+    """Concat-and-chunk guarantees every pack except the last is
+    exactly full: fill_ratio == 1.0 for all non-tail packs, pack ids
+    are contiguous from 0, and total started tokens equal the corpus
+    token mass."""
+    from kafka2clickhouse_py_streamer_spark.llm.sampling import (
+        p03_sequence_packing,
+        p16_pack_efficiency,
+    )
+
+    rows = p16_pack_efficiency(spark, sf_dir).collect()
+    assert rows
+    ids = [r.pack_id for r in rows]
+    assert ids == list(range(len(ids)))
+    for r in rows[:-1]:
+        assert r.fill_ratio == 1.0, r
+    total = sum(r.tokens_started for r in rows)
+    packed = p03_sequence_packing(spark, sf_dir)
+    assert total == packed.agg({"n_tokens": "sum"}).collect()[0][0]

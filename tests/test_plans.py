@@ -1160,3 +1160,18 @@ def test_d19_calibration_rides_the_band_join(spark, sf_dir):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert python_row_ops(df) == 0
+
+
+def test_p16_audit_is_one_agg_over_p03(spark, sf_dir):
+    # the audit adds a pack-keyed window + one hash agg on top of
+    # p03's two-pass packing — still no SinglePartition funnel, no
+    # cartesian, no Python
+    from kafka2clickhouse_py_streamer_spark.llm.sampling import (
+        p16_pack_efficiency,
+    )
+
+    df = p16_pack_efficiency(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+    assert python_row_ops(df) == 0
