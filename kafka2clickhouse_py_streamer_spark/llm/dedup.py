@@ -1269,7 +1269,9 @@ CONTAINMENT_THRESHOLD = 0.5  # d17: fraction of the SMALLER side's
 # shingles that must appear in the other doc
 
 
-def d17_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d17_containment_pairs(
+    spark: SparkSession, sf_dir: str, max_df: int = MAX_SHINGLE_DF
+) -> DataFrame:
     """Asymmetric containment near-dup detection (Broder's containment
     C(A→B) = |A∩B| / |A|): catches a document EMBEDDED in a larger one
     — quoted mails, syndicated articles wrapped in boilerplate — where
@@ -1277,13 +1279,29 @@ def d17_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     never fires. Every ordered pair with containment ≥ threshold is
     reported as (contained, container).
 
-    Scale shape: identical to d02 — candidate pairs come from the
-    inverted-index equi-join on the shingle (never a cross join), the
+    Scale shape: d11's, not d02's — shingles whose document frequency
+    exceeds ``max_df`` are semi-joined away BEFORE the pair join
+    (round-5 verdict: the uncapped index let one boilerplate shingle
+    shared by f docs emit f² candidate rows — the skewed-key
+    scale-killer at 100 TB). Containment is then measured over the
+    FILTERED shingle sets (denominator included), mirrored exactly by
+    the oracle; with ``max_df`` above the corpus size this degrades to
+    the uncapped measure precisely. Candidate pairs come from the
+    capped inverted-index equi-join (never a cross join), the
     intersection is a count aggregate, and each unordered pair is
     joined/sized ONCE then exploded into its two directions row-wise
-    (a row-local explode, not a second pair join). Hot-shingle skew is
-    the same risk d11's DF cap removes at the source."""
+    (a row-local explode, not a second pair join). The signature-only
+    alternative (d03 band candidates + d19's Broder estimate) is the
+    documented at-scale admission path — see SCALE.md §d17; d19's
+    calibration decides when its error bound is acceptable."""
     sh = _shingle_rows(spark, sf_dir)
+    df_ok = (
+        sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("s")
+    )
+    sh = sh.join(df_ok, "s", "left_semi")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
@@ -1333,11 +1351,17 @@ def d17_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 D17_SQL = f"""
 WITH {_DUCK_SHINGLES_CTE},
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+kept AS (
+  SELECT sh.doc_id, sh.s
+  FROM shingles sh
+  JOIN (SELECT s FROM shingles GROUP BY s
+        HAVING COUNT(*) <= {MAX_SHINGLE_DF}) ok USING (s)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-  FROM shingles a
-  JOIN shingles b ON b.s = a.s AND b.doc_id > a.doc_id
+  FROM kept a
+  JOIN kept b ON b.s = a.s AND b.doc_id > a.doc_id
   GROUP BY a.doc_id, b.doc_id
 ),
 both_dirs AS (

@@ -134,58 +134,7 @@ def spread(df: DataFrame) -> DataFrame:
 # asserts the committed list matches the tool and that no query's
 # evidence can age out of the driver window unseen.
 _VERIFY_FIRST = [
-    # never-green
-    "p14_span_scrub_pipeline",
-    "d17_containment_pairs",
-    "s14_ivfpq_search",
-    "s15_mrl_truncation_recall",
-    "t15_perplexity_buckets",
-    "w12_countmin_heavyhitters",
-    "s16_rrf_fusion",
-    "t16_bm25_topk",
-    "t17_chunk_passages",
-    "d18_bloom_decontamination",
-    "m07_phash_neardup",
-    "p15_dedup_rebalance",
-    "s17_probe_recall_sweep",
-    "t18_ngram_novelty",
-    "s18_knn_label_eval",
-    "q63_forward_asof",
-    "d19_containment_calibration",
-    "p16_pack_efficiency",
     # green-r02 but file churned since
-    "d07_dedup_clusters",
-    "d08_canonical_corpus",
-    "d09_contamination",
-    "s01_cosine_topk",
-    "s02_lsh_buckets",
-    "s03_lsh_topk",
-    "s04_ivf_topk",
-    "s05_trained_ivf",
-    "s06_quantize",
-    "s07_knn_label",
-    "t01_token_count",
-    "t02_quality_score",
-    "t03_langid",
-    "t04_fingerprint",
-    "t05_rolling_hash",
-    "t06_repetition",
-    "t07_vocab_idf",
-    "t08_unigram_logprob",
-    "t09_pii_scrub",
-    "p01_train_test_split",
-    "p02_stratified_sample",
-    "p04_global_shuffle",
-    "p05_clean_corpus",
-    "p06_domain_mix",
-    "p07_corpus_pipeline",
-    "w01_tumbling",
-    "w02_sliding",
-    "w03_session_window",
-    "w04_enriched_windows",
-    "q41_map_fns",
-    "m01_media_metadata",
-    "m02_decode_stats",
     "m03_frame_sample",
     "m04_feature_extract",
     "m05_media_dedup",
@@ -282,6 +231,14 @@ _VERIFY_FIRST = [
     "q62_lateral_topn",
     "q48_salted_join",
     "q49_upsert_merge",
+    # green-r05 but file churned since
+    "d17_containment_pairs",
+    "d18_bloom_decontamination",
+    "d19_containment_calibration",
+    "d07_dedup_clusters",
+    "d08_canonical_corpus",
+    "d09_contamination",
+    # green-r04
     "q53_funnel",
     "q56_mom_growth",
     "q58_scd2_intervals",
@@ -291,6 +248,51 @@ _VERIFY_FIRST = [
     "q06_revenue_filter",
     "q12_distinct_agg",
     "q13_rollup",
+    # green-r05
+    "p14_span_scrub_pipeline",
+    "s14_ivfpq_search",
+    "s15_mrl_truncation_recall",
+    "t15_perplexity_buckets",
+    "w12_countmin_heavyhitters",
+    "s16_rrf_fusion",
+    "t16_bm25_topk",
+    "t17_chunk_passages",
+    "m07_phash_neardup",
+    "p15_dedup_rebalance",
+    "s17_probe_recall_sweep",
+    "t18_ngram_novelty",
+    "s18_knn_label_eval",
+    "q63_forward_asof",
+    "p16_pack_efficiency",
+    "s01_cosine_topk",
+    "s02_lsh_buckets",
+    "s03_lsh_topk",
+    "s04_ivf_topk",
+    "s05_trained_ivf",
+    "s06_quantize",
+    "s07_knn_label",
+    "t01_token_count",
+    "t02_quality_score",
+    "t03_langid",
+    "t04_fingerprint",
+    "t05_rolling_hash",
+    "t06_repetition",
+    "t07_vocab_idf",
+    "t08_unigram_logprob",
+    "t09_pii_scrub",
+    "p01_train_test_split",
+    "p02_stratified_sample",
+    "p04_global_shuffle",
+    "p05_clean_corpus",
+    "p06_domain_mix",
+    "p07_corpus_pipeline",
+    "w01_tumbling",
+    "w02_sliding",
+    "w03_session_window",
+    "w04_enriched_windows",
+    "q41_map_fns",
+    "m01_media_metadata",
+    "m02_decode_stats",
 ]
 
 

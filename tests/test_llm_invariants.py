@@ -6,6 +6,8 @@ definition, reconstruction within the quantizer's error bound.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from kafka2clickhouse_py_streamer_spark.llm.dedup import (
     CONTAM_FLAG,
     CONTAM_MIN_OVERLAP,
@@ -970,6 +972,59 @@ def test_d17_containment_matches_serial_reference(spark, tmp_path):
         for r in d17_containment_pairs(spark, root).collect()
     )
     assert got == expect
+
+
+def test_d17_df_cap_removes_hot_shingle_pairs(spark, tmp_path):
+    """The cap binding: docs related ONLY through a boilerplate shingle
+    shared by more than ``max_df`` documents stop pairing once the cap
+    drops that shingle, while a genuine containment pair (sharing rare
+    shingles) survives with its containment re-measured over the capped
+    sets — the round-5 verdict's d17 fix, observable not just pinned."""
+    from kafka2clickhouse_py_streamer_spark.llm.dedup import (
+        d17_containment_pairs,
+    )
+
+    boiler = "terms of service apply here"
+    rows = [(i, boiler) for i in range(1, 7)]  # 6 docs, boiler-only
+    core = "alpha beta gamma delta epsilon zeta"
+    rows += [(10, core), (11, f"{core} extra tail words here now")]
+    root = _write_docs(tmp_path, "cap_docs", rows)
+
+    uncapped = d17_containment_pairs(spark, root, max_df=10**9)
+    assert uncapped.filter("contained <= 6 AND container <= 6").count() > 0
+
+    capped = d17_containment_pairs(spark, root, max_df=5)
+    got = {(r.contained, r.container) for r in capped.collect()}
+    assert not any(a <= 6 and b <= 6 for a, b in got)  # boiler pairs gone
+    assert (10, 11) in got  # the real containment pair survives
+
+
+def test_d19_admission_no_recall_loss(spark, sf_dir):
+    """The load-bearing claim of SCALE.md §"d17 at 100 TB": because
+    band-candidate selection biases the Jaccard estimate upward, the
+    Broder containment estimate over-admits — signature-only admission
+    at tau = CONTAINMENT_THRESHOLD must lose ZERO recall against the
+    exact containment decision on the calibration's candidate pairs.
+    If a data or estimator change flips the bias direction, the
+    documented at-scale policy is invalid and this fails."""
+    from kafka2clickhouse_py_streamer_spark.llm.dedup import (
+        CONTAINMENT_THRESHOLD,
+        d19_containment_calibration,
+    )
+
+    df = d19_containment_calibration(spark, sf_dir)
+    missed = df.filter(
+        (F.col("containment") >= CONTAINMENT_THRESHOLD)
+        & (F.col("est_containment") < CONTAINMENT_THRESHOLD)
+    ).count()
+    positives = df.filter(
+        F.col("containment") >= CONTAINMENT_THRESHOLD
+    ).count()
+    assert positives > 0  # the claim must be about a non-empty set
+    assert missed == 0, (
+        f"signature admission at tau=T missed {missed}/{positives} "
+        "true containment pairs — SCALE.md policy rung 3 is invalid"
+    )
 
 
 def test_p14_consistent_with_d16(spark, sf_dir):

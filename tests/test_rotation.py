@@ -87,6 +87,48 @@ def test_no_query_ages_out_of_window(registry):
         assert next_window <= needy, sorted(next_window - needy)
 
 
+def test_stale_spill_is_mirror_green(registry):
+    """Capacity backstop: any query that is BOTH outside the staleness
+    horizon and outside the next driver window (the 153 > 50x3 overflow
+    round 5's verdict flagged) must be green in a committed local
+    oracle mirror recorded for the round in progress
+    (``LOCAL_ORACLE_r{N}.json``, written by
+    ``tools/local_oracle_mirror.py``). Driver evidence stays primary;
+    the mirror is the recorded answer for what the window can't hold."""
+    import importlib.util as _ilu
+
+    spec2 = _ilu.spec_from_file_location(
+        "local_oracle_mirror",
+        os.path.join(REPO, "tools", "local_oracle_mirror.py"),
+    )
+    mirror_mod = _ilu.module_from_spec(spec2)
+    spec2.loader.exec_module(mirror_mod)
+
+    from kafka2clickhouse_py_streamer_spark.operators.base import _VERIFY_FIRST
+
+    last_green, _, latest = rotate.evidence()
+    if latest == 0:
+        pytest.skip("no CORRECTNESS files recorded yet")
+    next_window = set(_VERIFY_FIRST[: rotate.WINDOW])
+    needy = {n for n in registry if last_green.get(n, 0) < latest - 1}
+    spilled = sorted(needy - next_window)
+    if not spilled:
+        pytest.skip("registry fits the driver window — no spill")
+    mround, art = mirror_mod.latest_mirror()
+    assert art is not None and mround > latest, (
+        f"{len(spilled)} queries spill past the driver window but no "
+        f"current-round LOCAL_ORACLE_r{latest + 1:02d}.json exists — run "
+        "`python tools/local_oracle_mirror.py`"
+    )
+    not_green = [
+        n for n in spilled
+        if not art["results"].get(n, {}).get("ok", False)
+    ]
+    assert not not_green, (
+        f"spilled queries lack mirror evidence: {not_green}"
+    )
+
+
 def test_churned_greens_rank_before_unchurned(registry):
     """A green whose defining file changed outranks an unchurned green
     of the same round — the exact pattern that hid the round-2 q28
