@@ -611,6 +611,6 @@ QUERIES = [
           "media patch tokens, two-pass offsets)"),
     Query("m07_phash_neardup", m07_phash_neardup, _m07_sql(),
           "perceptual-hash near-dup over media payload bytes: "
-          "mean-threshold 16-bit hash, 2x8-bit bands, exact Hamming "
+          "mean-threshold 16-bit hash, 4x4-bit bands, exact Hamming "
           "verify"),
 ]

@@ -1320,10 +1320,20 @@ def p16_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     the invariants suite; what this audit actually measures is the
     straddle rate (docs cut across packs) and the tail pack's waste.
 
+    A document spanning ≥ 2 packs fully covers intermediate packs in
+    which no document starts; grouping doc starts alone would drop
+    those packs from the audit (round-5 advice — the contiguous-id and
+    every-non-tail-full claims silently broke on long-doc corpora).
+    Such packs are synthesized from the straddler's span: fill 1.0 and
+    n_docs_started 0 for fully-covered packs, partial fill when the
+    corpus tail ends inside a pack no doc starts in.
+
     Scale shape: one hash agg keyed on pack_id over p03's (already
     two-pass-offset) output; carry-in is row-local arithmetic
-    (budget − offset_in_pack of the first doc when it straddles). No
-    new shuffle class."""
+    (budget − offset_in_pack of the first doc when it straddles); the
+    synthesis explodes ~n_tokens/budget rows per long doc (bounded by
+    the corpus token mass over the budget) and anti-joins the started
+    packs. No new shuffle class."""
     packed = p03_sequence_packing(spark, sf_dir)
     carry_in = F.when(
         F.col("offset_in_pack") == F.min("offset_in_pack").over(
@@ -1347,16 +1357,46 @@ def p16_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("tokens_carried_in") + F.col("tokens_started"))
         / F.lit(float(PACK_BUDGET)),
     )
-    return (
-        per_pack.select(
-            "pack_id",
-            "n_docs_started",
-            "tokens_started",
-            "tokens_carried_in",
-            F.round(fill, 6).alias("fill_ratio"),
-        )
-        .orderBy("pack_id")
+    started = per_pack.select(
+        "pack_id",
+        "n_docs_started",
+        "tokens_started",
+        "tokens_carried_in",
+        F.round(fill, 6).alias("fill_ratio"),
     )
+    endo = F.col("stream_offset") + F.col("n_tokens")
+    straddled = (
+        packed.select(
+            F.col("pack_id").alias("start_pack"),
+            endo.alias("endo"),
+            F.floor((endo - 1) / PACK_BUDGET).cast("long").alias("lastp"),
+        )
+        .filter(F.col("lastp") > F.col("start_pack"))
+        .select(
+            F.explode(
+                F.sequence(F.col("start_pack") + 1, F.col("lastp"))
+            ).alias("pack_id"),
+            "endo",
+        )
+        .select(
+            "pack_id",
+            F.least(
+                F.lit(PACK_BUDGET).cast("long"),
+                F.col("endo") - F.col("pack_id") * PACK_BUDGET,
+            ).cast("long").alias("tokens_carried_in"),
+        )
+        .join(per_pack.select("pack_id"), "pack_id", "left_anti")
+        .select(
+            "pack_id",
+            F.lit(0).cast("long").alias("n_docs_started"),
+            F.lit(0).cast("long").alias("tokens_started"),
+            "tokens_carried_in",
+            F.round(
+                F.col("tokens_carried_in") / F.lit(float(PACK_BUDGET)), 6
+            ).alias("fill_ratio"),
+        )
+    )
+    return started.unionByName(straddled).orderBy("pack_id")
 
 
 def _p16_sql() -> str:
@@ -1368,16 +1408,44 @@ marked AS (
                    OVER (PARTITION BY pack_id)
               THEN offset_in_pack ELSE 0 END AS carry_in
   FROM packed
+),
+per_pack AS (
+  SELECT pack_id,
+         CAST(COUNT(*) AS BIGINT) AS n_docs_started,
+         CAST(SUM(n_tokens) AS BIGINT) AS tokens_started,
+         CAST(MAX(carry_in) AS BIGINT) AS tokens_carried_in,
+         ROUND(LEAST(1.0, (MAX(carry_in) + SUM(n_tokens))
+                          / CAST({PACK_BUDGET} AS DOUBLE)), 6)
+           AS fill_ratio
+  FROM marked
+  GROUP BY pack_id
+),
+strad AS (
+  SELECT UNNEST(generate_series(pack_id + 1, lastp)) AS pack_id, endo
+  FROM (
+    SELECT pack_id,
+           stream_offset + n_tokens AS endo,
+           (stream_offset + n_tokens - 1) // {PACK_BUDGET} AS lastp
+    FROM packed
+  )
+  WHERE lastp > pack_id
+),
+synth AS (
+  SELECT s.pack_id,
+         CAST(0 AS BIGINT) AS n_docs_started,
+         CAST(0 AS BIGINT) AS tokens_started,
+         CAST(LEAST({PACK_BUDGET}, s.endo - s.pack_id * {PACK_BUDGET})
+              AS BIGINT) AS tokens_carried_in,
+         ROUND(LEAST({PACK_BUDGET}, s.endo - s.pack_id * {PACK_BUDGET})
+               / CAST({PACK_BUDGET} AS DOUBLE), 6) AS fill_ratio
+  FROM strad s
+  ANTI JOIN per_pack pp ON pp.pack_id = s.pack_id
 )
-SELECT pack_id,
-       CAST(COUNT(*) AS BIGINT) AS n_docs_started,
-       CAST(SUM(n_tokens) AS BIGINT) AS tokens_started,
-       CAST(MAX(carry_in) AS BIGINT) AS tokens_carried_in,
-       ROUND(LEAST(1.0, (MAX(carry_in) + SUM(n_tokens))
-                        / CAST({PACK_BUDGET} AS DOUBLE)), 6)
-         AS fill_ratio
-FROM marked
-GROUP BY pack_id
+SELECT * FROM (
+  SELECT * FROM per_pack
+  UNION ALL
+  SELECT * FROM synth
+)
 ORDER BY pack_id
 """
 

@@ -1674,13 +1674,18 @@ def s15_mrl_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = s01_cosine_topk(spark, sf_dir).select("query_id", "cand_id")
 
     def trunc_topk(d: int) -> DataFrame:
+        # a vector whose first d dims are all zero has a zero PREFIX
+        # norm even though the full-DIM admission gate passed — its
+        # cosine is NULL (0/0) and would pollute the row_number top-k
+        # with unrankable rows (round-5 advice); drop such rows on
+        # BOTH sides so a zero-prefix query scores recall 0 instead
         sq = F.slice(F.col("v"), 1, d)
         q = base.filter(F.col("vec_id") < N_QUERIES).select(
             F.col("vec_id").alias("query_id"), sq.alias("qv")
-        )
+        ).filter(dot("qv", F.col("qv")) > 0)
         c = base.filter(F.col("vec_id") >= N_QUERIES).select(
             F.col("vec_id").alias("cand_id"), sq.alias("cv")
-        )
+        ).filter(dot("cv", F.col("cv")) > 0)
         cos = F.round(
             dot("qv", F.col("cv"))
             / (
@@ -1758,6 +1763,8 @@ def _s15_sql() -> str:
                    6) AS cosine
       FROM base q, base c
       WHERE q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
+        AND list_dot_product(q.v[1:{d}], q.v[1:{d}]) > 0
+        AND list_dot_product(c.v[1:{d}], c.v[1:{d}]) > 0
     )
   ) WHERE rk <= {TOP_K}"""
         )

@@ -238,6 +238,30 @@ _VERIFY_FIRST = [
     "d07_dedup_clusters",
     "d08_canonical_corpus",
     "d09_contamination",
+    "p14_span_scrub_pipeline",
+    "s14_ivfpq_search",
+    "s15_mrl_truncation_recall",
+    "s16_rrf_fusion",
+    "m07_phash_neardup",
+    "p15_dedup_rebalance",
+    "s17_probe_recall_sweep",
+    "s18_knn_label_eval",
+    "p16_pack_efficiency",
+    "s01_cosine_topk",
+    "s02_lsh_buckets",
+    "s03_lsh_topk",
+    "s04_ivf_topk",
+    "s05_trained_ivf",
+    "s06_quantize",
+    "s07_knn_label",
+    "p01_train_test_split",
+    "p02_stratified_sample",
+    "p04_global_shuffle",
+    "p05_clean_corpus",
+    "p06_domain_mix",
+    "p07_corpus_pipeline",
+    "m01_media_metadata",
+    "m02_decode_stats",
     # green-r04
     "q53_funnel",
     "q56_mom_growth",
@@ -249,28 +273,12 @@ _VERIFY_FIRST = [
     "q12_distinct_agg",
     "q13_rollup",
     # green-r05
-    "p14_span_scrub_pipeline",
-    "s14_ivfpq_search",
-    "s15_mrl_truncation_recall",
     "t15_perplexity_buckets",
     "w12_countmin_heavyhitters",
-    "s16_rrf_fusion",
     "t16_bm25_topk",
     "t17_chunk_passages",
-    "m07_phash_neardup",
-    "p15_dedup_rebalance",
-    "s17_probe_recall_sweep",
     "t18_ngram_novelty",
-    "s18_knn_label_eval",
     "q63_forward_asof",
-    "p16_pack_efficiency",
-    "s01_cosine_topk",
-    "s02_lsh_buckets",
-    "s03_lsh_topk",
-    "s04_ivf_topk",
-    "s05_trained_ivf",
-    "s06_quantize",
-    "s07_knn_label",
     "t01_token_count",
     "t02_quality_score",
     "t03_langid",
@@ -280,19 +288,11 @@ _VERIFY_FIRST = [
     "t07_vocab_idf",
     "t08_unigram_logprob",
     "t09_pii_scrub",
-    "p01_train_test_split",
-    "p02_stratified_sample",
-    "p04_global_shuffle",
-    "p05_clean_corpus",
-    "p06_domain_mix",
-    "p07_corpus_pipeline",
     "w01_tumbling",
     "w02_sliding",
     "w03_session_window",
     "w04_enriched_windows",
     "q41_map_fns",
-    "m01_media_metadata",
-    "m02_decode_stats",
 ]
 
 

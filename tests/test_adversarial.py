@@ -224,6 +224,13 @@ def adv_ev_dir(tmp_path_factory) -> str:
             v[3] = float("nan")  # one NaN element — crashed the Lloyd
             # trainer driver-side (math.floor(NaN)) before the finite
             # admission gate
+        elif i == 27:
+            rng = np.random.RandomState(i)
+            v = [float(x) for x in rng.randn(64)]
+            v[:8] = [0.0] * 8  # zero PREFIX norm: passes the full-DIM
+            # admission gate but divides by zero in s15's d=8
+            # truncated cosine (round-5 advice — NULL scores polluted
+            # the top-k before the prefix-norm filter)
         else:
             rng = np.random.RandomState(i)
             v = [float(x) for x in rng.randn(64)]

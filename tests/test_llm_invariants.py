@@ -1214,3 +1214,33 @@ def test_p16_packs_full_except_tail(spark, sf_dir):
     total = sum(r.tokens_started for r in rows)
     packed = p03_sequence_packing(spark, sf_dir)
     assert total == packed.agg({"n_tokens": "sum"}).collect()[0][0]
+
+
+def test_p16_synthesizes_fully_straddled_packs(spark, tmp_path):
+    """A document ≥ 2×PACK_BUDGET tokens fully covers packs in which
+    no document starts; the audit must synthesize those rows (fill 1.0,
+    n_docs_started 0) instead of dropping them (round-5 advice — the
+    contiguous-id claim silently broke on long-doc corpora)."""
+    from kafka2clickhouse_py_streamer_spark.llm.sampling import (
+        PACK_BUDGET,
+        p16_pack_efficiency,
+    )
+
+    long_doc = " ".join(f"w{i}" for i in range(PACK_BUDGET * 2 + 100))
+    rows = [
+        (1, "x y z"),           # starts pack 0
+        (2, long_doc),          # covers packs 1 and 2 fully, ends in 2
+        (3, "tail words here"),
+    ]
+    root = _write_docs(tmp_path, "strad_docs", rows)
+    got = p16_pack_efficiency(spark, root).collect()
+    ids = [r.pack_id for r in got]
+    assert ids == list(range(len(ids))), ids  # contiguous, none dropped
+    by_id = {r.pack_id: r for r in got}
+    # pack 1 is fully covered by doc 2: synthesized, full, no starters
+    assert by_id[1].n_docs_started == 0
+    assert by_id[1].tokens_started == 0
+    assert by_id[1].fill_ratio == 1.0
+    assert by_id[1].tokens_carried_in == PACK_BUDGET
+    for r in got[:-1]:
+        assert r.fill_ratio == 1.0, r

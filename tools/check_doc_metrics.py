@@ -133,7 +133,7 @@ def check_counts() -> list[str]:
     s = open(sweep_src, encoding="utf-8").read()
 
     def grab(name):
-        m = re.search(name + r" = \[(.*?)\]", s, re.S)
+        m = re.search(r"^" + name + r" = \[(.*?)\]", s, re.S | re.M)
         return len(re.findall(r'"[a-z0-9_]+"', m.group(1)))
 
     parity = grab("SWEEP") + grab("EVENTS_SWEEP") + grab("EMB_SWEEP")
