@@ -76,6 +76,22 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     registry = all_queries()
 
+    # Pay the shared Lloyd centroid training ONCE, up front and timed
+    # (round-5 advice: the s12/s13/s14 headline numbers were dominated
+    # by whichever query happened to run first and fill the per-session
+    # codebook cache — bench ORDER decided who paid it). Reporting the
+    # training wall as its own line means the per-query numbers below
+    # measure query cost, deterministically, and the 2x gate can't be
+    # gamed or spooked by cache order.
+    from kafka2clickhouse_py_streamer_spark.llm.similarity import (
+        _base,
+        _train_centroids,
+    )
+
+    t0 = time.perf_counter()
+    _train_centroids(_base(spark, sf_dir), sf_dir)
+    train_sec = round(time.perf_counter() - t0, 3)
+
     # Warm every headline plan TWICE so the timed pass measures steady
     # state (plan + data, not first-touch JIT/planning). The reference is
     # a continuously-running service, so steady state is the
@@ -115,6 +131,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "train_centroids_sec": train_sec,
                 "sf": sf_val,
             }
         )

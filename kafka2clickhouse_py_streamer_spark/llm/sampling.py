@@ -1450,6 +1450,107 @@ ORDER BY pack_id
 """
 
 
+P17_SHARDS = 4  # shard count for the chunk->pack composition
+
+
+def chunk_pack_batch(
+    chunks: DataFrame, budget: int = PACK_BUDGET
+) -> DataFrame:
+    """The pack step of p17 over an already-sharded chunk frame
+    (shard, doc_id, chunk_id, n_chunk_tokens): per-shard running token
+    offsets in (doc_id, chunk_id) order, cut every ``budget`` tokens.
+    Shared by the batch registry form and the streaming twin test so
+    the two can't drift."""
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id", "chunk_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = F.coalesce(F.sum("n_chunk_tokens").over(w), F.lit(0)).cast(
+        "long"
+    )
+    return (
+        chunks.select(
+            "shard",
+            "doc_id",
+            "chunk_id",
+            "n_chunk_tokens",
+            off.alias("stream_offset"),
+        )
+        .withColumn(
+            "pack_id",
+            F.floor(F.col("stream_offset") / budget).cast("long"),
+        )
+        .withColumn(
+            "offset_in_pack", (F.col("stream_offset") % budget).cast("long")
+        )
+    )
+
+
+def p17_chunk_pack(
+    spark: SparkSession,
+    sf_dir: str,
+    budget: int = PACK_BUDGET,
+    n_shards: int = P17_SHARDS,
+) -> DataFrame:
+    """Chunk→pack composition — the RAG/pretraining shard-writer shape
+    (round-5 verdict item 5): t17's sliding-window passages (stateless
+    projection+explode) laid end-to-end per shard and cut every
+    PACK_BUDGET tokens, i.e. p03's packing applied to CHUNKS instead
+    of documents. The streaming twin
+    (`streaming.stateful.streaming_chunk_packer`) runs the identical
+    chunk projection under readStream and keeps the per-shard offset
+    in user state so pack positions are continuous across
+    micro-batches — twin-tested equal to this batch form and
+    replay-idempotent.
+
+    Scale shape: chunking is row-local + one explode (t17); packing
+    shuffles once on the shard key and runs a window per shard — the
+    per-shard form deliberately avoids the global two-pass offsets
+    because a shard writer wants one contiguous stream per output
+    shard, not one global stream."""
+    from kafka2clickhouse_py_streamer_spark.llm.text import (
+        chunk_passages,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    chunks = chunk_passages(d).select(
+        F.pmod("doc_id", F.lit(n_shards)).cast("long").alias("shard"),
+        "doc_id",
+        "chunk_id",
+        "n_chunk_tokens",
+    )
+    return chunk_pack_batch(chunks, budget).orderBy(
+        "shard", "doc_id", "chunk_id"
+    )
+
+
+def _p17_sql() -> str:
+    from kafka2clickhouse_py_streamer_spark.llm.text import T17_SQL
+
+    return f"""
+WITH chunks AS ({T17_SQL.strip()}),
+sharded AS (
+  SELECT doc_id % {P17_SHARDS} AS shard, doc_id, chunk_id,
+         n_chunk_tokens
+  FROM chunks
+),
+offs AS (
+  SELECT shard, doc_id, chunk_id, n_chunk_tokens,
+         CAST(COALESCE(SUM(n_chunk_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id, chunk_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS stream_offset
+  FROM sharded
+)
+SELECT shard, doc_id, chunk_id, n_chunk_tokens, stream_offset,
+       stream_offset // {PACK_BUDGET} AS pack_id,
+       stream_offset % {PACK_BUDGET} AS offset_in_pack
+FROM offs
+ORDER BY shard, doc_id, chunk_id
+"""
+
+
 QUERIES = [
     Query("p01_train_test_split", p01_train_test_split, P01_SQL,
           "hash-deterministic train/val/test split"),
@@ -1493,4 +1594,8 @@ QUERIES = [
     Query("p16_pack_efficiency", p16_pack_efficiency, _p16_sql(),
           "packing-efficiency audit: per-pack fill ratio, straddle "
           "carry-in, and started-doc counts over p03's packs"),
+    Query("p17_chunk_pack", p17_chunk_pack, _p17_sql(),
+          "chunk->pack composition: t17 passages packed per shard "
+          "(streaming twin keeps offsets continuous across "
+          "micro-batches)"),
 ]

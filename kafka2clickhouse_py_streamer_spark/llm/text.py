@@ -1044,27 +1044,41 @@ def t16_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     s-family's vector legs (s16 fuses the two). Top-10 documents among
     those matching ≥1 term, ranked by (score desc, doc_id).
 
-    Scale shape: the token explode feeds (a) the per-doc length agg
-    and (b) an early `isin(query-terms)` filter, so only matching
-    tokens reach the tf/df aggregates — the inverted-list probe, not a
+    Scale shape: doc length is ROW-LOCAL — size() of the non-empty
+    token array in the scan projection (round 6; this used to be a
+    corpus-wide token explode + groupBy whose shuffle carried every
+    token of every doc — the sf1 probe's growing stage for t16), so
+    the length join ships 2 longs per doc. The tf side filters the
+    token ARRAY to the query terms before exploding, so only matching
+    tokens are ever exploded — the inverted-list probe, not a
     corpus-wide score. df/idf (|terms| rows) and the one-row N/avgdl
     frame broadcast back; avgdl is an exact integer SUM divided by
     COUNT on both engines (never an engine-accumulated AVG). Top-10 is
     TakeOrderedAndProject; the rank window runs on the 10-row
     result."""
     d = table(spark, sf_dir, "documents")
-    tk = d.select(
-        "doc_id", F.explode(F.expr(tokens_expr("text"))).alias("tok")
-    ).filter(F.length("tok") > 0)
-    dl = tk.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    nonempty = f"filter({tokens_expr('text')}, x -> length(x) > 0)"
+    dl = d.select(
+        "doc_id",
+        F.expr(f"size({nonempty})").cast("long").alias("dl"),
+    ).filter(F.col("dl") > 0)
     stats = dl.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         (
             F.sum("dl").cast("double") / F.count(F.lit(1))
         ).alias("avgdl"),
     )
+    terms_in = ", ".join(f"'{t}'" for t in BM25_QUERY)
     tf = (
-        tk.filter(F.col("tok").isin(*BM25_QUERY))
+        d.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"filter({tokens_expr('text')},"
+                    f" x -> x IN ({terms_in}))"
+                )
+            ).alias("tok"),
+        )
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).cast("double").alias("tf"))
     )

@@ -134,6 +134,8 @@ def spread(df: DataFrame) -> DataFrame:
 # asserts the committed list matches the tool and that no query's
 # evidence can age out of the driver window unseen.
 _VERIFY_FIRST = [
+    # never-green
+    "p17_chunk_pack",
     # green-r02 but file churned since
     "m03_frame_sample",
     "m04_feature_extract",
@@ -262,6 +264,19 @@ _VERIFY_FIRST = [
     "p07_corpus_pipeline",
     "m01_media_metadata",
     "m02_decode_stats",
+    "t15_perplexity_buckets",
+    "t16_bm25_topk",
+    "t17_chunk_passages",
+    "t18_ngram_novelty",
+    "t01_token_count",
+    "t02_quality_score",
+    "t03_langid",
+    "t04_fingerprint",
+    "t05_rolling_hash",
+    "t06_repetition",
+    "t07_vocab_idf",
+    "t08_unigram_logprob",
+    "t09_pii_scrub",
     # green-r04
     "q53_funnel",
     "q56_mom_growth",
@@ -273,21 +288,8 @@ _VERIFY_FIRST = [
     "q12_distinct_agg",
     "q13_rollup",
     # green-r05
-    "t15_perplexity_buckets",
     "w12_countmin_heavyhitters",
-    "t16_bm25_topk",
-    "t17_chunk_passages",
-    "t18_ngram_novelty",
     "q63_forward_asof",
-    "t01_token_count",
-    "t02_quality_score",
-    "t03_langid",
-    "t04_fingerprint",
-    "t05_rolling_hash",
-    "t06_repetition",
-    "t07_vocab_idf",
-    "t08_unigram_logprob",
-    "t09_pii_scrub",
     "w01_tumbling",
     "w02_sliding",
     "w03_session_window",

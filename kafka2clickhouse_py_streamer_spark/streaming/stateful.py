@@ -146,3 +146,86 @@ def streaming_packer(
     return docs.groupBy(key_col).applyInPandasWithState(
         update, PACK_OUTPUT, PACK_STATE, "append", GroupStateTimeout.NoTimeout
     )
+
+
+CHUNK_PACK_OUTPUT = StructType(
+    [
+        StructField("shard", LongType()),
+        StructField("doc_id", LongType()),
+        StructField("chunk_id", LongType()),
+        StructField("n_chunk_tokens", LongType()),
+        StructField("stream_offset", LongType()),
+        StructField("pack_id", LongType()),
+        StructField("offset_in_pack", LongType()),
+    ]
+)
+CHUNK_PACK_STATE = StructType([StructField("offset", LongType())])
+
+
+def streaming_chunk_packer(
+    docs: DataFrame, budget: int = 512, n_shards: int = 4
+) -> DataFrame:
+    """Streamed chunk→pack — the composition of t17's STATELESS chunk
+    projection (identical code under readStream) with the stateful
+    per-shard packer, in one streaming DAG: each (doc_id, text) row
+    becomes overlapping passages, passages lay end-to-end per shard,
+    and the shard's running token offset lives in user state so pack
+    positions are CONTIGUOUS ACROSS MICRO-BATCHES — the RAG/
+    pretraining shard-writer shape the reference's foreachBatch
+    architecture (main.py:492-520's poll loop) exists to serve.
+
+    Twin: batch `llm.sampling.p17_chunk_pack` (same shard hash, same
+    (doc_id, chunk_id) order, shared `chunk_pack_batch` arithmetic) —
+    equality over any micro-batch cut and replay idempotence are
+    tested in tests/test_streaming.py. Requires docs to arrive in
+    non-decreasing doc_id order per shard (the deterministic intake
+    order, same precondition as `streaming_packer`).
+
+    State per shard is ONE long; emission is append-mode, so the
+    checkpointed state store replays a failed micro-batch with the
+    same starting offset — replay produces identical rows, never a
+    double-advance."""
+    from pyspark.sql import functions as F
+
+    from kafka2clickhouse_py_streamer_spark.llm.text import chunk_passages
+
+    chunks = chunk_passages(docs).select(
+        F.pmod("doc_id", F.lit(n_shards)).cast("long").alias("shard"),
+        "doc_id",
+        "chunk_id",
+        "n_chunk_tokens",
+    )
+
+    def update(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (off,) = state.get if state.exists else (0,)
+        group = [p for p in pdfs if len(p)]
+        if group:
+            pdf = pd.concat(group).sort_values(["doc_id", "chunk_id"])
+            starts = (
+                pdf["n_chunk_tokens"].cumsum().shift(fill_value=0) + off
+            )
+            yield pd.DataFrame(
+                {
+                    "shard": key[0],
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "chunk_id": pdf["chunk_id"].to_numpy(),
+                    "n_chunk_tokens": pdf["n_chunk_tokens"].to_numpy(),
+                    "stream_offset": starts.to_numpy(),
+                    "pack_id": (starts // budget).to_numpy(),
+                    "offset_in_pack": (starts % budget).to_numpy(),
+                }
+            )
+            off = int(starts.iloc[-1] + pdf["n_chunk_tokens"].iloc[-1])
+        state.update((int(off),))
+
+    return chunks.groupBy("shard").applyInPandasWithState(
+        update,
+        CHUNK_PACK_OUTPUT,
+        CHUNK_PACK_STATE,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -85,6 +85,7 @@ SWEEP = [
     "p11_curriculum_stages", "p12_temperature_mix", "p13_pps_sample",
     "p14_span_scrub_pipeline", "p15_dedup_rebalance",
     "p16_pack_efficiency",
+    "p17_chunk_pack",
     "t13_zipf_fit", "t14_bigram_logprob", "t15_perplexity_buckets",
     "t16_bm25_topk", "t17_chunk_passages", "t18_ngram_novelty",
     "d17_containment_pairs",

@@ -1179,3 +1179,20 @@ def test_p16_audit_is_one_agg_over_p03(spark, sf_dir):
     assert "SinglePartition" not in plan
     assert "CartesianProduct" not in plan
     assert python_row_ops(df) == 0
+
+
+def test_p17_chunk_pack_no_global_funnel(spark, sf_dir):
+    # the chunk->pack composition windows PER SHARD (hash partition on
+    # the shard key) — a shard writer wants one contiguous stream per
+    # shard, and a global window would put the whole corpus on one
+    # task; chunking itself is explode-only, join-free, Python-free
+    from kafka2clickhouse_py_streamer_spark.llm.sampling import (
+        p17_chunk_pack,
+    )
+
+    df = p17_chunk_pack(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(shard" in plan
+    assert python_row_ops(df) == 0

@@ -1370,6 +1370,135 @@ def test_t17_streaming_chunking_matches_batch(spark, tmp_path):
     assert streamed == batch and len(batch) == 7
 
 
+def _chunk_pack_fixture_docs():
+    return [
+        (1, " ".join(f"w{i}" for i in range(100))),  # 4 chunks
+        (2, "short doc"),
+        (3, " ".join(f"x{i}" for i in range(40))),   # 2 chunks
+        (4, " ".join(f"y{i}" for i in range(70))),   # 3 chunks
+        (5, " ".join(f"z{i}" for i in range(33))),   # 2 chunks
+        (6, "tail words"),
+    ]
+
+
+def _chunk_pack_batch_expect(spark, rows, budget, n_shards):
+    from pyspark.sql import functions as F
+
+    from kafka2clickhouse_py_streamer_spark.llm.sampling import (
+        chunk_pack_batch,
+    )
+    from kafka2clickhouse_py_streamer_spark.llm.text import chunk_passages
+
+    chunks = chunk_passages(
+        spark.createDataFrame(rows, "doc_id long, text string")
+    ).select(
+        F.pmod("doc_id", F.lit(n_shards)).cast("long").alias("shard"),
+        "doc_id",
+        "chunk_id",
+        "n_chunk_tokens",
+    )
+    return {tuple(r) for r in chunk_pack_batch(chunks, budget).collect()}
+
+
+def test_chunk_pack_stream_matches_batch(spark, tmp_path):
+    """The composed chunk→pack twin (round-5 verdict item 5): t17's
+    chunk projection feeding the stateful per-shard packer under
+    readStream must equal the batch p17 composition row-for-row over a
+    micro-batch cut, with offsets continuous across the boundary."""
+    from kafka2clickhouse_py_streamer_spark.streaming.stateful import (
+        streaming_chunk_packer,
+    )
+
+    rows = _chunk_pack_fixture_docs()
+    src = tmp_path / "cp_stream"
+    src.mkdir()
+    for chunk in (rows[:3], rows[3:]):
+        spark.createDataFrame(
+            chunk, "doc_id long, text string"
+        ).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(src)
+    )
+    batches: list[list] = []
+    q = (
+        streaming_chunk_packer(stream, budget=64, n_shards=2)
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda df, _id: batches.append(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt_cp"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    streamed = {tuple(r) for b in batches for r in b}
+    expect = _chunk_pack_batch_expect(spark, rows, 64, 2)
+    assert streamed == expect
+    # the cut fell between docs 3 and 4: doc 4's chunks (shard 0) must
+    # have continued shard 0's offset, not restarted at 0
+    d4 = sorted(t for t in streamed if t[1] == 4)
+    assert d4[0][4] > 0  # stream_offset carried across the batch cut
+
+
+def test_chunk_pack_replay_idempotent(spark, tmp_path):
+    """Replay idempotence: killing the query after batch 1 and
+    restarting from the checkpoint must (a) not re-emit batch-1 rows
+    and (b) continue the per-shard offsets exactly where the state
+    store left them — together with the twin test this is the
+    recovery contract a continuously-fed shard writer needs."""
+    from kafka2clickhouse_py_streamer_spark.streaming.stateful import (
+        streaming_chunk_packer,
+    )
+
+    rows = _chunk_pack_fixture_docs()
+    src = tmp_path / "cp_replay"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt_cp_replay")
+
+    def start(sink: list):
+        stream = spark.readStream.schema(
+            "doc_id long, text string"
+        ).parquet(str(src))
+        return (
+            streaming_chunk_packer(stream, budget=64, n_shards=2)
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda df, _id: sink.append(df.collect()))
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    first: list[list] = []
+    spark.createDataFrame(
+        rows[:3], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    q = start(first)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    second: list[list] = []
+    spark.createDataFrame(
+        rows[3:], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    q = start(second)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got_first = {tuple(r) for b in first for r in b}
+    got_second = {tuple(r) for b in second for r in b}
+    # restart emitted ONLY the new docs — no batch-1 replay
+    assert {t[1] for t in got_second} == {4, 5, 6}
+    assert not (got_first & got_second)
+    # and the union equals the batch composition (offsets continued)
+    expect = _chunk_pack_batch_expect(spark, rows, 64, 2)
+    assert got_first | got_second == expect
+
+
 def test_w12_streaming_sketch_matches_batch(spark, tmp_path):
     """Count-min's streaming payoff: sketches merge by cell-wise
     addition, so the estimates from a sketch built in THREE genuine

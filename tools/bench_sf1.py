@@ -223,6 +223,97 @@ def s09_plane_scaling(spark) -> dict:
     }
 
 
+def stage_breakdown(spark) -> dict:
+    """Per-stage wall time for the two worst sub-linear-but-rising
+    probe ratios (round-5 verdict item 7: p07 2.86x, t16 2.98x at 10x
+    data) — names WHICH stage grows before deciding whether anything
+    needs changing. Each stage is a sub-DAG prefix of the real query,
+    timed at both scales with one warm pass."""
+    from pyspark.sql import functions as F
+
+    from kafka2clickhouse_py_streamer_spark.functions import tokens_expr
+    from kafka2clickhouse_py_streamer_spark.llm.dedup import (
+        CONTAM_FLAG,
+        _shingle_rows,
+    )
+    from kafka2clickhouse_py_streamer_spark.llm.sampling import (
+        _quality_deduped,
+    )
+    from kafka2clickhouse_py_streamer_spark.llm.text import BM25_QUERY
+    from kafka2clickhouse_py_streamer_spark.operators.base import table
+
+    def timed(build):
+        build().count()  # warm
+        t0 = time.perf_counter()
+        build().count()
+        return round(time.perf_counter() - t0, 3)
+
+    def p07_quality_dedup(sf_dir):
+        d = table(spark, sf_dir, "documents")
+        return _quality_deduped(d).filter(F.col("source") != "src0")
+
+    def p07_decontam_probe(sf_dir):
+        sh = _shingle_rows(spark, sf_dir)
+        bench = sh.filter(F.col("source") == "src0").select(
+            F.col("doc_id").alias("bench_id"), "s"
+        )
+        corpus_sh = sh.filter(F.col("source") != "src0").select(
+            "doc_id", "s"
+        )
+        sizes = corpus_sh.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        return (
+            corpus_sh.join(F.broadcast(bench), "s")
+            .groupBy("doc_id", "bench_id")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+            .join(sizes, "doc_id")
+            .filter(F.col("n_common") / F.col("n") >= CONTAM_FLAG)
+            .select("doc_id")
+        )
+
+    def t16_dl(sf_dir):
+        d = table(spark, sf_dir, "documents")
+        nonempty = f"filter({tokens_expr('text')}, x -> length(x) > 0)"
+        return d.select(
+            "doc_id", F.expr(f"size({nonempty})").cast("long").alias("dl")
+        ).filter(F.col("dl") > 0)
+
+    def t16_tf(sf_dir):
+        d = table(spark, sf_dir, "documents")
+        terms_in = ", ".join(f"'{t}'" for t in BM25_QUERY)
+        return (
+            d.select(
+                "doc_id",
+                F.explode(
+                    F.expr(
+                        f"filter({tokens_expr('text')},"
+                        f" x -> x IN ({terms_in}))"
+                    )
+                ).alias("tok"),
+            )
+            .groupBy("doc_id", "tok")
+            .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+        )
+
+    stages = {
+        "p07_quality_dedup": p07_quality_dedup,
+        "p07_decontam_probe": p07_decontam_probe,
+        "t16_doc_lengths": t16_dl,
+        "t16_tf_probe": t16_tf,
+    }
+    out: dict = {}
+    for name, build in stages.items():
+        a = timed(lambda: build(SRC))
+        b = timed(lambda: build(SF1_DIR))
+        out[name] = {
+            "sf0.1": a,
+            "sf1": b,
+            "ratio": round(b / a, 2) if a else None,
+        }
+    return out
+
+
 def main() -> None:
     from kafka2clickhouse_py_streamer_spark.operators.base import all_queries
     from kafka2clickhouse_py_streamer_spark.session import get_spark
@@ -245,6 +336,7 @@ def main() -> None:
         "sf1": t_sf1,
         "scaling_ratio": ratios,
         "s09_plane_scaling": s09_plane_scaling(spark),
+        "stage_breakdown": stage_breakdown(spark),
         "value": round(sum(t_sf1.values()), 3),
     }
     with open(os.path.join(REPO, "BENCH_sf1.json"), "w") as f:

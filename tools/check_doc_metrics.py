@@ -51,8 +51,9 @@ def _load_candidates():
         if isinstance(val, (int, float)):
             cands.setdefault(key, set()).add(float(val))
 
-    sf1_path = os.path.join(REPO, "BENCH_sf1.json")
-    if os.path.exists(sf1_path):
+    # BENCH_sf1.json is overwritten per re-recording; BENCH_sf1_r{NN}
+    # archives keep earlier rounds' quotes (in ROUND*.md) checkable
+    for sf1_path in sorted(glob.glob(os.path.join(REPO, "BENCH_sf1*.json"))):
         sf1 = json.load(open(sf1_path))
         for section in ("sf0.1", "sf1", "scaling_ratio"):
             for k, v in sf1.get(section, {}).items():
