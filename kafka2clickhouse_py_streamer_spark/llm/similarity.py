@@ -421,13 +421,14 @@ def _lloyd_round(
     (`_q9`) so FP summation-order noise cannot compound across
     rounds."""
     keys = sorted(cents)
-    dists = F.array(
-        *[
-            F.lit(sum(x * x for x in cents[k]))
-            - 2.0
-            * dot("v", F.array(*[F.lit(cents[k][i]) for i in range(DIM)]))
+    dists = F.expr(
+        "array("
+        + ", ".join(
+            f"(cast({sum(x * x for x in cents[k])!r} as double)"
+            f" - 2.0D * {_DOT_SQL_T.format(a='v', b=_cw_sql(cents[k]))})"
             for k in keys
-        ]
+        )
+        + ")"
     )
     with_d = corpus.withColumn("_ld", dists)
     pos = F.array_position(F.col("_ld"), F.array_min("_ld")).cast("int")
@@ -563,17 +564,33 @@ agg{t} AS (
     return ",\n".join(parts)
 
 
+_DOT_SQL_T = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+    " cast(0 as double), (acc, x) -> acc + x)"
+)
+
+
+def _cw_sql(vals: list[float]) -> str:
+    """A literal double array in Spark-SQL text (repr round-trips)."""
+    return "array(" + ", ".join(f"cast({x!r} as double)" for x in vals) + ")"
+
+
 def _dots_array(cents: dict[int, list[float]], vcol: str = "v"):
     """All centroid dot products of ``vcol`` as ONE array column
     (positions follow sorted keys). Materializing the array means each
     HOF dot product is evaluated exactly once per row — the earlier
     when-chain argmax re-evaluated every interpreted dot per
-    comparison branch, measured at ~6× the work."""
-    return F.array(
-        *[
-            dot(vcol, F.array(*[F.lit(cents[k][i]) for i in range(DIM)]))
+    comparison branch, measured at ~6× the work. Built as SQL text
+    (one JVM parse): the K×DIM literal Columns used to cost hundreds
+    of py4j round-trips per plan build (same finding as
+    `_pq_sub_dist_sql`)."""
+    return F.expr(
+        "array("
+        + ", ".join(
+            _DOT_SQL_T.format(a=vcol, b=_cw_sql(cents[k]))
             for k in sorted(cents)
-        ]
+        )
+        + ")"
     )
 
 
@@ -1369,20 +1386,43 @@ PQ_SUBSPACES = 8
 PQ_SUBDIM = DIM // PQ_SUBSPACES  # 8 dims per subspace
 
 
-def _pq_sub_dist(vcol, s: int, g: int, cents: dict):
-    """Squared L2 distance from ``vcol``'s subspace-``s`` slice to
-    codeword ``g`` (the class-g centroid sliced to that subspace).
-    SINGLE SOURCE for the s12 assignment and the s13 lookup-table
-    construction — the two sides of the PQ contract must never
-    disagree on the distance formula."""
+def _pq_sub_dist_sql(vexpr: str, s: int, g: int, cents: dict) -> str:
+    """Spark-SQL text of the squared L2 distance from ``vexpr``'s
+    subspace-``s`` slice to codeword ``g`` (the class-g centroid
+    sliced to that subspace). SINGLE SOURCE for the s12 assignment and
+    the s13/s14/s17 lookup-table construction — the two sides of the
+    PQ contract must never disagree on the distance formula.
+
+    Emitted as TEXT (one JVM parse per consuming projection) rather
+    than composed Column objects: the 8 subspaces × K codewords × two
+    HOF dot products each used to cost ~1500 py4j round-trips PER
+    QUERY BUILD — profiling showed s13 spending 3.4 s building the
+    DataFrame against 0.9 s executing it. The parsed expression tree
+    is identical (same zip_with/aggregate sequential-order dot, same
+    float literals via repr round-trip), so oracle bit-parity holds."""
     lo = s * PQ_SUBDIM
-    sub = F.slice(vcol, lo + 1, PQ_SUBDIM)
+    sub = f"slice({vexpr}, {lo + 1}, {PQ_SUBDIM})"
     cw = [cents[g][lo + i] for i in range(PQ_SUBDIM)]
-    cw_arr = F.array(*[F.lit(x) for x in cw])
+    c2 = sum(x * x for x in cw)
     return (
-        dot(sub, sub)
-        - 2.0 * dot(sub, cw_arr)
-        + F.lit(sum(x * x for x in cw))
+        f"({_DOT_SQL_T.format(a=sub, b=sub)}"
+        f" - 2.0D * {_DOT_SQL_T.format(a=sub, b=_cw_sql(cw))}"
+        f" + cast({c2!r} as double))"
+    )
+
+
+def _pq_sub_dist(vcol: str, s: int, g: int, cents: dict):
+    """Column form of `_pq_sub_dist_sql` (same single source)."""
+    return F.expr(_pq_sub_dist_sql(vcol, s, g, cents))
+
+
+def _pq_dist_arr(vcol: str, s: int, cents: dict, keys: list):
+    """array(dist to each codeword of subspace ``s``, in ``keys``
+    order) — ONE parsed expression for the whole K-codeword array."""
+    return F.expr(
+        "array("
+        + ", ".join(_pq_sub_dist_sql(vcol, s, g, cents) for g in keys)
+        + ")"
     )
 
 
@@ -1431,17 +1471,14 @@ def s12_product_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], "vec_id long, code string, recon_sq_err double"
         )
-    cand = [
-        F.struct(
-            F.lit(s).alias("s"),
-            F.lit(g).alias("g"),
-            _pq_sub_dist("v", s, g, cents).alias("dist"),
-        )
+    cand_sql = "array(" + ", ".join(
+        f"named_struct('s', {s}, 'g', {g},"
+        f" 'dist', {_pq_sub_dist_sql('v', s, g, cents)})"
         for s in range(PQ_SUBSPACES)
         for g in sorted(cents)
-    ]
+    ) + ")"
     exploded = corpus.select(
-        "vec_id", F.explode(F.array(*cand)).alias("c")
+        "vec_id", F.explode(F.expr(cand_sql)).alias("c")
     ).select("vec_id", "c.s", "c.g", "c.dist")
     w = Window.partitionBy("vec_id", "s").orderBy(
         F.col("dist").asc(), F.col("g").asc()
@@ -1525,9 +1562,7 @@ def s13_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys = sorted(cents)
 
     def dist_arr(vcol: str, s: int):
-        return F.array(
-            *[_pq_sub_dist(vcol, s, g, cents) for g in keys]
-        )
+        return _pq_dist_arr(vcol, s, cents, keys)
 
     corpus = base.filter(F.col("vec_id") >= N_QUERIES)
     # Two-step select: the per-subspace distance arrays materialize in
@@ -1829,9 +1864,7 @@ def s14_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys = sorted(cents)
 
     def dist_arr(vcol: str, s: int):
-        return F.array(
-            *[_pq_sub_dist(vcol, s, g, cents) for g in keys]
-        )
+        return _pq_dist_arr(vcol, s, cents, keys)
 
     corpus = _assign_cell_df(
         base.filter(F.col("vec_id") >= N_QUERIES), cents
@@ -2120,9 +2153,7 @@ def s17_probe_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_probe = min(max(PROBE_SWEEP), len(keys))
 
     def dist_arr(vcol: str, s: int):
-        return F.array(
-            *[_pq_sub_dist(vcol, s, g, cents) for g in keys]
-        )
+        return _pq_dist_arr(vcol, s, cents, keys)
 
     corpus = _assign_cell_df(
         base.filter(F.col("vec_id") >= N_QUERIES), cents
