@@ -595,6 +595,87 @@ ORDER BY doc_a, doc_b
 """
 
 
+def m08_media_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media near-dup canonicalization — d07/d08's policy step for the
+    multimodal corpus: connected components over the m07
+    perceptual-hash pair graph (large-star/small-star contraction,
+    ``functions/graph.py`` — same engine as the text-side d07) label
+    every media item with the smallest reachable doc_id; each cluster
+    then reports its canonical member (the label itself), member
+    count, and the payload bytes a dedup pass would reclaim (the
+    non-canonical members' sizes) — the number a storage planner
+    actually wants from media dedup.
+
+    Scale shape: only (long, long) edge pairs enter the contraction
+    loop (never payloads); isolated media join back in ONE pass with
+    their own id as label; the report is a single hash agg on the
+    label. Round count is ~log(diameter) by star contraction."""
+    from kafka2clickhouse_py_streamer_spark.functions.graph import (
+        connected_components,
+    )
+    from kafka2clickhouse_py_streamer_spark.llm.dedup import (
+        DEDUP_CC_MAX_ITERS,
+    )
+
+    m = media_table(spark, sf_dir).select("doc_id", "n_bytes")
+    edges = m07_phash_neardup(spark, sf_dir).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    )
+    labels, _rounds = connected_components(
+        edges, max_iters=DEDUP_CC_MAX_ITERS
+    )
+    lab = m.join(labels, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        "n_bytes",
+    )
+    dup = F.when(
+        F.col("doc_id") != F.col("cluster_id"), F.col("n_bytes")
+    ).otherwise(F.lit(0))
+    return (
+        lab.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum(dup).cast("long").alias("dup_bytes"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def _m08_sql() -> str:
+    m07 = _m07_sql().strip()
+    cut = m07.rindex("SELECT doc_a")
+    ctes = m07[len("WITH"):cut].rstrip()
+    return f"""
+WITH RECURSIVE {ctes},
+pairs AS (
+  SELECT doc_a, doc_b FROM cand
+  WHERE bit_count(xor(ph_a, ph_b)) <= {PHASH_HAMMING_MAX}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+),
+cc AS (
+  SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node
+)
+SELECT cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(CASE WHEN doc_id <> cluster_id
+                     THEN 16 * (1 + doc_id % 4) ELSE 0 END)
+            AS BIGINT) AS dup_bytes
+FROM cc
+GROUP BY cluster_id
+ORDER BY cluster_id
+"""
+
+
 QUERIES = [
     Query("m01_media_metadata", m01_media_metadata, M01_SQL,
           "binary media metadata scan"),
@@ -613,4 +694,8 @@ QUERIES = [
           "perceptual-hash near-dup over media payload bytes: "
           "mean-threshold 16-bit hash, 4x4-bit bands, exact Hamming "
           "verify"),
+    Query("m08_media_canonical", m08_media_canonical, _m08_sql(),
+          "media near-dup canonicalization: connected components over "
+          "the m07 pair graph, canonical member + reclaimable dup "
+          "bytes per cluster"),
 ]

@@ -1451,6 +1451,74 @@ ORDER BY pack_id
 
 
 P17_SHARDS = 4  # shard count for the chunk->pack composition
+P18_SHARDS = 4  # output shards per split in the p18 manifest
+
+
+def p18_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard manifest generation — the commit record a shard writer
+    publishes next to the data: per (split, shard), the document
+    count, total token mass, the number of PACK_BUDGET packs that mass
+    fills (ceil), and an ORDER-INSENSITIVE 60-bit content digest
+    (bit_xor of each doc's md5-prefix fingerprint). A reader verifies
+    shard integrity by recomputing the xor in any order — exactly the
+    property a distributed writer needs, since task completion order
+    is nondeterministic. Split is p01's hash bucket; shard is
+    doc_id mod P18_SHARDS.
+
+    Scale shape: one row-local projection (bucket, fingerprint, token
+    count ride the scan) + ONE hash agg on (split, shard) — map-side
+    combines to ≤ 3×P18_SHARDS rows per partition. Nothing else
+    touches the wire; this is manifest generation at scan speed."""
+    d = table(spark, sf_dir, "documents")
+    b = _bucket(F.col("doc_id"))
+    split = (
+        F.when(b < TRAIN_END, F.lit("train"))
+        .when(b < VAL_END, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    fp = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long")
+    g = d.select(
+        split.alias("split"),
+        F.pmod("doc_id", F.lit(P18_SHARDS)).cast("long").alias("shard"),
+        _n_tokens().alias("n_tokens"),
+        fp.alias("fp"),
+    )
+    return (
+        g.groupBy("split", "shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.expr(
+                f"(sum(n_tokens) + {PACK_BUDGET - 1}) div {PACK_BUDGET}"
+            ).cast("long").alias("n_packs"),
+            F.expr("bit_xor(fp)").cast("long").alias("content_digest"),
+        )
+        .orderBy("split", "shard")
+    )
+
+
+P18_SQL = rf"""
+WITH g AS (
+  SELECT CASE WHEN {_bucket_sql('doc_id')} < {TRAIN_END} THEN 'train'
+              WHEN {_bucket_sql('doc_id')} < {VAL_END} THEN 'val'
+              ELSE 'test' END AS split,
+         doc_id % {P18_SHARDS} AS shard,
+         CAST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                   ELSE LEN(regexp_split_to_array(TRIM(text), '\s+'))
+              END AS BIGINT) AS n_tokens,
+         CAST('0x' || SUBSTRING(md5(text), 1, 15) AS BIGINT) AS fp
+  FROM documents
+)
+SELECT split, shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST((SUM(n_tokens) + {PACK_BUDGET - 1}) // {PACK_BUDGET}
+            AS BIGINT) AS n_packs,
+       CAST(bit_xor(fp) AS BIGINT) AS content_digest
+FROM g
+GROUP BY split, shard
+ORDER BY split, shard
+"""
 
 
 def chunk_pack_batch(
@@ -1598,4 +1666,7 @@ QUERIES = [
           "chunk->pack composition: t17 passages packed per shard "
           "(streaming twin keeps offsets continuous across "
           "micro-batches)"),
+    Query("p18_shard_manifest", p18_shard_manifest, P18_SQL,
+          "shard manifest: per (split, shard) doc/token/pack counts + "
+          "order-insensitive bit_xor content digest"),
 ]

@@ -136,6 +136,9 @@ def spread(df: DataFrame) -> DataFrame:
 _VERIFY_FIRST = [
     # never-green
     "p17_chunk_pack",
+    "m08_media_canonical",
+    "p18_shard_manifest",
+    "w13_histogram_quantiles",
     # green-r02 but file churned since
     "m03_frame_sample",
     "m04_feature_extract",
@@ -277,6 +280,11 @@ _VERIFY_FIRST = [
     "t07_vocab_idf",
     "t08_unigram_logprob",
     "t09_pii_scrub",
+    "w12_countmin_heavyhitters",
+    "w01_tumbling",
+    "w02_sliding",
+    "w03_session_window",
+    "w04_enriched_windows",
     # green-r04
     "q53_funnel",
     "q56_mom_growth",
@@ -288,12 +296,7 @@ _VERIFY_FIRST = [
     "q12_distinct_agg",
     "q13_rollup",
     # green-r05
-    "w12_countmin_heavyhitters",
     "q63_forward_asof",
-    "w01_tumbling",
-    "w02_sliding",
-    "w03_session_window",
-    "w04_enriched_windows",
     "q41_map_fns",
 ]
 

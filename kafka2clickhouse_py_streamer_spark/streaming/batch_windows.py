@@ -799,6 +799,176 @@ ORDER BY rk
 """
 
 
+HIST_BINS = 32
+HIST_LO = 0.0
+HIST_HI = 512.0
+HIST_W = (HIST_HI - HIST_LO) / HIST_BINS  # 16.0 per bin
+HIST_QS = (0.5, 0.9, 0.99)
+
+
+def hist_cells(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """SINGLE SOURCE of the fixed-bound equi-width histogram cells —
+    the w13 batch sketch and its streaming twin must bin identically
+    (same discipline as `cm_bucket_pairs`). NULL and NaN are dropped
+    (NaN poisons every comparison); ±Inf and out-of-range values clamp
+    to the edge bins, so the sketch never drops a finite-rank value.
+    Returns (bin, cnt) — ≤ HIST_BINS rows, mergeable by addition."""
+    binned = F.least(
+        F.lit(HIST_BINS - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col(value_col) - HIST_LO) / HIST_W),
+        ),
+    ).cast("int")
+    return (
+        df.filter(F.col(value_col).isNotNull() & ~F.isnan(value_col))
+        .select(binned.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def w13_histogram_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mergeable equi-width histogram quantile sketch, audited against
+    exact percentiles — the quantile sibling of w12's count-min: a
+    fixed HIST_BINS-cell grid summarizes the value stream (cells merge
+    by addition, so the sketch streams and shards trivially), and each
+    quantile is read off by linear interpolation inside the bin where
+    the cumulative count crosses q·N. The audit reports the estimate
+    next to the exact percentile and the absolute error (≤ one bin
+    width for in-range data — asserted by the invariants suite).
+
+    Scale shape: the update is ONE hash agg that map-side combines to
+    ≤ HIST_BINS rows per partition regardless of stream volume; the
+    cumulative window runs on the ≤ 32-row sketch, never the data. The
+    exact side (Spark `percentile` ≡ DuckDB `quantile_cont`, verified
+    bit-identical) exists only for the audit — a deployment keeps the
+    sketch alone. The same cells under a streaming groupBy are the
+    built-in-aggregation streaming twin (tests/test_streaming.py)."""
+    ev = table(spark, sf_dir, "events").select("value")
+    clean = ev.filter(
+        F.col("value").isNotNull() & ~F.isnan("value")
+    )
+    cells = hist_cells(ev)
+    wspec = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = cells.select(
+        "bin",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(wspec), F.lit(0))
+        .cast("long")
+        .alias("cum_prev"),
+    )
+    total = cells.agg(F.sum("cnt").cast("long").alias("n"))
+    qs = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(float(q)) for q in HIST_QS])
+        ).alias("q")
+    )
+    hit = (
+        qs.crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(cum))
+        .filter(
+            (F.col("cum_prev") + F.col("cnt")) >= F.col("q") * F.col("n")
+        )
+        .groupBy("q", "n")
+        .agg(F.min("bin").alias("bin"))
+        .join(F.broadcast(cum), "bin")
+    )
+    est = (
+        F.lit(HIST_LO)
+        + F.col("bin") * F.lit(HIST_W)
+        + (F.col("q") * F.col("n") - F.col("cum_prev"))
+        / F.col("cnt")
+        * F.lit(HIST_W)
+    )
+    exact_agg = clean.agg(
+        *[
+            F.expr(f"percentile(value, {q}D)").alias(f"e{i}")
+            for i, q in enumerate(HIST_QS)
+        ]
+    )
+    exact = exact_agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(float(q)).alias("q"),
+                        F.col(f"e{i}").alias("exact_q"),
+                    )
+                    for i, q in enumerate(HIST_QS)
+                ]
+            )
+        ).alias("x")
+    ).select("x.*")
+    scored = hit.select("q", "n", est.alias("raw_est")).join(
+        F.broadcast(exact), "q"
+    )
+    return scored.select(
+        "q",
+        F.col("n").alias("n_values"),
+        F.round("raw_est", 6).alias("est_q"),
+        F.round("exact_q", 6).alias("exact_q"),
+        F.round(F.abs(F.col("raw_est") - F.col("exact_q")), 6).alias(
+            "abs_err"
+        ),
+    ).orderBy("q")
+
+
+def _w13_sql() -> str:
+    exact_rows = "\nUNION ALL\n".join(
+        f"  SELECT CAST({q} AS DOUBLE) AS q,"
+        f" quantile_cont(value, {q}) AS exact_q FROM vals"
+        for q in HIST_QS
+    )
+    q_list = ", ".join(f"CAST({q} AS DOUBLE)" for q in HIST_QS)
+    return f"""
+WITH vals AS (
+  SELECT value FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value)
+),
+cells AS (
+  SELECT CAST(LEAST({HIST_BINS - 1}, GREATEST(0,
+           FLOOR((value - {HIST_LO}) / {HIST_W}))) AS INT) AS bin,
+         COUNT(*) AS cnt
+  FROM vals GROUP BY 1
+),
+cum AS (
+  SELECT bin, cnt,
+         CAST(COALESCE(SUM(cnt) OVER (ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS cum_prev
+  FROM cells
+),
+total AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM cells),
+qs AS (SELECT UNNEST([{q_list}]) AS q),
+hit AS (
+  SELECT q, n, MIN(bin) AS bin
+  FROM qs, total, cum
+  WHERE cum_prev + cnt >= q * n
+  GROUP BY q, n
+),
+est AS (
+  SELECT h.q, h.n,
+         {HIST_LO} + h.bin * {HIST_W}
+         + (h.q * h.n - c.cum_prev) / c.cnt * {HIST_W} AS raw_est
+  FROM hit h JOIN cum c ON c.bin = h.bin
+),
+exact AS (
+{exact_rows}
+)
+SELECT e.q, e.n AS n_values,
+       ROUND(e.raw_est, 6) AS est_q,
+       ROUND(x.exact_q, 6) AS exact_q,
+       ROUND(ABS(e.raw_est - x.exact_q), 6) AS abs_err
+FROM est e JOIN exact x ON x.q = e.q
+ORDER BY e.q
+"""
+
+
 QUERIES = [
     Query("w01_tumbling", w01_tumbling, W01_SQL, "tumbling 1h windows"),
     Query("w02_sliding", w02_sliding, W02_SQL, "sliding 1h/30m windows"),
@@ -829,4 +999,9 @@ QUERIES = [
           _w12_sql(),
           "count-min sketch heavy hitters: fixed k x w counter grid, "
           "min-over-rows estimate, exact-count overestimate audit"),
+    Query("w13_histogram_quantiles", w13_histogram_quantiles,
+          _w13_sql(),
+          "mergeable equi-width histogram quantile sketch: fixed "
+          "32-bin grid, interpolated q50/q90/q99, exact-percentile "
+          "error audit"),
 ]

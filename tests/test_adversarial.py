@@ -86,11 +86,13 @@ SWEEP = [
     "p14_span_scrub_pipeline", "p15_dedup_rebalance",
     "p16_pack_efficiency",
     "p17_chunk_pack",
+    "p18_shard_manifest",
     "t13_zipf_fit", "t14_bigram_logprob", "t15_perplexity_buckets",
     "t16_bm25_topk", "t17_chunk_passages", "t18_ngram_novelty",
     "d17_containment_pairs",
     "d18_bloom_decontamination",
     "m06_multimodal_packing", "m07_phash_neardup",
+    "m08_media_canonical",
 ]
 
 
@@ -144,7 +146,7 @@ EVENTS_SWEEP = [
     "q52_interval_frame", "q53_funnel", "q55_robust_outliers",
     "q58_scd2_intervals", "q59_concurrency", "q61_gaps_islands",
     "w09_gap_fill", "w10_rate_anomaly", "w11_rollup_cascade",
-    "w12_countmin_heavyhitters",
+    "w12_countmin_heavyhitters", "w13_histogram_quantiles",
 ]
 
 EMB_SWEEP = [

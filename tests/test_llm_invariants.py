@@ -744,6 +744,51 @@ def test_d16_scrub_semantics_on_crafted_spans(spark, tmp_path):
     assert out[4].n_removed == 0
 
 
+def test_w13_histogram_error_bounded_by_bin_width(spark, sf_dir):
+    """The histogram quantile's defining guarantee: for data inside
+    the fixed bounds, the interpolated estimate lands in the same bin
+    as the exact quantile, so |est − exact| < one bin width. Also
+    re-derives q50 serially from the raw values to confirm the
+    interpolation formula itself (not just Spark-vs-DuckDB
+    agreement, which a shared formula bug would pass)."""
+    import math
+
+    from kafka2clickhouse_py_streamer_spark.operators.base import table
+    from kafka2clickhouse_py_streamer_spark.streaming.batch_windows import (
+        HIST_BINS,
+        HIST_LO,
+        HIST_W,
+        w13_histogram_quantiles,
+    )
+
+    rows = w13_histogram_quantiles(spark, sf_dir).collect()
+    assert {r.q for r in rows} == {0.5, 0.9, 0.99}
+    vals = [
+        r.value
+        for r in table(spark, sf_dir, "events").select("value").collect()
+        if r.value is not None and not math.isnan(r.value)
+    ]
+    in_range = all(HIST_LO <= v < HIST_LO + HIST_BINS * HIST_W for v in vals)
+    for r in rows:
+        assert r.n_values == len(vals)
+        if in_range:
+            assert r.abs_err < HIST_W, r
+    # serial rebuild of the q50 estimate from first principles
+    counts = [0] * HIST_BINS
+    for v in vals:
+        b = min(HIST_BINS - 1, max(0, int((v - HIST_LO) // HIST_W)))
+        counts[b] += 1
+    target = 0.5 * len(vals)
+    cum = 0
+    for b, c in enumerate(counts):
+        if cum + c >= target and c > 0:
+            expect = HIST_LO + b * HIST_W + (target - cum) / c * HIST_W
+            break
+        cum += c
+    q50 = next(r for r in rows if r.q == 0.5)
+    assert abs(q50.est_q - expect) < 1e-6
+
+
 def test_w12_countmin_never_underestimates(spark, sf_dir):
     """Count-min's defining guarantee — est >= exact for EVERY key,
     not just the reported top-10 — checked against a serial Python
@@ -1244,3 +1289,52 @@ def test_p16_synthesizes_fully_straddled_packs(spark, tmp_path):
     assert by_id[1].tokens_carried_in == PACK_BUDGET
     for r in got[:-1]:
         assert r.fill_ratio == 1.0, r
+
+
+def test_p18_digest_is_order_insensitive_and_counts_consistent(
+    spark, sf_dir
+):
+    """The manifest's integrity contract: content_digest equals the
+    serial xor of per-doc fingerprints in ANY order (that is the
+    point — a reader needs no ordering guarantee), and n_packs is the
+    ceiling of total_tokens over the budget."""
+    from kafka2clickhouse_py_streamer_spark.llm.sampling import (
+        PACK_BUDGET,
+        P18_SHARDS,
+        p18_shard_manifest,
+    )
+    from kafka2clickhouse_py_streamer_spark.operators.base import table
+
+    rows = p18_shard_manifest(spark, sf_dir).collect()
+    assert rows
+    docs = table(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        "conv(substring(md5(text), 1, 15), 16, 10) AS fp_str",
+        "CASE WHEN length(trim(text)) = 0 THEN 0"
+        " ELSE size(split(trim(text), '\\\\s+')) END AS n_tokens",
+    ).collect()
+    import random
+
+    by_key: dict = {}
+    shuffled = list(docs)
+    random.Random(7).shuffle(shuffled)  # digest must not care
+    from kafka2clickhouse_py_streamer_spark.llm.sampling import (
+        TRAIN_END,
+        VAL_END,
+    )
+    import hashlib
+
+    for r in shuffled:
+        b = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:8], 16) % 100
+        split = "train" if b < TRAIN_END else ("val" if b < VAL_END else "test")
+        key = (split, r.doc_id % P18_SHARDS)
+        e = by_key.setdefault(key, [0, 0, 0])
+        e[0] += 1
+        e[1] += r.n_tokens
+        e[2] ^= int(r.fp_str)
+    for row in rows:
+        n_docs, toks, digest = by_key[(row.split, row.shard)]
+        assert row.n_docs == n_docs
+        assert row.total_tokens == toks
+        assert row.n_packs == (toks + PACK_BUDGET - 1) // PACK_BUDGET
+        assert row.content_digest == digest, (row.split, row.shard)

@@ -62,3 +62,47 @@ def test_codec_injection_seam(spark):
     # default (no injection) still yields the deterministic fake dims
     fake = decode_media(m).orderBy("doc_id").limit(4).collect()
     assert all(1 <= r.width <= 64 and 1 <= r.height <= 64 for r in fake)
+
+
+def test_m08_clusters_cover_m07_pairs(spark):
+    """Canonicalization honesty: every m07 near-dup pair must land in
+    the SAME m08 cluster, member counts must sum to the media corpus,
+    and dup_bytes must equal the total payload size of non-canonical
+    members (re-derived serially from the labels + sizes)."""
+    from kafka2clickhouse_py_streamer_spark.llm.multimodal import (
+        m07_phash_neardup,
+        m08_media_canonical,
+    )
+
+    labels = {}
+    sizes = {}
+    for r in media_table(spark, SF_DIR).select("doc_id", "n_bytes").collect():
+        sizes[r.doc_id] = r.n_bytes
+    clusters = m08_media_canonical(spark, SF_DIR).collect()
+    rows_by_cluster = {r.cluster_id: r for r in clusters}
+    assert sum(r.n_members for r in clusters) == len(sizes)
+
+    # rebuild the components serially (union-find over m07 pairs)
+    parent = {d: d for d in sizes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    pairs = m07_phash_neardup(spark, SF_DIR).collect()
+    for p in pairs:
+        ra, rb = find(p.doc_a), find(p.doc_b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {}
+    for d in sizes:
+        comp.setdefault(find(d), []).append(d)
+    assert set(comp) == set(rows_by_cluster)
+    for cid, members in comp.items():
+        row = rows_by_cluster[cid]
+        assert row.n_members == len(members)
+        assert row.dup_bytes == sum(
+            sizes[d] for d in members if d != cid
+        )

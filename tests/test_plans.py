@@ -1005,6 +1005,43 @@ def test_w12_sketch_agg_is_bounded_and_topk_is_heap(spark, sf_dir):
     assert python_row_ops(df) == 0
 
 
+def test_w13_histogram_agg_is_bounded(spark, sf_dir):
+    # the histogram cells aggregate map-side combines to <= HIST_BINS
+    # rows per partition (partial+final hash agg); the cumulative
+    # window and the q-join run on the <= 32-row sketch, never the
+    # data (the SinglePartition the plan contains is that tiny sketch
+    # window plus the one-row total — the data path itself is a pure
+    # hash agg); no Python anywhere
+    from kafka2clickhouse_py_streamer_spark.streaming.batch_windows import (
+        w13_histogram_quantiles,
+    )
+
+    df = w13_histogram_quantiles(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "partial_count" in plan or "partial" in plan.lower()
+    assert "CartesianProduct" not in plan
+    assert python_row_ops(df) == 0
+
+
+def test_p18_manifest_is_one_agg(spark, sf_dir):
+    # manifest generation at scan speed: bucket/fingerprint/token
+    # count ride the scan projection and ONE hash agg (partial+final)
+    # produces the manifest — exactly one exchange, no joins, no
+    # window, no Python
+    from kafka2clickhouse_py_streamer_spark.llm.sampling import (
+        p18_shard_manifest,
+    )
+
+    df = p18_shard_manifest(spark, sf_dir)
+    plan = formatted_plan(df)
+    # one hash-agg exchange + the range exchange of the presentation
+    # sort over the <= 3*P18_SHARDS-row manifest
+    assert count_exchanges(df) <= 2
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert python_row_ops(df) == 0
+
+
 def test_t16_bm25_probes_inverted_list(spark, sf_dir):
     # the query-term isin() filter must reach the token stream BEFORE
     # the tf aggregate (only matching tokens are aggregated), df/stats

@@ -1499,6 +1499,64 @@ def test_chunk_pack_replay_idempotent(spark, tmp_path):
     assert got_first | got_second == expect
 
 
+def test_w13_streaming_histogram_matches_batch(spark, tmp_path):
+    """The histogram sketch's streaming payoff is that it needs NO
+    custom state at all: cells merge by addition, which is exactly
+    what a built-in streaming groupBy-count aggregation maintains —
+    the final complete-mode cells over three genuine micro-batches
+    must equal the batch `hist_cells` wherever the cuts fall
+    (addition commutes). NaN/NULL drop and ±Inf clamping ride the
+    same single-source binning expression."""
+    import math
+
+    from kafka2clickhouse_py_streamer_spark.streaming.batch_windows import (
+        hist_cells,
+    )
+
+    vals = [
+        [1.5, 17.0, None, 300.0],
+        [float("nan"), 1e15, -5.0, 17.2],
+        [float("inf"), 0.0, 511.9, 44.4],
+    ]
+    src = tmp_path / "w13_stream"
+    src.mkdir()
+    for chunk in vals:
+        spark.createDataFrame(
+            [(v,) for v in chunk], "value double"
+        ).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = spark.readStream.schema("value double").parquet(str(src))
+    q = (
+        hist_cells(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("w13_twin")
+        .option("checkpointLocation", str(tmp_path / "ckpt_w13"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    streamed = {
+        (r.bin, r.cnt)
+        for r in spark.sql("select * from w13_twin").collect()
+    }
+    flat = [v for chunk in vals for v in chunk]
+    batch = {
+        (r.bin, r.cnt)
+        for r in hist_cells(
+            spark.createDataFrame([(v,) for v in flat], "value double")
+        ).collect()
+    }
+    assert streamed == batch
+    n_clean = sum(
+        1 for v in flat if v is not None and not math.isnan(v)
+    )
+    assert sum(c for _, c in batch) == n_clean
+
+
 def test_w12_streaming_sketch_matches_batch(spark, tmp_path):
     """Count-min's streaming payoff: sketches merge by cell-wise
     addition, so the estimates from a sketch built in THREE genuine
