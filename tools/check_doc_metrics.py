@@ -58,6 +58,11 @@ def _load_candidates():
         for section in ("sf0.1", "sf1", "scaling_ratio"):
             for k, v in sf1.get(section, {}).items():
                 add(k[:3], v)
+        # stage_breakdown: {"p07_decontam_probe": {"sf0.1": s, "sf1":
+        # s, "ratio": r}, ...} — stage keys carry the query prefix
+        for k, stages in sf1.get("stage_breakdown", {}).items():
+            for v in stages.values():
+                add(k[:3], v)
 
     rounds = {}
     for p in sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json"))):
