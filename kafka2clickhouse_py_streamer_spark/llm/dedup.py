@@ -1754,6 +1754,99 @@ ORDER BY b.doc_id
 """
 
 
+def d20_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot corpus diff — the audit a scheduled refresh (p09
+    is the admission half) publishes after each run: per source, how
+    many documents were ADDED, REMOVED, CHANGED (same id, different
+    content fingerprint), and UNCHANGED between two corpus versions.
+    Snapshots are derived deterministically from the fixture so both
+    engines reproduce them: the previous snapshot lacks doc_id % 10
+    == 0 (those are the additions), the current lacks doc_id % 13 ==
+    0 (the removals), and doc_id % 7 == 0 carries revised text in the
+    current snapshot (the changes).
+
+    Scale shape: ONE full-outer equi-join on the id (both sides carry
+    only (doc_id, source, 128-bit fingerprint) — bodies never cross
+    the wire) + one hash agg on source. At 100 TB both snapshots are
+    parquet scans whose fingerprint projection rides the scan; the
+    join shuffles on the uniformly-hashed id, skew-free."""
+    d = table(spark, sf_dir, "documents")
+    prev = d.filter(F.col("doc_id") % 10 != 0).select(
+        "doc_id",
+        F.col("source").alias("p_source"),
+        F.md5("text").alias("p_fp"),
+    )
+    curr = d.filter(F.col("doc_id") % 13 != 0).select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.col("text"), F.lit(" rev2")),
+            ).otherwise(F.col("text"))
+        ).alias("c_fp"),
+    )
+    j = prev.join(curr, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("p_fp").isNull(), F.lit("added"))
+        .when(F.col("c_fp").isNull(), F.lit("removed"))
+        .when(F.col("p_fp") != F.col("c_fp"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select(
+            F.coalesce("source", "p_source").alias("source"),
+            status.alias("status"),
+        )
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("status") == "added", 1).otherwise(0))
+            .cast("long").alias("n_added"),
+            F.sum(F.when(F.col("status") == "removed", 1).otherwise(0))
+            .cast("long").alias("n_removed"),
+            F.sum(F.when(F.col("status") == "changed", 1).otherwise(0))
+            .cast("long").alias("n_changed"),
+            F.sum(F.when(F.col("status") == "unchanged", 1).otherwise(0))
+            .cast("long").alias("n_unchanged"),
+        )
+        .orderBy("source")
+    )
+
+
+D20_SQL = """
+WITH prev AS (
+  SELECT doc_id, source AS p_source, MD5(text) AS p_fp
+  FROM documents WHERE doc_id % 10 <> 0
+),
+curr AS (
+  SELECT doc_id, source,
+         MD5(CASE WHEN doc_id % 7 = 0 THEN text || ' rev2'
+                  ELSE text END) AS c_fp
+  FROM documents WHERE doc_id % 13 <> 0
+),
+j AS (
+  SELECT COALESCE(c.source, p.p_source) AS source,
+         CASE WHEN p.p_fp IS NULL THEN 'added'
+              WHEN c.c_fp IS NULL THEN 'removed'
+              WHEN p.p_fp <> c.c_fp THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM prev p FULL OUTER JOIN curr c USING (doc_id)
+)
+SELECT source,
+       CAST(SUM(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_added,
+       CAST(SUM(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed,
+       CAST(SUM(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_changed,
+       CAST(SUM(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unchanged
+FROM j
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = [
     Query("d01_exact_dedup", d01_exact_dedup, D01_SQL,
           "exact dedup via hash-groupBy on MD5"),
@@ -1803,4 +1896,7 @@ QUERIES = [
           _d19_sql(),
           "MinHash containment estimator calibration (Broder identity "
           "from est. Jaccard + sizes) vs exact, both directions"),
+    Query("d20_snapshot_diff", d20_snapshot_diff, D20_SQL,
+          "cross-snapshot corpus diff: added/removed/changed/unchanged "
+          "per source via a fingerprint full-outer join"),
 ]

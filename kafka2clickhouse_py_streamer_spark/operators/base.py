@@ -139,6 +139,7 @@ _VERIFY_FIRST = [
     "m08_media_canonical",
     "p18_shard_manifest",
     "w13_histogram_quantiles",
+    "d20_snapshot_diff",
     # green-r02 but file churned since
     "m03_frame_sample",
     "m04_feature_extract",

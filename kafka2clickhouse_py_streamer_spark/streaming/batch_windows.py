@@ -828,30 +828,14 @@ def hist_cells(df: DataFrame, value_col: str = "value") -> DataFrame:
     )
 
 
-def w13_histogram_quantiles(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Mergeable equi-width histogram quantile sketch, audited against
-    exact percentiles — the quantile sibling of w12's count-min: a
-    fixed HIST_BINS-cell grid summarizes the value stream (cells merge
-    by addition, so the sketch streams and shards trivially), and each
-    quantile is read off by linear interpolation inside the bin where
-    the cumulative count crosses q·N. The audit reports the estimate
-    next to the exact percentile and the absolute error (≤ one bin
-    width for in-range data — asserted by the invariants suite).
-
-    Scale shape: the update is ONE hash agg that map-side combines to
-    ≤ HIST_BINS rows per partition regardless of stream volume; the
-    cumulative window runs on the ≤ 32-row sketch, never the data. The
-    exact side (Spark `percentile` ≡ DuckDB `quantile_cont`, verified
-    bit-identical) exists only for the audit — a deployment keeps the
-    sketch alone. The same cells under a streaming groupBy are the
-    built-in-aggregation streaming twin (tests/test_streaming.py)."""
-    ev = table(spark, sf_dir, "events").select("value")
-    clean = ev.filter(
-        F.col("value").isNotNull() & ~F.isnan("value")
-    )
-    cells = hist_cells(ev)
+def hist_quantiles_from_cells(cells: DataFrame) -> DataFrame:
+    """(q, n, raw_est) read off a (bin, cnt) cell frame by linear
+    interpolation inside the bin where the cumulative count crosses
+    q·N — SINGLE SOURCE shared by the w13 batch audit and the
+    persisted streaming sketch's estimates (sketch_stream), so the
+    two can't disagree on the read-off arithmetic. All windows/joins
+    here run on the ≤ HIST_BINS-row sketch, never the data."""
+    spark = cells.sparkSession
     wspec = Window.orderBy("bin").rowsBetween(
         Window.unboundedPreceding, -1
     )
@@ -885,6 +869,33 @@ def w13_histogram_quantiles(
         / F.col("cnt")
         * F.lit(HIST_W)
     )
+    return hit.select("q", "n", est.alias("raw_est"))
+
+
+def w13_histogram_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mergeable equi-width histogram quantile sketch, audited against
+    exact percentiles — the quantile sibling of w12's count-min: a
+    fixed HIST_BINS-cell grid summarizes the value stream (cells merge
+    by addition, so the sketch streams and shards trivially), and each
+    quantile is read off by linear interpolation inside the bin where
+    the cumulative count crosses q·N. The audit reports the estimate
+    next to the exact percentile and the absolute error (≤ one bin
+    width for in-range data — asserted by the invariants suite).
+
+    Scale shape: the update is ONE hash agg that map-side combines to
+    ≤ HIST_BINS rows per partition regardless of stream volume; the
+    cumulative window runs on the ≤ 32-row sketch, never the data. The
+    exact side (Spark `percentile` ≡ DuckDB `quantile_cont`, verified
+    bit-identical) exists only for the audit — a deployment keeps the
+    sketch alone. The same cells under a streaming groupBy are the
+    built-in-aggregation streaming twin (tests/test_streaming.py)."""
+    ev = table(spark, sf_dir, "events").select("value")
+    clean = ev.filter(
+        F.col("value").isNotNull() & ~F.isnan("value")
+    )
+    hit = hist_quantiles_from_cells(hist_cells(ev))
     exact_agg = clean.agg(
         *[
             F.expr(f"percentile(value, {q}D)").alias(f"e{i}")
@@ -904,9 +915,7 @@ def w13_histogram_quantiles(
             )
         ).alias("x")
     ).select("x.*")
-    scored = hit.select("q", "n", est.alias("raw_est")).join(
-        F.broadcast(exact), "q"
-    )
+    scored = hit.join(F.broadcast(exact), "q")
     return scored.select(
         "q",
         F.col("n").alias("n_values"),

@@ -132,6 +132,96 @@ def countmin_estimates(
     )
 
 
+def hist_update_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    value_col: str = "value",
+) -> None:
+    """Fold one micro-batch into the persisted histogram: write THIS
+    batch's ≤ HIST_BINS (bin, cnt) cells to its own ``batch_id``
+    partition (dynamic overwrite ⇒ replay-idempotent) — the count-min
+    contract (`countmin_update_batch`) applied to w13's quantile grid,
+    sharing `hist_cells` so the streaming/batch twin can't drift."""
+    from kafka2clickhouse_py_streamer_spark.streaming.batch_windows import (
+        hist_cells,
+    )
+
+    spark = batch_df.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (
+        hist_cells(batch_df, value_col)
+        .withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(state_dir)
+    )
+
+
+def start_streaming_histogram(
+    stream_df: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    value_col: str = "value",
+) -> StreamingQuery:
+    """Wire ``hist_update_batch`` under writeStream.foreachBatch."""
+    return (
+        stream_df.writeStream.foreachBatch(
+            lambda df, bid: hist_update_batch(
+                df, bid, state_dir, value_col=value_col
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def merged_hist(spark, state_dir: str) -> DataFrame:
+    """The LIVE histogram: bin-wise sum over every persisted batch
+    partition — ≤ HIST_BINS rows."""
+    return (
+        spark.read.parquet(state_dir)
+        .groupBy("bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def hist_quantile_estimates(spark, state_dir: str) -> DataFrame:
+    """(q, n, raw_est) quantile read-off over the merged persisted
+    histogram — the SAME `hist_quantiles_from_cells` arithmetic as the
+    batch w13 audit, so streamed estimates equal batch estimates for
+    any micro-batch cut (twin-tested)."""
+    from kafka2clickhouse_py_streamer_spark.streaming.batch_windows import (
+        hist_quantiles_from_cells,
+    )
+
+    return hist_quantiles_from_cells(merged_hist(spark, state_dir))
+
+
+def compact_hist_state(spark, state_dir: str, through_batch: int) -> int:
+    """Histogram maintenance: fold per-batch cell partitions up to
+    ``through_batch`` into ONE compacted partition by bin-wise SUM —
+    `compact_sketch_state`'s contract with the histogram's merge.
+    Returns the number of partitions removed."""
+    _recover_compaction(spark, state_dir)
+    jvm, fs, root = _fs(spark, state_dir)
+    old_parts = _list_foldable(fs, root, through_batch)
+    if not old_parts:
+        return 0
+
+    state = spark.read.parquet(state_dir)
+    consolidated = (
+        state.filter(
+            (F.col("batch_id") == COMPACTED_BATCH_ID)
+            | (F.col("batch_id") <= through_batch)
+        )
+        .groupBy("bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    _fold_and_swap(spark, state_dir, consolidated, old_parts, through_batch)
+    return len(old_parts)
+
+
 def compact_sketch_state(spark, state_dir: str, through_batch: int) -> int:
     """Sketch maintenance: fold the per-batch cell partitions up to
     ``through_batch`` into ONE compacted partition by CELL-WISE SUM

@@ -1023,6 +1023,22 @@ def test_w13_histogram_agg_is_bounded(spark, sf_dir):
     assert python_row_ops(df) == 0
 
 
+def test_d20_diff_is_one_join_one_agg(spark, sf_dir):
+    # snapshot diff: fingerprints ride the scan projections, ONE
+    # full-outer SortMergeJoin on the id, one hash agg on source —
+    # no window, no cartesian, no Python, bodies never join
+    from kafka2clickhouse_py_streamer_spark.llm.dedup import (
+        d20_snapshot_diff,
+    )
+
+    df = d20_snapshot_diff(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert python_row_ops(df) == 0
+
+
 def test_p18_manifest_is_one_agg(spark, sf_dir):
     # manifest generation at scan speed: bucket/fingerprint/token
     # count ride the scan projection and ONE hash agg (partial+final)

@@ -1629,6 +1629,81 @@ def test_w12_streaming_sketch_matches_batch(spark, tmp_path):
     assert all(streamed[u] >= exact[u] for u in exact)
 
 
+def test_w13_persisted_histogram_matches_batch_and_compacts(
+    spark, tmp_path
+):
+    """The persisted-state histogram (count-min's state contract
+    applied to w13's quantile grid): estimates over a sketch built in
+    three genuine micro-batches equal the batch w13 estimates
+    exactly; re-delivering a batch overwrites its own partition (no
+    double counting); compact_hist_state's bin-wise SUM fold leaves
+    every quantile estimate unchanged."""
+    from kafka2clickhouse_py_streamer_spark.operators.base import table
+    from kafka2clickhouse_py_streamer_spark.streaming.batch_windows import (
+        w13_histogram_quantiles,
+    )
+    from kafka2clickhouse_py_streamer_spark.streaming.sketch_stream import (
+        compact_hist_state,
+        hist_quantile_estimates,
+        hist_update_batch,
+        start_streaming_histogram,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = (
+        table(spark, sf, "events")
+        .select("event_id", "value")
+        .orderBy("event_id")
+        .collect()
+    )
+    src = tmp_path / "h_stream"
+    src.mkdir()
+    third = len(ev) // 3
+    chunks = (ev[:third], ev[third : 2 * third], ev[2 * third :])
+    for chunk in chunks:
+        spark.createDataFrame(
+            chunk, "event_id long, value double"
+        ).coalesce(1).write.mode("append").parquet(str(src))
+
+    state = str(tmp_path / "h_state")
+    stream = (
+        spark.readStream.schema("event_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = start_streaming_histogram(stream, state, str(tmp_path / "ckpt_h"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    def ests():
+        return {
+            r.q: (r.n, round(r.raw_est, 6))
+            for r in hist_quantile_estimates(spark, state).collect()
+        }
+
+    streamed = ests()
+    batch = {
+        r.q: (r.n_values, r.est_q)
+        for r in w13_histogram_quantiles(spark, sf).collect()
+    }
+    assert streamed == batch
+
+    # replay: rewrite batch 1's partition with the same data — the
+    # dynamic overwrite must leave the merged histogram unchanged
+    replay_df = spark.createDataFrame(
+        chunks[1], "event_id long, value double"
+    )
+    hist_update_batch(replay_df, 1, state)
+    assert ests() == batch
+
+    # compaction folds the per-batch partitions; estimates unchanged
+    removed = compact_hist_state(spark, state, through_batch=2)
+    assert removed > 0
+    assert ests() == batch
+
+
 def test_w12_streaming_sketch_replay_and_compaction(spark, tmp_path):
     """Re-delivering a micro-batch overwrites its own cell partition
     (no double counting), and compact_sketch_state's SUM-fold leaves
