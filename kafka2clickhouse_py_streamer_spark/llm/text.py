@@ -1361,6 +1361,131 @@ ORDER BY h.doc_id
 """
 
 
+def t19_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit per source — t13's companion on the OTHER axis
+    of corpus linguistics: vocabulary growth V(n) = K·n^β against
+    tokens read, fit as the OLS slope of ln(cum_vocab) on
+    ln(cum_tokens) over the per-source document stream in doc_id
+    order. Natural text sits near β ≈ 0.5–0.7; templated or looping
+    text saturates early (β → 0), random noise approaches β → 1. The
+    curation use: a source whose β collapses mid-crawl started
+    repeating itself — the corpus-level signal before any dedup pair
+    fires.
+
+    Scale shape: a token's first occurrence is ONE hash agg
+    (min doc_id per (source, token) — t18's first-seen shape); per-doc
+    new-type counts and token counts join back and a PER-SOURCE window
+    (never global) accumulates; the regression is a moment aggregate.
+    The fit runs on |docs| rows, not |tokens|."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        "doc_id",
+        F.explode(F.expr(tokens_expr("text"))).alias("token"),
+    ).filter(F.length("token") > 0)
+    first_seen = toks.groupBy("source", "token").agg(
+        F.min("doc_id").alias("first_doc")
+    )
+    new_types = first_seen.groupBy(
+        "source", F.col("first_doc").alias("doc_id")
+    ).agg(F.count(F.lit(1)).cast("long").alias("new_types"))
+    nonempty = f"filter({tokens_expr('text')}, x -> length(x) > 0)"
+    per_doc = d.select(
+        "source",
+        "doc_id",
+        F.expr(f"size({nonempty})").cast("long").alias("n_tokens"),
+    ).join(new_types, ["source", "doc_id"], "left").select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        F.coalesce("new_types", F.lit(0)).alias("new_types"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = per_doc.select(
+        "source",
+        F.sum("n_tokens").over(w).alias("cum_tokens"),
+        F.sum("new_types").over(w).alias("cum_vocab"),
+    )
+    y = F.when(
+        (F.col("cum_tokens") > 0) & (F.col("cum_vocab") > 0),
+        F.log(F.col("cum_vocab").cast("double")),
+    )
+    x = F.when(
+        (F.col("cum_tokens") > 0) & (F.col("cum_vocab") > 0),
+        F.log(F.col("cum_tokens").cast("double")),
+    )
+    return (
+        cum.groupBy("source")
+        .agg(
+            F.round(F.regr_slope(y, x), 4).alias("heaps_beta"),
+            F.round(F.regr_r2(y, x), 4).alias("heaps_r2"),
+            F.max("cum_vocab").cast("long").alias("total_vocab"),
+            F.max("cum_tokens").cast("long").alias("total_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+T19_SQL = rf"""
+WITH toks AS (
+  SELECT source, doc_id,
+         UNNEST(regexp_split_to_array(TRIM(LOWER(text)), '\s+')) AS token
+  FROM documents
+),
+first_seen AS (
+  SELECT source, token, MIN(doc_id) AS first_doc
+  FROM toks WHERE LENGTH(token) > 0
+  GROUP BY source, token
+),
+new_types AS (
+  SELECT source, first_doc AS doc_id,
+         CAST(COUNT(*) AS BIGINT) AS new_types
+  FROM first_seen GROUP BY source, first_doc
+),
+per_doc AS (
+  SELECT d.source, d.doc_id,
+         CAST(CASE WHEN LENGTH(TRIM(d.text)) = 0 THEN 0
+              ELSE LEN(list_filter(
+                regexp_split_to_array(TRIM(LOWER(d.text)), '\s+'),
+                x -> LENGTH(x) > 0))
+              END AS BIGINT) AS n_tokens,
+         COALESCE(n.new_types, 0) AS new_types
+  FROM documents d
+  LEFT JOIN new_types n ON n.source = d.source AND n.doc_id = d.doc_id
+),
+cum AS (
+  SELECT source,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_tokens,
+         SUM(new_types) OVER (PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_vocab
+  FROM per_doc
+)
+SELECT source,
+       ROUND(regr_slope(
+         CASE WHEN cum_tokens > 0 AND cum_vocab > 0
+              THEN LN(CAST(cum_vocab AS DOUBLE)) END,
+         CASE WHEN cum_tokens > 0 AND cum_vocab > 0
+              THEN LN(CAST(cum_tokens AS DOUBLE)) END), 4) AS heaps_beta,
+       ROUND(regr_r2(
+         CASE WHEN cum_tokens > 0 AND cum_vocab > 0
+              THEN LN(CAST(cum_vocab AS DOUBLE)) END,
+         CASE WHEN cum_tokens > 0 AND cum_vocab > 0
+              THEN LN(CAST(cum_tokens AS DOUBLE)) END), 4) AS heaps_r2,
+       CAST(MAX(cum_vocab) AS BIGINT) AS total_vocab,
+       CAST(MAX(cum_tokens) AS BIGINT) AS total_tokens
+FROM cum
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = [
     Query("t01_token_count", t01_token_count, T01_SQL,
           "whitespace + subword-proxy token counts"),
@@ -1404,4 +1529,7 @@ QUERIES = [
     Query("t18_ngram_novelty", t18_ngram_novelty, _t18_sql(),
           "per-doc n-gram novelty: fraction of shingles first "
           "introduced by the doc (corpus-order first-occurrence)"),
+    Query("t19_heaps_fit", t19_heaps_fit, T19_SQL,
+          "Heaps'-law vocabulary-growth fit per source: OLS of "
+          "ln(cum vocab) on ln(cum tokens) over the doc stream"),
 ]

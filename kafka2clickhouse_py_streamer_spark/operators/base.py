@@ -140,6 +140,7 @@ _VERIFY_FIRST = [
     "p18_shard_manifest",
     "w13_histogram_quantiles",
     "d20_snapshot_diff",
+    "t19_heaps_fit",
     # green-r02 but file churned since
     "m03_frame_sample",
     "m04_feature_extract",

@@ -1338,3 +1338,19 @@ def test_p18_digest_is_order_insensitive_and_counts_consistent(
         assert row.total_tokens == toks
         assert row.n_packs == (toks + PACK_BUDGET - 1) // PACK_BUDGET
         assert row.content_digest == digest, (row.split, row.shard)
+
+
+def test_t19_heaps_bounds(spark, sf_dir):
+    """Semantic sanity the oracle can't see: on natural-ish fixture
+    text the Heaps exponent lies in (0, 1) (sub-linear vocabulary
+    growth — β ≥ 1 would mean every token is new, β ≤ 0 a frozen
+    vocabulary), r² is a valid fraction, and the totals satisfy
+    vocab ≤ tokens per source."""
+    from kafka2clickhouse_py_streamer_spark.llm.text import t19_heaps_fit
+
+    rows = t19_heaps_fit(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r.heaps_beta < 1.0, r
+        assert 0.0 <= r.heaps_r2 <= 1.0, r
+        assert 0 < r.total_vocab <= r.total_tokens, r

@@ -1023,6 +1023,20 @@ def test_w13_histogram_agg_is_bounded(spark, sf_dir):
     assert python_row_ops(df) == 0
 
 
+def test_t19_heaps_accumulates_per_source_not_globally(spark, sf_dir):
+    # the cumulative window partitions by SOURCE (never a global
+    # orderBy funnel); the first-seen step is a hash agg over the
+    # token explode; the regression is a moment aggregate — no
+    # cartesian, no Python
+    from kafka2clickhouse_py_streamer_spark.llm.text import t19_heaps_fit
+
+    df = t19_heaps_fit(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "hashpartitioning(source" in plan
+    assert "CartesianProduct" not in plan
+    assert python_row_ops(df) == 0
+
+
 def test_d20_diff_is_one_join_one_agg(spark, sf_dir):
     # snapshot diff: fingerprints ride the scan projections, ONE
     # full-outer SortMergeJoin on the id, one hash agg on source —
