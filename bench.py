@@ -64,6 +64,11 @@ HEADLINE = [
     # round 5: the second flagship composition — span detect → excise
     # → repack in one DAG (no prior round baseline; first recording)
     "p14_span_scrub_pipeline",
+    # round 6: the chunk→pack composition (explode + per-shard window)
+    # and the histogram quantile sketch (hash agg + tiny-sketch
+    # read-off + exact-percentile audit) — first recordings
+    "p17_chunk_pack",
+    "w13_histogram_quantiles",
 ]
 
 

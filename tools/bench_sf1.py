@@ -74,6 +74,13 @@ HEAVY = [
     "d17_containment_pairs",
     "s14_ivfpq_search",
     "t16_bm25_topk",
+    # round 6: chunk explode -> per-shard window packing, media-pair
+    # graph contraction, and the token-explode + per-source-window
+    # Heaps fit — the three new shapes whose row growth could hide
+    # super-linear behavior
+    "p17_chunk_pack",
+    "m08_media_canonical",
+    "t19_heaps_fit",
 ]
 VOWELS = "aeiou"
 
