@@ -1479,7 +1479,7 @@ def p18_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long")
     g = d.select(
         split.alias("split"),
-        F.pmod("doc_id", F.lit(P18_SHARDS)).cast("long").alias("shard"),
+        (F.col("doc_id") % P18_SHARDS).cast("long").alias("shard"),
         _n_tokens().alias("n_tokens"),
         fp.alias("fp"),
     )
@@ -1583,7 +1583,7 @@ def p17_chunk_pack(
 
     d = table(spark, sf_dir, "documents")
     chunks = chunk_passages(d).select(
-        F.pmod("doc_id", F.lit(n_shards)).cast("long").alias("shard"),
+        (F.col("doc_id") % n_shards).cast("long").alias("shard"),
         "doc_id",
         "chunk_id",
         "n_chunk_tokens",

@@ -190,7 +190,7 @@ def streaming_chunk_packer(
     from kafka2clickhouse_py_streamer_spark.llm.text import chunk_passages
 
     chunks = chunk_passages(docs).select(
-        F.pmod("doc_id", F.lit(n_shards)).cast("long").alias("shard"),
+        (F.col("doc_id") % n_shards).cast("long").alias("shard"),
         "doc_id",
         "chunk_id",
         "n_chunk_tokens",

@@ -1392,7 +1392,7 @@ def _chunk_pack_batch_expect(spark, rows, budget, n_shards):
     chunks = chunk_passages(
         spark.createDataFrame(rows, "doc_id long, text string")
     ).select(
-        F.pmod("doc_id", F.lit(n_shards)).cast("long").alias("shard"),
+        (F.col("doc_id") % n_shards).cast("long").alias("shard"),
         "doc_id",
         "chunk_id",
         "n_chunk_tokens",
