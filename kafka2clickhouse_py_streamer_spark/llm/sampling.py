@@ -1619,6 +1619,104 @@ ORDER BY shard, doc_id, chunk_id
 """
 
 
+def p19_chunk_dedup_pack(
+    spark: SparkSession,
+    sf_dir: str,
+    budget: int = PACK_BUDGET,
+    n_shards: int = P17_SHARDS,
+) -> DataFrame:
+    """RAG index prep end to end — the third flagship composition
+    (p07 cleans documents, p14 scrubs spans, p19 builds the retrieval
+    shard): t17's sliding-window passages, EXACT chunk dedup
+    keep-first on the content fingerprint (overlapping windows and
+    boilerplate make duplicate chunks far more common than duplicate
+    documents — an index that stores them returns the same passage
+    k times), then per-shard packing of the SURVIVING chunks, with a
+    per-chunk duplicate count carried so the index can weight
+    retrieval frequency.
+
+    Scale shape: chunking rides the scan (explode only); dedup is one
+    hash-agg window on the 128-bit fingerprint (keep-first = min
+    (doc_id, chunk_id), same policy as d01); packing shuffles once on
+    the shard key. Composition adds NO shuffle class beyond its
+    stages — chunk→dedup→pack is explode + fp-window + shard-window."""
+    from kafka2clickhouse_py_streamer_spark.llm.text import (
+        chunk_passages,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    chunks = chunk_passages(d)
+    w = Window.partitionBy("chunk_fp").orderBy("doc_id", "chunk_id")
+    kept = (
+        chunks.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_copies",
+            F.count(F.lit(1)).over(Window.partitionBy("chunk_fp")),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            (F.col("doc_id") % n_shards).cast("long").alias("shard"),
+            "doc_id",
+            "chunk_id",
+            "n_chunk_tokens",
+            F.col("n_copies").cast("long").alias("n_copies"),
+        )
+    )
+    packed = chunk_pack_batch(
+        kept.select("shard", "doc_id", "chunk_id", "n_chunk_tokens"),
+        budget,
+    )
+    return (
+        packed.join(kept.select("doc_id", "chunk_id", "n_copies"),
+                    ["doc_id", "chunk_id"])
+        .select(
+            "shard",
+            "doc_id",
+            "chunk_id",
+            "n_chunk_tokens",
+            "n_copies",
+            "stream_offset",
+            "pack_id",
+            "offset_in_pack",
+        )
+        .orderBy("shard", "doc_id", "chunk_id")
+    )
+
+
+def _p19_sql() -> str:
+    from kafka2clickhouse_py_streamer_spark.llm.text import T17_SQL
+
+    return f"""
+WITH chunks AS ({T17_SQL.strip()}),
+ranked AS (
+  SELECT doc_id, chunk_id, n_chunk_tokens,
+         ROW_NUMBER() OVER (PARTITION BY chunk_fp
+                            ORDER BY doc_id, chunk_id) AS rn,
+         COUNT(*) OVER (PARTITION BY chunk_fp) AS n_copies
+  FROM chunks
+),
+kept AS (
+  SELECT doc_id % {P17_SHARDS} AS shard, doc_id, chunk_id,
+         n_chunk_tokens, CAST(n_copies AS BIGINT) AS n_copies
+  FROM ranked WHERE rn = 1
+),
+offs AS (
+  SELECT shard, doc_id, chunk_id, n_chunk_tokens, n_copies,
+         CAST(COALESCE(SUM(n_chunk_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id, chunk_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS stream_offset
+  FROM kept
+)
+SELECT shard, doc_id, chunk_id, n_chunk_tokens, n_copies,
+       stream_offset,
+       stream_offset // {PACK_BUDGET} AS pack_id,
+       stream_offset % {PACK_BUDGET} AS offset_in_pack
+FROM offs
+ORDER BY shard, doc_id, chunk_id
+"""
+
+
 QUERIES = [
     Query("p01_train_test_split", p01_train_test_split, P01_SQL,
           "hash-deterministic train/val/test split"),
@@ -1669,4 +1767,7 @@ QUERIES = [
     Query("p18_shard_manifest", p18_shard_manifest, P18_SQL,
           "shard manifest: per (split, shard) doc/token/pack counts + "
           "order-insensitive bit_xor content digest"),
+    Query("p19_chunk_dedup_pack", p19_chunk_dedup_pack, _p19_sql(),
+          "RAG index prep: chunk -> exact chunk dedup keep-first "
+          "(duplicate count carried) -> per-shard packing"),
 ]

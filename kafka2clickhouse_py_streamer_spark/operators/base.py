@@ -141,6 +141,7 @@ _VERIFY_FIRST = [
     "w13_histogram_quantiles",
     "d20_snapshot_diff",
     "t19_heaps_fit",
+    "p19_chunk_dedup_pack",
     # green-r02 but file churned since
     "m03_frame_sample",
     "m04_feature_extract",

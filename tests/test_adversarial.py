@@ -87,6 +87,7 @@ SWEEP = [
     "p16_pack_efficiency",
     "p17_chunk_pack",
     "p18_shard_manifest",
+    "p19_chunk_dedup_pack",
     "t19_heaps_fit",
     "t13_zipf_fit", "t14_bigram_logprob", "t15_perplexity_buckets",
     "t16_bm25_topk", "t17_chunk_passages", "t18_ngram_novelty",

@@ -1354,3 +1354,37 @@ def test_t19_heaps_bounds(spark, sf_dir):
         assert 0.0 < r.heaps_beta < 1.0, r
         assert 0.0 <= r.heaps_r2 <= 1.0, r
         assert 0 < r.total_vocab <= r.total_tokens, r
+
+
+def test_p19_dedup_and_packing_consistent_with_t17(spark, sf_dir):
+    """Composition honesty for the RAG prep pipeline: the surviving
+    chunk set is exactly one representative per distinct fingerprint
+    of t17's chunks, n_copies sums back to the total chunk count, and
+    each shard's offsets are the serial cumsum of its surviving
+    chunks in (doc_id, chunk_id) order."""
+    from kafka2clickhouse_py_streamer_spark.llm.sampling import (
+        p19_chunk_dedup_pack,
+    )
+    from kafka2clickhouse_py_streamer_spark.llm.text import (
+        t17_chunk_passages,
+    )
+
+    chunks = t17_chunk_passages(spark, sf_dir).collect()
+    rows = p19_chunk_dedup_pack(spark, sf_dir).collect()
+    fps: dict = {}
+    for c in chunks:
+        fps.setdefault(c.chunk_fp, []).append((c.doc_id, c.chunk_id))
+    assert len(rows) == len(fps)
+    assert sum(r.n_copies for r in rows) == len(chunks)
+    kept = {(r.doc_id, r.chunk_id): r for r in rows}
+    for fp, members in fps.items():
+        first = min(members)
+        assert first in kept
+        assert kept[first].n_copies == len(members)
+    # per-shard serial cumsum
+    by_shard: dict = {}
+    for r in sorted(rows, key=lambda r: (r.shard, r.doc_id, r.chunk_id)):
+        off = by_shard.get(r.shard, 0)
+        assert r.stream_offset == off, r
+        assert r.pack_id == off // 512 and r.offset_in_pack == off % 512
+        by_shard[r.shard] = off + r.n_chunk_tokens

@@ -1037,6 +1037,23 @@ def test_t19_heaps_accumulates_per_source_not_globally(spark, sf_dir):
     assert python_row_ops(df) == 0
 
 
+def test_p19_composition_has_no_funnel(spark, sf_dir):
+    # chunk -> fp-dedup -> shard-pack composes as explode +
+    # fingerprint-keyed window + shard-keyed window + one fp join —
+    # never a SinglePartition funnel, nothing cartesian, no Python
+    from kafka2clickhouse_py_streamer_spark.llm.sampling import (
+        p19_chunk_dedup_pack,
+    )
+
+    df = p19_chunk_dedup_pack(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(chunk_fp" in plan
+    assert "hashpartitioning(shard" in plan
+    assert python_row_ops(df) == 0
+
+
 def test_d20_diff_is_one_join_one_agg(spark, sf_dir):
     # snapshot diff: fingerprints ride the scan projections, ONE
     # full-outer SortMergeJoin on the id, one hash agg on source —
