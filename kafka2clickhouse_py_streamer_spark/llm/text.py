@@ -1486,6 +1486,113 @@ ORDER BY source
 """
 
 
+# t20 rule cascade: (name, pass-predicate) in application order. The
+# thresholds are tuned to BIND on the synthetic corpus (n_tok spans
+# 10-99, mean word length ~4.2-4.8, alpha ratio ~0.81-0.83) so the
+# funnel exercises every stage; a production corpus would swap in the
+# published Gopher values (50-100k tokens, mwl 3-10, 80% alpha words).
+T20_RULES = [
+    ("min_tokens", "tg_tok >= 20"),
+    ("max_tokens", "tg_tok <= 90"),
+    ("mean_word_len",
+     "CAST(tg_nonspace AS DOUBLE) / GREATEST(CAST(tg_tok AS DOUBLE), 1.0)"
+     " BETWEEN 3.0 AND 4.7"),
+    ("alpha_ratio",
+     "CAST(tg_alpha AS DOUBLE) / GREATEST(CAST(tg_chars AS DOUBLE), 1.0)"
+     " >= 0.815"),
+    ("stopword_ratio",
+     "CAST(tg_stop AS DOUBLE) / GREATEST(CAST(tg_tok AS DOUBLE), 1.0)"
+     " >= 0.02"),
+]
+
+
+def t20_gopher_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality-rule CASCADE with a per-source funnel
+    audit: apply T20_RULES in order, and report — per (source, stage)
+    — how many documents fail AT that stage (having passed all earlier
+    ones) and how many remain. Stage 0 is ingress. This is the
+    corpus-cleaning report a pipeline operator reads before committing
+    a filter config (Rae et al. 2021, table A1 shape).
+
+    Scale shape: feature extraction and all five rule predicates ride
+    the scan projection (pure JVM regex/length expressions); ONE hash
+    agg on source (map-side combined to |sources| rows per partition);
+    the stack() unpivot runs on the ≤|sources|-row aggregate. Nothing
+    but the tiny aggregate crosses the wire — the funnel costs exactly
+    one corpus scan at any data size."""
+    d = table(spark, sf_dir, "documents")
+    feats = d.select(
+        "source",
+        F.when(F.length(F.trim("text")) == 0, F.lit(0))
+        .otherwise(F.size(F.split(F.trim("text"), r"\s+")))
+        .cast("long").alias("tg_tok"),
+        F.length(F.regexp_replace("text", r"\s", "")).cast("long")
+        .alias("tg_nonspace"),
+        F.regexp_count(F.col("text"), F.lit(r"[A-Za-z]")).cast("long")
+        .alias("tg_alpha"),
+        F.length("text").cast("long").alias("tg_chars"),
+        F.regexp_count(F.lower(F.col("text")), F.lit(STOPWORD_RE))
+        .cast("long").alias("tg_stop"),
+    )
+    # prefix conjunction: c_i = passed rules 1..i
+    cum = None
+    cums = []
+    for _, pred in T20_RULES:
+        cum = F.expr(pred) if cum is None else (cum & F.expr(pred))
+        cums.append(cum)
+    agg = feats.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("c0"),
+        *[F.sum(c.cast("long")).cast("long").alias(f"c{i + 1}")
+          for i, c in enumerate(cums)],
+    )
+    stack_args = ["CAST(0 AS BIGINT), 'ingress', CAST(0 AS BIGINT), c0"]
+    for i, (name, _) in enumerate(T20_RULES, start=1):
+        stack_args.append(
+            f"CAST({i} AS BIGINT), '{name}', c{i - 1} - c{i}, c{i}"
+        )
+    n = len(T20_RULES) + 1
+    return agg.select(
+        "source",
+        F.expr(f"stack({n}, {', '.join(stack_args)})"
+               " AS (stage, rule, n_failed, n_remaining)"),
+    ).orderBy("source", "stage")
+
+
+def _t20_sql() -> str:
+    preds = " , ".join(
+        f"CAST(SUM(CASE WHEN {' AND '.join(p for _, p in T20_RULES[:i + 1])}"
+        f" THEN 1 ELSE 0 END) AS BIGINT) AS c{i + 1}"
+        for i in range(len(T20_RULES))
+    )
+    stages = [
+        "SELECT source, CAST(0 AS BIGINT) AS stage, 'ingress' AS rule, "
+        "CAST(0 AS BIGINT) AS n_failed, c0 AS n_remaining FROM agg"
+    ]
+    for i, (name, _) in enumerate(T20_RULES, start=1):
+        stages.append(
+            f"SELECT source, CAST({i} AS BIGINT), '{name}', "
+            f"c{i - 1} - c{i}, c{i} FROM agg"
+        )
+    union = "\nUNION ALL\n".join(stages)
+    return rf"""
+WITH feats AS (
+  SELECT source,
+         CAST({_N_TOKENS_SQL_FRAG} AS BIGINT) AS tg_tok,
+         CAST(LENGTH(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS tg_nonspace,
+         CAST(LEN(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS tg_alpha,
+         CAST(LENGTH(text) AS BIGINT) AS tg_chars,
+         CAST(LEN(regexp_extract_all(LOWER(text), '{STOPWORD_RE}')) AS BIGINT) AS tg_stop
+  FROM documents
+),
+agg AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS c0, {preds}
+  FROM feats GROUP BY source
+)
+SELECT * FROM ({union})
+ORDER BY source, stage
+"""
+
+
 QUERIES = [
     Query("t01_token_count", t01_token_count, T01_SQL,
           "whitespace + subword-proxy token counts"),
@@ -1532,4 +1639,7 @@ QUERIES = [
     Query("t19_heaps_fit", t19_heaps_fit, T19_SQL,
           "Heaps'-law vocabulary-growth fit per source: OLS of "
           "ln(cum vocab) on ln(cum tokens) over the doc stream"),
+    Query("t20_gopher_funnel", t20_gopher_funnel, _t20_sql(),
+          "Gopher-rule cascade funnel: per (source, stage) "
+          "fail-here/remaining counts in one corpus scan + one agg"),
 ]

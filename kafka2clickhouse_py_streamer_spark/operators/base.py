@@ -142,6 +142,7 @@ _VERIFY_FIRST = [
     "d20_snapshot_diff",
     "t19_heaps_fit",
     "p19_chunk_dedup_pack",
+    "t20_gopher_funnel",
     # green-r02 but file churned since
     "m03_frame_sample",
     "m04_feature_extract",

@@ -89,6 +89,7 @@ SWEEP = [
     "p18_shard_manifest",
     "p19_chunk_dedup_pack",
     "t19_heaps_fit",
+    "t20_gopher_funnel",
     "t13_zipf_fit", "t14_bigram_logprob", "t15_perplexity_buckets",
     "t16_bm25_topk", "t17_chunk_passages", "t18_ngram_novelty",
     "d17_containment_pairs", "d20_snapshot_diff",

@@ -1280,3 +1280,20 @@ def test_p17_chunk_pack_no_global_funnel(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "hashpartitioning(shard" in plan
     assert python_row_ops(df) == 0
+
+
+def test_t20_funnel_is_one_scan_one_agg(spark, sf_dir):
+    # the whole rule cascade rides the scan projection; the only
+    # shuffle is the hash agg on source (plus the orderBy range
+    # exchange on the <=|sources|*6-row aggregate); the stack()
+    # unpivot runs post-agg, so nothing per-document crosses the wire
+    from kafka2clickhouse_py_streamer_spark.llm.text import (
+        t20_gopher_funnel,
+    )
+
+    df = t20_gopher_funnel(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    assert count_exchanges(df) <= 2  # source hash agg + final sort
+    assert python_row_ops(df) == 0
