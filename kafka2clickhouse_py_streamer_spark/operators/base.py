@@ -143,6 +143,7 @@ _VERIFY_FIRST = [
     "t19_heaps_fit",
     "p19_chunk_dedup_pack",
     "t20_gopher_funnel",
+    "q64_weighted_quantiles",
     # green-r02 but file churned since
     "m03_frame_sample",
     "m04_feature_extract",

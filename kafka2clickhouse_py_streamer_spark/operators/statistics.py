@@ -679,6 +679,93 @@ ORDER BY o_orderpriority
 """
 
 
+def q64_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted quantiles (lower weighted-quantile / inverse-CDF
+    definition): per return flag, the price at which the cumulative
+    QUANTITY mass crosses 25/50/90% — neither engine has a built-in
+    weighted percentile, so both emulate it identically with an
+    ordered cumulative-weight window and a conditional min.
+
+    Cross-engine determinism: the cumulative sum's order is pinned by
+    (price, orderkey, linenumber), so both engines add the SAME
+    doubles in the SAME order; the total is taken as max(cumw) — the
+    final ordered prefix sum — NOT a separate unordered partition SUM,
+    which could differ in the last ulp and flip a threshold crossing.
+    Weights are filtered to > 0 so the prefix sum is monotone and
+    max(cumw) is the true total.
+
+    Scale shape: ONE hash shuffle on the group key; both windows and
+    the final agg reuse that partitioning (no second exchange), so
+    the cost envelope is a sort within each group partition — same as
+    any per-key window. Per-group state is O(1) beyond the sort."""
+    li = table(spark, sf_dir, "lineitem").where(
+        F.col("l_extendedprice").isNotNull() & (F.col("l_quantity") > 0)
+    )
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("l_returnflag")
+    cum = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum("l_quantity").over(w_cum).alias("cumw"),
+    ).select(
+        "l_returnflag",
+        "l_extendedprice",
+        "cumw",
+        F.max("cumw").over(w_all).alias("totw"),
+    )
+
+    def wq(q: float):
+        return F.min(
+            F.when(
+                F.col("cumw") >= F.lit(q) * F.col("totw"),
+                F.col("l_extendedprice"),
+            )
+        )
+
+    return (
+        cum.groupBy("l_returnflag")
+        .agg(
+            F.round(wq(0.25), 2).alias("wp25"),
+            F.round(wq(0.5), 2).alias("wp50"),
+            F.round(wq(0.9), 2).alias("wp90"),
+            F.round(F.max("totw"), 2).alias("total_weight"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q64_SQL = """
+WITH cum AS (
+  SELECT l_returnflag, l_extendedprice,
+         SUM(l_quantity) OVER (
+           PARTITION BY l_returnflag
+           ORDER BY l_extendedprice, l_orderkey, l_linenumber
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity > 0
+),
+tot AS (
+  SELECT l_returnflag, l_extendedprice, cumw,
+         MAX(cumw) OVER (PARTITION BY l_returnflag) AS totw
+  FROM cum
+)
+SELECT l_returnflag,
+       ROUND(MIN(CASE WHEN cumw >= 0.25 * totw THEN l_extendedprice END), 2) AS wp25,
+       ROUND(MIN(CASE WHEN cumw >= 0.5 * totw THEN l_extendedprice END), 2) AS wp50,
+       ROUND(MIN(CASE WHEN cumw >= 0.9 * totw THEN l_extendedprice END), 2) AS wp90,
+       ROUND(MAX(totw), 2) AS total_weight,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM tot
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 QUERIES = [
     Query("q31_moment_stats", q31_moment_stats, Q31_SQL,
           "stddev/variance/corr/covar moments"),
@@ -710,4 +797,7 @@ QUERIES = [
     Query("q60_linear_trend", q60_linear_trend, Q60_SQL,
           "per-group OLS trend (regr_slope/intercept/r2 moment "
           "aggregates, one shuffle)"),
+    Query("q64_weighted_quantiles", q64_weighted_quantiles, Q64_SQL,
+          "weighted p25/p50/p90 via order-pinned cumulative-weight "
+          "window (no built-in weighted percentile on either engine)"),
 ]

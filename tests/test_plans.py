@@ -1297,3 +1297,18 @@ def test_t20_funnel_is_one_scan_one_agg(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert count_exchanges(df) <= 2  # source hash agg + final sort
     assert python_row_ops(df) == 0
+
+
+def test_q64_weighted_quantiles_one_hash_shuffle(spark, sf_dir):
+    # the cumulative window, the total-window, and the final agg all
+    # run on the same l_returnflag hash partitioning — one hash
+    # exchange total (plus the final <=|flags|-row orderBy); no join
+    from kafka2clickhouse_py_streamer_spark.operators.statistics import (
+        q64_weighted_quantiles,
+    )
+
+    df = q64_weighted_quantiles(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Join" not in plan
+    assert count_exchanges(df) <= 2
+    assert python_row_ops(df) == 0
