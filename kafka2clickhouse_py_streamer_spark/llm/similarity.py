@@ -2477,6 +2477,155 @@ ORDER BY r.query_id, r.rk
 """
 
 
+CASCADE_D = 16  # stage-1 prefix width (an MRL_DIMS member, s15-audited)
+CASCADE_C = 20  # stage-1 shortlist size per query
+
+
+def s19_cascade_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage cascade retrieval: a CHEAP prefix-dim cosine pass
+    (first CASCADE_D of DIM dims — the s15-audited Matryoshka prefix)
+    shortlists CASCADE_C candidates per query, then the FULL-dim exact
+    cosine reranks only that shortlist to top-k, flagged against the
+    s01 ground truth. This is the standard retrieve-then-rerank
+    production shape: the expensive scorer touches |q|×C rows, never
+    the corpus.
+
+    Scale shape: stage 1 is one corpus scan with the query side
+    broadcast (at real scale it would itself be the s14 IVF-PQ probe —
+    the cascade mechanics are identical); stage 2 is an equi-join of
+    the ≤|q|×C-row shortlist (broadcast) against the corpus — hash
+    probe on one scan, no corpus shuffle; the audit join is
+    |q|×k-sized. Full-dim math runs on 200 rows where brute force
+    would pay |corpus|×|q|."""
+    base = _base(spark, sf_dir)
+    sq = F.slice(F.col("v"), 1, CASCADE_D)
+    q1 = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), sq.alias("qp")
+    ).filter(dot("qp", F.col("qp")) > 0)
+    c1 = base.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("cand_id"), sq.alias("cp")
+    ).filter(dot("cp", F.col("cp")) > 0)
+    pcos = F.round(
+        dot("qp", F.col("cp"))
+        / (F.sqrt(dot("qp", F.col("qp"))) * F.sqrt(dot("cp", F.col("cp")))),
+        6,
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("pcos").desc(), F.col("cand_id").asc()
+    )
+    short = (
+        F.broadcast(q1)
+        .crossJoin(c1)
+        .select("query_id", "cand_id", pcos.alias("pcos"))
+        .withColumn("srk", F.row_number().over(w1))
+        .filter(F.col("srk") <= CASCADE_C)
+        .select("query_id", "cand_id")
+    )
+    qf = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("fq"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    cf = base.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("fc"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("cnorm"),
+    )
+    rer = (
+        F.broadcast(short)
+        .join(cf, F.col("cand_id") == F.col("fc"))
+        .join(F.broadcast(qf), F.col("query_id") == F.col("fq"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(_cosine("qv", "cv", "qnorm", "cnorm"), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id").asc()
+    )
+    topk = rer.withColumn("rk", F.row_number().over(w2).cast("long")).filter(
+        F.col("rk") <= TOP_K
+    )
+    exact = s01_cosine_topk(spark, sf_dir).select(
+        F.col("query_id").alias("eq"), F.col("cand_id").alias("ec")
+    )
+    return (
+        topk.join(
+            F.broadcast(exact),
+            (F.col("query_id") == F.col("eq"))
+            & (F.col("cand_id") == F.col("ec")),
+            "left",
+        )
+        .select(
+            "query_id",
+            "rk",
+            "cand_id",
+            "cosine",
+            F.when(F.col("ec").isNotNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("in_exact"),
+        )
+        .orderBy("query_id", "rk")
+    )
+
+
+def _s19_sql() -> str:
+    d, c = CASCADE_D, CASCADE_C
+    return f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+  WHERE {valid_emb_sql(DIM)}
+),
+shortlist AS (
+  SELECT query_id, cand_id FROM (
+    SELECT query_id, cand_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY pcos DESC, cand_id ASC) AS srk
+    FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             ROUND(list_dot_product(q.v[1:{d}], c.v[1:{d}])
+                   / (SQRT(list_dot_product(q.v[1:{d}], q.v[1:{d}]))
+                      * SQRT(list_dot_product(c.v[1:{d}], c.v[1:{d}]))),
+                   6) AS pcos
+      FROM base q, base c
+      WHERE q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
+        AND list_dot_product(q.v[1:{d}], q.v[1:{d}]) > 0
+        AND list_dot_product(c.v[1:{d}], c.v[1:{d}]) > 0
+    )
+  ) WHERE srk <= {c}
+),
+rerank AS (
+  SELECT s.query_id, s.cand_id,
+         ROUND(list_dot_product(q.v, c.v)
+               / (SQRT(list_dot_product(q.v, q.v))
+                  * SQRT(list_dot_product(c.v, c.v))), 6) AS cosine
+  FROM shortlist s
+  JOIN base q ON q.vec_id = s.query_id
+  JOIN base c ON c.vec_id = s.cand_id
+),
+topk AS (
+  SELECT query_id, cand_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, cand_id ASC) AS rk
+  FROM rerank
+),
+exact AS ({S01_SQL})
+SELECT t.query_id, CAST(t.rk AS BIGINT) AS rk, t.cand_id, t.cosine,
+       CAST(CASE WHEN e.cand_id IS NOT NULL THEN 1 ELSE 0 END
+            AS BIGINT) AS in_exact
+FROM topk t
+LEFT JOIN exact e
+  ON e.query_id = t.query_id AND e.cand_id = t.cand_id
+WHERE t.rk <= {TOP_K}
+ORDER BY t.query_id, t.rk
+"""
+
+
 QUERIES = [
     Query("s01_cosine_topk", s01_cosine_topk, S01_SQL,
           "exact brute-force cosine top-k"),
@@ -2529,4 +2678,7 @@ QUERIES = [
     Query("s18_knn_label_eval", s18_knn_label_eval, _s18_sql(),
           "label-propagation confusion matrix over the kNN graph "
           "(majority vote vs true label, s07's tie rule)"),
+    Query("s19_cascade_rerank", s19_cascade_rerank, _s19_sql(),
+          "two-stage cascade retrieval: Matryoshka-prefix shortlist "
+          "then full-dim rerank of |q|*C rows, flagged vs exact"),
 ]

@@ -144,6 +144,7 @@ _VERIFY_FIRST = [
     "p19_chunk_dedup_pack",
     "t20_gopher_funnel",
     "q64_weighted_quantiles",
+    "s19_cascade_rerank",
     # green-r02 but file churned since
     "m03_frame_sample",
     "m04_feature_extract",

@@ -1312,3 +1312,24 @@ def test_q64_weighted_quantiles_one_hash_shuffle(spark, sf_dir):
     assert "Join" not in plan
     assert count_exchanges(df) <= 2
     assert python_row_ops(df) == 0
+
+
+def test_s19_cascade_full_dim_never_scans_corpus(spark, sf_dir):
+    # the full-dim rerank must reach the corpus only through the
+    # broadcast shortlist hash join — the sole nested-loop joins are
+    # the two sanctioned broadcast query-side crosses (stage 1 + the
+    # s01 ground truth); rerank + audit are BroadcastHashJoins
+    from kafka2clickhouse_py_streamer_spark.llm.similarity import (
+        s19_cascade_rerank,
+    )
+
+    import re
+
+    df = s19_cascade_rerank(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    # formatted explain renders every node twice (tree + detail);
+    # count the numbered detail entries only
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 2
+    assert "BroadcastHashJoin" in plan
+    assert python_row_ops(df) == 0
