@@ -1717,6 +1717,152 @@ ORDER BY shard, doc_id, chunk_id
 """
 
 
+EPOCH_BUDGET_FACTOR = 2  # total training budget = 2x the corpus tokens
+MAX_EPOCHS = 4  # data-constrained repeat cap (Muennighoff et al. 2023)
+
+
+def p20_epoch_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained multi-epoch budgeting: distribute a training
+    token budget (EPOCH_BUDGET_FACTOR × the corpus) across sources by
+    p12's temperature weights, then cap each source at MAX_EPOCHS
+    repeats — the 'repeating data beats nothing, but only ~4 times'
+    regime. Per source: the temperature target, integer epochs needed,
+    epochs actually usable under the cap, effective (deliverable)
+    tokens, the unmet remainder, and each source's share of the final
+    deliverable mix.
+
+    Cross-engine determinism: the only floating math is p12's proven
+    share^α weight; the target is floored to BIGINT on both engines
+    (CAST(double AS BIGINT) truncates on Spark but ROUNDS on DuckDB —
+    FLOOR first makes them agree), and everything downstream (ceil
+    division via div[Spark]///[DuckDB], least, subtraction) is exact
+    integer arithmetic.
+
+    Scale shape: ONE hash agg collapses the corpus to |sources| rows —
+    the corpus is scanned exactly once (pinned); both normalization
+    totals are unpartitioned windows over that tiny aggregate (the
+    deliberate SinglePartition is over ≤|sources| rows, never the fact
+    table), mirroring the oracle's SUM() OVER () exactly. A
+    broadcast-totals formulation would recompute the corpus agg once
+    per consumer subtree — three scans instead of one."""
+    d = table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.sum(F.coalesce(_n_tokens(), F.lit(0))).alias("n_tokens"),
+    )
+    w_tiny = Window.partitionBy()
+    with_tot = per_src.select(
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.sum("n_tokens").over(w_tiny).cast("long").alias("corpus_tokens"),
+        F.sum(F.pow(F.col("n_tokens").cast("double"), MIX_ALPHA))
+        .over(w_tiny).alias("z"),
+    )
+    w_t = F.pow(F.col("n_tokens").cast("double"), MIX_ALPHA) / F.col("z")
+    budget = (F.col("corpus_tokens") * EPOCH_BUDGET_FACTOR).cast("double")
+    target = F.when(
+        F.col("z") > 0, F.floor(w_t * budget).cast("long")
+    ).otherwise(F.lit(0))
+    enriched = (
+        with_tot.select(
+            "source",
+            "n_tokens",
+            target.alias("target_tokens"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "target_tokens",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.expr(
+                    "(target_tokens + n_tokens - 1) div n_tokens"
+                ),
+            ).cast("long").alias("epochs_needed"),
+            F.least(
+                F.col("target_tokens"),
+                F.col("n_tokens") * MAX_EPOCHS,
+            ).cast("long").alias("effective_tokens"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "target_tokens",
+            "epochs_needed",
+            F.least(F.coalesce("epochs_needed", F.lit(0)), F.lit(MAX_EPOCHS))
+            .cast("long").alias("epochs_used"),
+            "effective_tokens",
+            (F.col("target_tokens") - F.col("effective_tokens"))
+            .cast("long").alias("unmet_tokens"),
+        )
+    )
+    return (
+        enriched.withColumn(
+            "deliv_total",
+            F.sum("effective_tokens").over(w_tiny).cast("double"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "target_tokens",
+            "epochs_needed",
+            "epochs_used",
+            "effective_tokens",
+            "unmet_tokens",
+            F.when(
+                F.col("deliv_total") > 0,
+                F.round(F.col("effective_tokens") / F.col("deliv_total"), 6),
+            ).alias("final_share"),
+        )
+        .orderBy("source")
+    )
+
+
+P20_SQL = rf"""
+WITH per_src AS (
+  SELECT source,
+         SUM(COALESCE(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+             ELSE LEN(regexp_split_to_array(TRIM(text), '\s+')) END, 0))
+           AS n_tokens
+  FROM documents
+  GROUP BY source
+),
+totals AS (
+  SELECT CAST(SUM(n_tokens) AS BIGINT) AS corpus_tokens,
+         SUM(POWER(CAST(n_tokens AS DOUBLE), {MIX_ALPHA})) AS z
+  FROM per_src
+),
+enriched AS (
+  SELECT source,
+         CAST(n_tokens AS BIGINT) AS n_tokens,
+         CAST(CASE WHEN z > 0 THEN FLOOR(
+             POWER(CAST(n_tokens AS DOUBLE), {MIX_ALPHA}) / z
+             * CAST(corpus_tokens * {EPOCH_BUDGET_FACTOR} AS DOUBLE))
+           ELSE 0 END AS BIGINT) AS target_tokens
+  FROM per_src, totals
+),
+capped AS (
+  SELECT source, n_tokens, target_tokens,
+         CAST(CASE WHEN n_tokens > 0
+              THEN (target_tokens + n_tokens - 1) // n_tokens
+              END AS BIGINT) AS epochs_needed,
+         CAST(LEAST(target_tokens, n_tokens * {MAX_EPOCHS}) AS BIGINT)
+           AS effective_tokens
+  FROM enriched
+)
+SELECT source, n_tokens, target_tokens, epochs_needed,
+       CAST(LEAST(COALESCE(epochs_needed, 0), {MAX_EPOCHS}) AS BIGINT)
+         AS epochs_used,
+       effective_tokens,
+       CAST(target_tokens - effective_tokens AS BIGINT) AS unmet_tokens,
+       CASE WHEN SUM(effective_tokens) OVER () > 0
+            THEN ROUND(CAST(effective_tokens AS DOUBLE)
+                       / CAST(SUM(effective_tokens) OVER () AS DOUBLE), 6)
+       END AS final_share
+FROM capped
+ORDER BY source
+"""
+
+
 QUERIES = [
     Query("p01_train_test_split", p01_train_test_split, P01_SQL,
           "hash-deterministic train/val/test split"),
@@ -1770,4 +1916,7 @@ QUERIES = [
     Query("p19_chunk_dedup_pack", p19_chunk_dedup_pack, _p19_sql(),
           "RAG index prep: chunk -> exact chunk dedup keep-first "
           "(duplicate count carried) -> per-shard packing"),
+    Query("p20_epoch_budget", p20_epoch_budget, P20_SQL,
+          "data-constrained multi-epoch budgeting: temperature "
+          "targets, integer epoch caps, deliverable mix shares"),
 ]

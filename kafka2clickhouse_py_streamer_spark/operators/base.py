@@ -145,6 +145,7 @@ _VERIFY_FIRST = [
     "t20_gopher_funnel",
     "q64_weighted_quantiles",
     "s19_cascade_rerank",
+    "p20_epoch_budget",
     # green-r02 but file churned since
     "m03_frame_sample",
     "m04_feature_extract",

@@ -1333,3 +1333,23 @@ def test_s19_cascade_full_dim_never_scans_corpus(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 2
     assert "BroadcastHashJoin" in plan
     assert python_row_ops(df) == 0
+
+
+def test_p20_epoch_budget_scans_corpus_once(spark, sf_dir):
+    # the corpus collapses to |sources| rows in ONE hash agg and is
+    # scanned exactly once — the normalization totals are windows over
+    # the tiny aggregate, not broadcast-cross re-computations (which
+    # would re-scan the corpus per consumer subtree); no join anywhere
+    import re
+
+    from kafka2clickhouse_py_streamer_spark.llm.sampling import (
+        p20_epoch_budget,
+    )
+
+    df = p20_epoch_budget(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Join" not in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    # source hash agg + tiny-frame window SinglePartition + final sort
+    assert count_exchanges(df) <= 3
+    assert python_row_ops(df) == 0
