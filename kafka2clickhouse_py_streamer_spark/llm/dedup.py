@@ -1847,6 +1847,76 @@ ORDER BY source
 """
 
 
+def d21_softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOFT dedup: instead of dropping near-duplicates (d08/d13's hard
+    policy), keep every document and downweight it by its d07 cluster
+    size — weight = 1/|cluster|, so each duplicate CLUSTER contributes
+    one document's worth of sampling mass (SoftDeDup-style repetition
+    reweighting). Emits per-doc weight and effective token mass; the
+    sum of ``weight`` IS the effective (deduplicated) corpus size, and
+    downstream samplers (p13's PPS line) can consume ``weight``
+    directly in place of uniform mass.
+
+    Scale shape: rides the already-converged d07 component labels (the
+    star-contraction loop is shared/cached, edges-only on the wire);
+    adds ONE count agg on cluster_id plus two equi-joins keyed on
+    cluster_id/doc_id. No pair join, no window, nothing quadratic —
+    the policy layer costs two hash shuffles over (long, long) rows.
+
+    Cross-engine: weight uses CAST(1 AS DOUBLE)/size (a bare ``1.0``
+    is DECIMAL on DuckDB); eff_tokens divides the exact integer token
+    count cast to DOUBLE — both engines perform the identical
+    double/int division before the round."""
+    labels = _cc_labels(spark, sf_dir)
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    ntok = F.when(F.length(F.trim("text")) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim("text"), r"\s+"))
+    )
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", ntok.cast("long").alias("ntok")
+    )
+    return (
+        labels.join(sizes, "cluster_id")
+        .join(docs, "doc_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "cluster_size",
+            F.round(
+                F.lit(1).cast("double") / F.col("cluster_size"), 6
+            ).alias("weight"),
+            F.round(
+                F.col("ntok").cast("double") / F.col("cluster_size"), 4
+            ).alias("eff_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _d21_sql() -> str:
+    d07 = _d07_sql().strip().split("ORDER BY")[0]
+    return rf"""
+WITH labels AS (
+{d07}
+),
+sizes AS (
+  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+  FROM labels GROUP BY cluster_id
+)
+SELECT l.doc_id, l.cluster_id, s.cluster_size,
+       ROUND(CAST(1 AS DOUBLE) / s.cluster_size, 6) AS weight,
+       ROUND(CAST(CASE WHEN LENGTH(TRIM(d.text)) = 0 THEN 0
+                  ELSE LEN(regexp_split_to_array(TRIM(d.text), '\s+'))
+                  END AS DOUBLE) / s.cluster_size, 4) AS eff_tokens
+FROM labels l
+JOIN sizes s ON s.cluster_id = l.cluster_id
+JOIN documents d ON d.doc_id = l.doc_id
+ORDER BY l.doc_id
+"""
+
+
 QUERIES = [
     Query("d01_exact_dedup", d01_exact_dedup, D01_SQL,
           "exact dedup via hash-groupBy on MD5"),
@@ -1899,4 +1969,7 @@ QUERIES = [
     Query("d20_snapshot_diff", d20_snapshot_diff, D20_SQL,
           "cross-snapshot corpus diff: added/removed/changed/unchanged "
           "per source via a fingerprint full-outer join"),
+    Query("d21_softdedup_weights", d21_softdedup_weights, _d21_sql(),
+          "soft dedup: per-doc 1/|cluster| sampling weight + effective "
+          "token mass over the d07 components (no doc dropped)"),
 ]

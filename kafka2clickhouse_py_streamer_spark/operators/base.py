@@ -146,6 +146,7 @@ _VERIFY_FIRST = [
     "q64_weighted_quantiles",
     "s19_cascade_rerank",
     "p20_epoch_budget",
+    "d21_softdedup_weights",
     # green-r02 but file churned since
     "m03_frame_sample",
     "m04_feature_extract",

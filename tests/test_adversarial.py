@@ -94,6 +94,7 @@ SWEEP = [
     "t13_zipf_fit", "t14_bigram_logprob", "t15_perplexity_buckets",
     "t16_bm25_topk", "t17_chunk_passages", "t18_ngram_novelty",
     "d17_containment_pairs", "d20_snapshot_diff",
+    "d21_softdedup_weights",
     "d18_bloom_decontamination",
     "m06_multimodal_packing", "m07_phash_neardup",
     "m08_media_canonical",

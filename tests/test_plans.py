@@ -1353,3 +1353,19 @@ def test_p20_epoch_budget_scans_corpus_once(spark, sf_dir):
     # source hash agg + tiny-frame window SinglePartition + final sort
     assert count_exchanges(df) <= 3
     assert python_row_ops(df) == 0
+
+
+def test_d21_softdedup_is_policy_layer_only(spark, sf_dir):
+    # soft weights must ride the d07 labels: one count agg + two
+    # equi-joins on long keys — no pair join, no window, no Python;
+    # the only nested-loop/cartesian shapes allowed are none
+    from kafka2clickhouse_py_streamer_spark.llm.dedup import (
+        d21_softdedup_weights,
+    )
+
+    df = d21_softdedup_weights(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan
+    assert python_row_ops(df) == 0
