@@ -147,6 +147,7 @@ _VERIFY_FIRST = [
     "s19_cascade_rerank",
     "p20_epoch_budget",
     "d21_softdedup_weights",
+    "w14_decayed_rate",
     # green-r02 but file churned since
     "m03_frame_sample",
     "m04_feature_extract",

@@ -978,6 +978,96 @@ ORDER BY e.q
 """
 
 
+DECAY_HALF_LIFE_US = 6 * 3600 * 1_000_000  # 6h mass half-life
+# decay rate per microsecond; the SAME python float is inlined into the
+# Spark literal and (via repr) the oracle SQL, so both engines compute
+# bit-identical per-row weights
+_DECAY_K = 0.6931471805599453 / DECAY_HALF_LIFE_US
+
+
+def decayed_cells(df: DataFrame) -> DataFrame:
+    """Per event_type: exponentially time-decayed event mass relative
+    to the ``t_ref_us`` column — weight = exp(-ln2·Δt/half-life), so an
+    event contributes 1.0 at the reference instant and half that every
+    6 h earlier. The decayed sum is ADDITIVE, which is the whole point:
+    cells merge across partitions, shards, and micro-batches by plain
+    addition, so the identical expression runs under a built-in
+    complete-mode streaming groupBy (twin-tested) — no custom state.
+    Null-timestamp events are excluded (no event-time ⇒ no decay
+    position ⇒ the standing streaming contract)."""
+    w = F.exp(
+        (
+            F.unix_micros("ts").cast("double")
+            - F.col("t_ref_us").cast("double")
+        )
+        * F.lit(_DECAY_K)
+    )
+    return (
+        df.filter(F.col("ts").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(w).alias("decayed_raw"),
+        )
+    )
+
+
+def w14_decayed_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially decayed per-key event rate — the recency-weighted
+    activity counter behind trending/health dashboards: each event's
+    mass halves every DECAY_HALF_LIFE_US before the stream's newest
+    timestamp, so ``decayed_count`` measures *recent* volume and
+    ``freshness`` (decayed/raw) separates currently-active keys from
+    historically-active ones.
+
+    Scale shape: the reference instant is a one-row broadcast bounds
+    agg (q54's broadcast-global-bounds pattern — no SinglePartition
+    window over the fact table); the decayed mass is ONE hash agg that
+    map-side combines to |event_type| rows per partition. Weights are
+    ≤ 1, so the float sum's cross-engine accumulation-order drift is
+    bounded by ~n·ulp(n) ≪ the 1e-6 round — no ordered-sum pinning
+    needed (unlike value-weighted sums, deliberately not emitted
+    here)."""
+    ev = table(spark, sf_dir, "events").select("ts", "event_type")
+    bounds = ev.agg(
+        F.max(F.unix_micros("ts")).alias("t_ref_us")
+    )
+    cells = decayed_cells(ev.crossJoin(F.broadcast(bounds)))
+    return cells.select(
+        "event_type",
+        "n_events",
+        F.round("decayed_raw", 6).alias("decayed_count"),
+        F.round(
+            F.col("decayed_raw") / F.col("n_events").cast("double"), 6
+        ).alias("freshness"),
+    ).orderBy("event_type")
+
+
+def _w14_sql() -> str:
+    return f"""
+WITH ev AS (
+  SELECT ts, event_type FROM events WHERE ts IS NOT NULL
+),
+bounds AS (
+  SELECT MAX(epoch_us(ts)) AS t_ref_us FROM ev
+),
+cells AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         SUM(EXP((CAST(epoch_us(ts) AS DOUBLE)
+                  - CAST(t_ref_us AS DOUBLE)) * {_DECAY_K!r}))
+           AS decayed_raw
+  FROM ev, bounds
+  GROUP BY event_type
+)
+SELECT event_type, n_events,
+       ROUND(decayed_raw, 6) AS decayed_count,
+       ROUND(decayed_raw / CAST(n_events AS DOUBLE), 6) AS freshness
+FROM cells
+ORDER BY event_type
+"""
+
+
 QUERIES = [
     Query("w01_tumbling", w01_tumbling, W01_SQL, "tumbling 1h windows"),
     Query("w02_sliding", w02_sliding, W02_SQL, "sliding 1h/30m windows"),
@@ -1013,4 +1103,7 @@ QUERIES = [
           "mergeable equi-width histogram quantile sketch: fixed "
           "32-bin grid, interpolated q50/q90/q99, exact-percentile "
           "error audit"),
+    Query("w14_decayed_rate", w14_decayed_rate, _w14_sql(),
+          "exponentially decayed per-key event rate (6h half-life, "
+          "additive cells — streams under a built-in groupBy)"),
 ]

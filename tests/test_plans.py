@@ -1369,3 +1369,22 @@ def test_d21_softdedup_is_policy_layer_only(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" not in plan
     assert python_row_ops(df) == 0
+
+
+def test_w14_decayed_rate_bounds_broadcast_one_agg(spark, sf_dir):
+    # the reference instant arrives via a one-row broadcast (q54's
+    # global-bounds pattern) — no SinglePartition window over the
+    # events table; the decayed mass is one hash agg, Python-free
+    from kafka2clickhouse_py_streamer_spark.streaming.batch_windows import (
+        w14_decayed_rate,
+    )
+
+    df = w14_decayed_rate(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    # event_type hash agg + final sort + the bounds agg's final merge
+    # (a SinglePartition exchange over |partitions| partial-max rows,
+    # not the fact table)
+    assert count_exchanges(df) <= 3
+    assert python_row_ops(df) == 0

@@ -1881,3 +1881,73 @@ def test_countmin_estimates_unseen_key_is_zero(spark, tmp_path):
     # whose cells miss the populated ones estimates exactly 0 (unless
     # it collides on ALL rows, which 424242 does not with key 1)
     assert got[424242] == 0
+
+
+def test_w14_streaming_decayed_cells_match_batch(spark, tmp_path):
+    """The decayed-rate cells are additive (sum of per-event exp
+    weights against a FIXED reference instant), so the identical
+    `decayed_cells` expression under a complete-mode streaming groupBy
+    over genuine micro-batches must equal the batch cells exactly —
+    including the null-timestamp drop and a null event_type group."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from kafka2clickhouse_py_streamer_spark.streaming.batch_windows import (
+        decayed_cells,
+    )
+
+    t0 = datetime.datetime(2024, 3, 1)
+
+    def ts(h):
+        return t0 + datetime.timedelta(hours=h)
+
+    chunks = [
+        [(ts(0), "view"), (ts(6), "view"), (None, "view")],
+        [(ts(12), "click"), (ts(3), None), (ts(12), "view")],
+        [(ts(9), "click"), (ts(1), "purchase")],
+    ]
+    src = tmp_path / "w14_stream"
+    src.mkdir()
+    for chunk in chunks:
+        spark.createDataFrame(
+            chunk, "ts timestamp, event_type string"
+        ).coalesce(1).write.mode("append").parquet(str(src))
+
+    flat = [r for chunk in chunks for r in chunk]
+    t_ref_us = int(ts(12).timestamp() * 1_000_000)
+
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string")
+        .parquet(str(src))
+        .withColumn("t_ref_us", F.lit(t_ref_us))
+    )
+    q = (
+        decayed_cells(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("w14_twin")
+        .option("checkpointLocation", str(tmp_path / "ckpt_w14"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    streamed = {
+        (r.event_type, r.n_events, round(r.decayed_raw, 9))
+        for r in spark.sql("select * from w14_twin").collect()
+    }
+    batch = {
+        (r.event_type, r.n_events, round(r.decayed_raw, 9))
+        for r in decayed_cells(
+            spark.createDataFrame(
+                flat, "ts timestamp, event_type string"
+            ).withColumn("t_ref_us", F.lit(t_ref_us))
+        ).collect()
+    }
+    assert streamed == batch
+    # null-ts dropped; null event_type kept as its own group
+    assert sum(n for _, n, _ in batch) == 7
+    assert any(k is None for k, _, _ in batch)
