@@ -69,6 +69,11 @@ HEADLINE = [
     # read-off + exact-percentile audit) — first recordings
     "p17_chunk_pack",
     "w13_histogram_quantiles",
+    # round 6 late: the two heaviest new shapes — cascade retrieval
+    # (prefix scan + shortlist rerank) and soft-dedup weights (rides
+    # the d07 star-contraction) — first recordings
+    "s19_cascade_rerank",
+    "d21_softdedup_weights",
 ]
 
 

@@ -81,6 +81,11 @@ HEAVY = [
     "p17_chunk_pack",
     "m08_media_canonical",
     "t19_heaps_fit",
+    # round 6 late: the cascade's broadcast prefix scan + shortlist
+    # rerank (must track corpus size, never corpus x queries beyond
+    # stage 1), and the soft-dedup policy layer over the CC labels
+    "s19_cascade_rerank",
+    "d21_softdedup_weights",
 ]
 VOWELS = "aeiou"
 
