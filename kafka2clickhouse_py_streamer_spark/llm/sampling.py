@@ -1640,11 +1640,23 @@ def p19_chunk_dedup_pack(
     (doc_id, chunk_id), same policy as d01); packing shuffles once on
     the shard key. Composition adds NO shuffle class beyond its
     stages — chunk→dedup→pack is explode + fp-window + shard-window."""
+    d = table(spark, sf_dir, "documents")
+    return chunk_dedup_pack(d, budget, n_shards).orderBy(
+        "shard", "doc_id", "chunk_id"
+    )
+
+
+def chunk_dedup_pack(
+    d: DataFrame, budget: int = PACK_BUDGET, n_shards: int = P17_SHARDS
+) -> DataFrame:
+    """p19's composition over any (doc_id, text) frame — factored out
+    so the batch registry form and the streaming foreachBatch twin
+    (``streaming/corpus_stream.rag_ingest_batch``'s equality test)
+    share one definition of chunk→dedup→pack and cannot drift."""
     from kafka2clickhouse_py_streamer_spark.llm.text import (
         chunk_passages,
     )
 
-    d = table(spark, sf_dir, "documents")
     chunks = chunk_passages(d)
     w = Window.partitionBy("chunk_fp").orderBy("doc_id", "chunk_id")
     kept = (
@@ -1666,20 +1678,18 @@ def p19_chunk_dedup_pack(
         kept.select("shard", "doc_id", "chunk_id", "n_chunk_tokens"),
         budget,
     )
-    return (
-        packed.join(kept.select("doc_id", "chunk_id", "n_copies"),
-                    ["doc_id", "chunk_id"])
-        .select(
-            "shard",
-            "doc_id",
-            "chunk_id",
-            "n_chunk_tokens",
-            "n_copies",
-            "stream_offset",
-            "pack_id",
-            "offset_in_pack",
-        )
-        .orderBy("shard", "doc_id", "chunk_id")
+    return packed.join(
+        kept.select("doc_id", "chunk_id", "n_copies"),
+        ["doc_id", "chunk_id"],
+    ).select(
+        "shard",
+        "doc_id",
+        "chunk_id",
+        "n_chunk_tokens",
+        "n_copies",
+        "stream_offset",
+        "pack_id",
+        "offset_in_pack",
     )
 
 

@@ -42,6 +42,8 @@ Scale + recovery notes:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.errors import AnalysisException
@@ -351,6 +353,136 @@ def start_streaming_semdedup(
         stream_df.writeStream.foreachBatch(
             lambda df, bid: semdedup_admit_batch(
                 df, bid, out_dir, state_dir
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def rag_ingest_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    out_dir: str,
+    state_dir: str,
+    budget: int = 512,
+    n_shards: int = 4,
+) -> None:
+    """One micro-batch of the STREAMING RAG-index ingest — the
+    foreachBatch twin of the p19 flagship composition (chunk → exact
+    chunk-dedup keep-first → per-shard packing), with BOTH stateful
+    legs persisted across batches:
+
+    - chunk-fingerprint state (``state_dir/fps``) makes the dedup
+      keep-FIRST across micro-batches: a chunk seen in any prior batch
+      is never re-admitted (same admission contract as
+      ``dedup_admit_batch``, keyed on chunk_fp);
+    - per-shard token-mass state (``state_dir/mass``) carries the pack
+      offsets: this batch's packs start where the shard's prior
+      admitted mass ended, so pack positions are contiguous across the
+      whole stream — equality with the batch ``chunk_dedup_pack`` over
+      any doc_id-ordered micro-batch cut is the twin test.
+
+    Replay idempotence follows the module's standing design: state
+    reads EXCLUDE the current batch's partition, and all three writes
+    are dynamic partition overwrites of ``batch_id=<this batch>`` —
+    replaying a failed batch recomputes the identical admitted set and
+    offsets and overwrites its own partitions, never double-admitting
+    or double-advancing. Requires doc_id-nondecreasing intake order
+    across batches (the deterministic shard-writer precondition shared
+    with ``streaming_chunk_packer``); n_copies is deliberately NOT
+    emitted — a stream cannot know future duplicate counts."""
+    from kafka2clickhouse_py_streamer_spark.llm.sampling import (
+        chunk_pack_batch,
+    )
+    from kafka2clickhouse_py_streamer_spark.llm.text import chunk_passages
+
+    spark = batch_df.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    fps_dir = os.path.join(state_dir, "fps")
+    mass_dir = os.path.join(state_dir, "mass")
+
+    chunks = chunk_passages(batch_df)
+    w = Window.partitionBy("chunk_fp").orderBy("doc_id", "chunk_id")
+    uniq = (
+        chunks.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    state = _read_prior_state(spark, fps_dir, batch_id)
+    admitted = (
+        uniq
+        if state is None
+        else uniq.join(state.select("chunk_fp"), "chunk_fp", "left_anti")
+    )
+    kept = admitted.select(
+        (F.col("doc_id") % n_shards).cast("long").alias("shard"),
+        "doc_id",
+        "chunk_id",
+        "n_chunk_tokens",
+        "chunk_fp",
+    ).persist()
+    try:
+        kept.count()  # materialize once; packing + both states read it
+        prior_mass = _read_prior_state(spark, mass_dir, batch_id)
+        local = chunk_pack_batch(
+            kept.select("shard", "doc_id", "chunk_id", "n_chunk_tokens"),
+            budget,
+        )
+        if prior_mass is not None:
+            base = prior_mass.groupBy("shard").agg(
+                F.sum("mass").cast("long").alias("base")
+            )
+            local = local.join(F.broadcast(base), "shard", "left")
+        else:
+            local = local.withColumn("base", F.lit(None).cast("long"))
+        goff = F.coalesce(F.col("base"), F.lit(0)) + F.col("stream_offset")
+        packed = local.select(
+            "shard",
+            "doc_id",
+            "chunk_id",
+            "n_chunk_tokens",
+            goff.alias("stream_offset"),
+            F.floor(goff / budget).cast("long").alias("pack_id"),
+            (goff % budget).cast("long").alias("offset_in_pack"),
+            F.lit(batch_id).alias("batch_id"),
+        )
+        packed.write.mode("overwrite").partitionBy("batch_id").parquet(
+            out_dir
+        )
+        (
+            kept.select("chunk_fp")
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(fps_dir)
+        )
+        (
+            kept.groupBy("shard")
+            .agg(F.sum("n_chunk_tokens").cast("long").alias("mass"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(mass_dir)
+        )
+    finally:
+        kept.unpersist()
+
+
+def start_streaming_rag_ingest(
+    stream_df: DataFrame,
+    out_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    budget: int = 512,
+    n_shards: int = 4,
+) -> StreamingQuery:
+    """Wire ``rag_ingest_batch`` under writeStream.foreachBatch."""
+    return (
+        stream_df.writeStream.foreachBatch(
+            lambda df, bid: rag_ingest_batch(
+                df, bid, out_dir, state_dir,
+                budget=budget, n_shards=n_shards,
             )
         )
         .option("checkpointLocation", checkpoint_dir)

@@ -1951,3 +1951,105 @@ def test_w14_streaming_decayed_cells_match_batch(spark, tmp_path):
     # null-ts dropped; null event_type kept as its own group
     assert sum(n for _, n, _ in batch) == 7
     assert any(k is None for k, _, _ in batch)
+
+
+def _rag_fixture_docs():
+    base = " ".join(f"w{i}" for i in range(100))  # 4 chunks at size 32
+    return [
+        (1, base),
+        (2, "short doc"),
+        (3, base),           # within-batch exact dup of doc 1
+        (4, " ".join(f"y{i}" for i in range(70))),
+        (5, base),           # cross-batch dup of doc 1
+        (6, "short doc"),    # cross-batch dup of doc 2
+        (7, " ".join(f"z{i}" for i in range(33))),
+    ]
+
+
+_RAG_COLS = [
+    "shard", "doc_id", "chunk_id", "n_chunk_tokens",
+    "stream_offset", "pack_id", "offset_in_pack",
+]
+
+
+def test_rag_ingest_stream_matches_batch_p19(spark, tmp_path):
+    """The streaming RAG ingest (chunk → persisted-fp chunk dedup →
+    per-shard packing with persisted offsets) over a 2-batch cut must
+    equal the batch p19 composition (`chunk_dedup_pack`) row-for-row —
+    dedup keep-first holds ACROSS the cut (docs 5/6 duplicate batch-1
+    content and must vanish) and pack offsets continue where batch 1's
+    admitted mass ended."""
+    from kafka2clickhouse_py_streamer_spark.llm.sampling import (
+        chunk_dedup_pack,
+    )
+    from kafka2clickhouse_py_streamer_spark.streaming.corpus_stream import (
+        start_streaming_rag_ingest,
+    )
+
+    rows = _rag_fixture_docs()
+    src = tmp_path / "rag_src"
+    src.mkdir()
+    for chunk in (rows[:4], rows[4:]):
+        spark.createDataFrame(
+            chunk, "doc_id long, text string"
+        ).coalesce(1).write.mode("append").parquet(str(src))
+
+    out = str(tmp_path / "rag_out")
+    state = str(tmp_path / "rag_state")
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(src)
+    )
+    q = start_streaming_rag_ingest(
+        stream, out, state, str(tmp_path / "rag_ckpt"),
+        budget=64, n_shards=2,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    streamed = {
+        tuple(r)
+        for r in spark.read.parquet(out).select(*_RAG_COLS).collect()
+    }
+    batch = {
+        tuple(r)
+        for r in chunk_dedup_pack(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            budget=64, n_shards=2,
+        ).select(*_RAG_COLS).collect()
+    }
+    assert streamed == batch
+    # the cross-batch duplicates really were dropped by the fp state
+    assert not {t[1] for t in streamed} & {3, 5, 6}
+    # batch-2 survivors continued shard offsets (doc 7, shard 1,
+    # follows doc 1's four chunks on shard 1)
+    d7 = sorted(t for t in streamed if t[1] == 7)
+    assert d7 and d7[0][4] > 0
+
+
+def test_rag_ingest_replay_idempotent(spark, tmp_path):
+    """Replaying a micro-batch (same batch_id) must be a no-op: the
+    admitted set, offsets, and all three partitioned writes land
+    identically — the foreachBatch recovery contract."""
+    from kafka2clickhouse_py_streamer_spark.streaming.corpus_stream import (
+        rag_ingest_batch,
+    )
+
+    rows = _rag_fixture_docs()
+    out = str(tmp_path / "rag_out2")
+    state = str(tmp_path / "rag_state2")
+    b0 = spark.createDataFrame(rows[:4], "doc_id long, text string")
+    b1 = spark.createDataFrame(rows[4:], "doc_id long, text string")
+    rag_ingest_batch(b0, 0, out, state, budget=64, n_shards=2)
+    rag_ingest_batch(b1, 1, out, state, budget=64, n_shards=2)
+    before = {
+        tuple(r)
+        for r in spark.read.parquet(out).select(*_RAG_COLS).collect()
+    }
+    rag_ingest_batch(b1, 1, out, state, budget=64, n_shards=2)  # replay
+    after = {
+        tuple(r)
+        for r in spark.read.parquet(out).select(*_RAG_COLS).collect()
+    }
+    assert before == after
