@@ -386,7 +386,9 @@ ORDER BY query_id, rk
 # never recycled) rather than Python id(): id() values can be reused
 # after a session is garbage-collected, which could silently serve a
 # dead session's codebooks (round-4 advice).
-_CENTROID_CACHE: dict[tuple[str, str, int], dict[int, list[float]]] = {}
+_CENTROID_CACHE: dict[
+    tuple[str, str, int, str], dict[int, list[float]]
+] = {}
 
 # Lloyd refinement rounds after the deterministic mod-K seeding. Each
 # round is one corpus scan (argmin-L2 assignment against broadcast
@@ -451,7 +453,11 @@ def _lloyd_round(
 
 
 def _train_centroids(
-    base: DataFrame, sf_dir: str | None = None, iters: int = LLOYD_ITERS
+    base: DataFrame,
+    sf_dir: str | None = None,
+    iters: int = LLOYD_ITERS,
+    extra=None,
+    tag: str = "",
 ) -> dict[int, list[float]]:
     """The s05 train step, shared with the s11/s12/s13 family:
     deterministic mod-K residue-class means as the k-means seeding
@@ -460,16 +466,22 @@ def _train_centroids(
     as broadcast-assignment + hash-agg dataflow, oracle-twinned by
     `_train_cte_sql`. Returns the K×DIM doubles (driver-side: K×64
     values, broadcast as literals). Cached per (applicationId, sf_dir,
-    iters) when sf_dir is given — the four consumers train identical
-    codebooks once per session."""
+    iters, tag) when sf_dir is given — the four consumers train
+    identical codebooks once per session. ``extra`` restricts the
+    training set to a Column predicate (s20 trains on the indexed
+    snapshot half only); callers passing ``extra`` MUST pass a
+    distinct ``tag`` so subset-trained centroids never alias the
+    full-corpus cache entry."""
     key = (
-        (base.sparkSession.sparkContext.applicationId, sf_dir, iters)
+        (base.sparkSession.sparkContext.applicationId, sf_dir, iters, tag)
         if sf_dir
         else None
     )
     if key is not None and key in _CENTROID_CACHE:
         return _CENTROID_CACHE[key]
     corpus = base.filter(F.col("vec_id") >= N_QUERIES)
+    if extra is not None:
+        corpus = corpus.filter(extra)
     seeds = (
         corpus.withColumn(
             "g", (F.col("vec_id") % N_CENTROIDS).cast("int")
@@ -502,7 +514,7 @@ def _train_centroids(
     return cents
 
 
-def _train_cte_sql(iters: int = LLOYD_ITERS) -> str:
+def _train_cte_sql(iters: int = LLOYD_ITERS, extra_where: str = "") -> str:
     """The DuckDB twin of `_train_centroids`, as a CTE chain (expects
     ``base`` in scope): seeds0 = mod-K residue means, then per round t
     an argmin-L2 assignment (``ROW_NUMBER ... ORDER BY ‖c‖²−2(v·c), g``
@@ -512,7 +524,12 @@ def _train_cte_sql(iters: int = LLOYD_ITERS) -> str:
     the four consumers' SQL reads trained centroids exactly as it read
     the one-shot seeds before Lloyd training existed. Seed means are
     1e-9-quantized exactly like the round outputs (`_q9`) — the first
-    assignment must not see unsnapped AVG noise either."""
+    assignment must not see unsnapped AVG noise either. ``extra_where``
+    restricts the TRAINING rows (e.g. ``AND vec_id % 2 = 0`` for
+    s20's indexed-snapshot half), the twin of `_train_centroids`'s
+    ``extra`` predicate; it applies to both the seeding and every
+    round's assignment, and defaults to nothing so every existing
+    oracle string is byte-identical."""
     means = ",\n         ".join(
         f"FLOOR(AVG(v[{i + 1}]) * 1e9 + 0.5) / 1e9 AS m{i}"
         for i in range(DIM)
@@ -523,7 +540,7 @@ def _train_cte_sql(iters: int = LLOYD_ITERS) -> str:
   SELECT CAST(vec_id % {N_CENTROIDS} AS INTEGER) AS g,
          {means}
   FROM base
-  WHERE vec_id >= {N_QUERIES}
+  WHERE vec_id >= {N_QUERIES}{extra_where}
   GROUP BY CAST(vec_id % {N_CENTROIDS} AS INTEGER)
 )"""
     ]
@@ -549,7 +566,7 @@ asg{t} AS (
              list_dot_product(c.cv, c.cv)
              - 2 * list_dot_product(b.v, c.cv) ASC, c.g ASC) AS rn
     FROM base b CROSS JOIN cv{t - 1} c
-    WHERE b.vec_id >= {N_QUERIES}
+    WHERE b.vec_id >= {N_QUERIES}{extra_where.replace("vec_id", "b.vec_id")}
   ) WHERE rn = 1
 ),
 agg{t} AS (
@@ -2626,6 +2643,141 @@ ORDER BY t.query_id, t.rk
 """
 
 
+def s20_index_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-staleness / centroid-drift audit — the reindex decision:
+    train the coarse IVF cells on the INDEXED snapshot only (even
+    vec_ids — the data the index was built from), then assign BOTH
+    halves and compare per-cell occupancy shares and inertia between
+    the indexed members and the newly-arrived half (odd vec_ids). A
+    large ``share_drift`` or a new-half inertia well above the indexed
+    half's means the frozen centroids no longer describe the incoming
+    distribution and the index needs re-training before probe-cost
+    models go wrong.
+
+    Scale shape: s11's exact audit machinery with a conditional split
+    — snapshot-trained centroids broadcast as literals, distance
+    arithmetic on the scan projection, ONE hash agg on the cell key
+    with FILTER-style conditional aggregates, share totals as windows
+    over the ≤K-row per-cell frame (p20's pattern — no second corpus
+    scan)."""
+    base = _base(spark, sf_dir)
+    corpus = base.filter(F.col("vec_id") >= N_QUERIES)
+    cents = _train_centroids(
+        base, sf_dir, extra=F.col("vec_id") % 2 == 0, tag="even"
+    )
+    if not cents:
+        return spark.createDataFrame(
+            [],
+            "cell long, n_indexed long, n_new long,"
+            " share_indexed double, share_new double,"
+            " share_drift double, mean_sqd_indexed double,"
+            " mean_sqd_new double",
+        )
+    cnorm2 = {k: sum(x * x for x in cents[k]) for k in cents}
+    with_dots = corpus.withColumn("_dots", _dots_array(cents))
+    pos = _argmax_pos("_dots")
+    cell = _pos_payload(cents, {k: k for k in cents}, pos).cast("long")
+    best = F.array_max("_dots")
+    cc2 = _pos_payload(cents, cnorm2, pos)
+    sqd = dot("v", F.col("v")) - 2.0 * best + cc2
+    assigned = with_dots.select(
+        cell.alias("cell"),
+        sqd.alias("sqd"),
+        (F.col("vec_id") % 2 == 0).alias("idx"),
+    )
+    per_cell = assigned.groupBy("cell").agg(
+        F.sum(F.col("idx").cast("long")).cast("long").alias("n_indexed"),
+        F.sum((~F.col("idx")).cast("long")).cast("long").alias("n_new"),
+        F.avg(F.when(F.col("idx"), F.col("sqd"))).alias("msi"),
+        F.avg(F.when(~F.col("idx"), F.col("sqd"))).alias("msn"),
+    )
+    w_tiny = Window.partitionBy()
+    t_idx = F.sum("n_indexed").over(w_tiny).cast("double")
+    t_new = F.sum("n_new").over(w_tiny).cast("double")
+    share_i = F.when(t_idx > 0, F.col("n_indexed") / t_idx)
+    share_n = F.when(t_new > 0, F.col("n_new") / t_new)
+    return (
+        per_cell.select(
+            "cell",
+            "n_indexed",
+            "n_new",
+            F.round(share_i, 6).alias("share_indexed"),
+            F.round(share_n, 6).alias("share_new"),
+            F.round(
+                F.coalesce(share_n, F.lit(0.0))
+                - F.coalesce(share_i, F.lit(0.0)),
+                6,
+            ).alias("share_drift"),
+            F.round("msi", 4).alias("mean_sqd_indexed"),
+            F.round("msn", 4).alias("mean_sqd_new"),
+        )
+        .orderBy("cell")
+    )
+
+
+def _s20_sql() -> str:
+    centv = "[" + ", ".join(f"m{i}" for i in range(DIM)) + "]"
+    return f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+  WHERE {valid_emb_sql(DIM)}
+),
+{_train_cte_sql(extra_where=" AND vec_id % 2 = 0")},
+centv AS (
+  SELECT g, {centv} AS cv FROM seeds
+),
+dotted AS (
+  SELECT b.vec_id, b.v, c.g, c.cv, list_dot_product(b.v, c.cv) AS d
+  FROM base b CROSS JOIN centv c
+  WHERE b.vec_id >= {N_QUERIES}
+),
+assigned AS (
+  SELECT vec_id,
+         CAST(g AS BIGINT) AS cell,
+         list_dot_product(v, v) - 2 * d + list_dot_product(cv, cv) AS sqd,
+         vec_id % 2 = 0 AS idx
+  FROM (
+    SELECT vec_id, v, g, cv, d,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY d DESC, g ASC) AS rn
+    FROM dotted
+  )
+  WHERE rn = 1
+),
+per_cell AS (
+  SELECT cell,
+         CAST(SUM(CASE WHEN idx THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_indexed,
+         CAST(SUM(CASE WHEN idx THEN 0 ELSE 1 END) AS BIGINT) AS n_new,
+         AVG(CASE WHEN idx THEN sqd END) AS msi,
+         AVG(CASE WHEN NOT idx THEN sqd END) AS msn
+  FROM assigned
+  GROUP BY cell
+)
+SELECT cell, n_indexed, n_new,
+       ROUND(CASE WHEN SUM(n_indexed) OVER () > 0
+             THEN CAST(n_indexed AS DOUBLE)
+                  / CAST(SUM(n_indexed) OVER () AS DOUBLE) END, 6)
+         AS share_indexed,
+       ROUND(CASE WHEN SUM(n_new) OVER () > 0
+             THEN CAST(n_new AS DOUBLE)
+                  / CAST(SUM(n_new) OVER () AS DOUBLE) END, 6)
+         AS share_new,
+       ROUND(COALESCE(CASE WHEN SUM(n_new) OVER () > 0
+               THEN CAST(n_new AS DOUBLE)
+                    / CAST(SUM(n_new) OVER () AS DOUBLE) END, 0)
+             - COALESCE(CASE WHEN SUM(n_indexed) OVER () > 0
+               THEN CAST(n_indexed AS DOUBLE)
+                    / CAST(SUM(n_indexed) OVER () AS DOUBLE) END, 0),
+             6) AS share_drift,
+       ROUND(msi, 4) AS mean_sqd_indexed,
+       ROUND(msn, 4) AS mean_sqd_new
+FROM per_cell
+ORDER BY cell
+"""
+
+
 QUERIES = [
     Query("s01_cosine_topk", s01_cosine_topk, S01_SQL,
           "exact brute-force cosine top-k"),
@@ -2681,4 +2833,7 @@ QUERIES = [
     Query("s19_cascade_rerank", s19_cascade_rerank, _s19_sql(),
           "two-stage cascade retrieval: Matryoshka-prefix shortlist "
           "then full-dim rerank of |q|*C rows, flagged vs exact"),
+    Query("s20_index_staleness", s20_index_staleness, _s20_sql(),
+          "index-staleness audit: snapshot-trained cells vs "
+          "newly-arrived half — per-cell occupancy drift + inertia"),
 ]

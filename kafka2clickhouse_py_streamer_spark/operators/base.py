@@ -148,6 +148,7 @@ _VERIFY_FIRST = [
     "p20_epoch_budget",
     "d21_softdedup_weights",
     "w14_decayed_rate",
+    "s20_index_staleness",
     # green-r02 but file churned since
     "m03_frame_sample",
     "m04_feature_extract",

@@ -163,7 +163,7 @@ EMB_SWEEP = [
     "s12_product_quantize", "s13_pq_adc_topk", "q19_array_fns",
     "s14_ivfpq_search", "s15_mrl_truncation_recall",
     "s16_rrf_fusion", "s17_probe_recall_sweep", "s18_knn_label_eval",
-    "s19_cascade_rerank",
+    "s19_cascade_rerank", "s20_index_staleness",
 ]
 
 

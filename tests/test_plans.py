@@ -1388,3 +1388,21 @@ def test_w14_decayed_rate_bounds_broadcast_one_agg(spark, sf_dir):
     # not the fact table)
     assert count_exchanges(df) <= 3
     assert python_row_ops(df) == 0
+
+
+def test_s20_staleness_audit_is_one_corpus_pass(spark, sf_dir):
+    # snapshot-trained centroids are broadcast literals; assignment +
+    # the conditional split ride one corpus scan into ONE cell hash
+    # agg; share totals are windows over the <=K-row per-cell frame —
+    # no join, no second corpus scan, no Python
+    import re
+
+    from kafka2clickhouse_py_streamer_spark.llm.similarity import (
+        s20_index_staleness,
+    )
+
+    df = s20_index_staleness(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Join" not in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert python_row_ops(df) == 0
