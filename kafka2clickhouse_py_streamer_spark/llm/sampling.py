@@ -1873,6 +1873,169 @@ ORDER BY source
 """
 
 
+def p21_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→eval split-leakage audit: for each held-out split of
+    p01's hash split (val, test), how much of it shares word-3-shingle
+    content with TRAIN — the eval-hygiene check that must pass before
+    a held-out loss means anything. d09/d18 screen against an EXTERNAL
+    benchmark; this audits the pipeline's own split boundary. Per
+    split: total docs, docs with any capped shingle, docs sharing ≥1
+    shingle with train (leaky), the leak rate over all docs, distinct
+    shared shingles, and the mean per-doc overlap fraction.
+
+    Scale shape: the d09 broadcast trick does NOT apply — train is not
+    small — so this is the both-sides-large variant: one shuffle
+    equi-join of eval shingles against the distinct train shingle set,
+    keyed on the shingle. The d11 DF cap runs FIRST (the d17 lesson):
+    boilerplate shingles match every doc on both sides of any split —
+    they carry zero leakage signal and would make the train set's hot
+    keys the shuffle bottleneck. Everything else is keyed hash aggs."""
+    from kafka2clickhouse_py_streamer_spark.llm.dedup import (
+        MAX_SHINGLE_DF,
+        _shingle_rows,
+    )
+
+    b = _bucket(F.col("doc_id"))
+    split = (
+        F.when(b < TRAIN_END, F.lit("train"))
+        .when(b < VAL_END, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    sh = _shingle_rows(spark, sf_dir)
+    df_ok = (
+        sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= MAX_SHINGLE_DF)
+        .select("s")
+    )
+    kept = sh.join(df_ok, "s", "left_semi").select(
+        "doc_id", "s", split.alias("split")
+    )
+    train_sh = (
+        kept.filter(F.col("split") == "train").select("s").distinct()
+    )
+    ev = kept.filter(F.col("split") != "train")
+    flagged = ev.join(
+        train_sh.withColumn("hit", F.lit(1)), "s", "left"
+    )
+    per_doc = flagged.groupBy("split", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_sh"),
+        F.count("hit").alias("n_hit"),
+    )
+    doc_stats = per_doc.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_shingled"),
+        F.sum((F.col("n_hit") > 0).cast("long")).cast("long")
+        .alias("n_leaky_docs"),
+        F.round(
+            F.avg(F.col("n_hit") / F.col("n_sh").cast("double")), 6
+        ).alias("mean_doc_overlap"),
+    )
+    shared = (
+        ev.join(train_sh, "s", "left_semi")
+        .select("split", "s")
+        .distinct()
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_shingles"))
+    )
+    totals = (
+        table(spark, sf_dir, "documents")
+        .select(split.alias("split"))
+        .filter(F.col("split") != "train")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    return (
+        totals.join(doc_stats, "split", "left")
+        .join(shared, "split", "left")
+        .select(
+            "split",
+            "n_docs",
+            F.coalesce("n_docs_shingled", F.lit(0)).cast("long")
+            .alias("n_docs_shingled"),
+            F.coalesce("n_leaky_docs", F.lit(0)).cast("long")
+            .alias("n_leaky_docs"),
+            F.round(
+                F.coalesce("n_leaky_docs", F.lit(0))
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("leak_rate"),
+            F.coalesce("n_shared_shingles", F.lit(0)).cast("long")
+            .alias("n_shared_shingles"),
+            "mean_doc_overlap",
+        )
+        .orderBy("split")
+    )
+
+
+def _p21_sql() -> str:
+    from kafka2clickhouse_py_streamer_spark.llm.dedup import (
+        MAX_SHINGLE_DF,
+        _DUCK_SHINGLES_CTE,
+    )
+
+    split_case = (
+        f"CASE WHEN {_bucket_sql('doc_id')} < {TRAIN_END} THEN 'train'"
+        f" WHEN {_bucket_sql('doc_id')} < {VAL_END} THEN 'val'"
+        f" ELSE 'test' END"
+    )
+    return f"""
+WITH {_DUCK_SHINGLES_CTE},
+kept AS (
+  SELECT sh.doc_id, sh.s, {split_case.replace("doc_id", "sh.doc_id")} AS split
+  FROM shingles sh
+  JOIN (SELECT s FROM shingles GROUP BY s
+        HAVING COUNT(*) <= {MAX_SHINGLE_DF}) ok USING (s)
+),
+train_sh AS (
+  SELECT DISTINCT s FROM kept WHERE split = 'train'
+),
+ev AS (
+  SELECT * FROM kept WHERE split <> 'train'
+),
+per_doc AS (
+  SELECT e.split, e.doc_id,
+         COUNT(*) AS n_sh,
+         COUNT(t.s) AS n_hit
+  FROM ev e LEFT JOIN train_sh t ON t.s = e.s
+  GROUP BY e.split, e.doc_id
+),
+doc_stats AS (
+  SELECT split,
+         CAST(COUNT(*) AS BIGINT) AS n_docs_shingled,
+         CAST(SUM(CASE WHEN n_hit > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_leaky_docs,
+         ROUND(AVG(n_hit / CAST(n_sh AS DOUBLE)), 6)
+           AS mean_doc_overlap
+  FROM per_doc GROUP BY split
+),
+shared AS (
+  SELECT split, CAST(COUNT(*) AS BIGINT) AS n_shared_shingles
+  FROM (
+    SELECT DISTINCT e.split, e.s
+    FROM ev e JOIN train_sh t ON t.s = e.s
+  ) GROUP BY split
+),
+totals AS (
+  SELECT {split_case} AS split, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents
+  WHERE {split_case} <> 'train'
+  GROUP BY 1
+)
+SELECT t.split, t.n_docs,
+       CAST(COALESCE(d.n_docs_shingled, 0) AS BIGINT) AS n_docs_shingled,
+       CAST(COALESCE(d.n_leaky_docs, 0) AS BIGINT) AS n_leaky_docs,
+       ROUND(COALESCE(d.n_leaky_docs, 0)
+             / CAST(t.n_docs AS DOUBLE), 6) AS leak_rate,
+       CAST(COALESCE(s.n_shared_shingles, 0) AS BIGINT)
+         AS n_shared_shingles,
+       d.mean_doc_overlap
+FROM totals t
+LEFT JOIN doc_stats d ON d.split = t.split
+LEFT JOIN shared s ON s.split = t.split
+ORDER BY t.split
+"""
+
+
 QUERIES = [
     Query("p01_train_test_split", p01_train_test_split, P01_SQL,
           "hash-deterministic train/val/test split"),
@@ -1929,4 +2092,7 @@ QUERIES = [
     Query("p20_epoch_budget", p20_epoch_budget, P20_SQL,
           "data-constrained multi-epoch budgeting: temperature "
           "targets, integer epoch caps, deliverable mix shares"),
+    Query("p21_split_leakage", p21_split_leakage, _p21_sql(),
+          "train->eval split-leakage audit: DF-capped shingle overlap "
+          "across p01's split boundary (both-sides-large equi-join)"),
 ]

@@ -149,6 +149,7 @@ _VERIFY_FIRST = [
     "d21_softdedup_weights",
     "w14_decayed_rate",
     "s20_index_staleness",
+    "p21_split_leakage",
     # green-r02 but file churned since
     "m03_frame_sample",
     "m04_feature_extract",

@@ -89,6 +89,7 @@ SWEEP = [
     "p18_shard_manifest",
     "p19_chunk_dedup_pack",
     "p20_epoch_budget",
+    "p21_split_leakage",
     "t19_heaps_fit",
     "t20_gopher_funnel",
     "t13_zipf_fit", "t14_bigram_logprob", "t15_perplexity_buckets",

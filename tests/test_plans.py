@@ -1406,3 +1406,19 @@ def test_s20_staleness_audit_is_one_corpus_pass(spark, sf_dir):
     assert "Join" not in plan
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
     assert python_row_ops(df) == 0
+
+
+def test_p21_leakage_caps_df_before_the_train_join(spark, sf_dir):
+    # the DF cap must run as a semi-join BEFORE the eval-vs-train
+    # shingle join (the d17 lesson: boilerplate shingles are the hot
+    # keys of the both-sides-large join); nothing cartesian, no Python
+    from kafka2clickhouse_py_streamer_spark.llm.sampling import (
+        p21_split_leakage,
+    )
+
+    df = p21_split_leakage(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert python_row_ops(df) == 0
