@@ -1917,6 +1917,110 @@ ORDER BY l.doc_id
 """
 
 
+def d22_dedup_roi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup ROI curve — the capacity-planning read of the d07
+    components: cluster sizes bucketed by power of two, and per bucket
+    how many documents and how much token mass a keep-one-per-cluster
+    policy would reclaim. This is the report that justifies (or kills)
+    running the dedup pass at all: if reclaimable_tokens concentrates
+    in the size-1 bucket (zero), dedup buys nothing; a fat tail of
+    large clusters is the budget case for d08/d13.
+
+    Scale shape: d21's policy-layer class — rides the shared d07
+    labels, one (cluster_id) hash agg, then a second agg on the ≤
+    log2(max cluster) bucket keys. The only FP is power(2, floor(
+    log2(size))) on small integers — powers of two are exact doubles,
+    so the BIGINT cast cannot hit the Spark-truncates/DuckDB-rounds
+    divergence."""
+    labels = _cc_labels(spark, sf_dir)
+    ntok = F.when(F.length(F.trim("text")) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim("text"), r"\s+"))
+    )
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce(ntok, F.lit(0)).cast("long").alias("ntok")
+    )
+    per_cluster = (
+        labels.join(docs, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("csize"),
+            F.sum("ntok").cast("long").alias("ctok"),
+            F.min_by("ntok", F.col("doc_id")).cast("long").alias("keep_tok"),
+        )
+    )
+    bucket = F.expr("cast(power(2, floor(log2(csize))) as bigint)")
+    per_bucket = (
+        per_cluster.withColumn("size_bucket", bucket)
+        .groupBy("size_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum("csize").cast("long").alias("n_docs"),
+            F.sum(F.col("csize") - 1).cast("long").alias("n_dup_docs"),
+            F.sum("ctok").cast("long").alias("total_tokens"),
+            F.sum(F.col("ctok") - F.col("keep_tok")).cast("long")
+            .alias("reclaimable_tokens"),
+        )
+    )
+    return per_bucket.select(
+        "size_bucket",
+        "n_clusters",
+        "n_docs",
+        "n_dup_docs",
+        "total_tokens",
+        "reclaimable_tokens",
+        F.when(
+            F.col("total_tokens") > 0,
+            F.round(
+                F.col("reclaimable_tokens")
+                / F.col("total_tokens").cast("double"),
+                6,
+            ),
+        ).alias("reclaim_frac"),
+    ).orderBy("size_bucket")
+
+
+def _d22_sql() -> str:
+    d07 = _d07_sql().strip().split("ORDER BY")[0]
+    return rf"""
+WITH labels AS (
+{d07}
+),
+docs AS (
+  SELECT doc_id,
+         CAST(COALESCE(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+              ELSE LEN(regexp_split_to_array(TRIM(text), '\s+'))
+              END, 0) AS BIGINT) AS ntok
+  FROM documents
+),
+per_cluster AS (
+  SELECT l.cluster_id,
+         CAST(COUNT(*) AS BIGINT) AS csize,
+         CAST(SUM(d.ntok) AS BIGINT) AS ctok,
+         CAST(arg_min(d.ntok, d.doc_id) AS BIGINT) AS keep_tok
+  FROM labels l JOIN docs d ON d.doc_id = l.doc_id
+  GROUP BY l.cluster_id
+),
+per_bucket AS (
+  SELECT CAST(POWER(2, FLOOR(LOG2(csize))) AS BIGINT) AS size_bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_clusters,
+         CAST(SUM(csize) AS BIGINT) AS n_docs,
+         CAST(SUM(csize - 1) AS BIGINT) AS n_dup_docs,
+         CAST(SUM(ctok) AS BIGINT) AS total_tokens,
+         CAST(SUM(ctok - keep_tok) AS BIGINT) AS reclaimable_tokens
+  FROM per_cluster
+  GROUP BY 1
+)
+SELECT size_bucket, n_clusters, n_docs, n_dup_docs, total_tokens,
+       reclaimable_tokens,
+       CASE WHEN total_tokens > 0
+            THEN ROUND(reclaimable_tokens
+                       / CAST(total_tokens AS DOUBLE), 6)
+       END AS reclaim_frac
+FROM per_bucket
+ORDER BY size_bucket
+"""
+
+
 QUERIES = [
     Query("d01_exact_dedup", d01_exact_dedup, D01_SQL,
           "exact dedup via hash-groupBy on MD5"),
@@ -1972,4 +2076,7 @@ QUERIES = [
     Query("d21_softdedup_weights", d21_softdedup_weights, _d21_sql(),
           "soft dedup: per-doc 1/|cluster| sampling weight + effective "
           "token mass over the d07 components (no doc dropped)"),
+    Query("d22_dedup_roi", d22_dedup_roi, _d22_sql(),
+          "dedup ROI curve: cluster sizes bucketed by power of two, "
+          "docs + token mass reclaimable under keep-one policy"),
 ]

@@ -150,6 +150,7 @@ _VERIFY_FIRST = [
     "w14_decayed_rate",
     "s20_index_staleness",
     "p21_split_leakage",
+    "d22_dedup_roi",
     # green-r02 but file churned since
     "m03_frame_sample",
     "m04_feature_extract",

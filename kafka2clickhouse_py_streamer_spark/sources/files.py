@@ -55,6 +55,36 @@ def read_csv(
     return spark.read.schema(schema).csv(path, header=header)
 
 
+def read_text(
+    spark: SparkSession,
+    path: str,
+    whole: bool = False,
+    line_sep: str | None = None,
+) -> DataFrame:
+    """Raw-text corpus on-ramp (``spark.read.text``): one row per line
+    (or per FILE with ``whole=True`` — one document per file, the
+    common crawl-dump layout), as a single ``value`` string column
+    plus the source file path. This is where a plain-text corpus
+    enters the engine before the documents-table operators; a jsonl
+    corpus should use :func:`read_json` with an explicit schema
+    instead. ``line_sep`` overrides the record delimiter for corpora
+    that use e.g. NUL-separated documents.
+
+    Scale notes: the text source is splittable per line for
+    uncompressed files, so a 100 TB dump parallelizes by byte ranges;
+    ``whole=True`` makes each file one record — pair it with bounded
+    file sizes (the binaryFile reader's max_bytes guard pattern)
+    because a single-file record cannot split across executors."""
+    from pyspark.sql import functions as F
+
+    # NB: .text()'s own wholetext/lineSep kwargs override any
+    # .option() set on the reader, so they must be passed here.
+    return spark.read.text(path, wholetext=whole, lineSep=line_sep).select(
+        F.col("value").alias("text"),
+        F.input_file_name().alias("src_path"),
+    )
+
+
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC source (Spark-native columnar alternative to parquet) —
     same pushdown/pruning contract: filters reach the ORC reader as

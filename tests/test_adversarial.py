@@ -96,6 +96,7 @@ SWEEP = [
     "t16_bm25_topk", "t17_chunk_passages", "t18_ngram_novelty",
     "d17_containment_pairs", "d20_snapshot_diff",
     "d21_softdedup_weights",
+    "d22_dedup_roi",
     "d18_bloom_decontamination",
     "m06_multimodal_packing", "m07_phash_neardup",
     "m08_media_canonical",

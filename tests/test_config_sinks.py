@@ -217,3 +217,25 @@ def test_binary_file_source_reads_media(spark, tmp_path):
     decoded = decode_media(df).collect()
     assert {r.n_bytes for r in decoded} == {14, 104}
     assert all(r.width >= 1 and r.height >= 1 for r in decoded)
+
+
+def test_read_text_line_and_whole_modes(spark, tmp_path):
+    """read_text: one row per line by default, one row per FILE with
+    whole=True — both with the source path attached."""
+    from kafka2clickhouse_py_streamer_spark.sources.files import read_text
+
+    p = tmp_path / "corpus"
+    p.mkdir()
+    (p / "a.txt").write_text("line one\nline two\n")
+    (p / "b.txt").write_text("single doc body\n")
+
+    lines = read_text(spark, str(p))
+    assert sorted(r.text for r in lines.collect()) == [
+        "line one", "line two", "single doc body",
+    ]
+    assert all(r.src_path for r in lines.collect())
+
+    docs = read_text(spark, str(p), whole=True)
+    got = {r.src_path.rsplit("/", 1)[-1]: r.text for r in docs.collect()}
+    assert got["a.txt"] == "line one\nline two\n"
+    assert got["b.txt"] == "single doc body\n"

@@ -1422,3 +1422,17 @@ def test_p21_leakage_caps_df_before_the_train_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert python_row_ops(df) == 0
+
+
+def test_d22_roi_is_two_aggs_over_labels(spark, sf_dir):
+    # ROI = the d21 policy-layer class: one equi-join of labels to
+    # token counts, a cluster_id hash agg, then a <=log2(max size)
+    # bucket agg — no pair join, no window, no Python
+    from kafka2clickhouse_py_streamer_spark.llm.dedup import d22_dedup_roi
+
+    df = d22_dedup_roi(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan
+    assert python_row_ops(df) == 0

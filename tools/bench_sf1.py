@@ -86,6 +86,9 @@ HEAVY = [
     # stage 1), and the soft-dedup policy layer over the CC labels
     "s19_cascade_rerank",
     "d21_softdedup_weights",
+    # the both-sides-large shingle equi-join (train set vs eval set) —
+    # the one new shape whose hot keys the DF cap must keep bounded
+    "p21_split_leakage",
 ]
 VOWELS = "aeiou"
 
