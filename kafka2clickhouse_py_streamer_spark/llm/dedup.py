@@ -2021,6 +2021,109 @@ ORDER BY size_bucket
 """
 
 
+REMOVAL_MOD = 37  # deterministic removal-request slice: doc_id % 37 == 0
+
+
+def d23_removal_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Removal-request propagation (takedown / right-to-be-forgotten):
+    removing a document from a training corpus is incomplete if its
+    near-duplicate copies stay — the content survives. The closure
+    rule: a removal request for doc X removes X AND every document in
+    X's d07 near-dup cluster. The request set here is the
+    deterministic ``doc_id % REMOVAL_MOD == 0`` slice (a stand-in for
+    an external request list); the audit reports, per source, how many
+    docs were requested, how many the cluster closure actually removes
+    (``n_removed``), the collateral beyond the requests themselves,
+    and what remains.
+
+    Scale shape: d21/d22's policy-layer class over the shared d07
+    labels — the request set is tiny (a takedown list is KBs against
+    100 TB), so its DISTINCT cluster ids broadcast and the closure is
+    one broadcast left join on ``cluster_id``; then one hash agg on
+    ``source``. No pair join, no window; document bodies never move."""
+    labels = _cc_labels(spark, sf_dir)
+    req_clusters = (
+        labels.filter(F.col("doc_id") % REMOVAL_MOD == 0)
+        .select("cluster_id")
+        .distinct()
+        .withColumn("_rm", F.lit(1))
+    )
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    marked = (
+        docs.join(labels, "doc_id", "left")
+        .join(F.broadcast(req_clusters), "cluster_id", "left")
+        .select(
+            "source",
+            (F.col("doc_id") % REMOVAL_MOD == 0).alias("requested"),
+            (
+                (F.col("doc_id") % REMOVAL_MOD == 0)
+                | F.col("_rm").isNotNull()
+            ).alias("removed"),
+        )
+    )
+    return (
+        marked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("requested").cast("long")).cast("long")
+            .alias("n_requested"),
+            F.sum(F.col("removed").cast("long")).cast("long")
+            .alias("n_removed"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_requested",
+            "n_removed",
+            (F.col("n_removed") - F.col("n_requested")).cast("long")
+            .alias("n_collateral"),
+            (F.col("n_docs") - F.col("n_removed")).cast("long")
+            .alias("n_remaining"),
+            F.round(
+                F.col("n_removed") / F.col("n_docs").cast("double"), 6
+            ).alias("removed_frac"),
+        )
+        .orderBy(F.col("source").asc_nulls_last())
+    )
+
+
+def _d23_sql() -> str:
+    d07 = _d07_sql().strip().split("ORDER BY")[0]
+    return f"""
+WITH labels AS (
+{d07}
+),
+req_clusters AS (
+  SELECT DISTINCT cluster_id, 1 AS _rm
+  FROM labels WHERE doc_id % {REMOVAL_MOD} = 0
+),
+marked AS (
+  SELECT d.source,
+         (d.doc_id % {REMOVAL_MOD} = 0) AS requested,
+         ((d.doc_id % {REMOVAL_MOD} = 0) OR r._rm IS NOT NULL)
+           AS removed
+  FROM documents d
+  LEFT JOIN labels l ON l.doc_id = d.doc_id
+  LEFT JOIN req_clusters r ON r.cluster_id = l.cluster_id
+),
+agg AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN requested THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_requested,
+         CAST(SUM(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_removed
+  FROM marked GROUP BY source
+)
+SELECT source, n_docs, n_requested, n_removed,
+       CAST(n_removed - n_requested AS BIGINT) AS n_collateral,
+       CAST(n_docs - n_removed AS BIGINT) AS n_remaining,
+       ROUND(CAST(n_removed AS DOUBLE) / n_docs, 6) AS removed_frac
+FROM agg
+ORDER BY source NULLS LAST
+"""
+
+
 QUERIES = [
     Query("d01_exact_dedup", d01_exact_dedup, D01_SQL,
           "exact dedup via hash-groupBy on MD5"),
@@ -2079,4 +2182,7 @@ QUERIES = [
     Query("d22_dedup_roi", d22_dedup_roi, _d22_sql(),
           "dedup ROI curve: cluster sizes bucketed by power of two, "
           "docs + token mass reclaimable under keep-one policy"),
+    Query("d23_removal_propagation", d23_removal_propagation, _d23_sql(),
+          "takedown closure: removal requests propagate to the whole "
+          "d07 near-dup cluster; per-source collateral audit"),
 ]

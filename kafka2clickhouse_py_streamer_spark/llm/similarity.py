@@ -2778,6 +2778,254 @@ ORDER BY cell
 """
 
 
+N_TENANTS = 10  # label universe; query q's tenant filter is q % N_TENANTS
+
+
+def s21_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-FILTERED vector search — the multi-tenant / RAG shape
+    where every query carries a predicate (here: ``label = query_id %
+    N_TENANTS``, the tenant id) and top-k must come from the filtered
+    subset only. The production failure mode this audits: POST-
+    filtering an unfiltered ANN result starves selective tenants (k
+    survivors of the filter may be far fewer than k). Here the filter
+    is applied IN the candidate join instead: the IVF probe join is a
+    two-key equi-join on (cell, label), so each query only ever scores
+    its own tenant's rows inside its probed cells, and the audit
+    reports per query how many candidates that left (``n_cands``) and
+    the recall@k against filtered-exact ground truth.
+
+    Scale shape: the corpus is assigned cells once (broadcast-literal
+    centroids in the scan projection, s05's plan) and met on a
+    (cell, label) equi-join — at 100 TB, partitioning the stored index
+    by (cell, label-bucket) makes the probe touch only the tenant's
+    slice of the probed cells; no per-pair work happens outside the
+    filtered candidate set. Ground truth is the s01 broadcast-queries
+    plan against the label-filtered corpus (an equi-join on label, not
+    a cross join). Tenants with no corpus rows drop out on both
+    engines; candidates are a subset of the filtered universe, so the
+    exact side is never empty when the ANN side found rows."""
+    em = valid_embeddings(table(spark, sf_dir, "embeddings"), DIM)
+    vec_d = to_double_vec("embedding")
+    base = em.select(
+        "vec_id",
+        "label",
+        vec_d.alias("v"),
+        l2_norm(vec_d).alias("norm"),
+    )
+    cents = _train_centroids(base, sf_dir)
+    if not cents:
+        return spark.createDataFrame(
+            [],
+            "query_id long, target_label int, n_cands long,"
+            " n_exact long, n_hit long, recall_at_k double",
+        )
+    tagged = _assign_cell_df(base, cents)
+    corpus = tagged.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("clabel"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("cnorm"),
+        "cell",
+    )
+    # query probes: N_PROBE nearest coarse cells (s14's masked-argmax
+    # pattern) + the tenant label, exploded to one row per probed cell
+    q = base.filter(F.col("vec_id") < N_QUERIES).withColumn(
+        "_cd", _dots_array(cents)
+    )
+    q = q.withColumn("_p1", _argmax_pos("_cd"))
+    cell_of = {k: k for k in cents}
+    probe_cells = [
+        _pos_payload(cents, cell_of, F.col("_p1")).cast("long")
+    ]
+    if len(cents) > 1:
+        masked = F.transform(
+            F.col("_cd"),
+            lambda x, i: F.when(
+                i == F.col("_p1") - 1, F.lit(float("-inf"))
+            ).otherwise(x),
+        )
+        q = q.withColumn("_p2", _argmax_pos(masked))
+        probe_cells.append(
+            _pos_payload(cents, cell_of, F.col("_p2")).cast("long")
+        )
+    probes = q.select(
+        F.col("vec_id").alias("query_id"),
+        (F.col("vec_id") % N_TENANTS).cast("int").alias("target_label"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+        F.explode(F.array(*probe_cells)).alias("pcell"),
+    )
+    scored = corpus.join(
+        F.broadcast(probes),
+        (F.col("cell") == F.col("pcell"))
+        & (F.col("clabel") == F.col("target_label")),
+    ).select(
+        "query_id",
+        "target_label",
+        "cand_id",
+        F.round(_cosine("qv", "cv", "qnorm", "cnorm"), 6).alias("cosine"),
+    )
+    cands = scored.groupBy("query_id", "target_label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cands")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id").asc()
+    )
+    ann = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select(F.col("query_id").alias("aq"), F.col("cand_id").alias("ac"))
+    )
+    # filtered-exact ground truth: label equi-join, broadcast queries
+    qf = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        (F.col("vec_id") % N_TENANTS).cast("int").alias("target_label"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    cf = base.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("clabel"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("cnorm"),
+    )
+    escored = F.broadcast(qf).join(
+        cf, F.col("target_label") == F.col("clabel")
+    ).select(
+        "query_id",
+        "target_label",
+        "cand_id",
+        F.round(_cosine("qv", "cv", "qnorm", "cnorm"), 6).alias("cosine"),
+    )
+    exact = (
+        escored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "target_label", "cand_id")
+    )
+    hit = exact.join(
+        ann,
+        (F.col("query_id") == F.col("aq"))
+        & (F.col("cand_id") == F.col("ac")),
+        "left",
+    )
+    rec = hit.groupBy("query_id", "target_label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact"),
+        F.count("ac").cast("long").alias("n_hit"),
+    )
+    return (
+        rec.join(cands, ["query_id", "target_label"], "left")
+        .select(
+            "query_id",
+            "target_label",
+            F.coalesce(F.col("n_cands"), F.lit(0)).cast("long")
+            .alias("n_cands"),
+            "n_exact",
+            "n_hit",
+            F.round(
+                F.col("n_hit") / F.col("n_exact").cast("double"), 6
+            ).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _s21_sql() -> str:
+    centv = "[" + ", ".join(f"m{i}" for i in range(DIM)) + "]"
+    cos = (
+        "ROUND(list_dot_product({q}, {c})"
+        " / (SQRT(list_dot_product({q}, {q}))"
+        " * SQRT(list_dot_product({c}, {c}))), 6)"
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+  WHERE {valid_emb_sql(DIM)}
+),
+{_train_cte_sql()},
+centv AS (
+  SELECT g, {centv} AS cv FROM seeds
+),
+corpus AS (
+  SELECT vec_id, label, v FROM base WHERE vec_id >= {N_QUERIES}
+),
+assigned AS (
+  SELECT vec_id, label, v, CAST(g AS BIGINT) AS cell
+  FROM (
+    SELECT b.vec_id, b.label, b.v, c.g,
+           ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+             list_dot_product(b.v, c.cv) DESC, c.g ASC) AS rn
+    FROM corpus b CROSS JOIN centv c
+  ) WHERE rn = 1
+),
+qprobe AS (
+  SELECT vec_id AS query_id,
+         CAST(vec_id % {N_TENANTS} AS INTEGER) AS target_label,
+         qv, CAST(g AS BIGINT) AS cell
+  FROM (
+    SELECT b.vec_id, b.v AS qv, c.g,
+           ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+             list_dot_product(b.v, c.cv) DESC, c.g ASC) AS rn
+    FROM base b CROSS JOIN centv c
+    WHERE b.vec_id < {N_QUERIES}
+  ) WHERE rn <= {N_PROBE}
+),
+scored AS (
+  SELECT q.query_id, q.target_label, a.vec_id AS cand_id,
+         {cos.format(q="q.qv", c="a.v")} AS cosine
+  FROM qprobe q
+  JOIN assigned a ON a.cell = q.cell AND a.label = q.target_label
+),
+cands AS (
+  SELECT query_id, target_label,
+         CAST(COUNT(*) AS BIGINT) AS n_cands
+  FROM scored GROUP BY query_id, target_label
+),
+ann AS (
+  SELECT query_id, cand_id FROM (
+    SELECT query_id, cand_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, cand_id ASC) AS rk
+    FROM scored
+  ) WHERE rk <= {TOP_K}
+),
+escored AS (
+  SELECT q.vec_id AS query_id,
+         CAST(q.vec_id % {N_TENANTS} AS INTEGER) AS target_label,
+         c.vec_id AS cand_id,
+         {cos.format(q="q.v", c="c.v")} AS cosine
+  FROM base q
+  JOIN corpus c ON c.label = CAST(q.vec_id % {N_TENANTS} AS INTEGER)
+  WHERE q.vec_id < {N_QUERIES}
+),
+exact AS (
+  SELECT query_id, target_label, cand_id FROM (
+    SELECT query_id, target_label, cand_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, cand_id ASC) AS rk
+    FROM escored
+  ) WHERE rk <= {TOP_K}
+),
+rec AS (
+  SELECT e.query_id, e.target_label,
+         CAST(COUNT(*) AS BIGINT) AS n_exact,
+         CAST(COUNT(a.cand_id) AS BIGINT) AS n_hit
+  FROM exact e
+  LEFT JOIN ann a ON a.query_id = e.query_id AND a.cand_id = e.cand_id
+  GROUP BY e.query_id, e.target_label
+)
+SELECT r.query_id, r.target_label,
+       CAST(COALESCE(c.n_cands, 0) AS BIGINT) AS n_cands,
+       r.n_exact, r.n_hit,
+       ROUND(CAST(r.n_hit AS DOUBLE) / r.n_exact, 6) AS recall_at_k
+FROM rec r
+LEFT JOIN cands c
+  ON c.query_id = r.query_id AND c.target_label = r.target_label
+ORDER BY r.query_id
+"""
+
+
 QUERIES = [
     Query("s01_cosine_topk", s01_cosine_topk, S01_SQL,
           "exact brute-force cosine top-k"),
@@ -2836,4 +3084,7 @@ QUERIES = [
     Query("s20_index_staleness", s20_index_staleness, _s20_sql(),
           "index-staleness audit: snapshot-trained cells vs "
           "newly-arrived half — per-cell occupancy drift + inertia"),
+    Query("s21_filtered_search", s21_filtered_search, _s21_sql(),
+          "metadata-filtered ANN: per-query tenant label applied IN "
+          "the (cell, label) probe join, recall vs filtered-exact"),
 ]

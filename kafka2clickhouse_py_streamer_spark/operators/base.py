@@ -151,6 +151,8 @@ _VERIFY_FIRST = [
     "s20_index_staleness",
     "p21_split_leakage",
     "d22_dedup_roi",
+    "d23_removal_propagation",
+    "s21_filtered_search",
     # green-r02 but file churned since
     "m03_frame_sample",
     "m04_feature_extract",

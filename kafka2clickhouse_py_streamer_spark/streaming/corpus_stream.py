@@ -490,6 +490,135 @@ def start_streaming_rag_ingest(
     )
 
 
+def index_ingest_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    index_dir: str,
+    cents: dict[int, list[float]],
+) -> None:
+    """One micro-batch of STREAMING ANN-index ingest: every arriving
+    vector is assigned to its coarse cell using the FROZEN trained
+    centroids (the index configuration — broadcast as literals into
+    the scan projection, s05's assignment) and appended to a persisted
+    index table partitioned by ``(cell, batch_id)``. This is how an
+    IVF index is maintained incrementally at scale: the expensive
+    Lloyd training runs offline (s05), ingest is a stateless
+    projection per batch, and s20's staleness audit decides when the
+    frozen centroids need retraining.
+
+    Cell-partitioned storage is the point: a probe query equi-joins on
+    ``cell``, so the parquet reader PRUNES to the probed cells'
+    directories — at 100 TB the query touches |probed cells| / K of
+    the index files, never the whole table. No state read is needed
+    (assignment is deterministic in (vector, centroids)); replay after
+    a failure recomputes the identical cells and dynamic-overwrites
+    its own ``batch_id`` partitions, so re-delivery never duplicates
+    index entries."""
+    from kafka2clickhouse_py_streamer_spark.functions import (
+        l2_norm,
+        to_double_vec,
+        valid_embeddings,
+    )
+    from kafka2clickhouse_py_streamer_spark.llm.similarity import (
+        DIM,
+        _assign_cell_df,
+    )
+
+    spark = batch_df.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    vec_d = to_double_vec("embedding")
+    base = (
+        valid_embeddings(batch_df, DIM)
+        .select("vec_id", vec_d.alias("v"))
+        .withColumn("norm", l2_norm(F.col("v")))
+    )
+    tagged = _assign_cell_df(base, cents).withColumn(
+        "batch_id", F.lit(batch_id)
+    )
+    (
+        tagged.write.mode("overwrite")
+        .partitionBy("cell", "batch_id")
+        .parquet(index_dir)
+    )
+
+
+def start_streaming_index_ingest(
+    stream_df: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    cents: dict[int, list[float]],
+) -> StreamingQuery:
+    """Wire ``index_ingest_batch`` under writeStream.foreachBatch."""
+    return (
+        stream_df.writeStream.foreachBatch(
+            lambda df, bid: index_ingest_batch(df, bid, index_dir, cents)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def query_streamed_index(
+    spark,
+    index_dir: str,
+    queries_df: DataFrame,
+    cents: dict[int, list[float]],
+    top_k: int = 3,
+) -> DataFrame:
+    """s05's probe against the PERSISTED streamed index: queries
+    assign to their nearest cell (same frozen centroids) and meet the
+    index on a ``cell`` equi-join. Because the index is partitioned by
+    ``cell``, the probe's join keys reach the reader as partition
+    filters — only the probed cells' files are scanned. Returns the
+    s05 result shape (query_id, cand_id, cell, cosine, rk) so the
+    streamed index can be twin-tested against the batch IVF query."""
+    from kafka2clickhouse_py_streamer_spark.functions import (
+        cosine as cosine_fn,
+        l2_norm,
+        to_double_vec,
+        valid_embeddings,
+    )
+    from kafka2clickhouse_py_streamer_spark.llm.similarity import (
+        DIM,
+        _assign_cell_df,
+    )
+
+    vec_d = to_double_vec("embedding")
+    qbase = (
+        valid_embeddings(queries_df, DIM)
+        .select("vec_id", vec_d.alias("v"))
+        .withColumn("norm", l2_norm(F.col("v")))
+    )
+    q = _assign_cell_df(qbase, cents).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+        "cell",
+    )
+    idx = spark.read.parquet(index_dir).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("cnorm"),
+        "cell",
+    )
+    scored = F.broadcast(q).join(idx, "cell").select(
+        "query_id",
+        "cand_id",
+        "cell",
+        F.round(
+            cosine_fn("qv", "cv", "qnorm", "cnorm"), 6
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= top_k)
+        .orderBy("query_id", "rk")
+    )
+
+
 def scrub_stream(stream_df: DataFrame, text_col: str = "text") -> DataFrame:
     """t09's scrub on a streaming frame: identical code, no state —
     compose with any sink (``writeStream.format("parquet")`` in

@@ -96,7 +96,7 @@ SWEEP = [
     "t16_bm25_topk", "t17_chunk_passages", "t18_ngram_novelty",
     "d17_containment_pairs", "d20_snapshot_diff",
     "d21_softdedup_weights",
-    "d22_dedup_roi",
+    "d22_dedup_roi", "d23_removal_propagation",
     "d18_bloom_decontamination",
     "m06_multimodal_packing", "m07_phash_neardup",
     "m08_media_canonical",
@@ -166,6 +166,7 @@ EMB_SWEEP = [
     "s14_ivfpq_search", "s15_mrl_truncation_recall",
     "s16_rrf_fusion", "s17_probe_recall_sweep", "s18_knn_label_eval",
     "s19_cascade_rerank", "s20_index_staleness",
+    "s21_filtered_search",
 ]
 
 

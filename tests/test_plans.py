@@ -1424,6 +1424,36 @@ def test_p21_leakage_caps_df_before_the_train_join(spark, sf_dir):
     assert python_row_ops(df) == 0
 
 
+def test_d23_closure_is_broadcast_joins_and_one_agg(spark, sf_dir):
+    # takedown closure: tiny request-cluster set broadcast onto the
+    # labels, one source agg — no pair join, no window, no Python
+    from kafka2clickhouse_py_streamer_spark.llm.dedup import (
+        d23_removal_propagation,
+    )
+
+    df = d23_removal_propagation(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan
+    assert python_row_ops(df) == 0
+
+
+def test_s21_filter_is_in_the_probe_join(spark, sf_dir):
+    # the tenant predicate rides the candidate EQUI-join (cell AND
+    # label keys) — no cross join anywhere (ground truth is a label
+    # equi-join with the 10-row query side broadcast), no Python
+    from kafka2clickhouse_py_streamer_spark.llm.similarity import (
+        s21_filtered_search,
+    )
+
+    df = s21_filtered_search(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert python_row_ops(df) == 0
+
+
 def test_d22_roi_is_two_aggs_over_labels(spark, sf_dir):
     # ROI = the d21 policy-layer class: one equi-join of labels to
     # token counts, a cluster_id hash agg, then a <=log2(max size)

@@ -2053,3 +2053,122 @@ def test_rag_ingest_replay_idempotent(spark, tmp_path):
         for r in spark.read.parquet(out).select(*_RAG_COLS).collect()
     }
     assert before == after
+
+
+def test_index_ingest_matches_batch_assignment(spark, tmp_path):
+    """Streaming ANN-index ingest: cells assigned per micro-batch with
+    the frozen trained centroids must equal the batch assignment over
+    the same rows, regardless of where the batch boundary falls."""
+    from kafka2clickhouse_py_streamer_spark.llm.similarity import (
+        N_QUERIES,
+        _assign_cell_df,
+        _base,
+        _train_centroids,
+    )
+    from kafka2clickhouse_py_streamer_spark.operators.base import table
+    from kafka2clickhouse_py_streamer_spark.streaming.corpus_stream import (
+        index_ingest_batch,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    base = _base(spark, sf)
+    cents = _train_centroids(base, sf)
+    em = table(spark, sf, "embeddings").filter(f"vec_id >= {N_QUERIES}")
+    idx = str(tmp_path / "ivf_index")
+    index_ingest_batch(em.filter("vec_id < 250"), 0, idx, cents)
+    index_ingest_batch(em.filter("vec_id >= 250"), 1, idx, cents)
+    streamed = {
+        (r.vec_id, int(r.cell))
+        for r in spark.read.parquet(idx).select("vec_id", "cell").collect()
+    }
+    from pyspark.sql import functions as F
+
+    expected = {
+        (r.vec_id, int(r.cell))
+        for r in _assign_cell_df(
+            base.filter(F.col("vec_id") >= N_QUERIES), cents
+        ).select("vec_id", "cell").collect()
+    }
+    assert streamed == expected and len(streamed) > 0
+
+
+def test_index_ingest_replay_idempotent(spark, tmp_path):
+    """Re-delivering an index-ingest micro-batch overwrites its own
+    (cell, batch_id) partitions — assignment is deterministic in
+    (vector, centroids), so replay never duplicates index entries."""
+    from kafka2clickhouse_py_streamer_spark.llm.similarity import (
+        N_QUERIES,
+        _base,
+        _train_centroids,
+    )
+    from kafka2clickhouse_py_streamer_spark.operators.base import table
+    from kafka2clickhouse_py_streamer_spark.streaming.corpus_stream import (
+        index_ingest_batch,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    cents = _train_centroids(_base(spark, sf), sf)
+    em = table(spark, sf, "embeddings").filter(
+        f"vec_id >= {N_QUERIES} and vec_id < 100"
+    )
+    idx = str(tmp_path / "ivf_index_r")
+    index_ingest_batch(em, 0, idx, cents)
+    first = {
+        (r.vec_id, int(r.cell))
+        for r in spark.read.parquet(idx).select("vec_id", "cell").collect()
+    }
+    index_ingest_batch(em, 0, idx, cents)  # replay of batch 0
+    again = {
+        (r.vec_id, int(r.cell))
+        for r in spark.read.parquet(idx).select("vec_id", "cell").collect()
+    }
+    assert again == first
+
+
+def test_streamed_index_query_matches_s05(spark, tmp_path):
+    """Querying the PERSISTED streamed index (cell equi-join after
+    partition pruning) returns exactly the batch s05 IVF result — the
+    index built incrementally is the same index s05 computes on the
+    fly. Also pins that a cell-filtered read of the index prunes at
+    the partition level (cell is a partition column, not a row
+    filter)."""
+    from kafka2clickhouse_py_streamer_spark.llm.similarity import (
+        N_QUERIES,
+        _base,
+        _train_centroids,
+        s05_trained_ivf,
+    )
+    from kafka2clickhouse_py_streamer_spark.operators.base import table
+    from kafka2clickhouse_py_streamer_spark.plans.analysis import (
+        formatted_plan,
+    )
+    from kafka2clickhouse_py_streamer_spark.streaming.corpus_stream import (
+        index_ingest_batch,
+        query_streamed_index,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    cents = _train_centroids(_base(spark, sf), sf)
+    em = table(spark, sf, "embeddings")
+    corpus = em.filter(f"vec_id >= {N_QUERIES}")
+    idx = str(tmp_path / "ivf_index_q")
+    index_ingest_batch(corpus.filter("vec_id < 300"), 0, idx, cents)
+    index_ingest_batch(corpus.filter("vec_id >= 300"), 1, idx, cents)
+
+    got = [
+        (r.query_id, r.cand_id, int(r.cell), r.cosine, r.rk)
+        for r in query_streamed_index(
+            spark, idx, em.filter(f"vec_id < {N_QUERIES}"), cents
+        ).collect()
+    ]
+    want = [
+        (r.query_id, r.cand_id, int(r.cell), r.cosine, r.rk)
+        for r in s05_trained_ivf(spark, sf).collect()
+    ]
+    assert got == want and len(got) > 0
+
+    from pyspark.sql import functions as F
+
+    one_cell = spark.read.parquet(idx).filter(F.col("cell") == 0)
+    plan = formatted_plan(one_cell)
+    assert "PartitionFilters" in plan and "cell" in plan
