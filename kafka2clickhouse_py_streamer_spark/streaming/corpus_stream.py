@@ -619,6 +619,33 @@ def query_streamed_index(
     )
 
 
+def compact_index(spark, index_dir: str, through_batch: int) -> int:
+    """Fold the streamed ANN index's per-batch partitions into one
+    compacted partition PER CELL — the index-maintenance twin of
+    ``compact_state``. ``index_ingest_batch`` lays the index out as
+    ``cell=X/batch_id=N``, so each cell directory is itself a
+    batch_id-partitioned table and the digest compactor's
+    crash-recoverable fold-and-swap applies verbatim per cell: a year
+    of 30 s micro-batches is ~1M tiny files per cell without this, and
+    probe queries then spend longer listing files than scanning them.
+
+    Inherits `compact_state`'s whole safety contract per cell
+    (write-to-temp → marker → delete → rename; `_recover_compaction`
+    rolls an interrupted swap forward or back), and its operational
+    caveat: only compact batches the ingest stream's checkpoint has
+    committed — a replay of a compacted batch would re-append rows the
+    compacted partition already holds. Returns the total number of
+    per-batch partitions removed across all cells."""
+    jvm, fs, root = _fs(spark, index_dir)
+    removed = 0
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not name.startswith("cell="):
+            continue
+        removed += compact_state(spark, str(st.getPath()), through_batch)
+    return removed
+
+
 def scrub_stream(stream_df: DataFrame, text_col: str = "text") -> DataFrame:
     """t09's scrub on a streaming frame: identical code, no state —
     compose with any sink (``writeStream.format("parquet")`` in

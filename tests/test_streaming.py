@@ -2172,3 +2172,69 @@ def test_streamed_index_query_matches_s05(spark, tmp_path):
     one_cell = spark.read.parquet(idx).filter(F.col("cell") == 0)
     plan = formatted_plan(one_cell)
     assert "PartitionFilters" in plan and "cell" in plan
+
+
+def test_compact_index_folds_per_cell_and_preserves_queries(spark, tmp_path):
+    """Index compaction folds each cell's committed batch partitions
+    into one compacted partition (batch_id=-1) per cell, leaves
+    uncommitted batches untouched, and changes NO query result —
+    including after further ingest on top of the compacted index."""
+    import os
+
+    from kafka2clickhouse_py_streamer_spark.llm.similarity import (
+        N_QUERIES,
+        _base,
+        _train_centroids,
+        s05_trained_ivf,
+    )
+    from kafka2clickhouse_py_streamer_spark.operators.base import table
+    from kafka2clickhouse_py_streamer_spark.streaming.corpus_stream import (
+        compact_index,
+        index_ingest_batch,
+        query_streamed_index,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    cents = _train_centroids(_base(spark, sf), sf)
+    em = table(spark, sf, "embeddings")
+    corpus = em.filter(f"vec_id >= {N_QUERIES}")
+    queries = em.filter(f"vec_id < {N_QUERIES}")
+    idx = str(tmp_path / "ivf_index_c")
+    index_ingest_batch(corpus.filter("vec_id < 150"), 0, idx, cents)
+    index_ingest_batch(
+        corpus.filter("vec_id >= 150 and vec_id < 300"), 1, idx, cents
+    )
+    index_ingest_batch(corpus.filter("vec_id >= 300"), 2, idx, cents)
+
+    before = [
+        tuple(r)
+        for r in query_streamed_index(spark, idx, queries, cents).collect()
+    ]
+    removed = compact_index(spark, idx, through_batch=1)
+    assert removed > 0
+    # every cell dir: batches 0/1 folded into batch_id=-1, batch 2 kept
+    for cell_dir in os.listdir(idx):
+        if not cell_dir.startswith("cell="):
+            continue
+        bids = sorted(
+            d for d in os.listdir(os.path.join(idx, cell_dir))
+            if d.startswith("batch_id=")
+        )
+        assert "batch_id=0" not in bids and "batch_id=1" not in bids
+        assert "batch_id=-1" in bids
+    after = [
+        tuple(r)
+        for r in query_streamed_index(spark, idx, queries, cents).collect()
+    ]
+    assert after == before
+    # the compacted index still equals batch s05 exactly
+    want = [tuple(r) for r in s05_trained_ivf(spark, sf).collect()]
+    got = [
+        (r.query_id, r.cand_id, r.cell, r.cosine, r.rk)
+        for r in query_streamed_index(spark, idx, queries, cents).collect()
+    ]
+    assert [
+        (q, c, int(cl), co, rk) for q, c, cl, co, rk in got
+    ] == [
+        (r[0], r[1], int(r[2]), r[3], r[4]) for r in want
+    ]
