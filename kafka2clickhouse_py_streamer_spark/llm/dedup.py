@@ -1847,6 +1847,25 @@ ORDER BY source
 """
 
 
+def _ntok_col():
+    """Whitespace token count of ``text`` — NULL text counts as 0
+    tokens. The ONE definition shared by the d21/d22 policy layer
+    (with ``_NTOK_SQL`` as its oracle twin) so the two reports can
+    never disagree about the same corpus's token mass."""
+    n = F.when(F.length(F.trim("text")) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim("text"), r"\s+"))
+    )
+    return F.coalesce(n, F.lit(0)).cast("long")
+
+
+# DuckDB twin of _ntok_col; format with t=<text column reference>
+_NTOK_SQL = (
+    r"CAST(COALESCE(CASE WHEN LENGTH(TRIM({t})) = 0 THEN 0"
+    r" ELSE LEN(regexp_split_to_array(TRIM({t}), '\s+'))"
+    r" END, 0) AS BIGINT)"
+)
+
+
 def d21_softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SOFT dedup: instead of dropping near-duplicates (d08/d13's hard
     policy), keep every document and downweight it by its d07 cluster
@@ -1871,11 +1890,8 @@ def d21_softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = labels.groupBy("cluster_id").agg(
         F.count(F.lit(1)).cast("long").alias("cluster_size")
     )
-    ntok = F.when(F.length(F.trim("text")) == 0, F.lit(0)).otherwise(
-        F.size(F.split(F.trim("text"), r"\s+"))
-    )
     docs = table(spark, sf_dir, "documents").select(
-        "doc_id", ntok.cast("long").alias("ntok")
+        "doc_id", _ntok_col().alias("ntok")
     )
     return (
         labels.join(sizes, "cluster_id")
@@ -1907,9 +1923,8 @@ sizes AS (
 )
 SELECT l.doc_id, l.cluster_id, s.cluster_size,
        ROUND(CAST(1 AS DOUBLE) / s.cluster_size, 6) AS weight,
-       ROUND(CAST(CASE WHEN LENGTH(TRIM(d.text)) = 0 THEN 0
-                  ELSE LEN(regexp_split_to_array(TRIM(d.text), '\s+'))
-                  END AS DOUBLE) / s.cluster_size, 4) AS eff_tokens
+       ROUND(CAST({_NTOK_SQL.format(t="d.text")} AS DOUBLE)
+             / s.cluster_size, 4) AS eff_tokens
 FROM labels l
 JOIN sizes s ON s.cluster_id = l.cluster_id
 JOIN documents d ON d.doc_id = l.doc_id
@@ -1933,11 +1948,8 @@ def d22_dedup_roi(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the BIGINT cast cannot hit the Spark-truncates/DuckDB-rounds
     divergence."""
     labels = _cc_labels(spark, sf_dir)
-    ntok = F.when(F.length(F.trim("text")) == 0, F.lit(0)).otherwise(
-        F.size(F.split(F.trim("text"), r"\s+"))
-    )
     docs = table(spark, sf_dir, "documents").select(
-        "doc_id", F.coalesce(ntok, F.lit(0)).cast("long").alias("ntok")
+        "doc_id", _ntok_col().alias("ntok")
     )
     per_cluster = (
         labels.join(docs, "doc_id")
@@ -1986,10 +1998,7 @@ WITH labels AS (
 {d07}
 ),
 docs AS (
-  SELECT doc_id,
-         CAST(COALESCE(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
-              ELSE LEN(regexp_split_to_array(TRIM(text), '\s+'))
-              END, 0) AS BIGINT) AS ntok
+  SELECT doc_id, {_NTOK_SQL.format(t="text")} AS ntok
   FROM documents
 ),
 per_cluster AS (

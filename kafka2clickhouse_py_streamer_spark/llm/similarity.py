@@ -629,6 +629,33 @@ def _pos_payload(cents: dict[int, list[float]], payload: dict, pos):
     return F.element_at(vals, pos)
 
 
+def _probe_cell_cols(q: DataFrame, cents: dict[int, list[float]]):
+    """Given ``q`` carrying the ``_cd`` centroid-dots array, return
+    ``(q', cols)``: ``q'`` with the argmax positions added and the
+    probe-cell Column list — the min(N_PROBE, |cells|) nearest coarse
+    cells by inner product. pos1 is the array argmax; pos2 re-argmaxes
+    with pos1 masked to -inf, i.e. the first occurrence among the rest
+    ≡ the oracle's ROW_NUMBER rn=2 under (d DESC, g ASC). With a
+    single trained cell there IS no second probe — the masked argmax
+    would degenerate to _p1 and every candidate would join twice
+    (duplicate top-k rows the oracle's rn<=N_PROBE form never emits).
+    Shared by s14 (ADC probe) and s21 (filtered probe) so the nprobe
+    selection can never drift between them."""
+    q = q.withColumn("_p1", _argmax_pos("_cd"))
+    cell_of = {k: k for k in cents}
+    cols = [_pos_payload(cents, cell_of, F.col("_p1")).cast("long")]
+    if len(cents) > 1:
+        masked = F.transform(
+            F.col("_cd"),
+            lambda x, i: F.when(
+                i == F.col("_p1") - 1, F.lit(float("-inf"))
+            ).otherwise(x),
+        )
+        q = q.withColumn("_p2", _argmax_pos(masked))
+        cols.append(_pos_payload(cents, cell_of, F.col("_p2")).cast("long"))
+    return q, cols
+
+
 def _assign_cell_df(df: DataFrame, cents: dict[int, list[float]]):
     """df + a ``cell`` column (argmax-inner-product key). Two-step
     select: the dots array materializes in its own projection so the
@@ -1901,34 +1928,11 @@ def s14_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             for s in range(PQ_SUBSPACES)
         ],
     )
-    # query side: min(N_PROBE, |cells|) nearest centroids (argmax dot,
-    # lowest-key ties — pos1 is the array argmax; pos2 re-argmaxes
-    # with pos1 masked to -inf, i.e. the first occurrence among the
-    # rest ≡ the oracle's ROW_NUMBER rn=2 under (d DESC, g ASC)) + the
-    # ADC table. With a single trained cell there IS no second probe —
-    # the masked argmax would degenerate to _p1 and every candidate
-    # would join twice (duplicate top-k rows the oracle's rn<=N_PROBE
-    # form never emits).
+    # query side: the shared nprobe cell selection + the ADC table
     q = base.filter(F.col("vec_id") < N_QUERIES).withColumn(
         "_cd", _dots_array(cents)
     )
-    pos1 = _argmax_pos("_cd")
-    q = q.withColumn("_p1", pos1)
-    cell_of = {k: k for k in cents}
-    probe_cells = [
-        _pos_payload(cents, cell_of, F.col("_p1")).cast("long")
-    ]
-    if len(cents) > 1:
-        masked = F.transform(
-            F.col("_cd"),
-            lambda x, i: F.when(
-                i == F.col("_p1") - 1, F.lit(float("-inf"))
-            ).otherwise(x),
-        )
-        q = q.withColumn("_p2", _argmax_pos(masked))
-        probe_cells.append(
-            _pos_payload(cents, cell_of, F.col("_p2")).cast("long")
-        )
+    q, probe_cells = _probe_cell_cols(q, cents)
     probes = q.select(
         F.col("vec_id").alias("query_id"),
         F.array(
@@ -2827,27 +2831,12 @@ def s21_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("norm").alias("cnorm"),
         "cell",
     )
-    # query probes: N_PROBE nearest coarse cells (s14's masked-argmax
-    # pattern) + the tenant label, exploded to one row per probed cell
+    # query probes: the shared nprobe cell selection + the tenant
+    # label, exploded to one row per probed cell
     q = base.filter(F.col("vec_id") < N_QUERIES).withColumn(
         "_cd", _dots_array(cents)
     )
-    q = q.withColumn("_p1", _argmax_pos("_cd"))
-    cell_of = {k: k for k in cents}
-    probe_cells = [
-        _pos_payload(cents, cell_of, F.col("_p1")).cast("long")
-    ]
-    if len(cents) > 1:
-        masked = F.transform(
-            F.col("_cd"),
-            lambda x, i: F.when(
-                i == F.col("_p1") - 1, F.lit(float("-inf"))
-            ).otherwise(x),
-        )
-        q = q.withColumn("_p2", _argmax_pos(masked))
-        probe_cells.append(
-            _pos_payload(cents, cell_of, F.col("_p2")).cast("long")
-        )
+    q, probe_cells = _probe_cell_cols(q, cents)
     probes = q.select(
         F.col("vec_id").alias("query_id"),
         (F.col("vec_id") % N_TENANTS).cast("int").alias("target_label"),

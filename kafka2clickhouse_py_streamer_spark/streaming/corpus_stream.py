@@ -524,6 +524,14 @@ def index_ingest_batch(
         _assign_cell_df,
     )
 
+    if not cents:
+        # an empty centroid set means there is NO index configuration;
+        # silently writing nothing would drop the batch's vectors —
+        # fail loudly at the first micro-batch instead
+        raise ValueError(
+            "index_ingest_batch: empty centroid set — train centroids "
+            "(s05's _train_centroids) before wiring the ingest stream"
+        )
     spark = batch_df.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     vec_d = to_double_vec("embedding")
@@ -563,7 +571,7 @@ def query_streamed_index(
     index_dir: str,
     queries_df: DataFrame,
     cents: dict[int, list[float]],
-    top_k: int = 3,
+    top_k: int | None = None,
 ) -> DataFrame:
     """s05's probe against the PERSISTED streamed index: queries
     assign to their nearest cell (same frozen centroids) and meet the
@@ -571,7 +579,9 @@ def query_streamed_index(
     ``cell``, the probe's join keys reach the reader as partition
     filters — only the probed cells' files are scanned. Returns the
     s05 result shape (query_id, cand_id, cell, cosine, rk) so the
-    streamed index can be twin-tested against the batch IVF query."""
+    streamed index can be twin-tested against the batch IVF query.
+    ``top_k`` defaults to similarity.TOP_K — the constant defining
+    the s05 shape this query mirrors."""
     from kafka2clickhouse_py_streamer_spark.functions import (
         cosine as cosine_fn,
         l2_norm,
@@ -580,9 +590,19 @@ def query_streamed_index(
     )
     from kafka2clickhouse_py_streamer_spark.llm.similarity import (
         DIM,
+        TOP_K,
         _assign_cell_df,
     )
 
+    if top_k is None:
+        top_k = TOP_K
+    if not cents:
+        # match s05's no-centroids contract: a typed empty result
+        return spark.createDataFrame(
+            [],
+            "query_id long, cand_id long, cell long, cosine double,"
+            " rk long",
+        )
     vec_d = to_double_vec("embedding")
     qbase = (
         valid_embeddings(queries_df, DIM)
@@ -635,14 +655,25 @@ def compact_index(spark, index_dir: str, through_batch: int) -> int:
     caveat: only compact batches the ingest stream's checkpoint has
     committed — a replay of a compacted batch would re-append rows the
     compacted partition already holds. Returns the total number of
-    per-batch partitions removed across all cells."""
-    jvm, fs, root = _fs(spark, index_dir)
+    per-batch partitions removed across all cells (a pre-existing
+    compacted partition being re-folded does not count, so re-running
+    over already-compacted cells reports 0)."""
+    _, fs, root = _fs(spark, index_dir)
     removed = 0
     for st in fs.listStatus(root):
         name = st.getPath().getName()
         if not name.startswith("cell="):
             continue
-        removed += compact_state(spark, str(st.getPath()), through_batch)
+        n_real = 0
+        for st2 in fs.listStatus(st.getPath()):
+            n2 = st2.getPath().getName()
+            if not n2.startswith("batch_id="):
+                continue
+            bid = int(n2.split("=", 1)[1])
+            if bid != COMPACTED_BATCH_ID and bid <= through_batch:
+                n_real += 1
+        compact_state(spark, str(st.getPath()), through_batch)
+        removed += n_real
     return removed
 
 

@@ -2212,6 +2212,9 @@ def test_compact_index_folds_per_cell_and_preserves_queries(spark, tmp_path):
     ]
     removed = compact_index(spark, idx, through_batch=1)
     assert removed > 0
+    # re-compaction folds only the already-compacted partitions: the
+    # count of PER-BATCH partitions removed must report 0
+    assert compact_index(spark, idx, through_batch=1) == 0
     # every cell dir: batches 0/1 folded into batch_id=-1, batch 2 kept
     for cell_dir in os.listdir(idx):
         if not cell_dir.startswith("cell="):
@@ -2237,4 +2240,29 @@ def test_compact_index_folds_per_cell_and_preserves_queries(spark, tmp_path):
         (q, c, int(cl), co, rk) for q, c, cl, co, rk in got
     ] == [
         (r[0], r[1], int(r[2]), r[3], r[4]) for r in want
+    ]
+
+
+def test_index_ingest_rejects_empty_centroids(spark, tmp_path):
+    """Bootstrap guard: an empty centroid set (no training data yet)
+    must fail loudly at ingest — silently writing nothing would drop
+    the batch — while the query side returns s05's typed empty
+    frame."""
+    import pytest
+
+    from kafka2clickhouse_py_streamer_spark.operators.base import table
+    from kafka2clickhouse_py_streamer_spark.streaming.corpus_stream import (
+        index_ingest_batch,
+        query_streamed_index,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    em = table(spark, sf, "embeddings").limit(5)
+    idx = str(tmp_path / "empty_idx")
+    with pytest.raises(ValueError, match="empty centroid set"):
+        index_ingest_batch(em, 0, idx, {})
+    empty = query_streamed_index(spark, idx, em, {})
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == [
+        "query_id", "cand_id", "cell", "cosine", "rk",
     ]
