@@ -249,3 +249,136 @@ def compact_sketch_state(spark, state_dir: str, through_batch: int) -> int:
     )
     _fold_and_swap(spark, state_dir, consolidated, old_parts, through_batch)
     return len(old_parts)
+
+
+def decay_update_batch(
+    batch_df: DataFrame, batch_id: int, state_dir: str
+) -> None:
+    """Fold one micro-batch into the persisted DECAYED-RATE state
+    (w14's counter maintained incrementally): per event_type, this
+    batch's decayed mass relative to the batch's OWN newest timestamp,
+    stored alongside that reference instant (``t_ref_us``).
+
+    Unlike the count-min/histogram cells, decayed masses from
+    different batches are NOT directly addable — each is relative to
+    its own reference instant. But they re-reference exactly:
+    mass@T = mass@t_ref × exp((t_ref − T)·k), so the merge is one
+    multiply per partition then a SUM (``merged_decayed``). Storing
+    per-batch-relative mass (instead of a fixed global epoch) is
+    forced: exp(t·k) at absolute epoch-microsecond scale overflows
+    doubles, which is exactly why decayed counters everywhere carry a
+    (mass, timestamp) pair. ≤ |event_type| rows per batch; replay
+    overwrites its own partition (module contract)."""
+    from kafka2clickhouse_py_streamer_spark.streaming.batch_windows import (
+        decayed_cells,
+    )
+
+    spark = batch_df.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    ev = batch_df.filter(F.col("ts").isNotNull()).select(
+        "ts", "event_type"
+    )
+    bounds = ev.agg(F.max(F.unix_micros("ts")).alias("t_ref_us"))
+    cells = decayed_cells(ev.crossJoin(F.broadcast(bounds))).crossJoin(
+        F.broadcast(bounds)
+    )
+    (
+        cells.withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(state_dir)
+    )
+
+
+def start_streaming_decay(
+    stream_df: DataFrame, state_dir: str, checkpoint_dir: str
+) -> StreamingQuery:
+    """Wire ``decay_update_batch`` under writeStream.foreachBatch."""
+    return (
+        stream_df.writeStream.foreachBatch(
+            lambda df, bid: decay_update_batch(df, bid, state_dir)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def _re_reference(state: DataFrame, ref: DataFrame) -> DataFrame:
+    """Re-express every partition's decayed mass relative to the
+    one-row broadcast ``g_ref_us`` instant and merge per key — the
+    decayed-counter merge shared by the live read and the compactor
+    (one source, so they cannot drift)."""
+    from kafka2clickhouse_py_streamer_spark.streaming.batch_windows import (
+        _DECAY_K,
+    )
+
+    shifted = state.crossJoin(F.broadcast(ref)).select(
+        "event_type",
+        "n_events",
+        (
+            F.col("decayed_raw")
+            * F.exp(
+                (
+                    F.col("t_ref_us").cast("double")
+                    - F.col("g_ref_us").cast("double")
+                )
+                * F.lit(_DECAY_K)
+            )
+        ).alias("mass"),
+    )
+    return shifted.groupBy("event_type").agg(
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.sum("mass").alias("decayed_raw"),
+    )
+
+
+def merged_decayed(spark, state_dir: str) -> DataFrame:
+    """The LIVE decayed counters: every persisted partition
+    re-referenced to the newest instant seen by ANY batch, then summed
+    per key — ≤ |event_type| × |partitions| rows ever touched."""
+    st = spark.read.parquet(state_dir)
+    gref = st.agg(F.max("t_ref_us").alias("g_ref_us"))
+    return _re_reference(st, gref)
+
+
+def decayed_rate_estimates(spark, state_dir: str) -> DataFrame:
+    """w14's result shape over the merged persisted state — the twin
+    test asserts this equals batch w14 over the concatenated input
+    (to FP re-referencing tolerance: exp(a)·exp(b) vs exp(a+b) differ
+    in the last ulps; unlike the integer-cell sketches this twin is
+    tolerance-exact, not bit-exact)."""
+    m = merged_decayed(spark, state_dir)
+    return m.select(
+        "event_type",
+        "n_events",
+        F.round("decayed_raw", 6).alias("decayed_count"),
+        F.round(
+            F.col("decayed_raw") / F.col("n_events").cast("double"), 6
+        ).alias("freshness"),
+    ).orderBy("event_type")
+
+
+def compact_decay_state(spark, state_dir: str, through_batch: int) -> int:
+    """Decayed-counter maintenance: fold the per-batch partitions up
+    to ``through_batch`` into ONE compacted partition by the
+    re-referencing merge itself (`_re_reference` to the folded
+    subset's newest instant, which becomes the compacted partition's
+    ``t_ref_us``). Same safety contract and shared swap/recovery
+    mechanics as the sketch compactors. Returns the number of
+    partitions removed."""
+    _recover_compaction(spark, state_dir)
+    jvm, fs, root = _fs(spark, state_dir)
+    old_parts = _list_foldable(fs, root, through_batch)
+    if not old_parts:
+        return 0
+
+    state = spark.read.parquet(state_dir).filter(
+        (F.col("batch_id") == COMPACTED_BATCH_ID)
+        | (F.col("batch_id") <= through_batch)
+    )
+    gref = state.agg(F.max("t_ref_us").alias("g_ref_us"))
+    consolidated = _re_reference(state, gref).crossJoin(
+        F.broadcast(gref.select(F.col("g_ref_us").alias("t_ref_us")))
+    )
+    _fold_and_swap(spark, state_dir, consolidated, old_parts, through_batch)
+    return len(old_parts)

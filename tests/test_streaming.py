@@ -2266,3 +2266,91 @@ def test_index_ingest_rejects_empty_centroids(spark, tmp_path):
     assert [f.name for f in empty.schema.fields] == [
         "query_id", "cand_id", "cell", "cosine", "rk",
     ]
+
+
+def test_w14_persisted_decay_matches_batch_and_compacts(spark, tmp_path):
+    """The persisted-state decayed-rate counters: three micro-batches
+    of per-batch-relative masses, re-referenced and merged at read
+    time, match batch w14 (n_events exactly; decayed mass to FP
+    re-referencing tolerance — exp(a)·exp(b) vs exp(a+b)); replay
+    overwrites its own partition; the re-referencing compaction fold
+    leaves every estimate unchanged."""
+    from kafka2clickhouse_py_streamer_spark.operators.base import table
+    from kafka2clickhouse_py_streamer_spark.streaming.batch_windows import (
+        w14_decayed_rate,
+    )
+    from kafka2clickhouse_py_streamer_spark.streaming.sketch_stream import (
+        compact_decay_state,
+        decay_update_batch,
+        decayed_rate_estimates,
+        start_streaming_decay,
+    )
+
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    ev = (
+        table(spark, sf, "events")
+        .select("ts", "event_type")
+        .orderBy(F.col("ts").asc_nulls_first())
+        .collect()
+    )
+    src = tmp_path / "dk_stream"
+    src.mkdir()
+    third = len(ev) // 3
+    chunks = (ev[:third], ev[third: 2 * third], ev[2 * third:])
+    for chunk in chunks:
+        spark.createDataFrame(
+            chunk, "ts timestamp, event_type string"
+        ).coalesce(1).write.mode("append").parquet(str(src))
+
+    state = str(tmp_path / "dk_state")
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = start_streaming_decay(stream, state, str(tmp_path / "ckpt_dk"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    batch = {
+        r.event_type: (r.n_events, r.decayed_count, r.freshness)
+        for r in w14_decayed_rate(spark, sf).collect()
+    }
+
+    def close(got):
+        assert set(got) == set(batch)
+        for k, (n, dc, fr) in got.items():
+            bn, bdc, bfr = batch[k]
+            assert n == bn
+            assert abs(dc - bdc) < 1e-5
+            assert abs(fr - bfr) < 1e-5
+
+    def ests():
+        return {
+            r.event_type: (r.n_events, r.decayed_count, r.freshness)
+            for r in decayed_rate_estimates(spark, state).collect()
+        }
+
+    close(ests())
+
+    # replay of batch 1: dynamic overwrite, merged counters unchanged
+    decay_update_batch(
+        spark.createDataFrame(chunks[1], "ts timestamp, event_type string"),
+        1,
+        state,
+    )
+    close(ests())
+
+    # re-referencing compaction fold: estimates unchanged
+    removed = compact_decay_state(spark, state, through_batch=1)
+    assert removed > 0
+    close(ests())
+    # and the tail batch keeps merging on top of the compacted base
+    assert (
+        spark.read.parquet(state)
+        .select("batch_id").distinct().count() == 2
+    )
