@@ -74,6 +74,10 @@ HEADLINE = [
     # the d07 star-contraction) — first recordings
     "s19_cascade_rerank",
     "d21_softdedup_weights",
+    # round 6 final: metadata-filtered ANN — trained-cell probe with
+    # the tenant predicate in the join, plus the filtered-exact
+    # ground-truth leg — first recording
+    "s21_filtered_search",
 ]
 
 

@@ -1388,3 +1388,98 @@ def test_p19_dedup_and_packing_consistent_with_t17(spark, sf_dir):
         assert r.stream_offset == off, r
         assert r.pack_id == off // 512 and r.offset_in_pack == off % 512
         by_shard[r.shard] = off + r.n_chunk_tokens
+
+
+def test_d23_closure_removes_unrequested_cluster_mates(spark, tmp_path):
+    """The takedown contract made observable: one removal request
+    (doc 37, the only id ≡ 0 mod REMOVAL_MOD) removes its entire
+    near-dup cluster — the two near-identical copies that were never
+    requested count as collateral — while unrelated docs remain."""
+    from kafka2clickhouse_py_streamer_spark.llm.dedup import (
+        REMOVAL_MOD,
+        d23_removal_propagation,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(50))
+    near1 = base.replace("tok7", "changed7")
+    near2 = base.replace("tok13", "changed13")
+    rows = [
+        (37, base),     # the requested doc (37 % REMOVAL_MOD == 0)
+        (40, near1),    # near-dup copy, never requested
+        (43, near2),    # near-dup copy, never requested
+        (5, "completely different words about other matters entirely "
+            + " ".join(f"x{i}" for i in range(40))),
+        (11, "another unrelated document "
+             + " ".join(f"y{i}" for i in range(40))),
+    ]
+    assert [r[0] for r in rows if r[0] % REMOVAL_MOD == 0] == [37]
+    root = _write_docs(tmp_path, "takedown_docs", rows)
+
+    out = {r.source: r for r in d23_removal_propagation(spark, root).collect()}
+    assert set(out) == {"web"}
+    r = out["web"]
+    assert r.n_docs == 5
+    assert r.n_requested == 1
+    # the whole near-dup cluster goes; the two copies are collateral
+    assert r.n_removed == 3
+    assert r.n_collateral == 2
+    assert r.n_remaining == 2
+
+
+def test_s21_starved_tenant_is_visible_in_n_cands(spark, tmp_path):
+    """The post-filtering failure mode s21 exists to expose: a tenant
+    with a single matching corpus vector reports n_exact == 1 and
+    n_cands <= 1 (never padded to k), while a well-populated tenant
+    fills its exact top-k. Plus the structural invariants
+    n_hit <= min(TOP_K, n_cands) and n_exact <= TOP_K for every row."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kafka2clickhouse_py_streamer_spark.llm.similarity import (
+        DIM,
+        N_TENANTS,
+        TOP_K,
+        s21_filtered_search,
+    )
+
+    def vec(seed):
+        return [
+            float(((seed * 31 + i * 17 + 7) % 19) - 9) or 1.0
+            for i in range(DIM)
+        ]
+
+    vec_ids, embs, labels = [], [], []
+    for q in range(10):                    # the query vectors
+        vec_ids.append(q); embs.append(vec(q)); labels.append(q)
+    # tenant 3 (query 3's filter: 3 % N_TENANTS) has exactly ONE
+    # corpus vector; tenant 0 has plenty
+    assert 3 % N_TENANTS == 3
+    vec_ids.append(100); embs.append(vec(100)); labels.append(3)
+    nxt = 101
+    for j in range(30):
+        vec_ids.append(nxt); embs.append(vec(nxt))
+        labels.append(0 if j < 10 else 4 + (j % 5))
+        nxt += 1
+    root = str(tmp_path / "starved_emb")
+    os.makedirs(root)
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array(vec_ids, pa.int64()),
+            "embedding": pa.array(
+                [[float(x) for x in e] for e in embs],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array(labels, pa.int32()),
+        }),
+        os.path.join(root, "embeddings.parquet"),
+    )
+
+    out = {r.query_id: r for r in s21_filtered_search(spark, root).collect()}
+    for r in out.values():
+        assert r.n_hit <= min(TOP_K, r.n_cands)
+        assert r.n_exact <= TOP_K
+    assert out[3].n_exact == 1
+    assert out[3].n_cands <= 1
+    assert out[0].n_exact == TOP_K

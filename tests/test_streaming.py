@@ -2354,3 +2354,40 @@ def test_w14_persisted_decay_matches_batch_and_compacts(spark, tmp_path):
         spark.read.parquet(state)
         .select("batch_id").distinct().count() == 2
     )
+
+
+def test_streaming_exact_dedup_generalizes_to_media_payloads(
+    spark, tmp_path
+):
+    """m05's streaming form needs no new admitter: dedup_admit_batch's
+    fingerprint column works on BINARY payloads (md5 accepts binary),
+    so the persisted-digest admission contract carries over verbatim —
+    first batch seen wins across batches, min-id within a batch."""
+    from kafka2clickhouse_py_streamer_spark.streaming.corpus_stream import (
+        dedup_admit_batch,
+    )
+
+    rows = [
+        (1, bytearray(b"\x00\x01frame-A")),
+        (2, bytearray(b"\x00\x01frame-A")),  # within-batch dup of 1
+        (3, bytearray(b"\xff\xfe;frame-B")),
+    ]
+    later = [
+        (4, bytearray(b"\x00\x01frame-A")),  # cross-batch dup of 1
+        (5, bytearray(b"frame-C")),
+    ]
+    out = str(tmp_path / "m_out")
+    state = str(tmp_path / "m_state")
+    schema = "media_id long, payload binary"
+    dedup_admit_batch(
+        spark.createDataFrame(rows, schema), 0, out, state,
+        id_col="media_id", text_col="payload",
+    )
+    dedup_admit_batch(
+        spark.createDataFrame(later, schema), 1, out, state,
+        id_col="media_id", text_col="payload",
+    )
+    admitted = {
+        r.media_id for r in spark.read.parquet(out).collect()
+    }
+    assert admitted == {1, 3, 5}
