@@ -468,129 +468,202 @@ ORDER BY doc_id
 """
 
 
-PHASH_HAMMING_MAX = 3  # m07 near-dup verify threshold (16-bit hash)
+PHASH_HAMMING_MAX = 3  # m07 near-dup verify threshold (32-bit hash)
+PHASH_BITS = 32        # nibble-level threshold hash width
+PHASH_BANDS = 4        # 4 bands x 8 bits: exact recall for Hamming <= 3
 
 
 def m07_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash near-dup detection over media PAYLOADS — the
-    multimodal sibling of d06's text SimHash: the payload's 16 feature
-    bytes (read from the BINARY column via hex(); with the stub codec
-    these are the MD5-block bytes — a real deployment swaps in
+    multimodal sibling of d06's text SimHash: the payload's 32 feature
+    NIBBLES (read from the BINARY column via hex(); with the stub
+    codec these are the MD5-block nibbles — a real deployment swaps in
     pHash/aHash features at the decoder seam, everything downstream
-    unchanged) threshold against their own mean into a 16-bit hash;
-    hashes block into 4×4-bit bands; band collisions verify by exact
-    Hamming distance ≤ PHASH_HAMMING_MAX (bit_count of xor — pure
-    integer arithmetic both engines reproduce). FOUR bands of FOUR
-    bits is the pigeonhole guarantee: ≤3 differing bits cannot touch
-    all 4 bands, so every true pair at the verify threshold collides
-    on at least one band — banding is EXACT recall for Hamming ≤ 3
-    (2×8 banding only guaranteed Hamming ≤ 1 and measured 74% missed
-    pairs; same layout reasoning as d06's SimHash bands).
+    unchanged) threshold against their own mean into a 32-bit hash;
+    DISTINCT hashes block into 4×8-bit bands; band collisions verify
+    by exact Hamming distance ≤ PHASH_HAMMING_MAX (bit_count of xor —
+    pure integer arithmetic both engines reproduce); hash pairs then
+    expand back to doc pairs, and identical-hash groups pair by a
+    plain ph self-join. FOUR bands is the pigeonhole guarantee: ≤3
+    differing bits cannot touch all 4 bands, so every true pair at the
+    verify threshold collides on at least one band — banding is EXACT
+    recall for Hamming ≤ 3 (same layout reasoning as d06's SimHash
+    bands; an earlier 2-band split measured 74% missed pairs).
 
-    Scale shape: d06's — candidate pairs come from band equi-
-    collisions, never |media|² comparisons; only (doc_id, 16-bit hash)
-    cross the wire; the byte→hash projection rides the scan. The mean
-    divides by 16 (a power of two), so the threshold comparison is
-    exact in binary on both engines."""
+    Scale shape — two deliberate choices a 16-bit/doc-level variant
+    got wrong (it chained a 50k-doc corpus into ONE component through
+    ~1% random-pair collisions, 14.6M pairs):
+    (1) hash width scales the band value space — 8-bit band values
+        give 256 buckets per band, so band-join occupancy is
+        |distinct hashes|/256, and P(random pair ≤ 3 bits apart)
+        drops from 1e-2 (16-bit) to 1.3e-6 (32-bit);
+    (2) the band pair-join runs over DISTINCT hash values, never doc
+        rows — exact-duplicate payload groups (the common case in a
+        replicated/scraped corpus) cannot blow up the candidate join;
+        they expand only at the output, which is the true pair count.
+    Only (doc_id, 32-bit hash) cross the wire; the nibble→hash
+    projection rides the scan. The mean divides by 32 (a power of
+    two), so the threshold comparison is exact on both engines."""
     m = media_table(spark, sf_dir)
+    # staged projections, not one inlined tree: each nibble is a named
+    # alias referenced twice (mean + its own threshold) and the mean is
+    # referenced 32 times, so CollapseProject keeps them materialized —
+    # the one-shot expression inlined the 32-conv mean into every
+    # threshold branch (~1000 conv nodes/row) and tripled the wall time
     hx = F.hex("payload")
-    bytes_ = [
-        F.conv(F.substring(hx, 2 * b + 1, 2), 16, 10).cast("long")
-        for b in range(16)
-    ]
-    mean = sum(bytes_[1:], bytes_[0]) / F.lit(16.0)
+    nibbed = m.select(
+        "doc_id",
+        *[
+            F.conv(F.substring(hx, i + 1, 1), 16, 10)
+            .cast("long")
+            .alias(f"nib{i}")
+            for i in range(PHASH_BITS)
+        ],
+    )
+    mean = sum(
+        (F.col(f"nib{i}") for i in range(1, PHASH_BITS)), F.col("nib0")
+    ) / F.lit(float(PHASH_BITS))
+    with_mean = nibbed.select("*", mean.alias("nib_mean"))
     ph = sum(
         (
-            F.when(bytes_[b] >= mean, F.lit(1 << b)).otherwise(F.lit(0))
-            for b in range(1, 16)
+            F.when(F.col(f"nib{i}") >= F.col("nib_mean"), F.lit(1 << i))
+            .otherwise(F.lit(0))
+            for i in range(1, PHASH_BITS)
         ),
-        F.when(bytes_[0] >= mean, F.lit(1)).otherwise(F.lit(0)),
+        F.when(F.col("nib0") >= F.col("nib_mean"), F.lit(1)).otherwise(
+            F.lit(0)
+        ),
     ).cast("long")
-    hashed = m.select("doc_id", ph.alias("ph"))
-    banded = hashed.select(
-        "doc_id",
+    hashed = with_mean.select("doc_id", ph.alias("ph"))
+    banded = hashed.select("ph").distinct().select(
         "ph",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(j).alias("band_id"),
-                        F.expr(f"(ph div {16 ** j}) % 16").alias(
+                        F.expr(f"(ph div {256 ** j}) % 256").alias(
                             "band_val"
                         ),
                     )
-                    for j in range(4)
+                    for j in range(PHASH_BANDS)
                 ]
             )
         ).alias("b"),
-    ).select("doc_id", "ph", "b.band_id", "b.band_val")
+    ).select("ph", "b.band_id", "b.band_val")
     x = banded.alias("x")
     y = banded.alias("y")
-    cand = (
+    hamming = F.bit_count(
+        F.col("ph_a").bitwiseXOR(F.col("ph_b"))
+    ).cast("long")
+    hp = (
         x.join(
             y,
             (F.col("x.band_id") == F.col("y.band_id"))
             & (F.col("x.band_val") == F.col("y.band_val"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
+            & (F.col("x.ph") < F.col("y.ph")),
         )
         .select(
-            F.col("x.doc_id").alias("doc_a"),
-            F.col("y.doc_id").alias("doc_b"),
-            F.col("x.ph").alias("ph_a"),
-            F.col("y.ph").alias("ph_b"),
+            F.col("x.ph").alias("ph_a"), F.col("y.ph").alias("ph_b")
         )
         .distinct()
-    )
-    hamming = F.bit_count(
-        F.col("ph_a").bitwiseXOR(F.col("ph_b"))
-    ).cast("long")
-    return (
-        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
+        .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
-        .orderBy("doc_a", "doc_b")
     )
+    cross = (
+        hp.join(
+            hashed.select(
+                F.col("doc_id").alias("id_a"), F.col("ph").alias("ph_a")
+            ),
+            "ph_a",
+        )
+        .join(
+            hashed.select(
+                F.col("doc_id").alias("id_b"), F.col("ph").alias("ph_b")
+            ),
+            "ph_b",
+        )
+        .select(
+            F.least("id_a", "id_b").alias("doc_a"),
+            F.greatest("id_a", "id_b").alias("doc_b"),
+            "hamming",
+        )
+    )
+    g1 = hashed.alias("g1")
+    g2 = hashed.alias("g2")
+    same = g1.join(
+        g2,
+        (F.col("g1.ph") == F.col("g2.ph"))
+        & (F.col("g1.doc_id") < F.col("g2.doc_id")),
+    ).select(
+        F.col("g1.doc_id").alias("doc_a"),
+        F.col("g2.doc_id").alias("doc_b"),
+        F.lit(0).cast("long").alias("hamming"),
+    )
+    return cross.unionByName(same).orderBy("doc_a", "doc_b")
 
 
 def _m07_sql() -> str:
-    bytes_ = [
-        f"CAST('0x' || substring(md5(text), {2 * b + 1}, 2) AS BIGINT)"
-        for b in range(16)
+    nibs = [
+        f"CAST('0x' || substring(md5(text), {i + 1}, 1) AS BIGINT)"
+        for i in range(PHASH_BITS)
     ]
-    mean = "(" + " + ".join(f"bs[{b + 1}]" for b in range(16)) + ") / 16.0"
+    mean = (
+        "("
+        + " + ".join(f"ns[{i + 1}]" for i in range(PHASH_BITS))
+        + f") / {float(PHASH_BITS)}"
+    )
     ph = " + ".join(
-        f"(CASE WHEN bs[{b + 1}] >= m THEN {1 << b} ELSE 0 END)"
-        for b in range(16)
+        f"(CASE WHEN ns[{i + 1}] >= m THEN {1 << i} ELSE 0 END)"
+        for i in range(PHASH_BITS)
+    )
+    bands = "\n  UNION ALL\n".join(
+        f"  SELECT ph, {j} AS band_id, (ph // {256 ** j}) % 256"
+        " AS band_val FROM hu"
+        for j in range(PHASH_BANDS)
     )
     return f"""
-WITH b AS (
-  SELECT doc_id, [{', '.join(bytes_)}] AS bs
+WITH n AS (
+  SELECT doc_id, [{', '.join(nibs)}] AS ns
   FROM documents
 ),
 hashed AS (
   SELECT doc_id, CAST({ph} AS BIGINT) AS ph
-  FROM (SELECT doc_id, bs, {mean} AS m FROM b)
+  FROM (SELECT doc_id, ns, {mean} AS m FROM n)
+),
+hu AS (
+  SELECT DISTINCT ph FROM hashed
 ),
 banded AS (
-  SELECT doc_id, ph, 0 AS band_id, (ph // 1) % 16 AS band_val FROM hashed
-  UNION ALL
-  SELECT doc_id, ph, 1 AS band_id, (ph // 16) % 16 AS band_val FROM hashed
-  UNION ALL
-  SELECT doc_id, ph, 2 AS band_id, (ph // 256) % 16 AS band_val FROM hashed
-  UNION ALL
-  SELECT doc_id, ph, 3 AS band_id, (ph // 4096) % 16 AS band_val FROM hashed
+{bands}
 ),
-cand AS (
-  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
-         x.ph AS ph_a, y.ph AS ph_b
-  FROM banded x
-  JOIN banded y ON y.band_id = x.band_id
-              AND y.band_val = x.band_val
-              AND y.doc_id > x.doc_id
+hp AS (
+  SELECT ph_a, ph_b,
+         CAST(bit_count(xor(ph_a, ph_b)) AS BIGINT) AS hamming
+  FROM (
+    SELECT DISTINCT x.ph AS ph_a, y.ph AS ph_b
+    FROM banded x
+    JOIN banded y ON y.band_id = x.band_id
+                AND y.band_val = x.band_val
+                AND y.ph > x.ph
+  )
+  WHERE bit_count(xor(ph_a, ph_b)) <= {PHASH_HAMMING_MAX}
+),
+allpairs AS (
+  SELECT LEAST(a.doc_id, b.doc_id) AS doc_a,
+         GREATEST(a.doc_id, b.doc_id) AS doc_b,
+         f.hamming
+  FROM hp f
+  JOIN hashed a ON a.ph = f.ph_a
+  JOIN hashed b ON b.ph = f.ph_b
+  UNION ALL
+  SELECT g1.doc_id AS doc_a, g2.doc_id AS doc_b,
+         CAST(0 AS BIGINT) AS hamming
+  FROM hashed g1
+  JOIN hashed g2 ON g2.ph = g1.ph AND g2.doc_id > g1.doc_id
 )
-SELECT doc_a, doc_b,
-       CAST(bit_count(xor(ph_a, ph_b)) AS BIGINT) AS hamming
-FROM cand
-WHERE bit_count(xor(ph_a, ph_b)) <= {PHASH_HAMMING_MAX}
+SELECT doc_a, doc_b, hamming
+FROM allpairs
 ORDER BY doc_a, doc_b
 """
 
@@ -648,14 +721,10 @@ def _m08_sql() -> str:
     ctes = m07[len("WITH"):cut].rstrip()
     return f"""
 WITH RECURSIVE {ctes},
-pairs AS (
-  SELECT doc_a, doc_b FROM cand
-  WHERE bit_count(xor(ph_a, ph_b)) <= {PHASH_HAMMING_MAX}
-),
 edges AS (
-  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  SELECT doc_a AS src, doc_b AS dst FROM allpairs
   UNION ALL
-  SELECT doc_b AS src, doc_a AS dst FROM pairs
+  SELECT doc_b AS src, doc_a AS dst FROM allpairs
 ),
 reach(node, lbl) AS (
   SELECT doc_id, doc_id FROM documents
@@ -692,8 +761,8 @@ QUERIES = [
           "media patch tokens, two-pass offsets)"),
     Query("m07_phash_neardup", m07_phash_neardup, _m07_sql(),
           "perceptual-hash near-dup over media payload bytes: "
-          "mean-threshold 16-bit hash, 4x4-bit bands, exact Hamming "
-          "verify"),
+          "mean-threshold 32-bit hash, 4x8-bit bands over DISTINCT "
+          "hashes, exact Hamming verify"),
     Query("m08_media_canonical", m08_media_canonical, _m08_sql(),
           "media near-dup canonicalization: connected components over "
           "the m07 pair graph, canonical member + reclaimable dup "

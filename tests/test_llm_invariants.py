@@ -1096,40 +1096,55 @@ def test_p14_consistent_with_d16(spark, sf_dir):
         assert d16[d] == (kept, removed), (d, d16[d], (kept, removed))
 
 
-def test_m07_banding_is_exact_recall_at_threshold(spark, sf_dir):
+def _serial_phash(text: str) -> int:
+    """The m07 hash re-derived serially: threshold each of the 32
+    md5-hex nibbles against their mean (exact: /32 is a power of 2)."""
+    import hashlib
+
+    ns = [int(c, 16) for c in hashlib.md5(text.encode()).hexdigest()[:32]]
+    m = sum(ns) / 32.0
+    return sum((1 << i) for i in range(32) if ns[i] >= m)
+
+
+def test_m07_banding_is_exact_recall_at_threshold(spark, tmp_path):
     """The pigeonhole guarantee: ≤3 differing bits cannot touch all 4
-    bands, so the banded candidate join must find EVERY pair at the
-    verify threshold — checked against an exhaustive serial Hamming
-    scan of the perceptual hashes."""
+    8-bit bands, so the banded candidate join over distinct hashes —
+    plus the identical-hash self-join — must find EVERY pair at the
+    verify threshold. Checked against an exhaustive serial Hamming
+    scan on a crafted corpus containing one pair at EACH distance
+    0..3 (the probe texts were mined offline for genuine 32-bit phash
+    near-collisions) and unrelated fillers, so recall is exercised at
+    every distance the threshold admits, not just the easy exact-dup
+    case."""
     from kafka2clickhouse_py_streamer_spark.llm.multimodal import (
         PHASH_HAMMING_MAX,
         m07_phash_neardup,
     )
 
+    probes = {
+        1: ("probe text number 6767 for phash search",
+            "probe text number 10737 for phash search"),
+        2: ("probe text number 2774 for phash search",
+            "probe text number 4731 for phash search"),
+        3: ("probe text number 165 for phash search",
+            "probe text number 201 for phash search"),
+    }
+    for d, (a, b) in probes.items():
+        assert bin(_serial_phash(a) ^ _serial_phash(b)).count("1") == d
+    rows = [(10, "identical payload text"), (11, "identical payload text")]
+    nxt = 20
+    for a, b in probes.values():
+        rows += [(nxt, a), (nxt + 1, b)]
+        nxt += 10
+    for j in range(6):  # unrelated fillers
+        rows.append((100 + j, f"filler document {j} with its own words"))
+    root = _write_docs(tmp_path, "phash_docs", rows)
+
     got = {
         (r.doc_a, r.doc_b): r.hamming
-        for r in m07_phash_neardup(spark, sf_dir).collect()
+        for r in m07_phash_neardup(spark, root).collect()
     }
-    # serial ground truth from the same md5-derived feature bytes
-    import duckdb
-
-    con = duckdb.connect()
-    hashes = con.sql(
-        f"""
-        WITH b AS (
-          SELECT doc_id,
-                 [{', '.join(f"CAST('0x' || substring(md5(text), {2*k+1}, 2) AS BIGINT)" for k in range(16))}] AS bs
-          FROM read_parquet('{sf_dir}/documents.parquet')
-        )
-        SELECT doc_id,
-               CAST({' + '.join(f"(CASE WHEN bs[{k+1}] >= m THEN {1 << k} ELSE 0 END)" for k in range(16))} AS BIGINT) AS ph
-        FROM (SELECT doc_id, bs,
-                     ({' + '.join(f'bs[{k+1}]' for k in range(16))}) / 16.0 AS m
-              FROM b)
-        """
-    ).fetchall()
-    con.close()
-    hs = {d: p for d, p in hashes if p is not None}
+    hs = {d: _serial_phash(t) for d, t in rows}
     expect = {}
     ids = sorted(hs)
     for i, a in enumerate(ids):
@@ -1137,7 +1152,9 @@ def test_m07_banding_is_exact_recall_at_threshold(spark, sf_dir):
             h = bin(hs[a] ^ hs[b_]).count("1")
             if h <= PHASH_HAMMING_MAX:
                 expect[(a, b_)] = h
-    assert got == expect and expect  # exact recall, non-trivial fixture
+    assert got == expect
+    # every admissible distance is exercised, incl. the banded ones
+    assert {0, 1, 2, 3} <= set(expect.values())
 
 
 def test_p15_null_source_group_not_orphaned(spark, tmp_path):
