@@ -78,6 +78,9 @@ HEADLINE = [
     # the tenant predicate in the join, plus the filtered-exact
     # ground-truth leg — first recording
     "s21_filtered_search",
+    # round 6 post-freeze: the MAX-merge HLL register sketch — first
+    # recording
+    "w15_hll_distinct",
 ]
 
 

@@ -153,6 +153,7 @@ _VERIFY_FIRST = [
     "d22_dedup_roi",
     "d23_removal_propagation",
     "s21_filtered_search",
+    "w15_hll_distinct",
     # green-r02 but file churned since
     "m03_frame_sample",
     "m04_feature_extract",

@@ -1068,6 +1068,210 @@ ORDER BY event_type
 """
 
 
+HLL_REGS = 256  # 2^8 registers (first 2 md5 hex chars)
+HLL_REM_BITS = 56  # remainder width (next 14 hex chars)
+# alpha_m * m^2 * 2^57 — the raw-estimate numerator with the register
+# sum pre-scaled to integers (see hll_registers); the SAME python float
+# is inlined into the Spark literal and (via repr) the oracle SQL
+_HLL_ALPHA_NUM = (
+    0.7213 / (1 + 1.079 / HLL_REGS)
+    * HLL_REGS * HLL_REGS * 2.0 ** (HLL_REM_BITS + 1)
+)
+_HLL_LC_CUT = 2.5 * HLL_REGS  # small-range (linear counting) switch
+HLL_REL_BOUND = 0.2  # 3σ = 3·1.04/√256 ≈ 0.195 for the raw regime
+
+
+def hll_registers(
+    df: DataFrame, key_col: str = "user_id",
+    scope_col: str = "event_type",
+) -> DataFrame:
+    """SINGLE SOURCE of the per-scope HLL register sketch — the w15
+    batch audit and the persisted streaming sketch (sketch_stream)
+    must hash identically or the twin breaks (`cm_bucket_pairs`
+    discipline). One md5 of the key splits into an 8-bit register
+    index and a 56-bit remainder; the register value is the remainder's
+    leading-zero rank (57 - bit_length, i.e. the position of the
+    highest set bit counted from the top; an all-zero remainder ranks
+    57). Registers merge by MAX — across partitions, scopes, shards,
+    and micro-batches — which is the whole reason HLL streams: state
+    is ≤ |scopes|·256 rows whatever the key volume. Everything is
+    integer arithmetic on md5 hex both engines reproduce bit-for-bit
+    (unlike approx_count_distinct's engine-native sketch in w06, which
+    can only ever be bound-checked)."""
+    hashed = df.filter(F.col(key_col).isNotNull()).select(
+        F.col(scope_col).alias("scope"),
+        F.md5(F.col(key_col).cast("string")).alias("h"),
+    )
+    split = hashed.select(
+        "scope",
+        F.conv(F.substring("h", 1, 2), 16, 10).cast("long").alias("reg"),
+        F.conv(F.substring("h", 3, 14), 16, 10).cast("long").alias("v"),
+    )
+    rho = F.when(F.col("v") == 0, F.lit(HLL_REM_BITS + 1)).otherwise(
+        F.lit(HLL_REM_BITS + 1) - F.length(F.bin("v"))
+    )
+    return (
+        split.select("scope", "reg", rho.alias("rho"))
+        .groupBy("scope", "reg")
+        .agg(F.max("rho").alias("r"))
+    )
+
+
+def hll_estimates_from_registers(regs: DataFrame) -> DataFrame:
+    """(scope, n_regs_touched, est_distinct) read off a (scope, reg, r)
+    register frame, plus an '<ALL>' scope row computed by MAX-MERGING
+    the per-scope registers — the merge property exercised inside the
+    query itself, never a rescan of the data. SINGLE SOURCE shared by
+    the w15 batch audit and the persisted streaming sketch's read-off.
+
+    The harmonic sum is kept EXACT: each register contributes
+    2^(57-r), an integer ≤ 2^56, summed as DECIMAL(38,0); untouched
+    registers contribute 2^57 each. Only the final division happens in
+    floating point, on bit-identical integer inputs, so both engines
+    produce the identical estimate. Small-range correction: linear
+    counting m·ln(m/V) when the raw estimate ≤ 2.5m and V>0 zero
+    registers remain (Flajolet et al. 2007)."""
+    merged = regs.groupBy("reg").agg(F.max("r").alias("r")).select(
+        F.lit("<ALL>").alias("scope"), "reg", "r"
+    )
+    term = F.expr(
+        "cast(shiftleft(cast(1 as bigint),"
+        f" cast({HLL_REM_BITS + 1} - r as int)) as decimal(38,0))"
+    )
+    sk = (
+        regs.unionByName(merged)
+        .groupBy("scope")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_regs_touched"),
+            F.sum(term).alias("s_touched"),
+        )
+    )
+    zero = F.lit(HLL_REGS) - F.col("n_regs_touched")
+    s_full = F.col("s_touched") + zero.cast("decimal(38,0)") * F.lit(
+        1 << (HLL_REM_BITS + 1)
+    ).cast("decimal(38,0)")
+    raw = F.lit(_HLL_ALPHA_NUM) / s_full.cast("double")
+    est = F.when(
+        (raw <= F.lit(_HLL_LC_CUT)) & (zero > 0),
+        F.lit(float(HLL_REGS))
+        * F.log(F.lit(float(HLL_REGS)) / zero.cast("double")),
+    ).otherwise(raw)
+    return sk.select(
+        "scope", "n_regs_touched", F.round(est, 4).alias("est_distinct")
+    )
+
+
+def w15_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HLL distinct-count sketch, audited against exact
+    distincts — the count-distinct member of the sketch triad (w12
+    count-min merges by ADD, w13 histogram by ADD, this by MAX): 256
+    md5-derived registers per event_type estimate the distinct user
+    count, the '<ALL>' row is max-merged from the per-type registers
+    (never a rescan), and every scope reports the exact distinct, the
+    relative error, and whether it sits inside the 3σ envelope.
+
+    Scale shape: the update is ONE hash agg that map-side combines to
+    ≤ 256 rows per scope per partition regardless of event volume; the
+    estimate read-off runs on the ≤ |scopes|·256-row register frame.
+    The exact countDistinct exists only for the audit — a deployment
+    keeps the registers alone (and the registers, unlike w06's
+    engine-native HLL, are oracle-exact on both engines). Same cells
+    under the persisted foreachBatch sketch are the streaming twin
+    (sketch_stream.hll_update_batch, twin-tested)."""
+    ev = table(spark, sf_dir, "events").select("event_type", "user_id")
+    est = hll_estimates_from_registers(hll_registers(ev))
+    keyed = ev.filter(F.col("user_id").isNotNull())
+    exact_scope = keyed.groupBy(
+        F.col("event_type").alias("scope")
+    ).agg(F.countDistinct("user_id").cast("long").alias("n_exact"))
+    exact_all = keyed.agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact")
+    ).select(F.lit("<ALL>").alias("scope"), "n_exact")
+    exact = exact_scope.unionByName(exact_all)
+    # eqNullSafe: a NULL event_type is a legitimate scope on both sides
+    joined = est.join(
+        exact, est["scope"].eqNullSafe(exact["scope"])
+    ).select(
+        est["scope"].alias("scope"),
+        "n_exact",
+        "n_regs_touched",
+        "est_distinct",
+        F.round(
+            F.abs(F.col("est_distinct") - F.col("n_exact"))
+            / F.col("n_exact").cast("double"),
+            6,
+        ).alias("rel_err"),
+    )
+    return joined.withColumn(
+        "within_bound", F.col("rel_err") <= F.lit(HLL_REL_BOUND)
+    ).orderBy(F.col("scope").asc_nulls_first())
+
+
+def _w15_sql() -> str:
+    b = HLL_REM_BITS + 1
+    return f"""
+WITH keyed AS (
+  SELECT event_type AS scope, CAST(user_id AS VARCHAR) AS k
+  FROM events WHERE user_id IS NOT NULL
+),
+split AS (
+  SELECT scope,
+         CAST('0x' || substring(md5(k), 1, 2) AS BIGINT) AS reg,
+         CAST('0x' || substring(md5(k), 3, 14) AS BIGINT) AS v
+  FROM keyed
+),
+regs AS (
+  SELECT scope, reg,
+         MAX(CASE WHEN v = 0 THEN {b}
+             ELSE {b} - length(bin(v)) END) AS r
+  FROM split GROUP BY scope, reg
+),
+allregs AS (
+  SELECT scope, reg, r FROM regs
+  UNION ALL
+  SELECT '<ALL>' AS scope, reg, MAX(r) AS r FROM regs GROUP BY reg
+),
+sk AS (
+  SELECT scope,
+         CAST(COUNT(*) AS BIGINT) AS n_regs_touched,
+         SUM((1::BIGINT << CAST({b} - r AS INT))::HUGEINT) AS s_touched
+  FROM allregs GROUP BY scope
+),
+est AS (
+  SELECT scope, n_regs_touched,
+         {_HLL_ALPHA_NUM!r} / CAST(s_touched
+           + ({HLL_REGS} - n_regs_touched)::HUGEINT
+             * (1::BIGINT << {b})::HUGEINT AS DOUBLE) AS raw,
+         {HLL_REGS} - n_regs_touched AS zero
+  FROM sk
+),
+fin AS (
+  SELECT scope, n_regs_touched,
+         ROUND(CASE WHEN raw <= {_HLL_LC_CUT!r} AND zero > 0
+               THEN CAST({HLL_REGS} AS DOUBLE)
+                    * ln(CAST({HLL_REGS} AS DOUBLE) / CAST(zero AS DOUBLE))
+               ELSE raw END, 4) AS est_distinct
+  FROM est
+),
+exact AS (
+  SELECT scope, CAST(COUNT(DISTINCT k) AS BIGINT) AS n_exact
+  FROM keyed GROUP BY scope
+  UNION ALL
+  SELECT '<ALL>' AS scope, CAST(COUNT(DISTINCT k) AS BIGINT) AS n_exact
+  FROM keyed
+)
+SELECT f.scope, x.n_exact, f.n_regs_touched, f.est_distinct,
+       ROUND(ABS(f.est_distinct - x.n_exact)
+             / CAST(x.n_exact AS DOUBLE), 6) AS rel_err,
+       ROUND(ABS(f.est_distinct - x.n_exact)
+             / CAST(x.n_exact AS DOUBLE), 6) <= {HLL_REL_BOUND!r}
+         AS within_bound
+FROM fin f
+JOIN exact x ON x.scope IS NOT DISTINCT FROM f.scope
+ORDER BY f.scope NULLS FIRST
+"""
+
+
 QUERIES = [
     Query("w01_tumbling", w01_tumbling, W01_SQL, "tumbling 1h windows"),
     Query("w02_sliding", w02_sliding, W02_SQL, "sliding 1h/30m windows"),
@@ -1106,4 +1310,9 @@ QUERIES = [
     Query("w14_decayed_rate", w14_decayed_rate, _w14_sql(),
           "exponentially decayed per-key event rate (6h half-life, "
           "additive cells — streams under a built-in groupBy)"),
+    Query("w15_hll_distinct", w15_hll_distinct, _w15_sql(),
+          "deterministic HLL distinct sketch: 256 md5-derived "
+          "registers per scope, max-merge (incl. the '<ALL>' row "
+          "merged from per-scope registers), linear-counting "
+          "small-range correction, exact-distinct error audit"),
 ]

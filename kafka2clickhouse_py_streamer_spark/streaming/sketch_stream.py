@@ -382,3 +382,102 @@ def compact_decay_state(spark, state_dir: str, through_batch: int) -> int:
     )
     _fold_and_swap(spark, state_dir, consolidated, old_parts, through_batch)
     return len(old_parts)
+
+
+def hll_update_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    key_col: str = "user_id",
+    scope_col: str = "event_type",
+) -> None:
+    """Fold one micro-batch into the persisted HLL register state:
+    write THIS batch's (scope, reg, r) registers — ≤ |scopes|·256 rows
+    whatever the batch size — to their own ``batch_id`` partition
+    (dynamic overwrite ⇒ replay-idempotent). The count-min contract
+    applied to w15's registers, sharing `hll_registers` so the
+    streaming/batch twin can't drift; merging happens at query time by
+    the register MAX."""
+    from kafka2clickhouse_py_streamer_spark.streaming.batch_windows import (
+        hll_registers,
+    )
+
+    spark = batch_df.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (
+        hll_registers(batch_df, key_col=key_col, scope_col=scope_col)
+        .withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(state_dir)
+    )
+
+
+def start_streaming_hll(
+    stream_df: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    key_col: str = "user_id",
+    scope_col: str = "event_type",
+) -> StreamingQuery:
+    """Wire ``hll_update_batch`` under writeStream.foreachBatch."""
+    return (
+        stream_df.writeStream.foreachBatch(
+            lambda df, bid: hll_update_batch(
+                df, bid, state_dir, key_col=key_col, scope_col=scope_col
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def merged_hll(spark, state_dir: str) -> DataFrame:
+    """The LIVE register sketch: register-wise MAX over every
+    persisted batch partition — ≤ |scopes|·256 rows. MAX is
+    additionally idempotent (unlike the count-min SUM), so even a
+    duplicated partition could not corrupt the merge; the dynamic-
+    overwrite contract is still kept for state-size hygiene."""
+    return (
+        spark.read.parquet(state_dir)
+        .groupBy("scope", "reg")
+        .agg(F.max("r").alias("r"))
+    )
+
+
+def hll_distinct_estimates(spark, state_dir: str) -> DataFrame:
+    """(scope, n_regs_touched, est_distinct) over the merged persisted
+    registers — the SAME `hll_estimates_from_registers` arithmetic as
+    the batch w15 audit (including the max-merged '<ALL>' row), so
+    streamed estimates equal batch estimates for any micro-batch cut
+    (twin-tested)."""
+    from kafka2clickhouse_py_streamer_spark.streaming.batch_windows import (
+        hll_estimates_from_registers,
+    )
+
+    return hll_estimates_from_registers(merged_hll(spark, state_dir))
+
+
+def compact_hll_state(spark, state_dir: str, through_batch: int) -> int:
+    """HLL maintenance: fold the per-batch register partitions up to
+    ``through_batch`` into ONE compacted partition by register-wise
+    MAX (the sketch merge itself). Same safety contract and shared
+    swap/recovery mechanics as the other sketch compactors. Returns
+    the number of partitions removed."""
+    _recover_compaction(spark, state_dir)
+    jvm, fs, root = _fs(spark, state_dir)
+    old_parts = _list_foldable(fs, root, through_batch)
+    if not old_parts:
+        return 0
+
+    state = spark.read.parquet(state_dir)
+    consolidated = (
+        state.filter(
+            (F.col("batch_id") == COMPACTED_BATCH_ID)
+            | (F.col("batch_id") <= through_batch)
+        )
+        .groupBy("scope", "reg")
+        .agg(F.max("r").alias("r"))
+    )
+    _fold_and_swap(spark, state_dir, consolidated, old_parts, through_batch)
+    return len(old_parts)

@@ -1500,3 +1500,56 @@ def test_s21_starved_tenant_is_visible_in_n_cands(spark, tmp_path):
     assert out[3].n_exact == 1
     assert out[3].n_cands <= 1
     assert out[0].n_exact == TOP_K
+
+
+def test_w15_registers_match_serial_reference(spark, sf_dir):
+    """The w15 register sketch re-derived serially from hashlib.md5:
+    identical (scope, reg, r) registers, and the reported '<ALL>'
+    estimate equals the textbook HLL formula (harmonic mean + linear-
+    counting small-range branch) computed in plain Python — so the
+    Spark/DuckDB twins aren't just agreeing with each other, they
+    agree with the algorithm as published."""
+    import hashlib
+    import math
+
+    from kafka2clickhouse_py_streamer_spark.operators.base import table
+    from kafka2clickhouse_py_streamer_spark.streaming.batch_windows import (
+        HLL_REGS,
+        HLL_REM_BITS,
+        _HLL_ALPHA_NUM,
+        _HLL_LC_CUT,
+        hll_registers,
+        w15_hll_distinct,
+    )
+
+    ev = table(spark, sf_dir, "events").select("event_type", "user_id")
+    got = {
+        (r.scope, r.reg): r.r for r in hll_registers(ev).collect()
+    }
+    expect = {}
+    for row in ev.filter("user_id IS NOT NULL").collect():
+        h = hashlib.md5(str(row.user_id).encode()).hexdigest()
+        reg, v = int(h[:2], 16), int(h[2:16], 16)
+        rho = (HLL_REM_BITS + 1) - (v.bit_length() if v else 0)
+        key = (row.event_type, reg)
+        expect[key] = max(expect.get(key, 0), rho)
+    assert got == expect and expect
+
+    # serial '<ALL>' estimate from the merged registers
+    merged = {}
+    for (_, reg), r in expect.items():
+        merged[reg] = max(merged.get(reg, 0), r)
+    s_full = sum(1 << (HLL_REM_BITS + 1 - r) for r in merged.values())
+    zero = HLL_REGS - len(merged)
+    s_full += zero * (1 << (HLL_REM_BITS + 1))
+    raw = _HLL_ALPHA_NUM / float(s_full)
+    if raw <= _HLL_LC_CUT and zero > 0:
+        raw = HLL_REGS * math.log(HLL_REGS / zero)
+    out = {r.scope: r for r in w15_hll_distinct(spark, sf_dir).collect()}
+    assert out["<ALL>"].est_distinct == round(raw, 4)
+    assert out["<ALL>"].n_regs_touched == len(merged)
+    # the global sketch must sit inside its 3-sigma envelope, and the
+    # audit columns must be self-consistent on every row
+    assert out["<ALL>"].within_bound
+    for r in out.values():
+        assert r.n_exact >= 1 and 1 <= r.n_regs_touched <= HLL_REGS

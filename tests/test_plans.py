@@ -1466,3 +1466,20 @@ def test_d22_roi_is_two_aggs_over_labels(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" not in plan
     assert python_row_ops(df) == 0
+
+
+def test_w15_hll_register_agg_is_bounded(spark, sf_dir):
+    # the register sketch is hash aggs whose output is bounded by
+    # |scopes|*256 rows (map-side combinable) and the estimate math
+    # runs on that frame, never the events table; the exact-distinct
+    # audit is one more hash agg. No window over the fact table, no
+    # cartesian, zero Python
+    from kafka2clickhouse_py_streamer_spark.streaming.batch_windows import (
+        w15_hll_distinct,
+    )
+
+    df = w15_hll_distinct(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert python_row_ops(df) == 0

@@ -2391,3 +2391,75 @@ def test_streaming_exact_dedup_generalizes_to_media_payloads(
         r.media_id for r in spark.read.parquet(out).collect()
     }
     assert admitted == {1, 3, 5}
+
+
+def test_w15_persisted_hll_matches_batch_and_compacts(spark, tmp_path):
+    """The persisted-state HLL (count-min's state contract applied to
+    w15's registers, merge = MAX): estimates over registers built in
+    three genuine micro-batches equal the batch w15 estimates exactly
+    (including the max-merged '<ALL>' scope); re-delivering a batch
+    overwrites its own partition; compact_hll_state's register-wise
+    MAX fold leaves every estimate unchanged."""
+    from kafka2clickhouse_py_streamer_spark.operators.base import table
+    from kafka2clickhouse_py_streamer_spark.streaming.batch_windows import (
+        w15_hll_distinct,
+    )
+    from kafka2clickhouse_py_streamer_spark.streaming.sketch_stream import (
+        compact_hll_state,
+        hll_distinct_estimates,
+        hll_update_batch,
+        start_streaming_hll,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = (
+        table(spark, sf, "events")
+        .select("event_id", "event_type", "user_id")
+        .orderBy("event_id")
+        .collect()
+    )
+    src = tmp_path / "hll_stream"
+    src.mkdir()
+    third = len(ev) // 3
+    chunks = (ev[:third], ev[third : 2 * third], ev[2 * third :])
+    schema = "event_id long, event_type string, user_id long"
+    for chunk in chunks:
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    state = str(tmp_path / "hll_state")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = start_streaming_hll(stream, state, str(tmp_path / "ckpt_hll"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    def ests():
+        return {
+            r.scope: (r.n_regs_touched, r.est_distinct)
+            for r in hll_distinct_estimates(spark, state).collect()
+        }
+
+    streamed = ests()
+    batch = {
+        r.scope: (r.n_regs_touched, r.est_distinct)
+        for r in w15_hll_distinct(spark, sf).collect()
+    }
+    assert streamed == batch
+    assert "<ALL>" in streamed
+
+    # replay: rewrite batch 1's partition with the same data — the
+    # dynamic overwrite (and MAX's idempotence) leaves merges unchanged
+    hll_update_batch(spark.createDataFrame(chunks[1], schema), 1, state)
+    assert ests() == batch
+
+    # compaction folds the per-batch partitions; estimates unchanged
+    removed = compact_hll_state(spark, state, through_batch=2)
+    assert removed > 0
+    assert ests() == batch
