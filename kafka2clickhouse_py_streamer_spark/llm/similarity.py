@@ -3015,6 +3015,87 @@ ORDER BY r.query_id
 """
 
 
+S22_SEED_MOD = 20  # seeds: vec_id % 20 == 0
+S22_MAX_HOPS = 3  # bounded BFS depth
+
+
+def s22_khop_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-hop neighbourhood expansion over the s09 kNN graph —
+    the graph-traversal step behind retrieval augmentation ("expand
+    the shortlist through the semantic neighbourhood"), seed-set
+    contamination spread, and cluster probing: from each seed vector
+    (deterministic vec_id % S22_SEED_MOD set), follow the directed
+    kNN edges up to S22_MAX_HOPS and report every reached node with
+    its BFS level (min #hops; the seed itself is hop 0).
+
+    This is the BOUNDED-recursion capability (DuckDB: WITH RECURSIVE;
+    Spark has no recursive CTE): a fixed depth unrolls into ONE
+    declarative DAG of per-hop equi-joins — frontier ⋈ edges on the
+    node id, then an anti-join against the already-reached set so a
+    node joins the frontier only at its first (= minimal) level.
+    Level-order expansion makes min-hop exact without a MIN aggregate.
+    Contrast d07/m08's connected components, where the UNBOUNDED
+    diameter forces a convergence-checked driver loop.
+
+    Scale shape: per-hop cost is |frontier|·K_GRAPH candidate rows
+    through hash equi-joins — never a cartesian, never the corpus;
+    reached/frontier carry (seed, node, hop) longs only. At
+    production scale the s09 edge index is materialized once and
+    reused across expansions (the streamed-ANN-index posture);
+    expansion itself is output-bounded: ≤ |seeds|·K^hops rows."""
+    edges = s09_knn_graph(spark, sf_dir).select("src_id", "nbr_id")
+    seeds = _base(spark, sf_dir).filter(
+        F.col("vec_id") % S22_SEED_MOD == 0
+    )
+    reached = seeds.select(
+        F.col("vec_id").alias("seed_id"),
+        F.col("vec_id").alias("node_id"),
+        F.lit(0).cast("long").alias("hops"),
+    )
+    frontier = reached
+    for h in range(1, S22_MAX_HOPS + 1):
+        step = (
+            frontier.join(
+                edges, frontier["node_id"] == edges["src_id"]
+            )
+            .select(
+                "seed_id",
+                F.col("nbr_id").alias("node_id"),
+                F.lit(h).cast("long").alias("hops"),
+            )
+            .distinct()
+        )
+        new = step.join(reached, ["seed_id", "node_id"], "left_anti")
+        reached = reached.unionByName(new)
+        frontier = new
+    return reached.orderBy("seed_id", "hops", "node_id")
+
+
+def _s22_sql() -> str:
+    s09 = _s09_sql().strip()
+    return f"""
+WITH RECURSIVE edges AS (
+  SELECT src_id, nbr_id FROM ({s09})
+),
+nodes AS (
+  SELECT vec_id FROM embeddings WHERE {valid_emb_sql(DIM)}
+),
+reach(seed_id, node_id, hops) AS (
+  SELECT vec_id, vec_id, 0 FROM nodes
+  WHERE vec_id % {S22_SEED_MOD} = 0
+  UNION
+  SELECT r.seed_id, e.nbr_id, r.hops + 1
+  FROM reach r
+  JOIN edges e ON e.src_id = r.node_id
+  WHERE r.hops < {S22_MAX_HOPS}
+)
+SELECT seed_id, node_id, CAST(MIN(hops) AS BIGINT) AS hops
+FROM reach
+GROUP BY seed_id, node_id
+ORDER BY seed_id, hops, node_id
+"""
+
+
 QUERIES = [
     Query("s01_cosine_topk", s01_cosine_topk, S01_SQL,
           "exact brute-force cosine top-k"),
@@ -3076,4 +3157,8 @@ QUERIES = [
     Query("s21_filtered_search", s21_filtered_search, _s21_sql(),
           "metadata-filtered ANN: per-query tenant label applied IN "
           "the (cell, label) probe join, recall vs filtered-exact"),
+    Query("s22_khop_expansion", s22_khop_expansion, _s22_sql(),
+          "bounded k-hop BFS over the kNN graph: fixed-depth "
+          "recursion unrolled into per-hop equi-joins + anti-join "
+          "(WITH RECURSIVE oracle), min-hop levels from seeds"),
 ]

@@ -154,6 +154,7 @@ _VERIFY_FIRST = [
     "d23_removal_propagation",
     "s21_filtered_search",
     "w15_hll_distinct",
+    "s22_khop_expansion",
     # green-r02 but file churned since
     "m03_frame_sample",
     "m04_feature_extract",

@@ -166,7 +166,7 @@ EMB_SWEEP = [
     "s14_ivfpq_search", "s15_mrl_truncation_recall",
     "s16_rrf_fusion", "s17_probe_recall_sweep", "s18_knn_label_eval",
     "s19_cascade_rerank", "s20_index_staleness",
-    "s21_filtered_search",
+    "s21_filtered_search", "s22_khop_expansion",
 ]
 
 

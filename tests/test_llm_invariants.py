@@ -1553,3 +1553,52 @@ def test_w15_registers_match_serial_reference(spark, sf_dir):
     assert out["<ALL>"].within_bound
     for r in out.values():
         assert r.n_exact >= 1 and 1 <= r.n_regs_touched <= HLL_REGS
+
+
+def test_s22_khop_matches_serial_bfs(spark, sf_dir):
+    """The unrolled per-hop join/anti-join dataflow equals a serial
+    level-order BFS over the SAME collected edge set: identical
+    (seed, node) -> min-hop maps, every seed present at hop 0, and the
+    fixture actually exercises multi-hop reach (some node first
+    reached at hop >= 2, so the anti-join's min-level guarantee is
+    load-bearing, not vacuous)."""
+    from kafka2clickhouse_py_streamer_spark.llm.similarity import (
+        S22_MAX_HOPS,
+        S22_SEED_MOD,
+        s09_knn_graph,
+        s22_khop_expansion,
+    )
+
+    got = {
+        (r.seed_id, r.node_id): r.hops
+        for r in s22_khop_expansion(spark, sf_dir).collect()
+    }
+    adj: dict[int, list[int]] = {}
+    nodes = set()
+    for r in s09_knn_graph(spark, sf_dir).collect():
+        adj.setdefault(r.src_id, []).append(r.nbr_id)
+        nodes.update((r.src_id, r.nbr_id))
+    from kafka2clickhouse_py_streamer_spark.llm.similarity import _base
+
+    seeds = [
+        r.vec_id
+        for r in _base(spark, sf_dir)
+        .filter(f"vec_id % {S22_SEED_MOD} = 0")
+        .collect()
+    ]
+    expect = {}
+    for s in seeds:
+        level, seen = [s], {s: 0}
+        for h in range(1, S22_MAX_HOPS + 1):
+            nxt = []
+            for u in level:
+                for v in adj.get(u, []):
+                    if v not in seen:
+                        seen[v] = h
+                        nxt.append(v)
+            level = nxt
+        for n, h in seen.items():
+            expect[(s, n)] = h
+    assert got == expect
+    assert seeds and all(got[(s, s)] == 0 for s in seeds)
+    assert any(h >= 2 for h in got.values())

@@ -1483,3 +1483,18 @@ def test_w15_hll_register_agg_is_bounded(spark, sf_dir):
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
     assert python_row_ops(df) == 0
+
+
+def test_s22_khop_is_equi_joins_only(spark, sf_dir):
+    # the unrolled BFS is hash equi-joins (frontier x edges) and
+    # anti-joins against the reached set — no cartesian, no window
+    # over the corpus, zero Python
+    from kafka2clickhouse_py_streamer_spark.llm.similarity import (
+        s22_khop_expansion,
+    )
+
+    df = s22_khop_expansion(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert python_row_ops(df) == 0
