@@ -155,6 +155,7 @@ _VERIFY_FIRST = [
     "s21_filtered_search",
     "w15_hll_distinct",
     "s22_khop_expansion",
+    "q65_running_distinct",
     # green-r02 but file churned since
     "m03_frame_sample",
     "m04_feature_extract",
@@ -252,6 +253,11 @@ _VERIFY_FIRST = [
     "q62_lateral_topn",
     "q48_salted_join",
     "q49_upsert_merge",
+    "q53_funnel",
+    "q56_mom_growth",
+    "q58_scd2_intervals",
+    "q59_concurrency",
+    "q61_gaps_islands",
     # green-r05 but file churned since
     "d17_containment_pairs",
     "d18_bloom_decontamination",
@@ -302,11 +308,6 @@ _VERIFY_FIRST = [
     "w03_session_window",
     "w04_enriched_windows",
     # green-r04
-    "q53_funnel",
-    "q56_mom_growth",
-    "q58_scd2_intervals",
-    "q59_concurrency",
-    "q61_gaps_islands",
     "q01_pricing_summary",
     "q06_revenue_filter",
     "q12_distinct_agg",

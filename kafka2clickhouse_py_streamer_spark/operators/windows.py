@@ -543,6 +543,96 @@ FROM per_island GROUP BY user_id ORDER BY user_id
 """
 
 
+def q65_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative DISTINCT count over event time — "unique users seen
+    so far" per event_type at each hour, the audience-accumulation
+    curve every growth dashboard carries. Spark has no
+    ``COUNT(DISTINCT) OVER``; the standard rewrite makes the running
+    distinct additive: a user's FIRST hour (one hash agg on
+    (event_type, user)) contributes 1 exactly once, hourly
+    first-appearance counts left-join the full per-type hour grid
+    (hours whose events are all repeat visitors must still emit a
+    row), and a running SUM replaces the impossible running DISTINCT.
+    The DuckDB oracle runs its NATIVE windowed distinct aggregate —
+    two structurally different computations meeting on the same curve,
+    which is exactly what the oracle is for.
+
+    Scale shape: everything after the (event_type, user) first-seen
+    agg (map-side combinable, output = |active pairs|) operates on the
+    ≤ |types|·|hours| grid — the running-sum window never touches the
+    fact table. Null user_ids carry no identity on either engine
+    (DISTINCT ignores NULL); null-ts events can't be placed in any
+    hour (the w-ops' timed_events contract)."""
+    from kafka2clickhouse_py_streamer_spark.streaming.batch_windows import (
+        timed_events,
+    )
+
+    ev = (
+        timed_events(spark, sf_dir)
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            "event_type",
+            "user_id",
+            F.date_trunc("hour", "ts").alias("h"),
+        )
+    )
+    first_seen = ev.groupBy("event_type", "user_id").agg(
+        F.min("h").alias("h")
+    )
+    news = first_seen.groupBy("event_type", "h").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    grid = ev.select("event_type", "h").distinct()
+    # eqNullSafe on event_type: a NULL type is a legitimate key
+    joined = grid.alias("g").join(
+        news.alias("n"),
+        F.col("g.event_type").eqNullSafe(F.col("n.event_type"))
+        & (F.col("g.h") == F.col("n.h")),
+        "left",
+    ).select(
+        F.col("g.event_type").alias("event_type"),
+        F.col("g.h").alias("hour_start"),
+        F.coalesce("n.new_users", F.lit(0)).cast("long").alias(
+            "new_users"
+        ),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        joined.withColumn(
+            "cum_users", F.sum("new_users").over(w).cast("long")
+        )
+        .orderBy(
+            F.col("event_type").asc_nulls_first(), F.col("hour_start")
+        )
+    )
+
+
+Q65_SQL = """
+WITH ev AS (
+  SELECT event_type, user_id, DATE_TRUNC('hour', ts) AS h
+  FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+curve AS (
+  SELECT DISTINCT event_type, h,
+         COUNT(DISTINCT user_id) OVER (
+           PARTITION BY event_type ORDER BY h) AS cum_users
+  FROM ev
+)
+SELECT event_type, h AS hour_start,
+       CAST(cum_users - COALESCE(LAG(cum_users) OVER (
+              PARTITION BY event_type ORDER BY h), 0) AS BIGINT)
+         AS new_users,
+       CAST(cum_users AS BIGINT) AS cum_users
+FROM curve
+ORDER BY event_type NULLS FIRST, hour_start
+"""
+
+
 QUERIES = [
     Query("q08_topk_per_group", q08_topk_per_group, Q08_SQL,
           "row_number top-K per group"),
@@ -570,4 +660,8 @@ QUERIES = [
     Query("q61_gaps_islands", q61_gaps_islands, Q61_SQL,
           "gaps-and-islands: contiguous active-day streaks per user "
           "(date-minus-row_number)"),
+    Query("q65_running_distinct", q65_running_distinct, Q65_SQL,
+          "running distinct users per event_type by hour: first-"
+          "occurrence rewrite + running SUM on Spark vs DuckDB's "
+          "native COUNT(DISTINCT) OVER"),
 ]

@@ -154,7 +154,7 @@ EVENTS_SWEEP = [
     "q58_scd2_intervals", "q59_concurrency", "q61_gaps_islands",
     "w09_gap_fill", "w10_rate_anomaly", "w11_rollup_cascade",
     "w12_countmin_heavyhitters", "w13_histogram_quantiles",
-    "w14_decayed_rate", "w15_hll_distinct",
+    "w14_decayed_rate", "w15_hll_distinct", "q65_running_distinct",
 ]
 
 EMB_SWEEP = [

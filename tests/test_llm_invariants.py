@@ -1602,3 +1602,46 @@ def test_s22_khop_matches_serial_bfs(spark, sf_dir):
     assert got == expect
     assert seeds and all(got[(s, s)] == 0 for s in seeds)
     assert any(h >= 2 for h in got.values())
+
+
+def test_q65_matches_serial_accumulation(spark, sf_dir):
+    """A third implementation pins the pair: serial per-type
+    accumulation of first-seen users per hour equals the distributed
+    first-occurrence rewrite (the DuckDB oracle is the native windowed
+    DISTINCT — this closes the triangle). Also: cum_users is strictly
+    the running sum of new_users and monotone non-decreasing."""
+    from kafka2clickhouse_py_streamer_spark.operators.base import table
+    from kafka2clickhouse_py_streamer_spark.operators.windows import (
+        q65_running_distinct,
+    )
+
+    rows = q65_running_distinct(spark, sf_dir).collect()
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter("ts IS NOT NULL AND user_id IS NOT NULL")
+        .selectExpr("event_type", "user_id", "date_trunc('hour', ts) AS h")
+        .collect()
+    )
+    hours = {}
+    for r in ev:
+        hours.setdefault(r.event_type, set()).add(r.h)
+    expect = {}
+    for et, hs in hours.items():
+        seen = set()
+        cum = []
+        users_by_hour = {}
+        for r in ev:
+            if r.event_type == et:
+                users_by_hour.setdefault(r.h, set()).add(r.user_id)
+        for h in sorted(hs):
+            before = len(seen)
+            seen |= users_by_hour[h]
+            expect[(et, h)] = (len(seen) - before, len(seen))
+    got = {(r.event_type, r.hour_start): (r.new_users, r.cum_users)
+           for r in rows}
+    assert got == expect and expect
+    by_type = {}
+    for r in sorted(rows, key=lambda r: (r.event_type or "", r.hour_start)):
+        prev = by_type.get(r.event_type, 0)
+        assert r.cum_users == prev + r.new_users >= prev
+        by_type[r.event_type] = r.cum_users

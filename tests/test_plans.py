@@ -1498,3 +1498,18 @@ def test_s22_khop_is_equi_joins_only(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert python_row_ops(df) == 0
+
+
+def test_q65_window_runs_on_grid_not_facts(spark, sf_dir):
+    # the running-sum window and the left join operate on the
+    # (type, hour) grid / (type, user) first-seen frames — the only
+    # fact-table operators are two hash aggs and a distinct; nothing
+    # cartesian, zero Python
+    from kafka2clickhouse_py_streamer_spark.operators.windows import (
+        q65_running_distinct,
+    )
+
+    df = q65_running_distinct(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert python_row_ops(df) == 0
