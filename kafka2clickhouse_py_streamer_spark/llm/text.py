@@ -1593,6 +1593,99 @@ ORDER BY source, stage
 """
 
 
+KEYWORDS_K = 3  # keywords reported per document
+
+
+def t21_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction — the top-KEYWORDS_K tokens by
+    TF-IDF (in-doc term count × ln(N/df)), the standard first-pass
+    summarizer behind corpus exploration, topic labeling, and search
+    snippet generation. Rank key is the 1e-6-ROUNDED score (the s09
+    discipline: ordering by a raw double invites cross-engine
+    last-ulp rank flips; equal (tf, df) pairs tie exactly and break
+    on the token).
+
+    Scale shape: explode → ONE (doc, token) hash agg (map-side
+    combinable — stopwords collapse per partition before the
+    shuffle); df re-aggregates THAT frame (unique (doc, token) rows,
+    never raw occurrences); the corpus-size scalar joins back as a
+    one-row broadcast; the top-k window partitions by doc_id — groups
+    are |distinct tokens in one doc|, so no global sort and no skew
+    beyond a single document's vocabulary."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.expr(tokens_expr("text"))).alias("token"),
+    ).filter(F.length("token") > 0)
+    tf_doc = toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("tf_doc")
+    )
+    df_tok = tf_doc.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    total = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        tf_doc.join(df_tok, "token")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "token",
+            "tf_doc",
+            "df",
+            F.round(
+                F.col("tf_doc")
+                * F.log(F.col("n_docs") / F.col("df")),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= KEYWORDS_K)
+        .select("doc_id", "rk", "token", "tf_doc", "df", "score")
+        .orderBy("doc_id", "rk")
+    )
+
+
+T21_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         UNNEST(regexp_split_to_array(TRIM(LOWER(text)), '\s+')) AS token
+  FROM documents
+),
+tf_doc AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf_doc
+  FROM toks WHERE LENGTH(token) > 0
+  GROUP BY doc_id, token
+),
+df_tok AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+  FROM tf_doc GROUP BY token
+),
+total AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents
+),
+scored AS (
+  SELECT t.doc_id, t.token, t.tf_doc, d.df,
+         ROUND(t.tf_doc * LN(n_docs / d.df), 6) AS score
+  FROM tf_doc t
+  JOIN df_tok d ON d.token = t.token, total
+),
+ranked AS (
+  SELECT *,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+              ORDER BY score DESC, token ASC) AS BIGINT) AS rk
+  FROM scored
+)
+SELECT doc_id, rk, token, tf_doc, df, score
+FROM ranked WHERE rk <= {KEYWORDS_K}
+ORDER BY doc_id, rk
+"""
+
+
 QUERIES = [
     Query("t01_token_count", t01_token_count, T01_SQL,
           "whitespace + subword-proxy token counts"),
@@ -1642,4 +1735,7 @@ QUERIES = [
     Query("t20_gopher_funnel", t20_gopher_funnel, _t20_sql(),
           "Gopher-rule cascade funnel: per (source, stage) "
           "fail-here/remaining counts in one corpus scan + one agg"),
+    Query("t21_tfidf_keywords", t21_tfidf_keywords, T21_SQL,
+          "per-doc keyword extraction: top-3 tokens by 1e-6-rounded "
+          "TF-IDF, per-doc window over the (doc, token) agg"),
 ]

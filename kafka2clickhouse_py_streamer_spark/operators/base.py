@@ -156,6 +156,7 @@ _VERIFY_FIRST = [
     "w15_hll_distinct",
     "s22_khop_expansion",
     "q65_running_distinct",
+    "t21_tfidf_keywords",
     # green-r02 but file churned since
     "m03_frame_sample",
     "m04_feature_extract",

@@ -94,6 +94,7 @@ SWEEP = [
     "t20_gopher_funnel",
     "t13_zipf_fit", "t14_bigram_logprob", "t15_perplexity_buckets",
     "t16_bm25_topk", "t17_chunk_passages", "t18_ngram_novelty",
+    "t21_tfidf_keywords",
     "d17_containment_pairs", "d20_snapshot_diff",
     "d21_softdedup_weights",
     "d22_dedup_roi", "d23_removal_propagation",

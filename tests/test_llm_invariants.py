@@ -1645,3 +1645,52 @@ def test_q65_matches_serial_accumulation(spark, sf_dir):
         prev = by_type.get(r.event_type, 0)
         assert r.cum_users == prev + r.new_users >= prev
         by_type[r.event_type] = r.cum_users
+
+
+def test_t21_keywords_match_serial_tfidf(spark, sf_dir):
+    """Top-3 keyword rows equal a serial TF-IDF recompute (tokenize →
+    per-doc counts → df → score → sort by (rounded score desc, token))
+    and ranks are exactly 1..min(3, |doc vocab|) per doc."""
+    import math
+
+    from kafka2clickhouse_py_streamer_spark.llm.text import (
+        KEYWORDS_K,
+        t21_tfidf_keywords,
+    )
+    from kafka2clickhouse_py_streamer_spark.operators.base import table
+
+    rows = t21_tfidf_keywords(spark, sf_dir).collect()
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    n_docs = float(len(docs))
+    per_doc: dict[int, dict[str, int]] = {}
+    for d in docs:
+        toks = (d.text or "").strip().lower().split()
+        if toks == [""]:
+            toks = []
+        counts: dict[str, int] = {}
+        for t in toks:
+            if t:
+                counts[t] = counts.get(t, 0) + 1
+        if counts:
+            per_doc[d.doc_id] = counts
+    df: dict[str, int] = {}
+    for counts in per_doc.values():
+        for t in counts:
+            df[t] = df.get(t, 0) + 1
+    expect = {}
+    for did, counts in per_doc.items():
+        scored = sorted(
+            (
+                (-round(tf * math.log(n_docs / df[t]), 6), t, tf)
+                for t, tf in counts.items()
+            )
+        )[:KEYWORDS_K]
+        for rk, (neg, t, tf) in enumerate(scored, 1):
+            expect[(did, rk)] = (t, tf, df[t], -neg)
+    got = {
+        (r.doc_id, r.rk): (r.token, r.tf_doc, r.df, r.score)
+        for r in rows
+    }
+    assert got == expect and expect

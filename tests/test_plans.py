@@ -1513,3 +1513,17 @@ def test_q65_window_runs_on_grid_not_facts(spark, sf_dir):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert python_row_ops(df) == 0
+
+
+def test_t21_keywords_window_over_doc_vocab(spark, sf_dir):
+    # df re-aggregates the (doc, token) frame; the scalar corpus size
+    # is a one-row broadcast; the top-k window partitions by doc_id —
+    # no cartesian beyond the broadcast scalar, zero Python
+    from kafka2clickhouse_py_streamer_spark.llm.text import (
+        t21_tfidf_keywords,
+    )
+
+    df = t21_tfidf_keywords(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert python_row_ops(df) == 0
