@@ -191,23 +191,16 @@ ORDER BY p_brand
 """
 
 
-def q26_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join (Spark has no native one): for each event, the latest
-    order of the same key at-or-before the event date.
-
-    Default plan is the **union-sort carry-forward**: tag both sides,
-    union them, shuffle ONCE on the key, sort within the key by
-    (time, side, orderkey), and carry the latest order's columns onto
-    each event row with a running ``last(..., ignoreNulls)`` window.
-    There is no join operator at all — the intermediate is exactly
-    |events| + |orders| rows, so per-key fan-out is bounded linearly
-    no matter how many earlier orders a hot user has. The join+rn=1
-    formulation (``asof_join_fanout`` below, kept as the oracle twin)
-    materializes every (event, earlier-order) pair first — unbounded
-    per-key at 100 TB. (Reference has no joins at all — SURVEY.md §2b.)
-    """
-    e = table(spark, sf_dir, "events")
-    o = table(spark, sf_dir, "orders")
+def asof_carry_enrich(e: DataFrame, o: DataFrame) -> DataFrame:
+    """The union-sort carry-forward as-of core, SHARED by the q26
+    batch operator and the streaming timeline enrichment
+    (streaming/asof_stream.py) so the twins cannot drift: events
+    (event_id, user_id, ts) each pick up the latest order
+    (o_custkey, o_orderkey, o_orderdate, o_totalprice) of the same
+    key at-or-before their time. Tie/dup discipline: orders sort
+    before events at the same instant (as-of is ≤), equal-instant
+    orders resolve to the max o_orderkey (ascending sort + last()).
+    Returns unordered enriched event rows; callers order/partition."""
     ev = e.select(
         F.col("user_id").alias("k"),
         F.date_trunc("second", F.col("ts")).alias("t"),
@@ -252,19 +245,36 @@ def q26_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             for c in ("o_orderkey", "o_orderdate", "o_totalprice")
         ],
     )
-    return (
-        carried.filter(
-            (F.col("is_event") == 1) & F.col("o_orderkey").isNotNull()
-        )
-        .select(
-            "event_id",
-            F.col("k").alias("user_id"),
-            "o_orderkey",
-            "o_orderdate",
-            "o_totalprice",
-        )
-        .orderBy("event_id")
+    return carried.filter(
+        (F.col("is_event") == 1) & F.col("o_orderkey").isNotNull()
+    ).select(
+        "event_id",
+        F.col("k").alias("user_id"),
+        "o_orderkey",
+        "o_orderdate",
+        "o_totalprice",
     )
+
+
+def q26_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark has no native one): for each event, the latest
+    order of the same key at-or-before the event date.
+
+    Default plan is the **union-sort carry-forward**
+    (:func:`asof_carry_enrich`): tag both sides, union them, shuffle
+    ONCE on the key, sort within the key by (time, side, orderkey),
+    and carry the latest order's columns onto each event row with a
+    running ``last(..., ignoreNulls)`` window. There is no join
+    operator at all — the intermediate is exactly |events| + |orders|
+    rows, so per-key fan-out is bounded linearly no matter how many
+    earlier orders a hot user has. The join+rn=1 formulation
+    (``asof_join_fanout`` below, kept as the oracle twin) materializes
+    every (event, earlier-order) pair first — unbounded per-key at
+    100 TB. (Reference has no joins at all — SURVEY.md §2b.)
+    """
+    e = table(spark, sf_dir, "events")
+    o = table(spark, sf_dir, "orders")
+    return asof_carry_enrich(e, o).orderBy("event_id")
 
 
 def asof_join_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:

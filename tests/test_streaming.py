@@ -2463,3 +2463,137 @@ def test_w15_persisted_hll_matches_batch_and_compacts(spark, tmp_path):
     removed = compact_hll_state(spark, state, through_batch=2)
     assert removed > 0
     assert ests() == batch
+
+
+def test_asof_stream_matches_batch_q26_and_compacts(spark, tmp_path):
+    """The streamed as-of enrichment: one interleaved (dims + facts)
+    stream cut into three time-ordered micro-batches yields EXACTLY
+    batch q26 over the full input (same shared carry core, persisted
+    dimension state); re-delivering a batch overwrites its own out +
+    state partitions (no dup rows, same totals); compact_asof_state's
+    SCD-frontier fold leaves the enrichment of post-watermark facts
+    provably unchanged (checked against an uncompacted state copy)."""
+    import datetime
+    import shutil
+
+    from kafka2clickhouse_py_streamer_spark.operators.base import table
+    from kafka2clickhouse_py_streamer_spark.operators.joins import (
+        q26_asof_join,
+    )
+    from kafka2clickhouse_py_streamer_spark.streaming.asof_stream import (
+        ASOF_STREAM_SCHEMA,
+        asof_enrich_batch,
+        compact_asof_state,
+        start_streaming_asof,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = table(spark, sf, "events").selectExpr(
+        "1 AS is_event", "event_id", "user_id", "ts",
+        "CAST(NULL AS LONG) AS o_custkey",
+        "CAST(NULL AS LONG) AS o_orderkey",
+        "CAST(NULL AS TIMESTAMP) AS o_orderdate",
+        "CAST(NULL AS DOUBLE) AS o_totalprice",
+    )
+    od = table(spark, sf, "orders").selectExpr(
+        "0 AS is_event",
+        "CAST(NULL AS LONG) AS event_id",
+        "CAST(NULL AS LONG) AS user_id",
+        "CAST(NULL AS TIMESTAMP) AS ts",
+        "o_custkey", "o_orderkey",
+        "CAST(o_orderdate AS TIMESTAMP) AS o_orderdate",
+        "o_totalprice",
+    )
+    # time-ordered interleave across kinds (dims first on ties — the
+    # ordering contract); null-time rows lead (they enrich nothing)
+    rows = sorted(
+        ev.unionByName(od).collect(),
+        key=lambda r: (
+            (r.ts if r.is_event else r.o_orderdate) is not None,
+            (r.ts if r.is_event else r.o_orderdate)
+            or datetime.datetime.min,
+            r.is_event,
+        ),
+    )
+    src = tmp_path / "asof_src"
+    src.mkdir()
+    third = len(rows) // 3
+    chunks = (rows[:third], rows[third : 2 * third], rows[2 * third :])
+    for c in chunks:
+        spark.createDataFrame(c, ASOF_STREAM_SCHEMA).coalesce(
+            1
+        ).write.mode("append").parquet(str(src))
+
+    out = str(tmp_path / "asof_out")
+    state = str(tmp_path / "asof_state")
+    stream = (
+        spark.readStream.schema(ASOF_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = start_streaming_asof(
+        stream, out, state, str(tmp_path / "ckpt_asof")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    def collect_out():
+        return {
+            r.event_id: (r.user_id, r.o_orderkey,
+                         r.o_orderdate, r.o_totalprice)
+            for r in spark.read.parquet(out).collect()
+        }
+
+    streamed = collect_out()
+    batch = {
+        r.event_id: (r.user_id, r.o_orderkey,
+                     r.o_orderdate, r.o_totalprice)
+        for r in q26_asof_join(spark, sf).collect()
+    }
+    assert streamed == batch and batch
+
+    # replay batch 1: partitions overwritten, result identical
+    asof_enrich_batch(
+        spark.createDataFrame(chunks[1], ASOF_STREAM_SCHEMA),
+        1, out, state,
+    )
+    assert collect_out() == batch
+
+    # compaction: SCD frontier under a watermark between the dims —
+    # post-watermark facts enrich identically to the uncompacted state
+    state_copy = str(tmp_path / "asof_state_copy")
+    shutil.copytree(state, state_copy)
+    dims = [r for c in chunks for r in c if r.is_event == 0]
+    w_mark = sorted(
+        d.o_orderdate for d in dims if d.o_orderdate is not None
+    )[len(dims) // 2]
+    removed = compact_asof_state(
+        spark, state, through_batch=2, watermark=w_mark
+    )
+    assert removed > 0
+    t_late = max(
+        r.ts for c in chunks for r in c
+        if r.is_event and r.ts is not None
+    ) + datetime.timedelta(hours=1)
+    late_users = sorted({d.o_custkey for d in dims})[:8]
+    late = [
+        (1, 9_000_000 + i, u, t_late + datetime.timedelta(minutes=i),
+         None, None, None, None)
+        for i, u in enumerate(late_users)
+    ]
+    late_df = spark.createDataFrame(late, ASOF_STREAM_SCHEMA)
+    out_c = str(tmp_path / "late_c")
+    out_u = str(tmp_path / "late_u")
+    asof_enrich_batch(late_df, 3, out_c, state)
+    asof_enrich_batch(late_df, 3, out_u, state_copy)
+    got_c = {
+        r.event_id: (r.o_orderkey, r.o_orderdate, r.o_totalprice)
+        for r in spark.read.parquet(out_c).collect()
+    }
+    got_u = {
+        r.event_id: (r.o_orderkey, r.o_orderdate, r.o_totalprice)
+        for r in spark.read.parquet(out_u).collect()
+    }
+    assert got_c == got_u and got_c

@@ -89,6 +89,12 @@ HEAVY = [
     # the both-sides-large shingle equi-join (train set vs eval set) —
     # the one new shape whose hot keys the DF cap must keep bounded
     "p21_split_leakage",
+    # round 6 post-freeze: the unrolled BFS over the s09 graph (pays
+    # the bucket self-join 1x plus per-hop frontier joins) and the
+    # token-explode + per-doc-window keyword extraction — the two new
+    # shapes with row growth; w15/q65 are grid-bounded hash aggs
+    "s22_khop_expansion",
+    "t21_tfidf_keywords",
 ]
 VOWELS = "aeiou"
 
