@@ -579,10 +579,23 @@ def q65_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     first_seen = ev.groupBy("event_type", "user_id").agg(
         F.min("h").alias("h")
     )
+    grid = ev.select("event_type", "h").distinct()
+    return distinct_curve_frames(first_seen, grid)
+
+
+def distinct_curve_frames(
+    first_seen: DataFrame, grid: DataFrame
+) -> DataFrame:
+    """SINGLE SOURCE of q65's curve read-off — shared with the
+    persisted streaming form (sketch_stream.distinct_curve), which
+    feeds the SAME two frames from its state tables so the twins
+    can't drift: hourly first-appearance counts left-join the full
+    (event_type, h) grid (hours of repeat-only visitors still emit),
+    then the running SUM accumulates per type. Everything here runs
+    on the ≤ |types|·|hours| grid / |active pairs| frames."""
     news = first_seen.groupBy("event_type", "h").agg(
         F.count(F.lit(1)).alias("new_users")
     )
-    grid = ev.select("event_type", "h").distinct()
     # eqNullSafe on event_type: a NULL type is a legitimate key
     joined = grid.alias("g").join(
         news.alias("n"),

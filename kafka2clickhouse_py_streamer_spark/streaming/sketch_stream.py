@@ -41,6 +41,7 @@ from kafka2clickhouse_py_streamer_spark.streaming.corpus_stream import (
     _fold_and_swap,
     _fs,
     _list_foldable,
+    _read_prior_state,
     _recover_compaction,
 )
 
@@ -481,3 +482,132 @@ def compact_hll_state(spark, state_dir: str, through_batch: int) -> int:
     )
     _fold_and_swap(spark, state_dir, consolidated, old_parts, through_batch)
     return len(old_parts)
+
+
+def distinct_curve_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    key_col: str = "user_id",
+    scope_col: str = "event_type",
+    time_col: str = "ts",
+) -> None:
+    """Fold one micro-batch into the persisted EXACT distinct-curve
+    state — w15's HLL answers "how many uniques"; this maintains
+    q65's exact audience-accumulation curve, and the pair documents
+    the state trade: exact state is O(|distinct (scope, key) pairs|)
+    rows (`<state>/pairs`), the HLL's is ≤ |scopes|·256 — the whole
+    reason the sketch exists.
+
+    Two state tables, both ``batch_id``-partitioned under dynamic
+    overwrite (replay-idempotent): ``pairs`` admits each (scope, key)
+    ONCE — an eqNullSafe anti-join against prior state (a NULL scope
+    is a legitimate key; a plain column-list join would re-admit it
+    every batch) — carrying its first hour; ``grid`` records the
+    (scope, hour) combinations seen, so repeat-only hours still emit
+    curve rows. Ordering contract (the admitters' class): cuts must
+    respect event time, or a key's recorded first hour is the first
+    hour OF ITS ADMITTING BATCH."""
+    spark = batch_df.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    ev = batch_df.filter(
+        F.col(time_col).isNotNull() & F.col(key_col).isNotNull()
+    ).select(
+        F.col(scope_col).alias("event_type"),
+        F.col(key_col).alias("user_id"),
+        F.date_trunc("hour", time_col).alias("h"),
+    )
+    firsts = ev.groupBy("event_type", "user_id").agg(
+        F.min("h").alias("h")
+    )
+    pairs_dir = state_dir + "/pairs"
+    prior = _read_prior_state(spark, pairs_dir, batch_id)
+    if prior is not None:
+        p = prior.select(
+            F.col("event_type").alias("p_et"),
+            F.col("user_id").alias("p_uid"),
+        )
+        firsts = firsts.join(
+            p,
+            F.col("event_type").eqNullSafe(F.col("p_et"))
+            & (F.col("user_id") == F.col("p_uid")),
+            "left_anti",
+        )
+    (
+        firsts.withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(pairs_dir)
+    )
+    (
+        ev.select("event_type", "h")
+        .distinct()
+        .withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(state_dir + "/grid")
+    )
+
+
+def start_streaming_distinct_curve(
+    stream_df: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    **kwargs,
+) -> StreamingQuery:
+    """Wire ``distinct_curve_batch`` under writeStream.foreachBatch."""
+    return (
+        stream_df.writeStream.foreachBatch(
+            lambda df, bid: distinct_curve_batch(
+                df, bid, state_dir, **kwargs
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def distinct_curve(spark, state_dir: str) -> DataFrame:
+    """The LIVE curve: feed the persisted pairs/grid state through the
+    SAME `distinct_curve_frames` read-off as batch q65 (twin-tested
+    equal for time-ordered cuts)."""
+    from kafka2clickhouse_py_streamer_spark.operators.windows import (
+        distinct_curve_frames,
+    )
+
+    pairs = spark.read.parquet(state_dir + "/pairs").select(
+        "event_type", "user_id", "h"
+    )
+    grid = (
+        spark.read.parquet(state_dir + "/grid")
+        .select("event_type", "h")
+        .distinct()
+    )
+    return distinct_curve_frames(pairs, grid)
+
+
+def compact_distinct_curve_state(
+    spark, state_dir: str, through_batch: int
+) -> int:
+    """Curve maintenance: fold both state tables' per-batch partitions
+    up to ``through_batch`` into ONE compacted partition each — pairs
+    rows are unique (scope, key) by admission and grid folds by
+    DISTINCT, so both folds are plain re-partitions of their own
+    contract. Shared swap/recovery mechanics; returns partitions
+    removed across the two tables."""
+    removed = 0
+    for sub, dedup in (("/pairs", False), ("/grid", True)):
+        d = state_dir + sub
+        _recover_compaction(spark, d)
+        jvm, fs, root = _fs(spark, d)
+        old_parts = _list_foldable(fs, root, through_batch)
+        if not old_parts:
+            continue
+        state = spark.read.parquet(d).filter(
+            (F.col("batch_id") == COMPACTED_BATCH_ID)
+            | (F.col("batch_id") <= through_batch)
+        ).drop("batch_id")
+        consolidated = state.distinct() if dedup else state
+        _fold_and_swap(spark, d, consolidated, old_parts, through_batch)
+        removed += len(old_parts)
+    return removed

@@ -2597,3 +2597,94 @@ def test_asof_stream_matches_batch_q26_and_compacts(spark, tmp_path):
         for r in spark.read.parquet(out_u).collect()
     }
     assert got_c == got_u and got_c
+
+
+def test_q65_persisted_distinct_curve_matches_batch_and_compacts(
+    spark, tmp_path
+):
+    """The persisted exact distinct-curve state (q65's streaming twin,
+    and w15's exact counterpart): the curve over pairs/grid state
+    built in three time-ordered micro-batches equals batch q65
+    exactly; a re-delivered batch overwrites its own partitions; the
+    DISTINCT/identity compaction folds leave the curve unchanged.
+    Also pins the state trade the HLL exists for: pairs state is one
+    row per distinct (scope, user)."""
+    from kafka2clickhouse_py_streamer_spark.operators.base import table
+    from kafka2clickhouse_py_streamer_spark.operators.windows import (
+        q65_running_distinct,
+    )
+    from kafka2clickhouse_py_streamer_spark.streaming.sketch_stream import (
+        compact_distinct_curve_state,
+        distinct_curve,
+        distinct_curve_batch,
+        start_streaming_distinct_curve,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = (
+        table(spark, sf, "events")
+        .select("event_id", "event_type", "user_id", "ts")
+        .filter("ts IS NOT NULL")
+        .orderBy("ts", "event_id")  # time-ordered cuts: the contract
+        .collect()
+    )
+    schema = (
+        "event_id long, event_type string, user_id long, ts timestamp"
+    )
+    src = tmp_path / "dc_stream"
+    src.mkdir()
+    third = len(ev) // 3
+    chunks = (ev[:third], ev[third : 2 * third], ev[2 * third :])
+    for c in chunks:
+        spark.createDataFrame(c, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    state = str(tmp_path / "dc_state")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = start_streaming_distinct_curve(
+        stream, state, str(tmp_path / "ckpt_dc")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    def curve():
+        return [
+            (r.event_type, r.hour_start, r.new_users, r.cum_users)
+            for r in distinct_curve(spark, state).collect()
+        ]
+
+    batch = [
+        (r.event_type, r.hour_start, r.new_users, r.cum_users)
+        for r in q65_running_distinct(spark, sf).collect()
+    ]
+    assert curve() == batch and batch
+
+    # exact state is one row per distinct (scope, user) — the cost the
+    # w15 registers avoid
+    pairs = spark.read.parquet(state + "/pairs")
+    n_pairs = (
+        table(spark, sf, "events")
+        .filter("ts IS NOT NULL AND user_id IS NOT NULL")
+        .select("event_type", "user_id")
+        .distinct()
+        .count()
+    )
+    assert pairs.count() == n_pairs
+
+    # replay batch 1: own partitions overwritten, curve unchanged
+    distinct_curve_batch(
+        spark.createDataFrame(chunks[1], schema), 1, state
+    )
+    assert curve() == batch
+
+    # compaction folds both state tables; curve unchanged
+    removed = compact_distinct_curve_state(spark, state, through_batch=2)
+    assert removed > 0
+    assert curve() == batch
