@@ -308,13 +308,13 @@ _VERIFY_FIRST = [
     "w02_sliding",
     "w03_session_window",
     "w04_enriched_windows",
+    "q63_forward_asof",
     # green-r04
     "q01_pricing_summary",
     "q06_revenue_filter",
     "q12_distinct_agg",
     "q13_rollup",
     # green-r05
-    "q63_forward_asof",
     "q41_map_fns",
 ]
 
