@@ -2036,6 +2036,176 @@ ORDER BY t.split
 """
 
 
+P22_BATCH = 8  # sequences per padded micro-batch for p22
+
+
+def p22_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste audit across the three ways a trainer can batch a
+    corpus — the capacity-planning number behind the choice p03 makes:
+
+    - ``arrival``: fixed-size batches of P22_BATCH docs in corpus
+      order, each sequence padded to the batch max (the naive
+      DataLoader); docs longer than PACK_BUDGET are truncated.
+    - ``sorted``: the same batching after a global length sort
+      (length-bucketed batching — batch members have near-equal
+      lengths, so padding collapses).
+    - ``packed``: p03's concat-and-chunk — zero padding by
+      construction except the tail pack, zero truncation.
+
+    Per strategy: batches, cost (padded tokens actually pushed through
+    the forward pass), delivered real tokens, padded + truncated
+    tokens, and the waste fraction of compute. Null text counts as an
+    empty (0-token) sequence — the pinned sampling null ≡ empty
+    contract.
+
+    Scale shape: the two batch strategies need a global row index in
+    their respective orders — the same two-pass offsets as p03/p04
+    (range shuffle → |partitions|-row collect → broadcast), never a
+    single-partition window; batch stats are one hash agg on batch_id
+    (~N/B groups) and the per-strategy fold is a 3-scalar reduction.
+    ``packed`` needs no offsets at all: its cost is derivable from the
+    global token total (ceil-div), one scalar agg over the scan."""
+    d = table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.coalesce(_n_tokens(), F.lit(0)).alias("raw_tokens"),
+    ).withColumn(
+        "seq_len",
+        F.least(F.col("raw_tokens"), F.lit(PACK_BUDGET).cast("long")),
+    )
+
+    def batched(order_cols: list[str], label: str) -> DataFrame:
+        idx = _two_pass_offsets(
+            base.withColumn("one", F.lit(1).cast("long")),
+            [], val_col="one", order_col=order_cols,
+        )
+        per_batch = (
+            idx.withColumn(
+                "batch_id", F.expr(f"stream_offset div {P22_BATCH}")
+            )
+            .groupBy("batch_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_seq"),
+                F.max("seq_len").alias("mx"),
+                F.sum("seq_len").alias("del_"),
+                F.sum("raw_tokens").alias("raw_"),
+            )
+        )
+        return per_batch.agg(
+            F.count(F.lit(1)).cast("long").alias("n_batches"),
+            F.sum(F.col("n_seq") * F.col("mx")).cast("long")
+            .alias("cost_tokens"),
+            F.sum("del_").cast("long").alias("delivered_tokens"),
+            F.sum("raw_").cast("long").alias("raw_total"),
+        ).select(F.lit(label).alias("strategy"), "*")
+
+    packed = base.agg(
+        F.coalesce(F.sum("raw_tokens"), F.lit(0)).cast("long")
+        .alias("total")
+    ).select(
+        F.lit("packed").alias("strategy"),
+        F.expr(f"(total + {PACK_BUDGET - 1}) div {PACK_BUDGET}")
+        .cast("long").alias("n_batches"),
+        (
+            F.expr(f"(total + {PACK_BUDGET - 1}) div {PACK_BUDGET}")
+            * PACK_BUDGET
+        ).cast("long").alias("cost_tokens"),
+        F.col("total").alias("delivered_tokens"),
+        F.col("total").alias("raw_total"),
+    )
+    audit = (
+        batched(["doc_id"], "arrival")
+        .unionByName(batched(["seq_len", "doc_id"], "sorted"))
+        .unionByName(packed)
+    )
+    return audit.select(
+        "strategy",
+        "n_batches",
+        "cost_tokens",
+        "delivered_tokens",
+        (F.col("cost_tokens") - F.col("delivered_tokens")).cast("long")
+        .alias("padded_tokens"),
+        (F.col("raw_total") - F.col("delivered_tokens")).cast("long")
+        .alias("trunc_tokens"),
+        F.when(
+            F.col("cost_tokens") > 0,
+            F.round(
+                (F.col("cost_tokens") - F.col("delivered_tokens"))
+                / F.col("cost_tokens").cast("double"),
+                6,
+            ),
+        ).otherwise(F.lit(0.0)).alias("waste_frac"),
+    ).orderBy("strategy")
+
+
+P22_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         COALESCE(CAST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                   ELSE LEN(regexp_split_to_array(TRIM(text), '\s+'))
+              END AS BIGINT), 0) AS raw_tokens
+  FROM documents
+),
+base AS (
+  SELECT doc_id, raw_tokens,
+         LEAST(raw_tokens, {PACK_BUDGET}) AS seq_len
+  FROM toks
+),
+arr AS (
+  SELECT *, (ROW_NUMBER() OVER (ORDER BY doc_id) - 1) // {P22_BATCH}
+            AS batch_id
+  FROM base
+),
+srt AS (
+  SELECT *, (ROW_NUMBER() OVER (ORDER BY seq_len, doc_id) - 1)
+            // {P22_BATCH} AS batch_id
+  FROM base
+),
+arr_b AS (
+  SELECT batch_id, COUNT(*) AS n_seq, MAX(seq_len) AS mx,
+         SUM(seq_len) AS del_, SUM(raw_tokens) AS raw_
+  FROM arr GROUP BY batch_id
+),
+srt_b AS (
+  SELECT batch_id, COUNT(*) AS n_seq, MAX(seq_len) AS mx,
+         SUM(seq_len) AS del_, SUM(raw_tokens) AS raw_
+  FROM srt GROUP BY batch_id
+),
+folded AS (
+  SELECT 'arrival' AS strategy,
+         CAST(COUNT(*) AS BIGINT) AS n_batches,
+         CAST(SUM(n_seq * mx) AS BIGINT) AS cost_tokens,
+         CAST(SUM(del_) AS BIGINT) AS delivered_tokens,
+         CAST(SUM(raw_) AS BIGINT) AS raw_total
+  FROM arr_b
+  UNION ALL
+  SELECT 'sorted',
+         CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(n_seq * mx) AS BIGINT),
+         CAST(SUM(del_) AS BIGINT),
+         CAST(SUM(raw_) AS BIGINT)
+  FROM srt_b
+  UNION ALL
+  SELECT 'packed',
+         CAST((t.total + {PACK_BUDGET - 1}) // {PACK_BUDGET} AS BIGINT),
+         CAST(((t.total + {PACK_BUDGET - 1}) // {PACK_BUDGET})
+              * {PACK_BUDGET} AS BIGINT),
+         CAST(t.total AS BIGINT),
+         CAST(t.total AS BIGINT)
+  FROM (SELECT COALESCE(SUM(raw_tokens), 0) AS total FROM base) t
+)
+SELECT strategy, n_batches, cost_tokens, delivered_tokens,
+       CAST(cost_tokens - delivered_tokens AS BIGINT) AS padded_tokens,
+       CAST(raw_total - delivered_tokens AS BIGINT) AS trunc_tokens,
+       CASE WHEN cost_tokens > 0
+            THEN ROUND((cost_tokens - delivered_tokens)
+                       / CAST(cost_tokens AS DOUBLE), 6)
+            ELSE 0.0 END AS waste_frac
+FROM folded
+ORDER BY strategy
+"""
+
+
 QUERIES = [
     Query("p01_train_test_split", p01_train_test_split, P01_SQL,
           "hash-deterministic train/val/test split"),
@@ -2095,4 +2265,8 @@ QUERIES = [
     Query("p21_split_leakage", p21_split_leakage, _p21_sql(),
           "train->eval split-leakage audit: DF-capped shingle overlap "
           "across p01's split boundary (both-sides-large equi-join)"),
+    Query("p22_padding_waste", p22_padding_waste, P22_SQL,
+          "padding-waste audit: naive vs length-sorted padded "
+          "batching vs packing — cost/padded/truncated tokens per "
+          "strategy"),
 ]

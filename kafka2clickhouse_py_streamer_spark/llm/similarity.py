@@ -3110,6 +3110,148 @@ ORDER BY seed_id, hops, node_id
 """
 
 
+S23_SEEDS = 64  # phase-A seed set: highest-norm vectors, scored exactly
+
+
+def s23_mips_norm_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact maximum-inner-product search (MIPS) with Cauchy-Schwarz
+    norm pruning — the recommendation/reranking score (a raw dot
+    product, where vector MAGNITUDE matters) that cosine ops like s01
+    deliberately normalize away. Exact, but never brute-force: since
+    dot(q, x) ≤ ‖q‖·‖x‖, a candidate whose norm bound can't beat the
+    current k-th best is provably not in the top-k.
+
+    Two phases: (A) the S23_SEEDS highest-norm vectors are scored
+    exactly against every query — their k-th best dot is the query's
+    admission threshold T_q (the seed achieving it has bound ≥ T_q, so
+    the true top-k is always admitted); (B) the corpus streams through
+    the per-query cheap bound test ‖q‖·‖x‖ ≥ T_q and only survivors
+    pay the 64-dim dot. Output: per-query top-k by dot plus the
+    admitted-candidate count — the pruning-power read.
+
+    All comparisons (seed order, thresholds, admission, rank) use
+    1e-6-rounded values on both engines; rounding is monotone, so the
+    bound stays a bound after quantization. A serial numpy reference
+    pins exactness against unpruned brute force.
+
+    Scale shape: phase A is a TakeOrderedAndProject (top-64 by norm,
+    no global sort) cross-scored against the broadcast 10-row query
+    set; phase B is ONE corpus scan with a 10-way broadcast bound
+    filter in the scan — the expensive dot runs on admitted rows only,
+    and nothing about the corpus ever shuffles (the s01 posture, minus
+    the wasted dots). The threshold tightens as seeds improve — a
+    deployment would seed from an ANN shortlist (s03/s14) instead of
+    top-norms for an even smaller admitted set."""
+    base = _base(spark, sf_dir)
+    q = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    c = base.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("cnorm"),
+    )
+    seeds = c.orderBy(
+        F.round(F.col("cnorm"), 6).desc(), F.col("cand_id").asc()
+    ).limit(S23_SEEDS)
+    seed_scores = F.broadcast(q).crossJoin(F.broadcast(seeds)).select(
+        "query_id",
+        "cand_id",
+        F.round(dot("qv", "cv"), 6).alias("s"),
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("s").desc(), F.col("cand_id").asc()
+    )
+    thr = (
+        seed_scores.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") == TOP_K)
+        .select("query_id", F.col("s").alias("thr"))
+    )
+    qt = q.join(thr, "query_id")  # N_QUERIES rows
+    admitted = c.crossJoin(F.broadcast(qt)).filter(
+        F.round(F.col("cnorm") * F.col("qnorm"), 6) >= F.col("thr")
+    )
+    scored = admitted.select(
+        "query_id",
+        "cand_id",
+        F.round(dot("qv", "cv"), 6).alias("dot"),
+    )
+    wq = Window.partitionBy("query_id")
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn(
+            "n_cands", F.count(F.lit(1)).over(wq).cast("long")
+        )
+        .withColumn("rk", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "cand_id", "dot", "rk", "n_cands")
+        .orderBy("query_id", "rk")
+    )
+
+
+S23_SQL = f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+  WHERE {valid_emb_sql(DIM)}
+),
+normed AS (
+  SELECT vec_id, v, SQRT(list_dot_product(v, v)) AS norm FROM base
+),
+q AS (
+  SELECT vec_id AS query_id, v AS qv, norm AS qnorm
+  FROM normed WHERE vec_id < {N_QUERIES}
+),
+c AS (
+  SELECT vec_id AS cand_id, v AS cv, norm AS cnorm
+  FROM normed WHERE vec_id >= {N_QUERIES}
+),
+seeds AS (
+  SELECT * FROM c
+  ORDER BY ROUND(cnorm, 6) DESC, cand_id ASC LIMIT {S23_SEEDS}
+),
+seed_scores AS (
+  SELECT q.query_id, s.cand_id,
+         ROUND(list_dot_product(q.qv, s.cv), 6) AS s
+  FROM q CROSS JOIN seeds s
+),
+thr AS (
+  SELECT query_id, s AS thr FROM (
+    SELECT query_id, s,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY s DESC, cand_id ASC) AS rk
+    FROM seed_scores
+  ) WHERE rk = {TOP_K}
+),
+qt AS (
+  SELECT q.query_id, q.qv, q.qnorm, t.thr
+  FROM q JOIN thr t ON t.query_id = q.query_id
+),
+admitted AS (
+  SELECT qt.query_id, c.cand_id,
+         ROUND(list_dot_product(qt.qv, c.cv), 6) AS dot
+  FROM c CROSS JOIN qt
+  WHERE ROUND(c.cnorm * qt.qnorm, 6) >= qt.thr
+),
+ranked AS (
+  SELECT query_id, cand_id, dot,
+         CAST(COUNT(*) OVER (PARTITION BY query_id) AS BIGINT)
+           AS n_cands,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY dot DESC, cand_id ASC)
+              AS BIGINT) AS rk
+  FROM admitted
+)
+SELECT query_id, cand_id, dot, rk, n_cands
+FROM ranked WHERE rk <= {TOP_K}
+ORDER BY query_id, rk
+"""
+
+
 QUERIES = [
     Query("s01_cosine_topk", s01_cosine_topk, S01_SQL,
           "exact brute-force cosine top-k"),
@@ -3175,4 +3317,8 @@ QUERIES = [
           "bounded k-hop BFS over the kNN graph: fixed-depth "
           "recursion unrolled into per-hop equi-joins + anti-join "
           "(WITH RECURSIVE oracle), min-hop levels from seeds"),
+    Query("s23_mips_norm_pruned", s23_mips_norm_pruned, S23_SQL,
+          "exact MIPS top-k with Cauchy-Schwarz norm pruning: "
+          "seed-set threshold, cheap bound filter in the scan, dots "
+          "on admitted rows only (+ pruning-power count)"),
 ]

@@ -1693,6 +1693,120 @@ ORDER BY doc_id, rk
 """
 
 
+def t22_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-quality audit of the t03 language ID against the
+    corpus's declared ``lang`` labels: per language class (union of
+    labeled and predicted, including t03's 'unk' fallback), the
+    labeled/predicted/correct counts and precision / recall / F1 —
+    the go/no-go read before trusting a heuristic classifier to route
+    a 100 TB corpus (s18 is the same audit shape for the embedding
+    kNN labeler). A NULL declared label is a real class ('<null>',
+    coalesced identically on both engines); t03's prediction is never
+    null by construction.
+
+    Scale shape: three hash aggs over t03's row-local projection
+    (each map-side combines to |langs| rows per partition) joined on
+    the ≤ |langs|-row aggregate frame — the corpus is scanned once
+    per agg and never pairs with itself; metrics are row-local
+    arithmetic on the tiny joined frame. F1 is computed from the
+    UNROUNDED precision/recall on both engines, then rounded."""
+    pairs = t03_langid(spark, sf_dir).select(
+        F.coalesce("labeled_lang", F.lit("<null>")).alias("lab"),
+        F.col("pred_lang").alias("prd"),
+    )
+    lab = pairs.groupBy(F.col("lab").alias("lang")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_labeled")
+    )
+    prd = pairs.groupBy(F.col("prd").alias("lang")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_predicted")
+    )
+    cor = (
+        pairs.filter(F.col("lab") == F.col("prd"))
+        .groupBy(F.col("lab").alias("lang"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_correct"))
+    )
+    j = (
+        lab.join(prd, "lang", "full")
+        .join(cor, "lang", "left")
+        .select(
+            "lang",
+            F.coalesce("n_labeled", F.lit(0)).cast("long")
+            .alias("n_labeled"),
+            F.coalesce("n_predicted", F.lit(0)).cast("long")
+            .alias("n_predicted"),
+            F.coalesce("n_correct", F.lit(0)).cast("long")
+            .alias("n_correct"),
+        )
+    )
+    p = F.when(
+        F.col("n_predicted") > 0,
+        F.col("n_correct") / F.col("n_predicted").cast("double"),
+    ).otherwise(F.lit(0.0))
+    r = F.when(
+        F.col("n_labeled") > 0,
+        F.col("n_correct") / F.col("n_labeled").cast("double"),
+    ).otherwise(F.lit(0.0))
+    f1 = F.when(p + r > 0, 2.0 * p * r / (p + r)).otherwise(F.lit(0.0))
+    return j.select(
+        "lang",
+        "n_labeled",
+        "n_predicted",
+        "n_correct",
+        F.round(p, 6).alias("precision"),
+        F.round(r, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    ).orderBy("lang")
+
+
+def _t22_sql() -> str:
+    return f"""
+WITH t03 AS ({_t03_sql()}),
+pairs AS (
+  SELECT COALESCE(labeled_lang, '<null>') AS lab, pred_lang AS prd
+  FROM t03
+),
+lab AS (
+  SELECT lab AS lang, CAST(COUNT(*) AS BIGINT) AS n_labeled
+  FROM pairs GROUP BY 1
+),
+prd AS (
+  SELECT prd AS lang, CAST(COUNT(*) AS BIGINT) AS n_predicted
+  FROM pairs GROUP BY 1
+),
+cor AS (
+  SELECT lab AS lang, CAST(COUNT(*) AS BIGINT) AS n_correct
+  FROM pairs WHERE lab = prd GROUP BY 1
+),
+j AS (
+  SELECT lang,
+         CAST(COALESCE(l.n_labeled, 0) AS BIGINT) AS n_labeled,
+         CAST(COALESCE(p.n_predicted, 0) AS BIGINT) AS n_predicted,
+         CAST(COALESCE(c.n_correct, 0) AS BIGINT) AS n_correct
+  FROM lab l
+  FULL OUTER JOIN prd p USING (lang)
+  LEFT JOIN cor c USING (lang)
+),
+m AS (
+  SELECT *,
+         CASE WHEN n_predicted > 0
+              THEN n_correct / CAST(n_predicted AS DOUBLE)
+              ELSE 0.0 END AS p_,
+         CASE WHEN n_labeled > 0
+              THEN n_correct / CAST(n_labeled AS DOUBLE)
+              ELSE 0.0 END AS r_
+  FROM j
+)
+SELECT lang, n_labeled, n_predicted, n_correct,
+       ROUND(p_, 6) AS precision,
+       ROUND(r_, 6) AS recall,
+       ROUND(CASE WHEN p_ + r_ > 0
+                  THEN 2.0 * p_ * r_ / (p_ + r_)
+                  ELSE 0.0 END, 6) AS f1
+FROM m
+ORDER BY lang
+"""
+
+
 QUERIES = [
     Query("t01_token_count", t01_token_count, T01_SQL,
           "whitespace + subword-proxy token counts"),
@@ -1745,4 +1859,8 @@ QUERIES = [
     Query("t21_tfidf_keywords", t21_tfidf_keywords, T21_SQL,
           "per-doc keyword extraction: top-3 tokens by 1e-6-rounded "
           "TF-IDF, per-doc window over the (doc, token) agg"),
+    Query("t22_langid_eval", t22_langid_eval, _t22_sql(),
+          "lang-ID quality audit: per-class precision/recall/F1 of "
+          "t03 predictions vs declared labels (s18's audit shape "
+          "for text)"),
 ]

@@ -90,11 +90,13 @@ SWEEP = [
     "p19_chunk_dedup_pack",
     "p20_epoch_budget",
     "p21_split_leakage",
+    "p22_padding_waste",
     "t19_heaps_fit",
     "t20_gopher_funnel",
     "t13_zipf_fit", "t14_bigram_logprob", "t15_perplexity_buckets",
     "t16_bm25_topk", "t17_chunk_passages", "t18_ngram_novelty",
     "t21_tfidf_keywords",
+    "t22_langid_eval",
     "d17_containment_pairs", "d20_snapshot_diff",
     "d21_softdedup_weights",
     "d22_dedup_roi", "d23_removal_propagation",
@@ -168,6 +170,7 @@ EMB_SWEEP = [
     "s16_rrf_fusion", "s17_probe_recall_sweep", "s18_knn_label_eval",
     "s19_cascade_rerank", "s20_index_staleness",
     "s21_filtered_search", "s22_khop_expansion",
+    "s23_mips_norm_pruned",
 ]
 
 

@@ -1694,3 +1694,101 @@ def test_t21_keywords_match_serial_tfidf(spark, sf_dir):
         for r in rows
     }
     assert got == expect and expect
+
+
+def test_s23_pruned_mips_equals_brute_force(spark, sf_dir):
+    """The norm bound must never cost exactness: the pruned top-k
+    equals an unpruned serial brute force, and the admitted-candidate
+    count shows real pruning headroom (n_cands is a correct per-query
+    constant ≥ TOP_K and ≤ the corpus size)."""
+    from kafka2clickhouse_py_streamer_spark.llm.similarity import (
+        DIM,
+        N_QUERIES,
+        TOP_K,
+        s23_mips_norm_pruned,
+    )
+    from kafka2clickhouse_py_streamer_spark.operators.base import table
+
+    rows = s23_mips_norm_pruned(spark, sf_dir).collect()
+    assert rows
+
+    em = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    ).collect()
+    vecs = {}
+    for r in em:
+        v = r.embedding
+        if v is None or len(v) != DIM:
+            continue
+        dv = [float(x) for x in v]
+        n2 = sum(x * x for x in dv)
+        if not (0.0 < n2 < float("inf")):
+            continue
+        vecs[r.vec_id] = dv
+    queries = {i: v for i, v in vecs.items() if i < N_QUERIES}
+    corpus = {i: v for i, v in vecs.items() if i >= N_QUERIES}
+    expect = {}
+    for qid, qv in queries.items():
+        scored = sorted(
+            (
+                -round(sum(a * b for a, b in zip(qv, cv)), 6),
+                cid,
+            )
+            for cid, cv in corpus.items()
+        )[:TOP_K]
+        for rk, (neg, cid) in enumerate(scored, 1):
+            expect[(qid, rk)] = (cid, -neg)
+    got = {(r.query_id, r.rk): (r.cand_id, r.dot) for r in rows}
+    assert got == expect and expect
+
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, set()).add(r.n_cands)
+    for qid, counts in per_q.items():
+        assert len(counts) == 1, qid  # one admitted-count per query
+        (n,) = counts
+        assert TOP_K <= n <= len(corpus), qid
+
+
+def test_p22_padding_audit_invariants(spark, sf_dir):
+    """cost = delivered + padded per strategy; length-sorted batching
+    never pads more than arrival-order batching (grouping sorted
+    consecutive lengths minimizes the sum of batch maxes); packing
+    truncates nothing and pads only the tail pack."""
+    from kafka2clickhouse_py_streamer_spark.llm.sampling import (
+        PACK_BUDGET,
+        p22_padding_waste,
+    )
+
+    rows = {r.strategy: r for r in p22_padding_waste(spark, sf_dir).collect()}
+    assert set(rows) == {"arrival", "sorted", "packed"}
+    for r in rows.values():
+        assert r.cost_tokens == r.delivered_tokens + r.padded_tokens
+        assert 0.0 <= r.waste_frac <= 1.0
+        assert r.padded_tokens >= 0 and r.trunc_tokens >= 0
+    assert rows["sorted"].cost_tokens <= rows["arrival"].cost_tokens
+    assert rows["sorted"].n_batches == rows["arrival"].n_batches
+    assert rows["packed"].trunc_tokens == 0
+    assert rows["packed"].padded_tokens < PACK_BUDGET
+
+
+def test_t22_langid_eval_confusion_identities(spark, sf_dir):
+    """The per-class counts must form a valid confusion summary: both
+    the labeled and the predicted marginals sum to the corpus size,
+    correct ≤ min(labeled, predicted) per class, and the metrics stay
+    in [0, 1] with F1 between min(P, R) and max(P, R)."""
+    from kafka2clickhouse_py_streamer_spark.llm.text import (
+        t22_langid_eval,
+    )
+    from kafka2clickhouse_py_streamer_spark.operators.base import table
+
+    rows = t22_langid_eval(spark, sf_dir).collect()
+    assert rows
+    n_docs = table(spark, sf_dir, "documents").count()
+    assert sum(r.n_labeled for r in rows) == n_docs
+    assert sum(r.n_predicted for r in rows) == n_docs
+    for r in rows:
+        assert r.n_correct <= min(r.n_labeled, r.n_predicted), r.lang
+        assert 0.0 <= r.precision <= 1.0 and 0.0 <= r.recall <= 1.0
+        lo, hi = sorted((r.precision, r.recall))
+        assert lo - 1e-6 <= r.f1 <= hi + 1e-6, r.lang

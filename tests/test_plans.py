@@ -773,6 +773,24 @@ def test_p13_pps_never_single_partition(spark, sf_dir):
     assert python_row_ops(df) == 0
 
 
+def test_p22_padding_audit_distributed(spark, sf_dir):
+    # the two batch strategies' global row indexes must come from the
+    # two-pass offsets (range shuffle + broadcast), never a
+    # single-partition row_number window; per-batch stats hash-shuffle
+    # on batch_id. SinglePartition appears only for the per-strategy
+    # scalar folds (arrival, sorted, packed) and the 3-row final sort.
+    from kafka2clickhouse_py_streamer_spark.llm.sampling import (
+        p22_padding_waste,
+    )
+
+    df = p22_padding_waste(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "batch_id" in plan
+    assert plan.count("SinglePartition") <= 4
+    assert "CartesianProduct" not in plan
+    assert python_row_ops(df) == 0
+
+
 def test_d15_semdedup_bucket_join_no_cartesian(spark, sf_dir):
     # candidates come only from LSH bucket collisions: the pair join is
     # an equi-join on the bucket id — no cartesian, no nested loop
@@ -781,6 +799,36 @@ def test_d15_semdedup_bucket_join_no_cartesian(spark, sf_dir):
     )
 
     df = d15_semdedup(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert python_row_ops(df) == 0
+
+
+def test_s23_mips_seed_limit_and_broadcast_bound(spark, sf_dir):
+    # phase A's seed pick must be a TakeOrderedAndProject (top-N by
+    # norm — never a global sort), and the corpus side must meet the
+    # 10-row query/threshold table only through broadcasts; the corpus
+    # itself never hash-shuffles
+    from kafka2clickhouse_py_streamer_spark.llm.similarity import (
+        s23_mips_norm_pruned,
+    )
+
+    df = s23_mips_norm_pruned(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert python_row_ops(df) == 0
+
+
+def test_t22_langid_eval_agg_only(spark, sf_dir):
+    # the eval joins |langs|-row AGGREGATES — the corpus never pairs
+    # with itself and no Python touches the scan
+    from kafka2clickhouse_py_streamer_spark.llm.text import (
+        t22_langid_eval,
+    )
+
+    df = t22_langid_eval(spark, sf_dir)
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
