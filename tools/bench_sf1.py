@@ -95,6 +95,12 @@ HEAVY = [
     # shapes with row growth; w15/q65 are grid-bounded hash aggs
     "s22_khop_expansion",
     "t21_tfidf_keywords",
+    # round 6 late: the norm-pruned MIPS scan (admitted-set size is
+    # the scale variable — the bound filter must keep the dot count
+    # sub-corpus as the corpus grows) and the double two-pass-offset
+    # padding audit (two global orderings over the token-counted scan)
+    "s23_mips_norm_pruned",
+    "p22_padding_waste",
 ]
 VOWELS = "aeiou"
 
