@@ -2133,6 +2133,114 @@ ORDER BY source NULLS LAST
 """
 
 
+# --- d24: edit-distance near-dup verify over LSH candidates -------------
+
+EDIT_REL_MAX = 0.25  # admit pairs within 25% relative edit distance
+
+# Character-level verify runs over an ASCII-normalized projection
+# (lowercase, strip non-[a-z0-9 ], collapse runs of spaces, trim) —
+# the standard entity-resolution normalization, and also the parity
+# seam: Spark's levenshtein counts UTF-16 code units while DuckDB's
+# counts BYTES, so they disagree on any non-ASCII character ('café' vs
+# 'cafe' is 1 on Spark, 2 on DuckDB; an emoji substitution is 2 vs 4).
+# After normalization every char is one byte == one code unit and the
+# two engines implement the same classic unit-cost DP.
+_NORM_SPARK = (
+    "trim(regexp_replace(regexp_replace(lower(coalesce(text, '')),"
+    " '[^a-z0-9 ]', ''), ' +', ' '))"
+)
+# DuckDB regexp_replace replaces only the FIRST match unless 'g'
+_NORM_DUCK = (
+    "TRIM(regexp_replace(regexp_replace(LOWER(COALESCE(text, '')),"
+    " '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+)
+
+
+def d24_editdist_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy near-dup via blocked edit distance: d03's banded-LSH
+    candidate pairs, verified with character-level Levenshtein over
+    ASCII-normalized text and admitted at relative distance
+    ``lev / max(len)`` <= EDIT_REL_MAX.
+
+    The capability this adds over the set-similarity family
+    (d02/d03/d17): an ORDER-SENSITIVE, character-granular metric — the
+    record-linkage / fuzzy-string-matching verify. Bag-of-shingles
+    scores are blind to within-shingle typos and character noise;
+    Levenshtein prices every insertion/deletion/substitution.
+
+    Scale shape: candidates come from the band equi-join
+    (|candidates| ~ collisions, never |docs|^2); each candidate pays
+    one O(la*lb) DP, prefiltered by the free length bound
+    |la - lb| <= rel_max * max(la, lb) (lev >= |la - lb|, so the
+    filter is lossless — it only skips DPs that cannot admit). At
+    production scale Spark's 3-arg ``levenshtein(l, r, threshold)``
+    band-limits the DP to O(threshold * min(la, lb)); the 2-arg form
+    is used here because the oracle has no threshold twin and admitted
+    rows must carry the exact distance either way.
+    """
+    _, cand = _minhash_sig_and_candidates(spark, sf_dir)
+    norm = table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_NORM_SPARK).alias("nt")
+    )
+    a = norm.select(
+        F.col("doc_id").alias("na_id"),
+        F.col("nt").alias("nta"),
+        F.length("nt").alias("la"),
+    )
+    b = norm.select(
+        F.col("doc_id").alias("nb_id"),
+        F.col("nt").alias("ntb"),
+        F.length("nt").alias("lb"),
+    )
+    denom = F.greatest("la", "lb").cast("double")
+    paired = (
+        cand.join(a, F.col("doc_a") == F.col("na_id"))
+        .join(b, F.col("doc_b") == F.col("nb_id"))
+        .filter(
+            F.abs(F.col("la") - F.col("lb")).cast("double")
+            <= F.lit(EDIT_REL_MAX) * denom
+        )
+        .withColumn("lev", F.levenshtein("nta", "ntb").cast("long"))
+    )
+    rel = F.when(denom == 0, F.lit(0.0)).otherwise(F.col("lev") / denom)
+    return (
+        paired.filter(rel <= EDIT_REL_MAX)
+        .select(
+            "doc_a",
+            "doc_b",
+            "lev",
+            F.round(rel, 6).alias("rel_dist"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _d24_sql() -> str:
+    cte, _ = _d03_cal_sql_parts()  # d03's chain up to cand pairs
+    return f"""{cte},
+norm AS (
+  SELECT doc_id, {_NORM_DUCK} AS nt FROM documents
+),
+paired AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(levenshtein(a.nt, b.nt) AS BIGINT) AS lev,
+         CAST(GREATEST(LENGTH(a.nt), LENGTH(b.nt)) AS DOUBLE) AS denom
+  FROM cand c
+  JOIN norm a ON a.doc_id = c.doc_a
+  JOIN norm b ON b.doc_id = c.doc_b
+  WHERE CAST(ABS(LENGTH(a.nt) - LENGTH(b.nt)) AS DOUBLE)
+        <= {EDIT_REL_MAX} * GREATEST(LENGTH(a.nt), LENGTH(b.nt))
+)
+SELECT doc_a, doc_b, lev,
+       ROUND(CASE WHEN denom = 0 THEN 0.0
+                  ELSE lev / denom END, 6) AS rel_dist
+FROM paired
+WHERE (CASE WHEN denom = 0 THEN 0.0 ELSE lev / denom END)
+      <= {EDIT_REL_MAX}
+ORDER BY doc_a, doc_b
+"""
+
+
 QUERIES = [
     Query("d01_exact_dedup", d01_exact_dedup, D01_SQL,
           "exact dedup via hash-groupBy on MD5"),
@@ -2194,4 +2302,8 @@ QUERIES = [
     Query("d23_removal_propagation", d23_removal_propagation, _d23_sql(),
           "takedown closure: removal requests propagate to the whole "
           "d07 near-dup cluster; per-source collateral audit"),
+    Query("d24_editdist_neardup", d24_editdist_neardup, _d24_sql(),
+          "fuzzy near-dup: banded-LSH candidates verified by "
+          "character-level Levenshtein over ASCII-normalized text "
+          "(relative distance <= 0.25; length-bound prefilter)"),
 ]

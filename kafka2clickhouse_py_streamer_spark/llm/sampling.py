@@ -2206,6 +2206,100 @@ ORDER BY strategy
 """
 
 
+# --- p23: weighted sampling without replacement ------------------------
+
+WEIGHTED_SAMPLES = 20  # k
+_U_BITS = 52  # md5-derived uniform resolution (fits a double exactly)
+_U_DENOM = float(1 << _U_BITS)
+
+
+def p23_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    A-ES): each document draws a deterministic uniform u from
+    md5(doc_id) and competes with key ln(u)/w (equivalent to the
+    classic u^(1/w) — monotone transform); the k LARGEST keys are the
+    sample, giving inclusion probabilities proportional to weight
+    without replacement. Weight = whitespace token count (token-mass-
+    proportional corpus subsampling); zero-token docs carry no mass
+    and cannot be drawn.
+
+    Determinism/parity: u is integer md5 arithmetic (52-bit prefix —
+    exact in a double), identical on both engines; the only FP seam is
+    ln(), absorbed by the 1e-9 quantization both sides apply before
+    ranking (ties broken by doc_id, so selection is total-ordered).
+
+    Scale shape: one scan projects (w, u, key); the top-k is
+    TakeOrderedAndProject (per-partition heaps + k-row driver merge —
+    never a global sort); rank is a window over the k-row result. The
+    p13 contrast: p13 is SYSTEMATIC PPS (fixed slots on a weight
+    line, needs global offsets); A-ES is one scan + top-k and extends
+    to streams (keys are order-independent), the reservoir form."""
+    from kafka2clickhouse_py_streamer_spark.llm.dedup import _ntok_col
+
+    d = table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", "source", _ntok_col().alias("weight")
+    ).filter(F.col("weight") > 0)
+    v = F.conv(
+        F.substring(
+            F.md5(F.coalesce(F.col("doc_id").cast("string"), F.lit(""))),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("long")
+    # +0.5 keeps u in (0,1): u=0 would send ln(u) to -Infinity
+    u = (v.cast("double") + F.lit(0.5)) / F.lit(_U_DENOM)
+    key = F.log(u) / F.col("weight").cast("double")
+    keyed = base.withColumn(
+        "samp_key", F.floor(key * 1e9 + F.lit(0.5)) / 1e9
+    )
+    topk = keyed.orderBy(
+        F.col("samp_key").desc(), F.col("doc_id").asc()
+    ).limit(WEIGHTED_SAMPLES)
+    w = Window.orderBy(F.col("samp_key").desc(), F.col("doc_id").asc())
+    return topk.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "doc_id",
+        "source",
+        "weight",
+        F.round("samp_key", 9).alias("samp_key"),
+    ).orderBy("rank")
+
+
+def _p23_sql() -> str:
+    from kafka2clickhouse_py_streamer_spark.llm.dedup import _NTOK_SQL
+
+    ntok = _NTOK_SQL.format(t="text")
+    return f"""
+WITH base AS (
+  SELECT doc_id, source, {ntok} AS weight,
+         CAST('0x' || SUBSTRING(
+             md5(COALESCE(CAST(doc_id AS VARCHAR), '')), 1, 13)
+           AS BIGINT) AS v
+  FROM documents
+),
+keyed AS (
+  SELECT doc_id, source, weight,
+         FLOOR(LN((CAST(v AS DOUBLE) + 0.5)
+                  / CAST({1 << _U_BITS} AS DOUBLE))
+               / CAST(weight AS DOUBLE) * 1e9 + 0.5) / 1e9 AS samp_key
+  FROM base WHERE weight > 0
+),
+topk AS (
+  SELECT * FROM keyed
+  ORDER BY samp_key DESC, doc_id ASC
+  LIMIT {WEIGHTED_SAMPLES}
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY samp_key DESC, doc_id ASC)
+            AS BIGINT) AS rank,
+       doc_id, source, weight, ROUND(samp_key, 9) AS samp_key
+FROM topk
+ORDER BY rank
+"""
+
+
 QUERIES = [
     Query("p01_train_test_split", p01_train_test_split, P01_SQL,
           "hash-deterministic train/val/test split"),
@@ -2269,4 +2363,8 @@ QUERIES = [
           "padding-waste audit: naive vs length-sorted padded "
           "batching vs packing — cost/padded/truncated tokens per "
           "strategy"),
+    Query("p23_weighted_sample", p23_weighted_sample, _p23_sql(),
+          "weighted sampling without replacement (Efraimidis-"
+          "Spirakis): md5-uniform keys ln(u)/w, token-mass weights, "
+          "top-k = the sample"),
 ]

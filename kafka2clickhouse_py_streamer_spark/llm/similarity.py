@@ -3252,6 +3252,144 @@ ORDER BY query_id, rk
 """
 
 
+# --- s24: triangle counting / clustering coefficient ---------------------
+
+
+def s24_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting + local clustering coefficient over the s09
+    kNN graph — the graph-statistics member the family lacked next to
+    s10 (centrality) and s22 (traversal): per node, its undirected
+    degree, the number of triangles through it, and
+    2T / (deg·(deg−1)). High clustering = tight semantic communities
+    (near-dup neighbourhoods); low = hub-and-spoke noise.
+
+    The algorithm is the degree-ordered ORIENTATION count (the
+    MapReduce-era standard for exactly this reason): canonicalize
+    edges undirected, orient each from its (deg, id)-smaller endpoint,
+    join oriented out-neighbour lists on the pivot, and close each
+    wedge against the canonical edge set. Every triangle is counted
+    exactly once — at its unique (deg, id)-minimal vertex — and the
+    wedge join's cost is Σ out-deg², which degree-ordering provably
+    bounds by O(E^1.5) REGARDLESS of skew: a hub of degree d keeps
+    out-degree ≤ ~√E because its edges orient INTO it. A naive
+    (unoriented) wedge join pays Σ deg² — quadratic in the hub degree
+    — which is why orientation, not the 3-way join, is the 100 TB
+    shape. All joins are hash equi-joins on node ids.
+    """
+    g = s09_knn_graph(spark, sf_dir)
+    edges = g.select(
+        F.least("src_id", "nbr_id").alias("u"),
+        F.greatest("src_id", "nbr_id").alias("w"),
+    ).distinct()
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("w").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    e = edges.join(
+        deg.select(F.col("node").alias("u"), F.col("deg").alias("du")), "u"
+    ).join(
+        deg.select(F.col("node").alias("w"), F.col("deg").alias("dw")), "w"
+    )
+    # orient from the (deg, id)-smaller endpoint; u < w by id already,
+    # so on a degree tie u is the (deg, id)-min — `du <= dw` suffices
+    fwd = F.col("du") <= F.col("dw")
+    oriented = e.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("w")).alias("lo"),
+        F.when(fwd, F.col("w")).otherwise(F.col("u")).alias("hi"),
+    )
+    a = oriented.alias("a")
+    b = oriented.alias("b")
+    tri = (
+        a.join(
+            b,
+            (F.col("a.lo") == F.col("b.lo"))
+            & (F.col("a.hi") < F.col("b.hi")),
+        )
+        .select(
+            F.col("a.lo").alias("lo"),
+            F.col("a.hi").alias("h1"),
+            F.col("b.hi").alias("h2"),
+        )
+        # close the wedge: (h1, h2) is id-ordered, matching the
+        # canonical edge layout exactly
+        .join(
+            edges,
+            (F.col("h1") == F.col("u")) & (F.col("h2") == F.col("w")),
+        )
+        .select("lo", "h1", "h2")
+    )
+    per_node = (
+        tri.select(F.explode(F.array("lo", "h1", "h2")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tri"))
+    )
+    n_tri = F.coalesce(F.col("n_tri"), F.lit(0)).cast("long")
+    cc = F.when(
+        F.col("deg") >= 2,
+        F.lit(2.0) * n_tri / (F.col("deg") * (F.col("deg") - 1)),
+    ).otherwise(F.lit(0.0))
+    return (
+        deg.join(per_node, "node", "left")
+        .select(
+            "node",
+            "deg",
+            n_tri.alias("n_tri"),
+            F.round(cc, 6).alias("clustering"),
+        )
+        .orderBy("node")
+    )
+
+
+def _s24_sql() -> str:
+    return f"""
+WITH s09 AS (
+{_s09_sql()}
+),
+edges AS (
+  SELECT DISTINCT LEAST(src_id, nbr_id) AS u,
+                  GREATEST(src_id, nbr_id) AS w
+  FROM s09
+),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+  FROM (SELECT u AS node FROM edges
+        UNION ALL SELECT w AS node FROM edges)
+  GROUP BY node
+),
+oriented AS (
+  SELECT CASE WHEN du.deg <= dw.deg THEN e.u ELSE e.w END AS lo,
+         CASE WHEN du.deg <= dw.deg THEN e.w ELSE e.u END AS hi
+  FROM edges e
+  JOIN deg du ON du.node = e.u
+  JOIN deg dw ON dw.node = e.w
+),
+tri AS (
+  SELECT a.lo, a.hi AS h1, b.hi AS h2
+  FROM oriented a
+  JOIN oriented b ON a.lo = b.lo AND a.hi < b.hi
+  JOIN edges e ON e.u = a.hi AND e.w = b.hi
+),
+per_node AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri
+  FROM (SELECT lo AS node FROM tri
+        UNION ALL SELECT h1 AS node FROM tri
+        UNION ALL SELECT h2 AS node FROM tri)
+  GROUP BY node
+)
+SELECT d.node, d.deg,
+       CAST(COALESCE(p.n_tri, 0) AS BIGINT) AS n_tri,
+       ROUND(CASE WHEN d.deg >= 2
+                  THEN CAST(2 AS DOUBLE) * COALESCE(p.n_tri, 0)
+                       / (d.deg * (d.deg - 1))
+                  ELSE 0.0 END, 6) AS clustering
+FROM deg d
+LEFT JOIN per_node p ON p.node = d.node
+ORDER BY d.node
+"""
+
+
 QUERIES = [
     Query("s01_cosine_topk", s01_cosine_topk, S01_SQL,
           "exact brute-force cosine top-k"),
@@ -3321,4 +3459,8 @@ QUERIES = [
           "exact MIPS top-k with Cauchy-Schwarz norm pruning: "
           "seed-set threshold, cheap bound filter in the scan, dots "
           "on admitted rows only (+ pruning-power count)"),
+    Query("s24_triangle_count", s24_triangle_count, _s24_sql(),
+          "triangle count + local clustering coefficient over the "
+          "kNN graph (degree-ordered orientation bounds the wedge "
+          "join at O(E^1.5) under any skew)"),
 ]

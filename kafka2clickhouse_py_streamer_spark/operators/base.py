@@ -157,6 +157,13 @@ _VERIFY_FIRST = [
     "s22_khop_expansion",
     "q65_running_distinct",
     "t21_tfidf_keywords",
+    "q66_table_profile",
+    "d24_editdist_neardup",
+    "s23_mips_norm_pruned",
+    "s24_triangle_count",
+    "t22_langid_eval",
+    "p22_padding_waste",
+    "p23_weighted_sample",
     # green-r02 but file churned since
     "m03_frame_sample",
     "m04_feature_extract",

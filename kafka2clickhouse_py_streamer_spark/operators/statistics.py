@@ -766,6 +766,94 @@ ORDER BY l_returnflag
 """
 
 
+# --- q66: table profiling (data-quality audit) --------------------------
+
+# (column, numeric SQL expression or None) — ts profiles as epoch
+# micros (no division: exact in a double, identical on both engines)
+_PROFILE_COLS = [
+    ("event_id", "CAST(event_id AS DOUBLE)"),
+    ("ts", None),  # numeric expr differs per engine, see below
+    ("user_id", "CAST(user_id AS DOUBLE)"),
+    ("event_type", ""),  # non-numeric: min/max emitted as NULL
+    ("value", "CAST(value AS DOUBLE)"),
+    ("props", ""),
+]
+
+
+def q66_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling — the data-quality audit every ingestion
+    pipeline fronts its tables with: per column, null count, exact
+    distinct count, and numeric min/max (timestamps as epoch micros,
+    strings profile nulls/cardinality only), in long form.
+
+    Scale shape: ONE scan — a single global aggregate computes every
+    column's stats (the multi-distinct runs through Spark's Expand:
+    one pass over the data, |cols|× the agg input rows, map-side
+    partial aggs on each); the long form is a ``stack`` unpivot of the
+    one-row result. At 100 TB the exact COUNT(DISTINCT) columns swap
+    to approx_count_distinct sketches (q27 verifies that estimator's
+    error bounds); exact distincts keep THIS audit oracle-exact.
+    """
+    d = table(spark, sf_dir, "events")
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    for c, num in _PROFILE_COLS:
+        nexpr = (
+            F.expr(num)
+            if num
+            else (
+                F.unix_micros(F.col("ts")).cast("double")
+                if c == "ts"
+                else F.lit(None).cast("double")
+            )
+        )
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).cast("long").alias(f"{c}__nn"),
+            F.count_distinct(F.col(c)).cast("long").alias(f"{c}__nd"),
+            F.round(F.min(nexpr), 6).alias(f"{c}__mn"),
+            F.round(F.max(nexpr), 6).alias(f"{c}__mx"),
+        ]
+    one = d.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__nn, {c}__nd, {c}__mn, {c}__mx"
+        for c, _ in _PROFILE_COLS
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack}) AS "
+            "(col_name, n_nulls, n_distinct, min_v, max_v)"
+        ),
+        "n_rows",
+    ).orderBy("col_name")
+
+
+def _q66_sql() -> str:
+    agg_cols = ["CAST(COUNT(*) AS BIGINT) AS n_rows"]
+    for c, num in _PROFILE_COLS:
+        nexpr = num if num else (
+            "CAST(epoch_us(ts) AS DOUBLE)" if c == "ts" else
+            "CAST(NULL AS DOUBLE)"
+        )
+        agg_cols += [
+            f"CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS {c}__nn",
+            f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS {c}__nd",
+            f"ROUND(MIN({nexpr}), 6) AS {c}__mn",
+            f"ROUND(MAX({nexpr}), 6) AS {c}__mx",
+        ]
+    selects = "\n  UNION ALL\n".join(
+        f"  SELECT '{c}' AS col_name, {c}__nn AS n_nulls,"
+        f" {c}__nd AS n_distinct, {c}__mn AS min_v,"
+        f" {c}__mx AS max_v, n_rows FROM agg"
+        for c, _ in _PROFILE_COLS
+    )
+    return f"""
+WITH agg AS (
+  SELECT {', '.join(agg_cols)} FROM events
+)
+{selects}
+ORDER BY col_name
+"""
+
+
 QUERIES = [
     Query("q31_moment_stats", q31_moment_stats, Q31_SQL,
           "stddev/variance/corr/covar moments"),
@@ -800,4 +888,8 @@ QUERIES = [
     Query("q64_weighted_quantiles", q64_weighted_quantiles, Q64_SQL,
           "weighted p25/p50/p90 via order-pinned cumulative-weight "
           "window (no built-in weighted percentile on either engine)"),
+    Query("q66_table_profile", q66_table_profile, _q66_sql(),
+          "table profiling audit: per-column null count, exact "
+          "distinct count, numeric min/max in one scan (stack "
+          "unpivot of a single global aggregate)"),
 ]

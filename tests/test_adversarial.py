@@ -100,6 +100,8 @@ SWEEP = [
     "d17_containment_pairs", "d20_snapshot_diff",
     "d21_softdedup_weights",
     "d22_dedup_roi", "d23_removal_propagation",
+    "d24_editdist_neardup",
+    "p23_weighted_sample",
     "d18_bloom_decontamination",
     "m06_multimodal_packing", "m07_phash_neardup",
     "m08_media_canonical",
@@ -158,6 +160,7 @@ EVENTS_SWEEP = [
     "w09_gap_fill", "w10_rate_anomaly", "w11_rollup_cascade",
     "w12_countmin_heavyhitters", "w13_histogram_quantiles",
     "w14_decayed_rate", "w15_hll_distinct", "q65_running_distinct",
+    "q66_table_profile",
 ]
 
 EMB_SWEEP = [
@@ -170,7 +173,7 @@ EMB_SWEEP = [
     "s16_rrf_fusion", "s17_probe_recall_sweep", "s18_knn_label_eval",
     "s19_cascade_rerank", "s20_index_staleness",
     "s21_filtered_search", "s22_khop_expansion",
-    "s23_mips_norm_pruned",
+    "s23_mips_norm_pruned", "s24_triangle_count",
 ]
 
 

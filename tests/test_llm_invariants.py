@@ -1792,3 +1792,212 @@ def test_t22_langid_eval_confusion_identities(spark, sf_dir):
         assert 0.0 <= r.precision <= 1.0 and 0.0 <= r.recall <= 1.0
         lo, hi = sorted((r.precision, r.recall))
         assert lo - 1e-6 <= r.f1 <= hi + 1e-6, r.lang
+
+
+def test_s24_triangles_match_serial_count(spark, sf_dir):
+    """The degree-oriented wedge-join dataflow equals a serial
+    adjacency-set triangle count over the SAME collected edge set —
+    per node, not just in total — and the fixture graph actually
+    contains triangles (so the closing-edge join is load-bearing)."""
+    from kafka2clickhouse_py_streamer_spark.llm.similarity import (
+        s09_knn_graph,
+        s24_triangle_count,
+    )
+
+    edges = set()
+    for r in s09_knn_graph(spark, sf_dir).collect():
+        a, b = sorted((r.src_id, r.nbr_id))
+        edges.add((a, b))
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expect_tri = {n: 0 for n in adj}
+    total = 0
+    for a, b in edges:
+        for c in adj[a] & adj[b]:
+            if c > b:  # a < b < c: each triangle counted once
+                for n in (a, b, c):
+                    expect_tri[n] += 1
+                total += 1
+    got = {
+        r.node: (r.deg, r.n_tri, r.clustering)
+        for r in s24_triangle_count(spark, sf_dir).collect()
+    }
+    assert set(got) == set(adj)
+    for n in adj:
+        deg, n_tri, cc = got[n]
+        assert deg == len(adj[n])
+        assert n_tri == expect_tri[n], n
+        want_cc = (
+            2.0 * expect_tri[n] / (deg * (deg - 1)) if deg >= 2 else 0.0
+        )
+        assert abs(cc - want_cc) < 1e-6
+    assert total >= 1  # the graph exercises the closing join
+    assert sum(expect_tri.values()) == 3 * total
+
+
+def test_p23_weighted_sample_matches_serial_aes(spark, sf_dir):
+    """The distributed A-ES sample equals a serial reference built
+    from hashlib + math.log over the collected corpus — the published
+    key formula (ln(u)/w, u from md5), not just cross-engine
+    agreement — and heavier docs are actually overrepresented vs a
+    uniform draw (the weighting is load-bearing)."""
+    import hashlib
+    import math
+    import re as _re
+
+    from kafka2clickhouse_py_streamer_spark.llm.sampling import (
+        WEIGHTED_SAMPLES,
+        _U_BITS,
+        p23_weighted_sample,
+    )
+    from kafka2clickhouse_py_streamer_spark.operators.base import table
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    keyed = []
+    for r in docs:
+        t = (r.text or "").strip()
+        w = len(_re.split(r"\s+", t)) if t else 0
+        if w <= 0:
+            continue
+        v = int(
+            hashlib.md5(str(r.doc_id).encode()).hexdigest()[:13], 16
+        )
+        u = (v + 0.5) / float(1 << _U_BITS)
+        key = math.floor(math.log(u) / w * 1e9 + 0.5) / 1e9
+        keyed.append((key, r.doc_id, w))
+    keyed.sort(key=lambda x: (-x[0], x[1]))
+    expect = keyed[:WEIGHTED_SAMPLES]
+    got = [
+        (r.samp_key, r.doc_id, r.weight)
+        for r in p23_weighted_sample(spark, sf_dir).orderBy("rank")
+        .collect()
+    ]
+    assert [(d, w) for _, d, w in got] == [(d, w) for _, d, w in expect]
+    for (gk, _, _), (ek, _, _) in zip(got, expect):
+        assert abs(gk - ek) < 1e-9
+    # weighting is load-bearing: the sampled docs' mean weight exceeds
+    # the corpus mean (PPS pulls mass toward heavy docs)
+    corpus_mean = sum(w for _, _, w in keyed) / len(keyed)
+    sample_mean = sum(w for _, _, w in got) / len(got)
+    assert sample_mean > corpus_mean
+
+
+def test_d24_admits_typos_rejects_bulk_insertion(spark, tmp_path):
+    """The class differentiator, observable: a pair differing by two
+    in-word TYPOS is admitted (high shingle similarity AND tiny edit
+    distance), while a pair related by a >25% bulk INSERTION is an
+    LSH candidate yet rejected by the relative-distance gate — the
+    order/length sensitivity the bag-of-shingles family lacks. The
+    DuckDB oracle agrees on the same crafted corpus."""
+    from kafka2clickhouse_py_streamer_spark.llm.dedup import (
+        _minhash_sig_and_candidates,
+        d24_editdist_neardup,
+    )
+    from tests.oracle_harness import compare, duckdb_conn
+
+    base_words = [
+        "alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+        "golf", "hotel", "india", "juliet", "kilo", "lima", "mike",
+        "november", "oscar", "papa", "quebec", "romeo", "sierra",
+        "tango", "uniform", "victor", "whiskey", "xray", "yankee",
+        "zulu", "one", "two", "three", "four",
+    ]
+    base = " ".join(base_words)
+    typo = base.replace("charlie", "charlei").replace("romeo", "rome0")
+    bulk = base + " " + " ".join(f"extra{i}" for i in range(12))
+    rows = [
+        (1, base),
+        (2, typo),
+        (3, bulk),
+        (4, "совершенно unrelated text qq ww ee rr tt yy uu ii oo pp"),
+    ]
+    root = _write_docs(tmp_path, "editdist_docs", rows)
+
+    _, cand = _minhash_sig_and_candidates(spark, root)
+    cands = {(r.doc_a, r.doc_b) for r in cand.collect()}
+    assert (1, 2) in cands and (1, 3) in cands  # gate is exercised
+
+    out = {(r.doc_a, r.doc_b): r for r in
+           d24_editdist_neardup(spark, root).collect()}
+    assert (1, 2) in out and out[(1, 2)].rel_dist < 0.1
+    assert (1, 3) not in out  # candidate, but over the 25% gate
+    assert all(a != 4 and b != 4 for a, b in out)
+
+    con = duckdb_conn(root)
+    from kafka2clickhouse_py_streamer_spark.operators.base import (
+        all_queries,
+    )
+
+    q = all_queries()["d24_editdist_neardup"]
+    r = compare(q.fn(spark, root), con, q.oracle)
+    con.close()
+    assert r.get("values_match"), r
+
+
+def test_q66_profile_counts_crafted_nulls(spark, tmp_path):
+    """q66 against a hand-computed fixture: exact null counts,
+    distinct counts (NaN counts once; NULL never), and min/max
+    (timestamp as epoch micros) — plus oracle parity on the same
+    crafted table."""
+    import datetime
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "profile_events")
+    os.makedirs(root)
+    t0 = datetime.datetime(2024, 5, 1)
+    ev = [
+        (1, t0, 7, "view", 1.5, "{}"),
+        (2, None, 7, "view", float("nan"), None),
+        (3, t0 + datetime.timedelta(hours=1), None, None, float("nan"),
+         None),
+        (4, t0, 8, "click", -2.0, "{\"k\":1}"),
+        (5, t0, None, "view", None, "{}"),
+    ]
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array([r[0] for r in ev], pa.int64()),
+            "ts": pa.array([r[1] for r in ev], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in ev], pa.int64()),
+            "event_type": pa.array([r[3] for r in ev], pa.string()),
+            "value": pa.array([r[4] for r in ev], pa.float64()),
+            "props": pa.array([r[5] for r in ev], pa.string()),
+        }),
+        os.path.join(root, "events.parquet"),
+    )
+    from kafka2clickhouse_py_streamer_spark.operators.base import (
+        all_queries,
+    )
+    from kafka2clickhouse_py_streamer_spark.operators.statistics import (
+        q66_table_profile,
+    )
+    from tests.oracle_harness import compare, duckdb_conn
+
+    got = {r.col_name: r for r in q66_table_profile(spark, root).collect()}
+    assert all(r.n_rows == 5 for r in got.values())
+    assert (got["ts"].n_nulls, got["ts"].n_distinct) == (1, 2)
+    assert (got["user_id"].n_nulls, got["user_id"].n_distinct) == (2, 2)
+    assert (got["event_type"].n_nulls, got["event_type"].n_distinct) \
+        == (1, 2)
+    # NaN is ONE distinct value on both engines; NULL is none
+    assert (got["value"].n_nulls, got["value"].n_distinct) == (1, 3)
+    assert got["value"].min_v == -2.0
+    import math
+
+    assert math.isnan(got["value"].max_v)  # NaN sorts greatest
+    assert got["event_type"].min_v is None
+    t0us = int(t0.timestamp() * 1_000_000)
+    assert got["ts"].min_v == float(t0us)
+    assert got["ts"].max_v == float(t0us + 3_600_000_000)
+
+    con = duckdb_conn(root)
+    q = all_queries()["q66_table_profile"]
+    r = compare(q.fn(spark, root), con, q.oracle)
+    con.close()
+    assert r.get("values_match"), r

@@ -1575,3 +1575,63 @@ def test_t21_keywords_window_over_doc_vocab(spark, sf_dir):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert python_row_ops(df) == 0
+
+
+def test_d24_editdist_candidates_from_band_join(spark, sf_dir):
+    # fuzzy verify runs over banded-LSH candidates: the plan must be
+    # all hash equi-joins (band join + two doc-side joins) with the
+    # Levenshtein DP as a JVM expression — never a cartesian pair
+    # enumeration, zero Python
+    from kafka2clickhouse_py_streamer_spark.llm.dedup import (
+        d24_editdist_neardup,
+    )
+
+    df = d24_editdist_neardup(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "levenshtein" in plan
+    assert python_row_ops(df) == 0
+
+
+def test_p23_weighted_sample_is_take_ordered(spark, sf_dir):
+    # A-ES top-k must be TakeOrderedAndProject (per-partition heaps +
+    # k-row driver merge) — never a global sort of the keyed corpus;
+    # the rank window runs on the k-row result only
+    from kafka2clickhouse_py_streamer_spark.llm.sampling import (
+        p23_weighted_sample,
+    )
+
+    df = p23_weighted_sample(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert python_row_ops(df) == 0
+
+
+def test_q66_profile_is_one_scan_expand(spark, sf_dir):
+    # every column's stats come from ONE scan: the multi-distinct
+    # lowers to a single Expand-based aggregate, not per-column passes
+    from kafka2clickhouse_py_streamer_spark.operators.statistics import (
+        q66_table_profile,
+    )
+
+    df = q66_table_profile(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert len(read_schema_columns(df)) == 1  # one parquet scan
+    assert "Expand" in plan
+    assert python_row_ops(df) == 0
+
+
+def test_s24_triangles_equi_joins_only(spark, sf_dir):
+    # the wedge join and the closing-edge join are hash equi-joins on
+    # node ids; a cartesian/nested-loop anywhere is the sum-deg²
+    # blowup degree-ordering exists to avoid
+    from kafka2clickhouse_py_streamer_spark.llm.similarity import (
+        s24_triangle_count,
+    )
+
+    df = s24_triangle_count(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert python_row_ops(df) == 0

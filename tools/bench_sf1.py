@@ -101,6 +101,12 @@ HEAVY = [
     # padding audit (two global orderings over the token-counted scan)
     "s23_mips_norm_pruned",
     "p22_padding_waste",
+    # second post-freeze batch: the LSH-candidate Levenshtein verify
+    # (pair-join shape whose DP cost rides the candidate count) and
+    # the degree-oriented wedge join (row growth = sum out-deg^2 —
+    # the quantity orientation is supposed to bound)
+    "d24_editdist_neardup",
+    "s24_triangle_count",
 ]
 VOWELS = "aeiou"
 
