@@ -1807,6 +1807,132 @@ ORDER BY lang
 """
 
 
+# --- t23: PMI collocations ----------------------------------------------
+
+PMI_WINDOW = 3  # co-occurrence: 1 <= pos(w2) - pos(w1) <= 3
+PMI_MIN_PAIR = 3  # noise floor: pairs seen fewer times are not scored
+PMI_TOP_K = 30
+
+
+def t23_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction: the corpus's top word pairs by
+    pointwise mutual information over a forward co-occurrence window —
+    PMI(x,y) = ln( p(x,y) / (p(x)·p(y)) ) with pair probability
+    c_xy/P and unigram probabilities c/N. High-PMI pairs are
+    multi-word expressions ("new york", "machine learning") — the
+    association statistic t14's conditional ln p(w2|w1) is not (t14
+    rewards frequent CONTINUATIONS; PMI rewards pairs that co-occur
+    far above chance regardless of marginal frequency).
+
+    Scale shape: co-occurring pairs are generated INSIDE the scan
+    projection (a nested sequence/transform over the token array, one
+    explode of ≤ W·|tokens| rows) — never a positional self-join of
+    the token stream, which would shuffle every token twice and pay
+    |doc|·W join rows through an exchange. Downstream is two
+    vocab-sized hash aggs, two vocab-sized equi-joins, a one-row
+    broadcast of the (N, P) totals, and a TakeOrderedAndProject
+    top-k. ln() is the only FP seam — absorbed by rounding to 1e-6
+    before the rank (the s09 discipline).
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = f"filter({tokens_expr('text')}, x -> length(x) > 0)"
+    pair_list = (
+        "CASE WHEN size(tk) >= 2 THEN flatten(transform("
+        "  sequence(1, size(tk) - 1), i -> transform("
+        f"    sequence(i + 1, least(i + {PMI_WINDOW}, size(tk))),"
+        "    j -> struct(element_at(tk, i) AS w1,"
+        "                element_at(tk, j) AS w2))))"
+        " ELSE array() END"
+    )
+    tk = d.select(F.expr(toks).alias("tk"))
+    pairs = tk.select(F.explode(F.expr(pair_list)).alias("p")).select(
+        "p.w1", "p.w2"
+    )
+    uni = (
+        tk.select(F.explode("tk").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    cp = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pair")
+    )
+    totals = uni.agg(
+        F.sum("c").alias("n_tokens")
+    ).crossJoin(
+        F.broadcast(cp.agg(F.sum("n_pair").cast("double").alias("n_pairs")))
+    )
+    pmi = (
+        F.log(F.col("n_pair").cast("double"))
+        + F.lit(2.0) * F.log("n_tokens")
+        - F.log("n_pairs")
+        - F.log(F.col("c1"))
+        - F.log(F.col("c2"))
+    )
+    return (
+        cp.filter(F.col("n_pair") >= PMI_MIN_PAIR)
+        .join(
+            uni.select(F.col("token").alias("w1"), F.col("c").alias("c1")),
+            "w1",
+        )
+        .join(
+            uni.select(F.col("token").alias("w2"), F.col("c").alias("c2")),
+            "w2",
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1", "w2", "n_pair", F.round(pmi, 6).alias("pmi")
+        )
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(PMI_TOP_K)
+    )
+
+
+def _t23_sql() -> str:
+    return rf"""
+WITH toks AS (
+  SELECT list_filter(
+           regexp_split_to_array(TRIM(LOWER(text)), '\s+'),
+           x -> LENGTH(x) > 0) AS tk
+  FROM documents
+),
+pos AS (
+  SELECT tk, UNNEST(RANGE(1, GREATEST(LEN(tk), 1))) AS i
+  FROM toks WHERE LEN(tk) >= 2
+),
+pairs AS (
+  SELECT tk[CAST(i AS INTEGER)] AS w1, tk[CAST(j AS INTEGER)] AS w2
+  FROM (SELECT tk, i,
+               UNNEST(RANGE(i + 1, LEAST(i + {PMI_WINDOW}, LEN(tk)) + 1))
+                 AS j
+        FROM pos)
+),
+uni AS (
+  SELECT UNNEST(tk) AS token FROM toks
+),
+ucnt AS (
+  SELECT token, CAST(COUNT(*) AS DOUBLE) AS c FROM uni GROUP BY token
+),
+pcnt AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_pair
+  FROM pairs GROUP BY w1, w2
+),
+totals AS (
+  SELECT (SELECT SUM(c) FROM ucnt) AS n_tokens,
+         (SELECT CAST(SUM(n_pair) AS DOUBLE) FROM pcnt) AS n_pairs
+)
+SELECT p.w1, p.w2, p.n_pair,
+       ROUND(LN(CAST(p.n_pair AS DOUBLE)) + 2.0 * LN(t.n_tokens)
+             - LN(t.n_pairs) - LN(a.c) - LN(b.c), 6) AS pmi
+FROM pcnt p
+JOIN ucnt a ON a.token = p.w1
+JOIN ucnt b ON b.token = p.w2
+CROSS JOIN totals t
+WHERE p.n_pair >= {PMI_MIN_PAIR}
+ORDER BY pmi DESC, p.w1, p.w2
+LIMIT {PMI_TOP_K}
+"""
+
+
 QUERIES = [
     Query("t01_token_count", t01_token_count, T01_SQL,
           "whitespace + subword-proxy token counts"),
@@ -1863,4 +1989,8 @@ QUERIES = [
           "lang-ID quality audit: per-class precision/recall/F1 of "
           "t03 predictions vs declared labels (s18's audit shape "
           "for text)"),
+    Query("t23_pmi_collocations", t23_pmi_collocations, _t23_sql(),
+          "collocation extraction: top word pairs by PMI over a "
+          "forward co-occurrence window, pairs generated inside the "
+          "scan projection (no positional self-join)"),
 ]

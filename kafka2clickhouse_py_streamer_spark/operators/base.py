@@ -164,6 +164,7 @@ _VERIFY_FIRST = [
     "t22_langid_eval",
     "p22_padding_waste",
     "p23_weighted_sample",
+    "t23_pmi_collocations",
     # green-r02 but file churned since
     "m03_frame_sample",
     "m04_feature_extract",

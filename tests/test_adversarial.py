@@ -97,6 +97,7 @@ SWEEP = [
     "t16_bm25_topk", "t17_chunk_passages", "t18_ngram_novelty",
     "t21_tfidf_keywords",
     "t22_langid_eval",
+    "t23_pmi_collocations",
     "d17_containment_pairs", "d20_snapshot_diff",
     "d21_softdedup_weights",
     "d22_dedup_roi", "d23_removal_propagation",

@@ -2001,3 +2001,53 @@ def test_q66_profile_counts_crafted_nulls(spark, tmp_path):
     r = compare(q.fn(spark, root), con, q.oracle)
     con.close()
     assert r.get("values_match"), r
+
+
+def test_t23_pmi_matches_serial_reference(spark, sf_dir):
+    """The scan-side pair generation + PMI arithmetic equals a serial
+    tokenize→window→count→score reference over the collected corpus,
+    including the top-k cut (rounded-PMI rank, (w1, w2) ties)."""
+    import math
+    import re as _re
+    from collections import Counter
+
+    from kafka2clickhouse_py_streamer_spark.llm.text import (
+        PMI_MIN_PAIR,
+        PMI_TOP_K,
+        PMI_WINDOW,
+        t23_pmi_collocations,
+    )
+    from kafka2clickhouse_py_streamer_spark.operators.base import table
+
+    docs = table(spark, sf_dir, "documents").select("text").collect()
+    uni: Counter = Counter()
+    pairs: Counter = Counter()
+    for r in docs:
+        t = (r.text or "").strip().lower()
+        tk = [w for w in _re.split(r"\s+", t) if w] if t else []
+        uni.update(tk)
+        for i in range(len(tk)):
+            for j in range(i + 1, min(i + PMI_WINDOW, len(tk) - 1) + 1):
+                pairs[(tk[i], tk[j])] += 1
+    n_tok = float(sum(uni.values()))
+    n_pairs = float(sum(pairs.values()))
+    scored = []
+    for (w1, w2), cxy in pairs.items():
+        if cxy < PMI_MIN_PAIR:
+            continue
+        pmi = (
+            math.log(cxy) + 2.0 * math.log(n_tok)
+            - math.log(n_pairs) - math.log(uni[w1]) - math.log(uni[w2])
+        )
+        scored.append((round(pmi, 6), w1, w2, cxy))
+    scored.sort(key=lambda x: (-x[0], x[1], x[2]))
+    expect = scored[:PMI_TOP_K]
+    got = [
+        (r.pmi, r.w1, r.w2, r.n_pair)
+        for r in t23_pmi_collocations(spark, sf_dir).collect()
+    ]
+    assert [(w1, w2, c) for _, w1, w2, c in got] \
+        == [(w1, w2, c) for _, w1, w2, c in expect]
+    for (gp, *_), (ep, *_) in zip(got, expect):
+        assert abs(gp - ep) < 2e-6
+    assert len(got) > 0

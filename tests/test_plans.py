@@ -1635,3 +1635,23 @@ def test_s24_triangles_equi_joins_only(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert python_row_ops(df) == 0
+
+
+def test_t23_pairs_generated_in_scan_not_self_join(spark, sf_dir):
+    # co-occurring pairs come from the nested array transform inside
+    # the scan projection — ONE explode, never a positional self-join
+    # of the token stream; the totals are a one-row broadcast
+    from kafka2clickhouse_py_streamer_spark.llm.text import (
+        t23_pmi_collocations,
+    )
+
+    df = t23_pmi_collocations(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert python_row_ops(df) == 0
+    # the only scanned column is text: every consumer of the token
+    # subtree (pair counts, both vocab joins, the totals) re-derives
+    # the SAME pruned scan — a positional self-join would need ids
+    for cols in read_schema_columns(df):
+        assert cols == ["text"]

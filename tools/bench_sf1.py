@@ -107,6 +107,9 @@ HEAVY = [
     # the quantity orientation is supposed to bound)
     "d24_editdist_neardup",
     "s24_triangle_count",
+    # the windowed pair explode (<= W rows per token) feeding two
+    # vocab aggs — the row-growth shape of the PMI collocations
+    "t23_pmi_collocations",
 ]
 VOWELS = "aeiou"
 
