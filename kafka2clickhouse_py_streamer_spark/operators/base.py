@@ -165,6 +165,7 @@ _VERIFY_FIRST = [
     "p22_padding_waste",
     "p23_weighted_sample",
     "t23_pmi_collocations",
+    "q67_sequence_match",
     # green-r02 but file churned since
     "m03_frame_sample",
     "m04_feature_extract",

@@ -646,6 +646,93 @@ ORDER BY event_type NULLS FIRST, hour_start
 """
 
 
+# --- q67: event-sequence pattern matching --------------------------------
+
+# single-char codes make the per-user journey a regex-able string
+_SEQ_CODE = (
+    "CASE WHEN event_type IS NULL THEN 'n'"
+    " WHEN event_type = 'view' THEN 'v'"
+    " WHEN event_type = 'click' THEN 'c'"
+    " WHEN event_type = 'purchase' THEN 'p'"
+    " WHEN event_type = 'signup' THEN 's'"
+    " WHEN event_type = 'error' THEN 'e'"
+    " ELSE 'x' END"
+)
+_SEQ_PREFIX = 64
+
+
+def q67_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence pattern matching (the sequenceMatch capability
+    class): each user's journey becomes an ordered string of
+    single-char event codes, and patterns are plain regexes over it —
+    ordered funnel reach ('v.*c.*p'), IMMEDIATE view→purchase
+    adjacency ('vp', with its first position), and error-then-
+    purchase. The regex form expresses adjacency and exclusion
+    constraints q53's staged min-aggs cannot ("purchase directly
+    after view with nothing between").
+
+    Cross-engine determinism: the sequence order is pinned by
+    (ts, event_id) — event_id is unique, so duplicate timestamps
+    cannot flip codes; Spark sorts collected (ts, event_id, code)
+    structs (field-order lexicographic), DuckDB uses
+    string_agg(... ORDER BY ts, event_id). Null-timestamp events are
+    excluded (no event-time ⇒ no position in a sequence — the
+    time-window family's contract); a NULL user_id is a real group.
+
+    Scale shape: one hash agg keyed on user_id; per-group state is
+    the user's code string — bounded by per-user event count, which
+    is why the production form runs per SESSION (q28's gap
+    sessionization first) or caps the collected array with slice();
+    the regexes are then O(|seq|) per user. No window, no join, no
+    Python."""
+    e = table(spark, sf_dir, "events")
+    coded = e.filter(F.col("ts").isNotNull()).select(
+        "user_id", "ts", "event_id", F.expr(_SEQ_CODE).alias("code")
+    )
+    seq_expr = F.concat_ws(
+        "",
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "code"))),
+            lambda s: s["code"],
+        ),
+    )
+    agg = coded.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        seq_expr.alias("seq"),
+    )
+    return agg.select(
+        "user_id",
+        "n_events",
+        F.substring("seq", 1, _SEQ_PREFIX).alias("seq_prefix"),
+        F.col("seq").rlike("v.*c.*p").alias("funnel_vcp"),
+        (F.instr("seq", "vp") > 0).alias("has_direct_vp"),
+        F.instr("seq", "vp").cast("long").alias("first_vp_pos"),
+        F.col("seq").rlike("e.*p").alias("error_then_purchase"),
+    ).orderBy(F.col("user_id").asc_nulls_last())
+
+
+Q67_SQL = f"""
+WITH coded AS (
+  SELECT user_id, ts, event_id, {_SEQ_CODE} AS code
+  FROM events WHERE ts IS NOT NULL
+),
+agg AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         string_agg(code, '' ORDER BY ts, event_id) AS seq
+  FROM coded GROUP BY user_id
+)
+SELECT user_id, n_events,
+       SUBSTRING(seq, 1, {_SEQ_PREFIX}) AS seq_prefix,
+       regexp_matches(seq, 'v.*c.*p') AS funnel_vcp,
+       strpos(seq, 'vp') > 0 AS has_direct_vp,
+       CAST(strpos(seq, 'vp') AS BIGINT) AS first_vp_pos,
+       regexp_matches(seq, 'e.*p') AS error_then_purchase
+FROM agg
+ORDER BY user_id NULLS LAST
+"""
+
+
 QUERIES = [
     Query("q08_topk_per_group", q08_topk_per_group, Q08_SQL,
           "row_number top-K per group"),
@@ -677,4 +764,8 @@ QUERIES = [
           "running distinct users per event_type by hour: first-"
           "occurrence rewrite + running SUM on Spark vs DuckDB's "
           "native COUNT(DISTINCT) OVER"),
+    Query("q67_sequence_match", q67_sequence_match, Q67_SQL,
+          "event-sequence pattern match: per-user journey as an "
+          "order-pinned code string, regex funnel/adjacency/"
+          "exclusion patterns (sequenceMatch capability)"),
 ]

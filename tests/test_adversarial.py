@@ -161,7 +161,7 @@ EVENTS_SWEEP = [
     "w09_gap_fill", "w10_rate_anomaly", "w11_rollup_cascade",
     "w12_countmin_heavyhitters", "w13_histogram_quantiles",
     "w14_decayed_rate", "w15_hll_distinct", "q65_running_distinct",
-    "q66_table_profile",
+    "q66_table_profile", "q67_sequence_match",
 ]
 
 EMB_SWEEP = [

@@ -2051,3 +2051,54 @@ def test_t23_pmi_matches_serial_reference(spark, sf_dir):
     for (gp, *_), (ep, *_) in zip(got, expect):
         assert abs(gp - ep) < 2e-6
     assert len(got) > 0
+
+
+def test_q67_sequences_match_serial_reference(spark, sf_dir):
+    """Per-user journey strings and every pattern flag equal a serial
+    sort-and-scan reference over the collected events; the fixture
+    exercises the adjacency/ordering semantics (some user where the
+    ordered funnel holds, and the direct-adjacency position agrees
+    with a plain substring search of the serial string)."""
+    from kafka2clickhouse_py_streamer_spark.operators.base import table
+    from kafka2clickhouse_py_streamer_spark.operators.windows import (
+        _SEQ_PREFIX,
+        q67_sequence_match,
+    )
+
+    code_of = {
+        "view": "v", "click": "c", "purchase": "p",
+        "signup": "s", "error": "e", None: "n",
+    }
+    rows = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    ).collect()
+    by_user: dict = {}
+    for r in rows:
+        if r.ts is None:
+            continue
+        by_user.setdefault(r.user_id, []).append(
+            (r.ts, r.event_id, code_of.get(r.event_type, "x"))
+        )
+    import re as _re
+
+    expect = {}
+    for u, evs in by_user.items():
+        evs.sort(key=lambda x: (x[0], x[1]))
+        seq = "".join(c for _, _, c in evs)
+        expect[u] = (
+            len(evs),
+            seq[:_SEQ_PREFIX],
+            bool(_re.search("v.*c.*p", seq)),
+            "vp" in seq,
+            seq.find("vp") + 1,
+            bool(_re.search("e.*p", seq)),
+        )
+    got = {
+        r.user_id: (
+            r.n_events, r.seq_prefix, r.funnel_vcp, r.has_direct_vp,
+            r.first_vp_pos, r.error_then_purchase,
+        )
+        for r in q67_sequence_match(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert any(v[2] for v in expect.values())  # funnel exercised

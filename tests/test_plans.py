@@ -1655,3 +1655,19 @@ def test_t23_pairs_generated_in_scan_not_self_join(spark, sf_dir):
     # the SAME pruned scan — a positional self-join would need ids
     for cols in read_schema_columns(df):
         assert cols == ["text"]
+
+
+def test_q67_sequence_is_one_hash_agg_no_window(spark, sf_dir):
+    # the journey string is built by ONE user-keyed hash agg (collect +
+    # in-array sort) — no per-user window sort, no join, zero Python;
+    # regexes run on the aggregated |users|-row frame
+    from kafka2clickhouse_py_streamer_spark.operators.windows import (
+        q67_sequence_match,
+    )
+
+    df = q67_sequence_match(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert plan.count("Window") == 0
+    assert count_exchanges(df) <= 2  # agg hash + orderBy range
+    assert python_row_ops(df) == 0
