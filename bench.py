@@ -81,6 +81,12 @@ HEADLINE = [
     # round 6 post-freeze: the MAX-merge HLL register sketch — first
     # recording
     "w15_hll_distinct",
+    # round 6 second post-freeze batch: the LSH-candidate Levenshtein
+    # verify, the degree-oriented triangle count, and the scan-side
+    # PMI pair explode — the three new heavy shapes; first recordings
+    "d24_editdist_neardup",
+    "s24_triangle_count",
+    "t23_pmi_collocations",
 ]
 
 
