@@ -2170,13 +2170,16 @@ def d24_editdist_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: candidates come from the band equi-join
     (|candidates| ~ collisions, never |docs|^2); each candidate pays
-    one O(la*lb) DP, prefiltered by the free length bound
-    |la - lb| <= rel_max * max(la, lb) (lev >= |la - lb|, so the
-    filter is lossless — it only skips DPs that cannot admit). At
-    production scale Spark's 3-arg ``levenshtein(l, r, threshold)``
-    band-limits the DP to O(threshold * min(la, lb)); the 2-arg form
-    is used here because the oracle has no threshold twin and admitted
-    rows must carry the exact distance either way.
+    a THRESHOLD-BANDED DP — Spark's 3-arg ``levenshtein(l, r, t)``
+    with the per-pair admission bound t = floor(rel_max · max(la, lb))
+    costs O(t · min(la, lb)) and returns -1 the moment the distance
+    provably exceeds t, so rejected pairs (the vast majority) pay a
+    fraction of the full O(la·lb) grid. Admission is exact: lev is an
+    integer, so lev ≤ rel_max·denom ⟺ lev ≤ floor(rel_max·denom),
+    and admitted rows carry the same exact distance the oracle's
+    unbanded DP computes. The free length prefilter
+    |la - lb| <= rel_max * max(la, lb) still runs first (lev >=
+    |la - lb| makes it lossless) so most rejections never start a DP.
     """
     _, cand = _minhash_sig_and_candidates(spark, sf_dir)
     norm = table(spark, sf_dir, "documents").select(
@@ -2200,11 +2203,17 @@ def d24_editdist_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("la") - F.col("lb")).cast("double")
             <= F.lit(EDIT_REL_MAX) * denom
         )
-        .withColumn("lev", F.levenshtein("nta", "ntb").cast("long"))
+        .withColumn(
+            "lt",
+            F.floor(F.lit(EDIT_REL_MAX) * denom).cast("int"),
+        )
+        .withColumn(
+            "lev", F.expr("levenshtein(nta, ntb, lt)").cast("long")
+        )
     )
     rel = F.when(denom == 0, F.lit(0.0)).otherwise(F.col("lev") / denom)
     return (
-        paired.filter(rel <= EDIT_REL_MAX)
+        paired.filter(F.col("lev") >= 0)  # -1 = banded DP said > lt
         .select(
             "doc_a",
             "doc_b",
