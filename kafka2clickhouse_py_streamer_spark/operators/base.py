@@ -166,6 +166,7 @@ _VERIFY_FIRST = [
     "p23_weighted_sample",
     "t23_pmi_collocations",
     "q67_sequence_match",
+    "w16_profile_sketch",
     # green-r02 but file churned since
     "m03_frame_sample",
     "m04_feature_extract",

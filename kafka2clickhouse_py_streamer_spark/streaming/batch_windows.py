@@ -1272,6 +1272,195 @@ ORDER BY f.scope NULLS FIRST
 """
 
 
+# --- w16: column-profile distinct sketch (q66 × w15) ---------------------
+
+# (column, canonical-key Spark expr, canonical-key DuckDB expr).
+# Only DISCRETE/key columns are sketched: cardinality monitoring is a
+# signal for keys and categories, and their canonical string encodings
+# (bigint → digits, timestamp → epoch micros, string → raw) hash
+# identically on both engines. Continuous doubles are deliberately
+# excluded — a double's string rendering is engine-specific ('1.0E15'
+# vs '1e+15', 'NaN' vs 'nan'), so it cannot feed a cross-engine md5,
+# and q66 already profiles measures exactly (min/max/null/distinct).
+PROFILE_SKETCH_COLS = [
+    ("event_id", "cast(event_id as string)",
+     "CAST(event_id AS VARCHAR)"),
+    ("event_type", "event_type", "event_type"),
+    ("props", "props", "props"),
+    ("ts", "cast(unix_micros(ts) as string)",
+     "CAST(epoch_us(ts) AS VARCHAR)"),
+    ("user_id", "cast(user_id as string)",
+     "CAST(user_id AS VARCHAR)"),
+]
+
+
+def profile_keyed(df: DataFrame) -> DataFrame:
+    """(scope = column name, k = canonical string value) long form of
+    the profiled discrete columns — SINGLE SOURCE shared by the batch
+    w16 audit and its persisted streaming form (hll_update_batch with
+    key_col='k', scope_col='scope'), so the twins cannot drift. A pure
+    stack projection: runs unchanged under readStream."""
+    stack = ", ".join(f"'{c}', {e}" for c, e, _ in PROFILE_SKETCH_COLS)
+    return df.select(
+        F.expr(
+            f"stack({len(PROFILE_SKETCH_COLS)}, {stack}) AS (scope, k)"
+        )
+    ).filter(F.col("k").isNotNull())
+
+
+def w16_profile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-maintainable column profile: q66's data-quality audit
+    re-expressed in the sketch algebra so it can run forever on a
+    stream — per column, the null count (additive), the w15 HLL
+    register estimate of the distinct count (MAX-merge), and the exact
+    distinct + error audit that justifies trusting the sketch. The
+    '<ALL>' row max-merges every column's registers — the cross-column
+    union cardinality, exercising the merge property in-query.
+
+    Why this exists next to q66: exact COUNT(DISTINCT) per column is
+    the one profiling cost that cannot stream (state = one row per
+    distinct value); the register sketch caps state at |cols|·256 rows
+    FOREVER, and `sketch_stream.hll_update_batch(profile_keyed(batch),
+    …, key_col='k', scope_col='scope')` maintains exactly this frame
+    under foreachBatch (twin-tested, replay-idempotent, MAX-fold
+    compaction). Scale shape: one scan → stack (|cols|× rows, map-side
+    combine to ≤ |cols|·256 registers per partition) → register agg;
+    the exact audit leg exists for the oracle and drops out of the
+    production stream."""
+    d = table(spark, sf_dir, "events")
+    keyed = profile_keyed(d)
+    est = hll_estimates_from_registers(
+        hll_registers(keyed, key_col="k", scope_col="scope")
+    )
+    exact = keyed.groupBy("scope").agg(
+        F.count_distinct("k").cast("long").alias("n_exact")
+    ).unionByName(
+        keyed.agg(
+            F.count_distinct("k").cast("long").alias("n_exact")
+        ).select(F.lit("<ALL>").alias("scope"), "n_exact")
+    )
+    null_aggs = [
+        (F.count(F.lit(1)) - F.count(c)).cast("long").alias(f"{c}__nn")
+        for c, _, _ in PROFILE_SKETCH_COLS
+    ]
+    nulls_stack = ", ".join(
+        f"'{c}', {c}__nn" for c, _, _ in PROFILE_SKETCH_COLS
+    )
+    nulls_long = d.agg(*null_aggs).select(
+        F.expr(
+            f"stack({len(PROFILE_SKETCH_COLS)}, {nulls_stack})"
+            " AS (scope, n_nulls)"
+        )
+    )
+    nulls = nulls_long.unionByName(
+        nulls_long.agg(F.sum("n_nulls").cast("long").alias("n_nulls"))
+        .select(F.lit("<ALL>").alias("scope"), "n_nulls")
+    )
+    rel = F.round(
+        F.abs(F.col("est_distinct") - F.col("n_exact"))
+        / F.col("n_exact").cast("double"),
+        6,
+    )
+    return (
+        est.join(exact, "scope")
+        .join(nulls, "scope")
+        .select(
+            "scope",
+            "n_nulls",
+            "n_exact",
+            "n_regs_touched",
+            "est_distinct",
+            rel.alias("rel_err"),
+            (rel <= F.lit(HLL_REL_BOUND)).alias("within_bound"),
+        )
+        .orderBy("scope")
+    )
+
+
+def _w16_sql() -> str:
+    b = HLL_REM_BITS + 1
+    keyed = "\n  UNION ALL\n".join(
+        f"  SELECT '{c}' AS scope, {e} AS k FROM events"
+        f" WHERE {e} IS NOT NULL"
+        for c, _, e in PROFILE_SKETCH_COLS
+    )
+    nulls = "\n  UNION ALL\n".join(
+        f"  SELECT '{c}' AS scope,"
+        f" CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls FROM events"
+        for c, _, _ in PROFILE_SKETCH_COLS
+    )
+    return f"""
+WITH keyed AS (
+{keyed}
+),
+split AS (
+  SELECT scope,
+         CAST('0x' || substring(md5(k), 1, 2) AS BIGINT) AS reg,
+         CAST('0x' || substring(md5(k), 3, 14) AS BIGINT) AS v
+  FROM keyed
+),
+regs AS (
+  SELECT scope, reg,
+         MAX(CASE WHEN v = 0 THEN {b}
+             ELSE {b} - length(bin(v)) END) AS r
+  FROM split GROUP BY scope, reg
+),
+allregs AS (
+  SELECT scope, reg, r FROM regs
+  UNION ALL
+  SELECT '<ALL>' AS scope, reg, MAX(r) AS r FROM regs GROUP BY reg
+),
+sk AS (
+  SELECT scope,
+         CAST(COUNT(*) AS BIGINT) AS n_regs_touched,
+         SUM((1::BIGINT << CAST({b} - r AS INT))::HUGEINT) AS s_touched
+  FROM allregs GROUP BY scope
+),
+est AS (
+  SELECT scope, n_regs_touched,
+         {_HLL_ALPHA_NUM!r} / CAST(s_touched
+           + ({HLL_REGS} - n_regs_touched)::HUGEINT
+             * (1::BIGINT << {b})::HUGEINT AS DOUBLE) AS raw,
+         {HLL_REGS} - n_regs_touched AS zero
+  FROM sk
+),
+fin AS (
+  SELECT scope, n_regs_touched,
+         ROUND(CASE WHEN raw <= {_HLL_LC_CUT!r} AND zero > 0
+               THEN CAST({HLL_REGS} AS DOUBLE)
+                    * ln(CAST({HLL_REGS} AS DOUBLE) / CAST(zero AS DOUBLE))
+               ELSE raw END, 4) AS est_distinct
+  FROM est
+),
+exact AS (
+  SELECT scope, CAST(COUNT(DISTINCT k) AS BIGINT) AS n_exact
+  FROM keyed GROUP BY scope
+  UNION ALL
+  SELECT '<ALL>' AS scope, CAST(COUNT(DISTINCT k) AS BIGINT) AS n_exact
+  FROM keyed
+),
+nulls_long AS (
+{nulls}
+),
+nulls AS (
+  SELECT scope, n_nulls FROM nulls_long
+  UNION ALL
+  SELECT '<ALL>' AS scope, CAST(SUM(n_nulls) AS BIGINT) AS n_nulls
+  FROM nulls_long
+)
+SELECT f.scope, n.n_nulls, x.n_exact, f.n_regs_touched, f.est_distinct,
+       ROUND(ABS(f.est_distinct - x.n_exact)
+             / CAST(x.n_exact AS DOUBLE), 6) AS rel_err,
+       ROUND(ABS(f.est_distinct - x.n_exact)
+             / CAST(x.n_exact AS DOUBLE), 6) <= {HLL_REL_BOUND!r}
+         AS within_bound
+FROM fin f
+JOIN exact x ON x.scope = f.scope
+JOIN nulls n ON n.scope = f.scope
+ORDER BY f.scope
+"""
+
+
 QUERIES = [
     Query("w01_tumbling", w01_tumbling, W01_SQL, "tumbling 1h windows"),
     Query("w02_sliding", w02_sliding, W02_SQL, "sliding 1h/30m windows"),
@@ -1315,4 +1504,9 @@ QUERIES = [
           "registers per scope, max-merge (incl. the '<ALL>' row "
           "merged from per-scope registers), linear-counting "
           "small-range correction, exact-distinct error audit"),
+    Query("w16_profile_sketch", w16_profile_sketch, _w16_sql(),
+          "streaming-maintainable column profile: per-column null "
+          "count + w15 HLL distinct estimate + exact error audit "
+          "(q66's audit in the sketch algebra; state caps at "
+          "|cols|*256 registers)"),
 ]

@@ -162,6 +162,7 @@ EVENTS_SWEEP = [
     "w12_countmin_heavyhitters", "w13_histogram_quantiles",
     "w14_decayed_rate", "w15_hll_distinct", "q65_running_distinct",
     "q66_table_profile", "q67_sequence_match",
+    "w16_profile_sketch",
 ]
 
 EMB_SWEEP = [

@@ -1671,3 +1671,18 @@ def test_q67_sequence_is_one_hash_agg_no_window(spark, sf_dir):
     assert plan.count("Window") == 0
     assert count_exchanges(df) <= 2  # agg hash + orderBy range
     assert python_row_ops(df) == 0
+
+
+def test_w16_profile_sketch_stays_aggregated(spark, sf_dir):
+    # the register build is stack -> hash agg (map-side combine to
+    # <= |cols|*256 rows per partition); joins run on the tiny
+    # per-scope frames; nothing cartesian beyond broadcastable
+    # one-row legs, zero Python
+    from kafka2clickhouse_py_streamer_spark.streaming.batch_windows import (
+        w16_profile_sketch,
+    )
+
+    df = w16_profile_sketch(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert python_row_ops(df) == 0

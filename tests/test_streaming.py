@@ -2688,3 +2688,83 @@ def test_q65_persisted_distinct_curve_matches_batch_and_compacts(
     removed = compact_distinct_curve_state(spark, state, through_batch=2)
     assert removed > 0
     assert curve() == batch
+
+
+def test_w16_profile_sketch_streams_and_compacts(spark, tmp_path):
+    """The column-profile sketch under foreachBatch: profile_keyed is
+    a pure projection, so hll_update_batch(profile_keyed(batch),
+    key_col='k', scope_col='scope') maintains exactly the batch w16
+    register frame — estimates over three genuine micro-batches equal
+    batch w16 (every column scope + the max-merged '<ALL>'), replay
+    overwrites its own partition, and the MAX-fold compaction leaves
+    every estimate unchanged."""
+    from kafka2clickhouse_py_streamer_spark.operators.base import table
+    from kafka2clickhouse_py_streamer_spark.streaming.batch_windows import (
+        profile_keyed,
+        w16_profile_sketch,
+    )
+    from kafka2clickhouse_py_streamer_spark.streaming.sketch_stream import (
+        compact_hll_state,
+        hll_distinct_estimates,
+        hll_update_batch,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    cols = ["event_id", "ts", "user_id", "event_type", "props"]
+    ev = table(spark, sf, "events").select(*cols).orderBy("event_id").collect()
+    schema = ("event_id long, ts timestamp, user_id long,"
+              " event_type string, props string")
+    src = tmp_path / "w16_stream"
+    src.mkdir()
+    third = len(ev) // 3
+    chunks = (ev[:third], ev[third : 2 * third], ev[2 * third :])
+    for chunk in chunks:
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    state = str(tmp_path / "w16_state")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, bid: hll_update_batch(
+                profile_keyed(df), bid, state,
+                key_col="k", scope_col="scope",
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt_w16"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    def ests():
+        return {
+            r.scope: (r.n_regs_touched, r.est_distinct)
+            for r in hll_distinct_estimates(spark, state).collect()
+        }
+
+    streamed = ests()
+    batch = {
+        r.scope: (r.n_regs_touched, r.est_distinct)
+        for r in w16_profile_sketch(spark, sf).collect()
+    }
+    assert streamed == batch
+    assert set(streamed) == set(cols) | {"<ALL>"}
+
+    # replay batch 1: dynamic overwrite + MAX idempotence
+    hll_update_batch(
+        profile_keyed(spark.createDataFrame(chunks[1], schema)),
+        1, state, key_col="k", scope_col="scope",
+    )
+    assert ests() == batch
+
+    removed = compact_hll_state(spark, state, through_batch=2)
+    assert removed > 0
+    assert ests() == batch
