@@ -2206,6 +2206,111 @@ ORDER BY strategy
 """
 
 
+# --- p24: shard-balance audit -------------------------------------------
+
+N_BAL_SHARDS = 8
+
+
+def p24_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-assignment balance audit: the same corpus sharded two
+    ways — ``hash_mod`` (doc_id % N, the naive key sharding every
+    pipeline starts with) vs ``sorted_rr`` (round-robin over the
+    token-count-DESC order — the declarative approximation of greedy
+    LPT scheduling) — reported per (strategy, shard) as doc count,
+    token mass, and ``load_ratio`` = shard tokens / perfectly-balanced
+    share. The per-strategy MAX load_ratio is the makespan read: how
+    much longer the hottest shard's worker runs than the ideal. This
+    is the capacity-planning number behind writer parallelism, the
+    same family as p22 (padding) and d22 (dedup ROI).
+
+    Scale shape: hash_mod is a pure projection; sorted_rr's global
+    rank is the two-pass offsets (range shuffle on the sort key →
+    |partitions|-row driver collect → broadcast prefixes — never a
+    SinglePartition window); one hash agg per strategy on the
+    (strategy, shard) key; the corpus total joins back as a one-row
+    broadcast. Zero-token docs still need a shard — they are real
+    rows — they just contribute no mass."""
+    from kafka2clickhouse_py_streamer_spark.llm.dedup import _ntok_col
+
+    d = table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", _ntok_col().alias("w")
+    ).withColumn("one", F.lit(1))
+    hash_mod = base.select(
+        F.lit("hash_mod").alias("strategy"),
+        (F.col("doc_id") % N_BAL_SHARDS).cast("long").alias("shard"),
+        "w",
+    )
+    ranked = _two_pass_offsets(
+        base.withColumn("negw", -F.col("w")),
+        [],
+        val_col="one",
+        order_col=["negw", "doc_id"],
+    )
+    sorted_rr = ranked.select(
+        F.lit("sorted_rr").alias("strategy"),
+        (F.col("stream_offset") % N_BAL_SHARDS).cast("long").alias("shard"),
+        "w",
+    )
+    total = base.agg(F.sum("w").cast("double").alias("total_w"))
+    return (
+        hash_mod.unionByName(sorted_rr)
+        .groupBy("strategy", "shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("w").cast("long").alias("tokens"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "strategy",
+            "shard",
+            "n_docs",
+            "tokens",
+            F.round(
+                F.col("tokens") * N_BAL_SHARDS / F.col("total_w"), 6
+            ).alias("load_ratio"),
+        )
+        .orderBy("strategy", "shard")
+    )
+
+
+def _p24_sql() -> str:
+    from kafka2clickhouse_py_streamer_spark.llm.dedup import _NTOK_SQL
+
+    ntok = _NTOK_SQL.format(t="text")
+    return f"""
+WITH base AS (
+  SELECT doc_id, {ntok} AS w FROM documents
+),
+hash_mod AS (
+  SELECT 'hash_mod' AS strategy,
+         CAST(doc_id % {N_BAL_SHARDS} AS BIGINT) AS shard, w
+  FROM base
+),
+sorted_rr AS (
+  SELECT 'sorted_rr' AS strategy,
+         CAST((ROW_NUMBER() OVER (ORDER BY w DESC, doc_id) - 1)
+              % {N_BAL_SHARDS} AS BIGINT) AS shard, w
+  FROM base
+),
+both_s AS (
+  SELECT * FROM hash_mod UNION ALL SELECT * FROM sorted_rr
+),
+agg AS (
+  SELECT strategy, shard,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(w) AS BIGINT) AS tokens
+  FROM both_s GROUP BY strategy, shard
+)
+SELECT strategy, shard, n_docs, tokens,
+       ROUND(tokens * {N_BAL_SHARDS}
+             / (SELECT CAST(SUM(w) AS DOUBLE) FROM base), 6)
+         AS load_ratio
+FROM agg
+ORDER BY strategy, shard
+"""
+
+
 # --- p23: weighted sampling without replacement ------------------------
 
 WEIGHTED_SAMPLES = 20  # k
@@ -2367,4 +2472,8 @@ QUERIES = [
           "weighted sampling without replacement (Efraimidis-"
           "Spirakis): md5-uniform keys ln(u)/w, token-mass weights, "
           "top-k = the sample"),
+    Query("p24_shard_balance", p24_shard_balance, _p24_sql(),
+          "shard-balance audit: hash-mod vs size-sorted round-robin "
+          "(greedy-LPT approx) — per-shard doc/token load and the "
+          "max load_ratio makespan read"),
 ]

@@ -167,6 +167,8 @@ _VERIFY_FIRST = [
     "t23_pmi_collocations",
     "q67_sequence_match",
     "w16_profile_sketch",
+    "q68_interval_coverage",
+    "p24_shard_balance",
     # green-r02 but file churned since
     "m03_frame_sample",
     "m04_feature_extract",

@@ -646,6 +646,125 @@ ORDER BY event_type NULLS FIRST, hour_start
 """
 
 
+# --- q68: interval-union coverage (merge overlapping intervals) ----------
+
+COVER_MIN = 30  # each event covers [ts, ts + 30 min)
+
+
+def q68_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-UNION coverage per user: each event opens a half-open
+    30-minute activity interval; overlapping/touching intervals merge,
+    and the report is each user's total covered seconds, interval
+    count, and merged-island count — "how much wall-clock was this
+    user active", the deduplicated-time complement of q59's "how many
+    intervals overlap at once".
+
+    The merge is the classic islands construction, all windows on one
+    key: running MAX of interval ends over preceding rows; a row
+    starts a NEW island iff its start exceeds every previous end
+    (half-open ⇒ touching intervals merge); island id = running sum
+    of new-island flags; coverage = Σ per-island (max end − min
+    start). All timestamp math is epoch micros (BIGINT) — no interval
+    types cross the engine boundary.
+
+    Cross-engine determinism: window order is (ts, event_id) —
+    event_id is unique, so duplicate timestamps cannot reorder the
+    cummax; the island flag compares a strict `>` of longs.
+
+    Scale shape: ONE hash shuffle on user_id; both windows and the
+    final agg reuse that partitioning (per-key sort, no global sort,
+    no join). Null-ts events are excluded (no event-time ⇒ no
+    interval); a NULL user_id is a real group."""
+    e = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    span = COVER_MIN * 60 * 1_000_000
+    iv = e.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + F.lit(span)).alias("t"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev_end = F.max("t").over(w_prev)
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(prev_end.isNull() | (F.col("s") > prev_end), 1).otherwise(0),
+    ).withColumn("island", F.sum("new_island").over(w_run))
+    islands = flagged.groupBy("user_id", "island").agg(
+        F.min("s").alias("is_s"),
+        F.max("t").alias("is_t"),
+        F.count(F.lit(1)).alias("n_iv"),
+    )
+    return (
+        islands.groupBy("user_id")
+        .agg(
+            F.sum("n_iv").cast("long").alias("n_intervals"),
+            F.count(F.lit(1)).cast("long").alias("n_islands"),
+            F.sum(F.col("is_t") - F.col("is_s")).alias("cov_us"),
+        )
+        # integer `div` on longs — no double division whose
+        # truncate-vs-round cast semantics differ across engines
+        .select(
+            "user_id",
+            "n_intervals",
+            "n_islands",
+            F.expr("cov_us div 1000000").cast("long").alias("covered_sec"),
+        )
+        .orderBy(F.col("user_id").asc_nulls_last())
+    )
+
+
+Q68_SQL = f"""
+WITH iv AS (
+  SELECT user_id, event_id,
+         epoch_us(ts) AS s,
+         epoch_us(ts) + {COVER_MIN * 60 * 1000000} AS t
+  FROM events WHERE ts IS NOT NULL
+),
+flagged AS (
+  SELECT user_id, s, t,
+         CASE WHEN MAX(t) OVER (
+                PARTITION BY user_id ORDER BY s, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+              ) IS NULL THEN 1
+              WHEN s > MAX(t) OVER (
+                PARTITION BY user_id ORDER BY s, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+              ) THEN 1 ELSE 0 END AS new_island,
+         event_id
+  FROM iv
+),
+numbered AS (
+  SELECT user_id, s, t,
+         SUM(new_island) OVER (
+           PARTITION BY user_id ORDER BY s, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS island
+  FROM flagged
+),
+islands AS (
+  SELECT user_id, island,
+         MIN(s) AS is_s, MAX(t) AS is_t, COUNT(*) AS n_iv
+  FROM numbered GROUP BY user_id, island
+)
+SELECT user_id,
+       CAST(SUM(n_iv) AS BIGINT) AS n_intervals,
+       CAST(COUNT(*) AS BIGINT) AS n_islands,
+       CAST(SUM(is_t - is_s) // 1000000 AS BIGINT) AS covered_sec
+FROM islands
+GROUP BY user_id
+ORDER BY user_id NULLS LAST
+"""
+
+
 # --- q67: event-sequence pattern matching --------------------------------
 
 # single-char codes make the per-user journey a regex-able string
@@ -768,4 +887,8 @@ QUERIES = [
           "event-sequence pattern match: per-user journey as an "
           "order-pinned code string, regex funnel/adjacency/"
           "exclusion patterns (sequenceMatch capability)"),
+    Query("q68_interval_coverage", q68_interval_coverage, Q68_SQL,
+          "interval-union coverage per user: overlapping activity "
+          "intervals merged via running-max islands, total covered "
+          "seconds + interval/island counts"),
 ]

@@ -103,6 +103,7 @@ SWEEP = [
     "d22_dedup_roi", "d23_removal_propagation",
     "d24_editdist_neardup",
     "p23_weighted_sample",
+    "p24_shard_balance",
     "d18_bloom_decontamination",
     "m06_multimodal_packing", "m07_phash_neardup",
     "m08_media_canonical",
@@ -162,7 +163,7 @@ EVENTS_SWEEP = [
     "w12_countmin_heavyhitters", "w13_histogram_quantiles",
     "w14_decayed_rate", "w15_hll_distinct", "q65_running_distinct",
     "q66_table_profile", "q67_sequence_match",
-    "w16_profile_sketch",
+    "w16_profile_sketch", "q68_interval_coverage",
 ]
 
 EMB_SWEEP = [

@@ -2102,3 +2102,93 @@ def test_q67_sequences_match_serial_reference(spark, sf_dir):
     }
     assert got == expect
     assert any(v[2] for v in expect.values())  # funnel exercised
+
+
+def test_q68_coverage_matches_serial_merge(spark, sf_dir):
+    """The windowed islands construction equals a serial
+    sort-and-merge of each user's intervals — covered seconds,
+    interval and island counts — and the fixture exercises BOTH
+    merged overlaps (islands < intervals for someone) and gaps
+    (islands > 1 for someone)."""
+    from kafka2clickhouse_py_streamer_spark.operators.base import table
+    from kafka2clickhouse_py_streamer_spark.operators.windows import (
+        COVER_MIN,
+        q68_interval_coverage,
+    )
+
+    span = COVER_MIN * 60 * 1_000_000
+    rows = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id"
+    ).collect()
+    by_user: dict = {}
+    for r in rows:
+        if r.ts is None:
+            continue
+        us = int(r.ts.timestamp() * 1_000_000)
+        by_user.setdefault(r.user_id, []).append((us, us + span))
+    expect = {}
+    for u, ivs in by_user.items():
+        ivs.sort()
+        islands = []
+        for s, t in ivs:
+            if islands and s <= islands[-1][1]:
+                islands[-1][1] = max(islands[-1][1], t)
+            else:
+                islands.append([s, t])
+        cov = sum(t - s for s, t in islands)
+        expect[u] = (len(ivs), len(islands), cov // 1_000_000)
+    got = {
+        r.user_id: (r.n_intervals, r.n_islands, r.covered_sec)
+        for r in q68_interval_coverage(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert any(n_is < n_iv for n_iv, n_is, _ in expect.values())
+    assert any(n_is > 1 for _, n_is, _ in expect.values())
+
+
+def test_p24_balance_invariants_and_serial_rank(spark, sf_dir):
+    """Both strategies conserve the corpus (doc and token sums equal),
+    round-robin's per-shard DOC counts differ by at most one (the
+    rank % N guarantee — the observable proof the two-pass global
+    rank is a correct permutation), and sorted_rr's per-shard token
+    loads match a serial sort-and-deal reference."""
+    import re as _re
+    from collections import defaultdict
+
+    from kafka2clickhouse_py_streamer_spark.llm.sampling import (
+        N_BAL_SHARDS,
+        p24_shard_balance,
+    )
+    from kafka2clickhouse_py_streamer_spark.operators.base import table
+
+    rows = p24_shard_balance(spark, sf_dir).collect()
+    by_strat: dict = defaultdict(list)
+    for r in rows:
+        by_strat[r.strategy].append(r)
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).collect()
+
+    def ntok(t):
+        t = (t or "").strip()
+        return len(_re.split(r"\s+", t)) if t else 0
+
+    n_docs_total = len(docs)
+    tok_total = sum(ntok(r.text) for r in docs)
+    for strat, shard_rows in by_strat.items():
+        assert sum(r.n_docs for r in shard_rows) == n_docs_total, strat
+        assert sum(r.tokens for r in shard_rows) == tok_total, strat
+    rr = by_strat["sorted_rr"]
+    counts = [r.n_docs for r in rr]
+    assert max(counts) - min(counts) <= 1  # round-robin deal
+
+    # serial sort-and-deal: (w desc, doc_id) order, shard = rank % N
+    order = sorted(((ntok(r.text), r.doc_id) for r in docs),
+                   key=lambda x: (-x[0], x[1]))
+    serial = defaultdict(lambda: [0, 0])
+    for rank, (w, _) in enumerate(order):
+        s = rank % N_BAL_SHARDS
+        serial[s][0] += 1
+        serial[s][1] += w
+    got = {r.shard: (r.n_docs, r.tokens) for r in rr}
+    assert got == {s: tuple(v) for s, v in serial.items()}

@@ -1686,3 +1686,38 @@ def test_w16_profile_sketch_stays_aggregated(spark, sf_dir):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert python_row_ops(df) == 0
+
+
+def test_q68_coverage_single_keyed_shuffle(spark, sf_dir):
+    # both windows, the island agg, and the per-user agg all reuse the
+    # ONE user_id hash partitioning; never a global sort or a
+    # SinglePartition funnel
+    from kafka2clickhouse_py_streamer_spark.operators.windows import (
+        q68_interval_coverage,
+    )
+
+    df = q68_interval_coverage(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+    assert count_exchanges(df) <= 2  # user hash + final orderBy range
+    assert python_row_ops(df) == 0
+
+
+def test_p24_shard_balance_never_single_partition(spark, sf_dir):
+    # sorted_rr's global rank must be the distributed two-pass offsets
+    # — no SinglePartition window over the corpus; the total is a
+    # one-row broadcast
+    from kafka2clickhouse_py_streamer_spark.llm.sampling import (
+        p24_shard_balance,
+    )
+
+    df = p24_shard_balance(spark, sf_dir)
+    plan = formatted_plan(df)
+    # exactly one SinglePartition is allowed: the one-row corpus-total
+    # scalar aggregate's final merge (distributed partials, 1 row per
+    # partition) — the RANK must come from the two-pass offsets, so no
+    # second funnel may appear
+    assert plan.count("SinglePartition") <= 1
+    assert "CartesianProduct" not in plan
+    assert python_row_ops(df) == 0
