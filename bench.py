@@ -87,6 +87,10 @@ HEADLINE = [
     "d24_editdist_neardup",
     "s24_triangle_count",
     "t23_pmi_collocations",
+    # the sketch-algebra column profile (stack + register agg) and the
+    # keyed-window interval merge — first recordings
+    "w16_profile_sketch",
+    "q68_interval_coverage",
 ]
 
 
