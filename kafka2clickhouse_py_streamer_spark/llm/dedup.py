@@ -2133,6 +2133,103 @@ ORDER BY source NULLS LAST
 """
 
 
+# --- d25: LSH banding-layout tuner (s-curve analysis) --------------------
+
+# every (bands, rows) factorization of the 16-component signature
+LSH_LAYOUTS = [(1, 16), (2, 8), (4, 4), (8, 2), (16, 1)]
+
+
+def d25_lsh_layout_tuner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH parameterization as a QUERY: for every (bands, rows) split
+    of the 16 minhash components, the s-curve collision probability
+    P(candidate | j) = 1 − (1 − j^r)^b evaluated over the calibrated
+    pair population (d10's exact Jaccards), aggregated into the two
+    numbers a deployment trades: expected recall over TRUE pairs
+    (j ≥ threshold) vs expected candidate rate over non-pairs (the
+    wasted exact-verify fraction). More bands / fewer rows shifts the
+    s-curve left (recall up, junk candidates up); this report is the
+    measurement that justifies d03's (4, 4) — the tuning loop d10
+    calibrates and this closes.
+
+    Population honesty: pairs are the CURRENT banding's candidates
+    (the observed, labelable population — pairs invisible to every
+    band of the current layout are not scored). That biases absolute
+    rates, not the between-layout comparison, which is the decision
+    input.
+
+    Scale shape: d10's candidate frame (band-collision bounded) cross
+    joined with a broadcast 5-row layout table, one hash agg. The
+    s-curve itself is constant-time arithmetic per (pair, layout)."""
+    sig, cand = _minhash_sig_and_candidates(spark, sf_dir)
+    za, zb = _sig_pair(sig)
+    n_common = F.size(F.array_intersect(F.col("ssa"), F.col("ssb")))
+    j = n_common / (F.col("na") + F.col("nb") - n_common)
+    pairs = (
+        cand.join(za, F.col("doc_a") == F.col("za_id"))
+        .join(zb, F.col("doc_b") == F.col("zb_id"))
+        .select(j.alias("j"))
+    )
+    layouts = spark.createDataFrame(
+        [(f"{b}x{r}", b, r) for b, r in LSH_LAYOUTS],
+        "layout string, bands long, rows_per_band long",
+    )
+    p_cand = F.lit(1.0) - F.pow(
+        F.lit(1.0) - F.pow(F.col("j"), F.col("rows_per_band")),
+        F.col("bands"),
+    )
+    is_pos = F.col("j") >= MINHASH_JACCARD_THRESHOLD
+    return (
+        pairs.crossJoin(F.broadcast(layouts))
+        .groupBy("layout", "bands", "rows_per_band")
+        .agg(
+            F.sum(is_pos.cast("long")).cast("long").alias("n_pos"),
+            F.sum((~is_pos).cast("long")).cast("long").alias("n_neg"),
+            F.round(F.avg(F.when(is_pos, p_cand)), 6)
+            .alias("exp_recall_pos"),
+            F.round(F.avg(F.when(~is_pos, p_cand)), 6)
+            .alias("exp_cand_rate_neg"),
+        )
+        .orderBy("bands")
+    )
+
+
+def _d25_sql() -> str:
+    cte, _ = _d03_cal_sql_parts()
+    values = ", ".join(
+        f"('{b}x{r}', {b}, {r})" for b, r in LSH_LAYOUTS
+    )
+    return f"""{cte},
+pairs AS (
+  SELECT CAST(LEN(list_intersect(za.hs, zb.hs)) AS DOUBLE)
+         / (za.n + zb.n - LEN(list_intersect(za.hs, zb.hs))) AS j
+  FROM cand c
+  JOIN sig za ON za.doc_id = c.doc_a
+  JOIN sig zb ON zb.doc_id = c.doc_b
+),
+layouts(layout, bands, rows_per_band) AS (
+  VALUES {values}
+),
+scored AS (
+  SELECT l.layout, CAST(l.bands AS BIGINT) AS bands,
+         CAST(l.rows_per_band AS BIGINT) AS rows_per_band,
+         p.j >= {MINHASH_JACCARD_THRESHOLD} AS is_pos,
+         1.0 - POWER(1.0 - POWER(p.j, l.rows_per_band), l.bands)
+           AS p_cand
+  FROM pairs p CROSS JOIN layouts l
+)
+SELECT layout, bands, rows_per_band,
+       CAST(SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       CAST(SUM(CASE WHEN is_pos THEN 0 ELSE 1 END) AS BIGINT) AS n_neg,
+       ROUND(AVG(CASE WHEN is_pos THEN p_cand END), 6)
+         AS exp_recall_pos,
+       ROUND(AVG(CASE WHEN is_pos THEN NULL ELSE p_cand END), 6)
+         AS exp_cand_rate_neg
+FROM scored
+GROUP BY layout, bands, rows_per_band
+ORDER BY bands
+"""
+
+
 # --- d24: edit-distance near-dup verify over LSH candidates -------------
 
 EDIT_REL_MAX = 0.25  # admit pairs within 25% relative edit distance
@@ -2315,4 +2412,8 @@ QUERIES = [
           "fuzzy near-dup: banded-LSH candidates verified by "
           "character-level Levenshtein over ASCII-normalized text "
           "(relative distance <= 0.25; length-bound prefilter)"),
+    Query("d25_lsh_layout_tuner", d25_lsh_layout_tuner, _d25_sql(),
+          "LSH banding tuner: s-curve P(candidate|j)=1-(1-j^r)^b per "
+          "(bands, rows) layout over the calibrated pair population "
+          "— expected recall vs wasted-verify rate"),
 ]

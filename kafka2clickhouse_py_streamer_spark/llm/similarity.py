@@ -3252,6 +3252,158 @@ ORDER BY query_id, rk
 """
 
 
+# --- s25: radius (range) search with exact-recall audit ------------------
+
+RADIUS_TAU = 0.3  # admit cosine >= tau (cf. the top-k family's rank cut)
+
+
+def s25_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius / range search — the ANN API member top-k does not
+    cover: ALL corpus vectors within cosine ≥ τ of each query
+    ("every candidate at least this similar"), not a fixed count.
+    Dedup admission, contamination screens, and recommendation
+    cutoffs are radius queries; their result size is data-dependent,
+    which is exactly what this audits: per query, the LSH-bucketed
+    hit count next to the exact ground-truth hit count and the
+    recall ratio (ANN hits are a subset of exact hits by
+    construction — same cosine, candidates ⊆ corpus).
+
+    Scale shape: the ANN leg is s05's trained-IVF cell equi-join
+    (candidates = the query's own coarse cell; hyperplane LSH is the
+    WRONG index here — at τ = 0.3 a 7-plane bucket collision needs
+    all 7 signs to agree, ~0.6⁷ ≈ 3%, measured ~0 recall, while the
+    inner-product cell keeps moderate-similarity neighbours together)
+    with the rank window REPLACED by a stateless threshold filter — a
+    radius query needs no per-query sort at all, so it is strictly
+    cheaper than top-k at the same candidate set. nprobe=1 for the
+    audit; s17's probe-recall curve is the knob that buys more. The
+    exact leg (broadcast queries × corpus scan) is the audit's ground
+    truth — the piece a deployment samples rather than runs in
+    full."""
+    base = _base(spark, sf_dir)
+    cents = _train_centroids(base, sf_dir)
+    if not cents:
+        return spark.createDataFrame(
+            [],
+            "query_id long, n_hits_ann long, n_hits_exact long,"
+            " radius_recall double",
+        )
+    tagged = _assign_cell_df(base, cents)
+    q = tagged.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+        "cell",
+    )
+    c = tagged.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("cnorm"),
+        "cell",
+    )
+    cos = F.round(_cosine("qv", "cv", "qnorm", "cnorm"), 6)
+    ann = (
+        F.broadcast(q).join(c, "cell")
+        .filter(cos >= F.lit(RADIUS_TAU))
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits_ann"))
+    )
+    qx = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    cx = base.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("cnorm"),
+    )
+    exact = (
+        F.broadcast(qx).crossJoin(cx)
+        .filter(cos >= F.lit(RADIUS_TAU))
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits_exact"))
+    )
+    n_ann = F.coalesce(F.col("n_hits_ann"), F.lit(0)).cast("long")
+    n_ex = F.coalesce(F.col("n_hits_exact"), F.lit(0)).cast("long")
+    recall = F.when(n_ex == 0, F.lit(1.0)).otherwise(
+        n_ann.cast("double") / n_ex.cast("double")
+    )
+    return (
+        qx.select("query_id")
+        .join(ann, "query_id", "left")
+        .join(exact, "query_id", "left")
+        .select(
+            "query_id",
+            n_ann.alias("n_hits_ann"),
+            n_ex.alias("n_hits_exact"),
+            F.round(recall, 6).alias("radius_recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _s25_sql() -> str:
+    centv = "[" + ", ".join(f"m{i}" for i in range(DIM)) + "]"
+    cos = (
+        "ROUND(list_dot_product(q.v, c.v)"
+        " / (SQRT(list_dot_product(q.v, q.v))"
+        " * SQRT(list_dot_product(c.v, c.v))), 6)"
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+  WHERE {valid_emb_sql(DIM)}
+),
+{_train_cte_sql()},
+centv AS (
+  SELECT g, {centv} AS cv FROM seeds
+),
+dotted AS (
+  SELECT b.vec_id, b.v, c.g, list_dot_product(b.v, c.cv) AS d
+  FROM base b CROSS JOIN centv c
+),
+assigned AS (
+  SELECT vec_id, v, CAST(g AS BIGINT) AS cell
+  FROM (
+    SELECT vec_id, v, g,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY d DESC, g ASC) AS rn
+    FROM dotted
+  )
+  WHERE rn = 1
+),
+ann AS (
+  SELECT q.vec_id AS query_id, COUNT(*) AS n_hits_ann
+  FROM assigned q
+  JOIN assigned c ON q.cell = c.cell
+  WHERE q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
+    AND {cos} >= {RADIUS_TAU}
+  GROUP BY q.vec_id
+),
+exact AS (
+  SELECT q.vec_id AS query_id, COUNT(*) AS n_hits_exact
+  FROM base q
+  CROSS JOIN base c
+  WHERE q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
+    AND {cos} >= {RADIUS_TAU}
+  GROUP BY q.vec_id
+)
+SELECT b.vec_id AS query_id,
+       CAST(COALESCE(a.n_hits_ann, 0) AS BIGINT) AS n_hits_ann,
+       CAST(COALESCE(x.n_hits_exact, 0) AS BIGINT) AS n_hits_exact,
+       ROUND(CASE WHEN COALESCE(x.n_hits_exact, 0) = 0 THEN 1.0
+             ELSE CAST(COALESCE(a.n_hits_ann, 0) AS DOUBLE)
+                  / x.n_hits_exact END, 6) AS radius_recall
+FROM base b
+LEFT JOIN ann a ON a.query_id = b.vec_id
+LEFT JOIN exact x ON x.query_id = b.vec_id
+WHERE b.vec_id < {N_QUERIES}
+ORDER BY query_id
+"""
+
+
 # --- s24: triangle counting / clustering coefficient ---------------------
 
 
@@ -3463,4 +3615,8 @@ QUERIES = [
           "triangle count + local clustering coefficient over the "
           "kNN graph (degree-ordered orientation bounds the wedge "
           "join at O(E^1.5) under any skew)"),
+    Query("s25_radius_search", s25_radius_search, _s25_sql(),
+          "radius (range) search: all vectors within cosine >= tau "
+          "per query via the LSH bucket join — no per-query sort — "
+          "audited against exact ground-truth hit counts"),
 ]

@@ -169,6 +169,8 @@ _VERIFY_FIRST = [
     "w16_profile_sketch",
     "q68_interval_coverage",
     "p24_shard_balance",
+    "d25_lsh_layout_tuner",
+    "s25_radius_search",
     # green-r02 but file churned since
     "m03_frame_sample",
     "m04_feature_extract",

@@ -101,7 +101,7 @@ SWEEP = [
     "d17_containment_pairs", "d20_snapshot_diff",
     "d21_softdedup_weights",
     "d22_dedup_roi", "d23_removal_propagation",
-    "d24_editdist_neardup",
+    "d24_editdist_neardup", "d25_lsh_layout_tuner",
     "p23_weighted_sample",
     "p24_shard_balance",
     "d18_bloom_decontamination",
@@ -177,6 +177,7 @@ EMB_SWEEP = [
     "s19_cascade_rerank", "s20_index_staleness",
     "s21_filtered_search", "s22_khop_expansion",
     "s23_mips_norm_pruned", "s24_triangle_count",
+    "s25_radius_search",
 ]
 
 

@@ -2192,3 +2192,89 @@ def test_p24_balance_invariants_and_serial_rank(spark, sf_dir):
         serial[s][1] += w
     got = {r.shard: (r.n_docs, r.tokens) for r in rr}
     assert got == {s: tuple(v) for s, v in serial.items()}
+
+
+def test_d25_scurve_matches_serial_and_is_monotone(spark, sf_dir):
+    """The layout tuner equals a serial s-curve computed from d10's
+    calibrated exact Jaccards (same candidate population), and the
+    trade is visible: expected recall over true pairs is NON-DECREASING
+    in the band count, as 1-(1-j^r)^b must be."""
+    from kafka2clickhouse_py_streamer_spark.llm.dedup import (
+        LSH_LAYOUTS,
+        MINHASH_JACCARD_THRESHOLD,
+        d10_minhash_calibration,
+        d25_lsh_layout_tuner,
+    )
+
+    js = [r.jaccard for r in d10_minhash_calibration(spark, sf_dir)
+          .collect()]
+    expect = {}
+    for b, r_ in LSH_LAYOUTS:
+        pos = [1 - (1 - j ** r_) ** b for j in js
+               if j >= MINHASH_JACCARD_THRESHOLD]
+        neg = [1 - (1 - j ** r_) ** b for j in js
+               if j < MINHASH_JACCARD_THRESHOLD]
+        expect[f"{b}x{r_}"] = (
+            len(pos), len(neg),
+            round(sum(pos) / len(pos), 6) if pos else None,
+            round(sum(neg) / len(neg), 6) if neg else None,
+        )
+    rows = d25_lsh_layout_tuner(spark, sf_dir).orderBy("bands").collect()
+    got = {
+        r.layout: (r.n_pos, r.n_neg, r.exp_recall_pos,
+                   r.exp_cand_rate_neg)
+        for r in rows
+    }
+    for layout, (np_, nn, rp, rn) in expect.items():
+        gnp, gnn, grp, grn = got[layout]
+        assert (gnp, gnn) == (np_, nn), layout
+        if rp is not None:
+            assert abs(grp - rp) < 2e-6, layout
+        if rn is not None:
+            assert abs(grn - rn) < 2e-6, layout
+    recalls = [r.exp_recall_pos for r in rows]  # ordered by bands
+    assert all(a <= b + 1e-9 for a, b in zip(recalls, recalls[1:]))
+
+
+def test_s25_radius_subset_of_exact_and_serial_counts(spark, sf_dir):
+    """ANN radius hits are a SUBSET of exact hits (recall <= 1, never
+    an overcount — candidates come from the probed cell, scored by the
+    same rounded cosine), and the exact leg matches a serial numpy
+    count over the collected valid vectors."""
+    import numpy as np
+
+    from kafka2clickhouse_py_streamer_spark.llm.similarity import (
+        N_QUERIES,
+        RADIUS_TAU,
+        _base,
+        s25_radius_search,
+    )
+
+    rows = s25_radius_search(spark, sf_dir).collect()
+    assert {r.query_id for r in rows} == set(range(N_QUERIES))
+    for r in rows:
+        assert 0 <= r.n_hits_ann <= r.n_hits_exact
+        assert r.radius_recall <= 1.0 + 1e-9
+
+    # serial reference at the same sf_dir
+    vecs = {
+        r.vec_id: np.array(r.v, dtype=float)
+        for r in _base(spark, sf_dir).collect()
+    }
+    expect = {}
+    for qid in range(N_QUERIES):
+        qv = vecs.get(qid)
+        if qv is None:
+            continue
+        n = 0
+        for cid, cv in vecs.items():
+            if cid < N_QUERIES:
+                continue
+            cos = float(qv @ cv / (np.linalg.norm(qv) * np.linalg.norm(cv)))
+            if round(cos, 6) >= RADIUS_TAU:
+                n += 1
+        expect[qid] = n
+    got = {r.query_id: r.n_hits_exact for r in rows}
+    for qid, n in expect.items():
+        assert got[qid] == n, qid
+    assert sum(expect.values()) > 0  # the radius actually admits hits

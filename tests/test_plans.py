@@ -1721,3 +1721,31 @@ def test_p24_shard_balance_never_single_partition(spark, sf_dir):
     assert plan.count("SinglePartition") <= 1
     assert "CartesianProduct" not in plan
     assert python_row_ops(df) == 0
+
+
+def test_d25_tuner_is_broadcast_cross_no_cartesian(spark, sf_dir):
+    # the 5-row layout table rides a broadcast cross join; pairs come
+    # from the band equi-join — nothing unbroadcast-cartesian, zero
+    # Python
+    from kafka2clickhouse_py_streamer_spark.llm.dedup import (
+        d25_lsh_layout_tuner,
+    )
+
+    df = d25_lsh_layout_tuner(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert python_row_ops(df) == 0
+
+
+def test_s25_radius_needs_no_window(spark, sf_dir):
+    # a radius query has no rank: the plan must contain ZERO Window
+    # operators (the threshold filter replaces the per-query sort) and
+    # nothing unbroadcast-cartesian
+    from kafka2clickhouse_py_streamer_spark.llm.similarity import (
+        s25_radius_search,
+    )
+
+    df = s25_radius_search(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert python_row_ops(df) == 0
