@@ -3433,6 +3433,16 @@ def s24_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least("src_id", "nbr_id").alias("u"),
         F.greatest("src_id", "nbr_id").alias("w"),
     ).distinct()
+    return triangle_stats(edges)
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """Per-node triangle count + clustering coefficient over a
+    canonical undirected edge frame (columns ``u < w``, distinct) —
+    the degree-ordered wedge-join core of s24, factored out so the
+    algorithm is testable on crafted graph shapes (star: hub of any
+    degree, zero triangles, zero wedge blowup; clique: C(n,3)) in
+    addition to the s09 kNN graph."""
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("w").alias("node")))

@@ -2278,3 +2278,43 @@ def test_s25_radius_subset_of_exact_and_serial_counts(spark, sf_dir):
     for qid, n in expect.items():
         assert got[qid] == n, qid
     assert sum(expect.values()) > 0  # the radius actually admits hits
+
+
+def test_s24_core_on_adversarial_graph_shapes(spark):
+    """The triangle core on crafted shapes — the cases a kNN graph
+    never isolates: a STAR (one hub, no triangles: every wedge at the
+    hub must fail the closing join, and degree-orientation means the
+    hub's edges all point INTO it, so the wedge join never enumerates
+    the hub's deg² pairs in the first place), a CLIQUE (C(n,3)
+    triangles, clustering 1.0 everywhere), and a triangle with a
+    pendant edge (the pendant node has deg 1, zero triangles,
+    clustering 0)."""
+    from kafka2clickhouse_py_streamer_spark.llm.similarity import (
+        triangle_stats,
+    )
+
+    def run(edge_list):
+        df = spark.createDataFrame(edge_list, "u long, w long")
+        return {
+            r.node: (r.deg, r.n_tri, r.clustering)
+            for r in triangle_stats(df).collect()
+        }
+
+    # star: hub 0 with 6 spokes
+    star = run([(0, i) for i in range(1, 7)])
+    assert star[0] == (6, 0, 0.0)
+    for i in range(1, 7):
+        assert star[i] == (1, 0, 0.0)
+
+    # clique on 5 nodes: C(4,2)=6 triangles per node, clustering 1.0
+    clique = run([(a, b) for a in range(5) for b in range(a + 1, 5)])
+    for n in range(5):
+        assert clique[n] == (4, 6, 1.0)
+
+    # triangle 0-1-2 with pendant 3 hanging off node 2
+    tri = run([(0, 1), (0, 2), (1, 2), (2, 3)])
+    assert tri[0] == (2, 1, 1.0)
+    assert tri[1] == (2, 1, 1.0)
+    assert tri[2][0] == 3 and tri[2][1] == 1
+    assert abs(tri[2][2] - round(2 * 1 / (3 * 2), 6)) < 1e-9
+    assert tri[3] == (1, 0, 0.0)
