@@ -137,13 +137,19 @@ def main() -> None:
     # back-to-back whole-suite passes) to keep cache states comparable.
     REPS = 5
     times: dict[str, float] = {}
+    spreads: dict[str, list[float]] = {}
     for name in HEADLINE:
         samples = []
         for _ in range(REPS):
             t0 = time.perf_counter()
             registry[name].fn(spark, sf_dir).count()
             samples.append(time.perf_counter() - t0)
-        times[name] = round(sorted(samples)[REPS // 2], 3)
+        samples.sort()
+        times[name] = round(samples[REPS // 2], 3)
+        # recorded so round-over-round ratio swings can be judged
+        # against each query's own measured noise band (round-6
+        # verdict item 3), not eyeballed
+        spreads[name] = [round(samples[0], 3), round(samples[-1], 3)]
 
     total = round(sum(times.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -158,6 +164,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "rep_spread": spreads,
                 "train_centroids_sec": train_sec,
                 "sf": sf_val,
             }

@@ -1,11 +1,15 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` payloads
 with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
-The container has no image/audio codecs, so the DECODE step is stubbed
-(import-try for PIL/real codecs → NotImplementedError, else a
-deterministic fake decode) — but all Spark-side plumbing is real and
-tested: schema shape, binary column handling, mapInPandas batch
-iteration, explode-based frame sampling, and feature aggregation.
+The container has no imaging libraries, so PIL-backed decode is
+import-gated (NotImplementedError when absent) and the ORACLE-paired
+operators use a deterministic fake decode — but the real-codec path is
+no longer unproven: :func:`png_codec` is a stdlib-only (zlib) full PNG
+decoder — chunk CRCs, IDAT inflate, scanline unfiltering — exercised
+end-to-end through ``decode_media``'s mapInPandas on real in-test PNGs
+(tests/test_multimodal.py). All Spark-side plumbing is real and tested:
+schema shape, binary column handling, mapInPandas batch iteration,
+explode-based frame sampling, and feature aggregation.
 
 There is no media fixture table; payloads are derived deterministically
 from ``documents`` (MD5 bytes of the text, repeated to a per-doc length)
@@ -91,6 +95,83 @@ def pil_codec():
             return im.size
 
     return decode
+
+
+# bytes per pixel for the PNG color types png_codec supports
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def png_codec(payload: bytes) -> tuple[int, int]:
+    """REAL image decode, stdlib-only (zlib): parse the PNG container,
+    CRC-check every chunk, inflate the IDAT stream, and unfilter every
+    scanline (filters 0-4) before returning (width, height).
+
+    This is the non-fake codec path for :func:`decode_media` — it
+    validates the full pixel payload (a truncated or corrupt IDAT
+    raises), not just the 8 header bytes, so injecting it exercises
+    the same contract a PIL-backed codec would. Supports 8-bit
+    non-interlaced gray/gray+alpha/RGB/RGBA (color types 0/4/2/6)."""
+    import struct
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG: bad signature")
+    pos, width = 8, None
+    idat = bytearray()
+    while pos < len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + length : pos + 12 + length]
+        )
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r}: CRC mismatch")
+        if ctype == b"IHDR":
+            width, height, depth, color, comp, filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+            if depth != 8 or interlace or comp or filt:
+                raise ValueError("png_codec: only 8-bit non-interlaced")
+            channels = _PNG_CHANNELS.get(color)
+            if channels is None:
+                raise ValueError(f"png_codec: color type {color}")
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != height * (1 + stride):
+        raise ValueError("PNG pixel data length mismatch")
+    prev = bytearray(stride)
+    for y in range(height):
+        ftype = raw[y * (1 + stride)]
+        line = bytearray(raw[y * (1 + stride) + 1 : (y + 1) * (1 + stride)])
+        for x in range(stride):
+            a = line[x - channels] if x >= channels else 0  # left
+            b = prev[x]  # up
+            c = prev[x - channels] if x >= channels else 0  # up-left
+            if ftype == 0:
+                pass
+            elif ftype == 1:
+                line[x] = (line[x] + a) & 0xFF
+            elif ftype == 2:
+                line[x] = (line[x] + b) & 0xFF
+            elif ftype == 3:
+                line[x] = (line[x] + (a + b) // 2) & 0xFF
+            elif ftype == 4:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                line[x] = (line[x] + pred) & 0xFF
+            else:
+                raise ValueError(f"PNG filter type {ftype}")
+        prev = line
+    return width, height
 
 
 def decode_media(

@@ -24,6 +24,12 @@ stream independently instead.
 
 from __future__ import annotations
 
+import atexit
+import os
+import shutil
+import tempfile
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -89,9 +95,38 @@ def _quality_deduped(d: DataFrame) -> DataFrame:
     )
 
 
+_SPILL_DIRS: list[str] = []
+
+
+def _reap_spill_dirs() -> None:
+    for d in _SPILL_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+    _SPILL_DIRS.clear()
+
+
+atexit.register(_reap_spill_dirs)
+
+
+def _spill_roundtrip(df: DataFrame) -> DataFrame:
+    """Materialize ``df`` by writing it to a temp parquet directory and
+    reading it back. ``SPARK_GRAFT_SPILL_DIR`` names the base directory
+    (point it at shared storage on a real cluster; defaults to the
+    local temp dir). Directories are reaped at interpreter exit — they
+    must outlive every lazy consumer of the returned frame."""
+    base = os.environ.get("SPARK_GRAFT_SPILL_DIR") or os.path.join(
+        tempfile.gettempdir(), "spark_graft_spill"
+    )
+    os.makedirs(base, exist_ok=True)
+    path = os.path.join(base, f"offsets-{uuid.uuid4().hex}")
+    _SPILL_DIRS.append(path)
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
+
+
 def _two_pass_offsets(
     df: DataFrame, group_cols: list[str], val_col: str = "n_tokens",
     order_col: str | list[str] = "doc_id",
+    materialize: str | None = None,
 ) -> DataFrame:
     """Distributed running-sum offsets: for each row, the sum of
     ``val_col`` over all earlier rows (by ``order_col``, one column or
@@ -103,20 +138,57 @@ def _two_pass_offsets(
     Range-partition on (group, order) → per-(group, partition) totals
     (a |partitions|-row driver collect) → per-group prefix offsets
     broadcast back → partition-local window + offset. ``group_cols``
-    may be empty for a single global stream (p03's shape)."""
+    may be empty for a single global stream (p03's shape).
+
+    The two passes must see the IDENTICAL (row → pid) assignment:
+    range boundaries come from sampling, so the ranged frame is
+    materialized once and both passes read the materialization.
+    ``materialize`` picks how (env ``SPARK_GRAFT_OFFSETS_MAT``
+    overrides the default):
+
+    - ``"persist"`` (default): ``StorageLevel.DISK_ONLY_2`` —
+      executor-local disk, 2× replicated, lineage RETAINED. An
+      executor loss reads the replica or recomputes from lineage
+      (deterministic: parquet input + RangePartitioner's fixed
+      per-partition sampling seed reproduce the same boundaries);
+      nothing multi-terabyte is pinned in executor MEMORY and the
+      job survives node loss — unlike ``localCheckpoint``, which
+      truncates lineage and dies with its executor.
+    - ``"spill"``: write the ranged frame to temp parquet and read
+      it back — for clusters where the spill dir
+      (``SPARK_GRAFT_SPILL_DIR``) points at shared storage and
+      executors should hold no state at all between the passes.
+    - ``"checkpoint"``: the legacy eager non-replicated
+      ``localCheckpoint`` fast path (saves the write, fastest on a
+      single node, fragile on a real cluster)."""
     from pyspark.sql.types import LongType, StructField, StructType
 
     order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     spark = df.sparkSession
     parts = spark.sparkContext.defaultParallelism
-    # localCheckpoint pins the sampled range boundaries so the totals
-    # job and the offset job see the identical partitioning (and the
-    # second scan is saved) — same trick as p04.
-    ranged = (
-        df.repartitionByRange(parts, *group_cols, *order_cols)
-        .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+    mode = materialize or os.environ.get(
+        "SPARK_GRAFT_OFFSETS_MAT", "persist"
     )
+    ranged = df.repartitionByRange(
+        parts, *group_cols, *order_cols
+    ).withColumn("pid", F.spark_partition_id())
+    if mode == "checkpoint":
+        ranged = ranged.localCheckpoint(eager=True)
+    elif mode == "spill":
+        ranged = _spill_roundtrip(ranged)
+    elif mode == "persist":
+        from pyspark import StorageLevel
+
+        # 2× replication on a cluster (executor loss reads the
+        # replica); single-copy on local masters, where there is no
+        # peer to replicate to — lineage is retained either way, so
+        # total block loss recomputes instead of killing the job
+        local = spark.conf.get("spark.master", "").startswith("local")
+        ranged = ranged.persist(
+            StorageLevel.DISK_ONLY if local else StorageLevel.DISK_ONLY_2
+        )
+    else:  # pragma: no cover - config error
+        raise ValueError(f"unknown offsets materialization: {mode!r}")
     totals = (
         ranged.groupBy(*group_cols, "pid")
         .agg(F.sum(val_col).alias("tot"))
@@ -306,14 +378,13 @@ def p04_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     The global contiguous rank is computed with the distributed
     two-pass pattern, NOT a global window (which would funnel every
     row through one partition). Unlike the generic
-    ``_distributed_offsets`` (arbitrary sort key → range boundaries
-    must come from sampling, so the two passes need a checkpoint to
-    agree), the sort key here is md5 hex — uniform and fixed-width —
-    so the bucket is a PURE FUNCTION of the key: the first 4 hex chars
-    scaled into ``parts`` range buckets, monotone in the key. Both
-    passes recompute it identically with no checkpoint, nothing pinned
-    in executor memory (eager ``localCheckpoint`` is non-replicated —
-    on a real cluster an executor loss would kill the job), and full
+    ``_two_pass_offsets`` (arbitrary sort key → range boundaries
+    come from sampling, so the two passes must read one disk-backed
+    materialization to agree), the sort key here is md5 hex — uniform
+    and fixed-width — so the bucket is a PURE FUNCTION of the key: the
+    first 4 hex chars scaled into ``parts`` range buckets, monotone in
+    the key. Both passes recompute it identically with no
+    materialization at all, nothing on executor disk, and full
     lineage retained. Pass 1: per-bucket counts (map-side partial agg,
     |buckets|-row driver collect). Pass 2: prefix offsets broadcast
     back + bucket-local row_number. At 100 TB that is two scans of a

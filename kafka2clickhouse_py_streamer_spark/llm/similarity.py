@@ -3627,6 +3627,7 @@ QUERIES = [
           "join at O(E^1.5) under any skew)"),
     Query("s25_radius_search", s25_radius_search, _s25_sql(),
           "radius (range) search: all vectors within cosine >= tau "
-          "per query via the LSH bucket join — no per-query sort — "
-          "audited against exact ground-truth hit counts"),
+          "per query via the trained-IVF cell probe join — no "
+          "per-query sort — audited against exact ground-truth hit "
+          "counts"),
 ]

@@ -134,59 +134,7 @@ def spread(df: DataFrame) -> DataFrame:
 # asserts the committed list matches the tool and that no query's
 # evidence can age out of the driver window unseen.
 _VERIFY_FIRST = [
-    # never-green
-    "p17_chunk_pack",
-    "m08_media_canonical",
-    "p18_shard_manifest",
-    "w13_histogram_quantiles",
-    "d20_snapshot_diff",
-    "t19_heaps_fit",
-    "p19_chunk_dedup_pack",
-    "t20_gopher_funnel",
-    "q64_weighted_quantiles",
-    "s19_cascade_rerank",
-    "p20_epoch_budget",
-    "d21_softdedup_weights",
-    "w14_decayed_rate",
-    "s20_index_staleness",
-    "p21_split_leakage",
-    "d22_dedup_roi",
-    "d23_removal_propagation",
-    "s21_filtered_search",
-    "w15_hll_distinct",
-    "s22_khop_expansion",
-    "q65_running_distinct",
-    "t21_tfidf_keywords",
-    "q66_table_profile",
-    "d24_editdist_neardup",
-    "s23_mips_norm_pruned",
-    "s24_triangle_count",
-    "t22_langid_eval",
-    "p22_padding_waste",
-    "p23_weighted_sample",
-    "t23_pmi_collocations",
-    "q67_sequence_match",
-    "w16_profile_sketch",
-    "q68_interval_coverage",
-    "p24_shard_balance",
-    "d25_lsh_layout_tuner",
-    "s25_radius_search",
-    # green-r02 but file churned since
-    "m03_frame_sample",
-    "m04_feature_extract",
-    "m05_media_dedup",
     # green-r03 but file churned since
-    "p03_sequence_packing",
-    "q27_approx_stats",
-    "p08_flatten_mix",
-    "p09_incremental_refresh",
-    "q14_cube",
-    "q23_grouping_sets",
-    "q24_having",
-    "t10_char_entropy",
-    "d10_minhash_calibration",
-    "d11_ngram_jaccard_capped",
-    "q28_sessionization",
     "q08_topk_per_group",
     "q09_running_sum",
     "q10_lag_lead",
@@ -273,6 +221,10 @@ _VERIFY_FIRST = [
     "q58_scd2_intervals",
     "q59_concurrency",
     "q61_gaps_islands",
+    "q01_pricing_summary",
+    "q06_revenue_filter",
+    "q12_distinct_agg",
+    "q13_rollup",
     # green-r05 but file churned since
     "d17_containment_pairs",
     "d18_bloom_decontamination",
@@ -323,13 +275,60 @@ _VERIFY_FIRST = [
     "w03_session_window",
     "w04_enriched_windows",
     "q63_forward_asof",
-    # green-r04
-    "q01_pricing_summary",
-    "q06_revenue_filter",
-    "q12_distinct_agg",
-    "q13_rollup",
+    # green-r06 but file churned since
+    "p17_chunk_pack",
+    "m08_media_canonical",
+    "p18_shard_manifest",
+    "p19_chunk_dedup_pack",
+    "s19_cascade_rerank",
+    "p20_epoch_budget",
+    "s20_index_staleness",
+    "p21_split_leakage",
+    "s21_filtered_search",
+    "s22_khop_expansion",
+    "s23_mips_norm_pruned",
+    "s24_triangle_count",
+    "p22_padding_waste",
+    "p23_weighted_sample",
+    "p24_shard_balance",
+    "s25_radius_search",
+    "m03_frame_sample",
+    "m04_feature_extract",
+    "m05_media_dedup",
+    "p03_sequence_packing",
+    "p08_flatten_mix",
+    "p09_incremental_refresh",
     # green-r05
     "q41_map_fns",
+    # green-r06
+    "w13_histogram_quantiles",
+    "d20_snapshot_diff",
+    "t19_heaps_fit",
+    "t20_gopher_funnel",
+    "q64_weighted_quantiles",
+    "d21_softdedup_weights",
+    "w14_decayed_rate",
+    "d22_dedup_roi",
+    "d23_removal_propagation",
+    "w15_hll_distinct",
+    "q65_running_distinct",
+    "t21_tfidf_keywords",
+    "q66_table_profile",
+    "d24_editdist_neardup",
+    "t22_langid_eval",
+    "t23_pmi_collocations",
+    "q67_sequence_match",
+    "w16_profile_sketch",
+    "q68_interval_coverage",
+    "d25_lsh_layout_tuner",
+    "q27_approx_stats",
+    "q14_cube",
+    "q23_grouping_sets",
+    "q24_having",
+    "t10_char_entropy",
+    "d10_minhash_calibration",
+    "d11_ngram_jaccard_capped",
+    "q28_sessionization",
 ]
 
 

@@ -5,6 +5,7 @@ from kafka2clickhouse_py_streamer_spark.plans.analysis import (
     has_broadcast_join,
     pushed_filters,
     read_schema_columns,
+    strip_cached_subtrees,
     whole_stage_codegen_spans,
 )
 
@@ -15,5 +16,6 @@ __all__ = [
     "pushed_filters",
     "python_row_ops",
     "read_schema_columns",
+    "strip_cached_subtrees",
     "whole_stage_codegen_spans",
 ]

@@ -57,8 +57,54 @@ def has_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in formatted_plan(df)
 
 
+def strip_cached_subtrees(plan: str) -> str:
+    """Remove every ``InMemoryRelation`` subtree (tree lines AND detail
+    blocks) from a formatted plan.
+
+    A persisted frame's cached plan is inlined into formatted explain
+    with its own numbered nodes, but those nodes ran ONCE when the
+    cache was built — an eagerly-materialized ``persist`` (the
+    ``_two_pass_offsets`` disk-backed default since round 7) must not
+    inflate per-run shuffle-count pins the way the opaque
+    ``localCheckpoint``'s ``Scan ExistingRDD`` leaf never did."""
+    lines = plan.splitlines()
+    # 1. walk the tree section; collect node ids under InMemoryRelation
+    dead: set[str] = set()
+    dead_indent: int | None = None
+    out_tree: list[str] = []
+    detail_start = len(lines)
+    for i, line in enumerate(lines):
+        if re.match(r"^\(\d+\) ", line):  # first detail block
+            detail_start = i
+            break
+        indent = len(line) - len(line.lstrip(" :+-*"))
+        if dead_indent is not None and (
+            indent > dead_indent or not line.strip()
+        ):
+            dead.update(re.findall(r"\((\d+)\)", line))
+            continue
+        dead_indent = None
+        if "InMemoryRelation" in line:
+            dead_indent = indent
+            dead.update(re.findall(r"\((\d+)\)", line))
+            continue
+        out_tree.append(line)
+    # 2. drop the dead nodes' detail blocks
+    out_details: list[str] = []
+    skipping = False
+    for line in lines[detail_start:]:
+        m = re.match(r"^\((\d+)\) ", line)
+        if m:
+            skipping = m.group(1) in dead
+        if not skipping:
+            out_details.append(line)
+    return "\n".join(out_tree + out_details)
+
+
 def count_exchanges(df: DataFrame) -> int:
-    """Number of shuffle exchanges (excludes broadcast exchanges).
+    """Number of shuffle exchanges (excludes broadcast exchanges) that
+    execute when the frame runs — cached ``InMemoryRelation`` subtrees
+    are stripped first (their exchanges ran at cache build).
 
     Formatted explain renders each exchange as a numbered tree node
     (``(20) Exchange``) whose partitioning lives on a separate
@@ -67,7 +113,7 @@ def count_exchanges(df: DataFrame) -> int:
     syntax) matched NOTHING in formatted output, so every shuffle-count
     pin silently passed at 0 (round-5 find). Both layouts are counted
     so the helper keeps working if the explain mode ever changes."""
-    plan = formatted_plan(df)
+    plan = strip_cached_subtrees(formatted_plan(df))
     inline = re.findall(
         r"\bExchange (?:hashpartitioning|rangepartitioning|"
         r"SinglePartition)",
