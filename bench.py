@@ -141,6 +141,12 @@ def main() -> None:
     for name in HEADLINE:
         samples = []
         for _ in range(REPS):
+            # drop CacheManager reuse between identical reps: the
+            # two-pass offsets' DISK_ONLY persist is keyed by logical
+            # plan, so reps 2+ of the offsets consumers would read the
+            # rep-1 materialization and the median would measure
+            # cache-read cost, not the pipeline
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             registry[name].fn(spark, sf_dir).count()
             samples.append(time.perf_counter() - t0)

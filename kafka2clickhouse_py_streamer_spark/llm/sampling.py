@@ -146,21 +146,31 @@ def _two_pass_offsets(
     ``materialize`` picks how (env ``SPARK_GRAFT_OFFSETS_MAT``
     overrides the default):
 
-    - ``"persist"`` (default): ``StorageLevel.DISK_ONLY_2`` —
-      executor-local disk, 2× replicated, lineage RETAINED. An
-      executor loss reads the replica or recomputes from lineage
-      (deterministic: parquet input + RangePartitioner's fixed
-      per-partition sampling seed reproduce the same boundaries);
-      nothing multi-terabyte is pinned in executor MEMORY and the
-      job survives node loss — unlike ``localCheckpoint``, which
-      truncates lineage and dies with its executor.
+    - ``"persist"`` (default): ``StorageLevel.DISK_ONLY_2`` on a
+      cluster (executor-local disk, 2× replicated; nothing
+      multi-terabyte pinned in executor MEMORY), MEMORY_AND_DISK on
+      local masters (no peer to replicate to, no terabyte frame).
+      Lineage is RETAINED in both: an executor loss reads the
+      replica or recomputes from lineage (deterministic: parquet
+      input + RangePartitioner's fixed per-partition sampling seed
+      reproduce the same boundaries) — unlike ``localCheckpoint``,
+      which truncates lineage and dies with its executor.
     - ``"spill"``: write the ranged frame to temp parquet and read
       it back — for clusters where the spill dir
       (``SPARK_GRAFT_SPILL_DIR``) points at shared storage and
       executors should hold no state at all between the passes.
     - ``"checkpoint"``: the legacy eager non-replicated
       ``localCheckpoint`` fast path (saves the write, fastest on a
-      single node, fragile on a real cluster)."""
+      single node, fragile on a real cluster).
+
+    Cache lifetime note (persist mode): the entry is keyed by logical
+    plan in Spark's CacheManager, so an IDENTICAL re-invocation in the
+    same session reuses the materialization (free for iterative
+    workloads; benchmarks that want cold reps must
+    ``spark.catalog.clearCache()`` between them — bench.py and
+    tools/bench_sf1.py do), and it lives until unpersist/clearCache/
+    session end — disk-only, so it costs spill space, never executor
+    memory."""
     from pyspark.sql.types import LongType, StructField, StructType
 
     order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
@@ -179,13 +189,17 @@ def _two_pass_offsets(
     elif mode == "persist":
         from pyspark import StorageLevel
 
-        # 2× replication on a cluster (executor loss reads the
-        # replica); single-copy on local masters, where there is no
-        # peer to replicate to — lineage is retained either way, so
-        # total block loss recomputes instead of killing the job
+        # Cluster: disk-only, 2× replicated — nothing multi-terabyte
+        # pinned in executor MEMORY, executor loss reads the replica.
+        # Local master: memory-first with disk spill (there is no peer
+        # to replicate to and no terabyte frame to pin — a forced
+        # disk round-trip would only slow the single node down).
+        # Lineage is retained either way, so total block loss
+        # recomputes instead of killing the job.
         local = spark.conf.get("spark.master", "").startswith("local")
         ranged = ranged.persist(
-            StorageLevel.DISK_ONLY if local else StorageLevel.DISK_ONLY_2
+            StorageLevel.MEMORY_AND_DISK if local
+            else StorageLevel.DISK_ONLY_2
         )
     else:  # pragma: no cover - config error
         raise ValueError(f"unknown offsets materialization: {mode!r}")

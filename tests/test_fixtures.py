@@ -75,3 +75,33 @@ def test_normalize_event_time_handles_every_vintage(spark):
     out = normalize_event_time(df_ts)
     assert dict(out.dtypes)["ts"] == "timestamp"
     assert out.collect()[0].ts == base
+
+
+def test_latest_soak_artifact_is_green():
+    """The committed streaming-soak artifact (SOAK_r{N}.json — a real
+    kill-and-resume run of the RAG-ingest stream, tools/
+    streaming_soak.py) must record twin equality with the batch
+    composition and a stream that actually resumed past its kill
+    point. Guards against committing a red or truncated soak."""
+    import glob
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    arts = sorted(glob.glob(os.path.join(repo, "SOAK_r*.json")))
+    if not arts:
+        import pytest
+
+        pytest.skip("no soak artifact recorded yet")
+    with open(arts[-1]) as fh:
+        soak = json.load(fh)
+    assert soak["twin_equal"] is True
+    assert soak["rows_streamed"] == soak["rows_batch"] > 0
+    # the stream died mid-corpus and still committed every batch
+    assert soak["killed_after_batch"] < soak["n_batches"] - 1
+    assert soak["micro_batches_committed"] == soak["n_batches"]
+    phases = {c["phase"] for c in soak["state_size_curve"]}
+    assert phases == {"pre-kill", "post-resume"}
+    # compaction really shrank the fingerprint store
+    comp = soak["compaction"]
+    assert comp["fps_after"]["files"] < comp["fps_before"]["files"]

@@ -1749,3 +1749,76 @@ def test_s25_radius_needs_no_window(spark, sf_dir):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert python_row_ops(df) == 0
+
+
+def test_strip_cached_subtrees_on_crafted_plan():
+    """Unit-pin the cached-subtree stripper every shuffle-count pin now
+    rides on: the InMemoryRelation subtree (tree lines AND detail
+    blocks, including the AQE Initial/Final duplicates) must vanish;
+    live nodes — including the InMemoryTableScan leaf itself and a
+    post-cache Exchange — must survive."""
+    from kafka2clickhouse_py_streamer_spark.plans import (
+        strip_cached_subtrees,
+    )
+
+    plan = "\n".join([
+        "== Physical Plan ==",
+        "AdaptiveSparkPlan (9)",
+        "+- Window (8)",
+        "   +- Exchange (7)",
+        "      +- BroadcastHashJoin Inner BuildRight (6)",
+        "         :- Filter (5)",
+        "         :  +- InMemoryTableScan (1) (columnarIn=false)",
+        "         :        +- InMemoryRelation (2)",
+        "         :              +- AdaptiveSparkPlan (4)",
+        "                           +- == Final Plan ==",
+        "                              +- Exchange (3)",
+        "         +- BroadcastExchange (10)",
+        "",
+        "",
+        "(1) InMemoryTableScan",
+        "Output [1]: [x#1L]",
+        "",
+        "(2) InMemoryRelation",
+        "Arguments: [x#1L], StorageLevel(disk, 2 replicas)",
+        "",
+        "(3) Exchange",
+        "Input [1]: [x#1L]",
+        "Arguments: rangepartitioning(x#1L ASC NULLS FIRST, 32),"
+        " REPARTITION_BY_NUM, [plan_id=57]",
+        "",
+        "(4) AdaptiveSparkPlan",
+        "Arguments: isFinalPlan=true",
+        "",
+        "(5) Filter",
+        "Condition : isnotnull(x#1L)",
+        "",
+        "(7) Exchange",
+        "Input [1]: [x#1L]",
+        "Arguments: hashpartitioning(x#1L, 32), ENSURE_REQUIREMENTS,"
+        " [plan_id=99]",
+        "",
+    ])
+    import re
+
+    live = strip_cached_subtrees(plan)
+    # cached subtree gone: node ids 2/3/4 and the range exchange
+    assert "InMemoryRelation" not in live
+    assert "(3) Exchange" not in live
+    assert "rangepartitioning" not in live
+    assert "isFinalPlan" not in live
+    # live nodes intact: the cache-reading leaf, its filter, and the
+    # post-cache shuffle
+    assert "InMemoryTableScan (1)" in live
+    assert "(1) InMemoryTableScan" in live
+    assert "(5) Filter" in live
+    assert "(7) Exchange" in live
+    assert "hashpartitioning" in live
+    # exactly the per-run exchange remains countable
+    found = re.findall(
+        r"\(\d+\) Exchange\s*\nInput[^\n]*\n"
+        r"Arguments: (?:hashpartitioning|rangepartitioning|"
+        r"SinglePartition)",
+        live,
+    )
+    assert len(found) == 1

@@ -195,6 +195,13 @@ def time_queries(registry, spark, sf_dir, reps=3):
         registry[name].fn(spark, sf_dir).count()  # warm plan + JIT
         samples = []
         for _ in range(reps):
+            # Identical re-invocations share CacheManager entries (the
+            # two-pass offsets' DISK_ONLY persist is keyed by logical
+            # plan), so without this, reps 2+ of the offsets consumers
+            # read the rep-1 materialization and the probe measures
+            # cache-read scaling, not pipeline scaling (p07's sf1 wall
+            # dropped 5.0 -> 1.1 s before this line).
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             registry[name].fn(spark, sf_dir).count()
             samples.append(time.perf_counter() - t0)

@@ -1,0 +1,236 @@
+#!/usr/bin/env python
+"""End-to-end streaming soak: N micro-batches of the full RAG-ingest
+composition (chunk → cross-batch exact chunk-dedup → per-shard packing
+with persisted offsets) through the REAL Structured Streaming machinery
+(writeStream.foreachBatch + file source + checkpoint), with
+
+- a KILL mid-run (query stopped between commits) and a RESUME from the
+  checkpoint that must continue — not restart — the stream,
+- a mid-soak state compaction of the fingerprint store (the additive
+  per-shard mass store is deliberately NOT folded: ``compact_state``'s
+  DISTINCT is correct for claim/digest layouts, not for summands),
+- a recorded per-batch state-store size curve (fps/mass/checkpoint
+  bytes + file counts) — the artifact round 6's verdict asked for: a
+  claim of "replay-idempotent stateful streaming" backed by a recorded
+  run of system behavior, not only unit twins,
+- the final twin check: the union of all streamed micro-batch outputs
+  must equal the BATCH p19 composition (`chunk_dedup_pack`) over the
+  same corpus, row for row.
+
+Writes ONE artifact: SOAK_r{N}.json (``--round`` picks N).
+
+Usage: python tools/streaming_soak.py [--round 7] [--batches 10]
+       [--kill-after 4] [--sf-dir /root/testdata/sf0.01]
+
+CAUTION (repo protocol): do not run concurrently with bench/probe/
+mirror — they fight for the same local[32] cores and skew timings.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+RAG_COLS = [
+    "shard", "doc_id", "chunk_id", "n_chunk_tokens",
+    "stream_offset", "pack_id", "offset_in_pack",
+]
+
+
+def dir_stats(path: str) -> dict:
+    """Recursive (bytes, files) of a directory tree — the state-store
+    size curve's sample unit."""
+    total, files = 0, 0
+    for root, _dirs, names in os.walk(path):
+        for n in names:
+            p = os.path.join(root, n)
+            try:
+                total += os.path.getsize(p)
+                files += 1
+            except OSError:
+                pass
+    return {"bytes": total, "files": files}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--round", type=int, default=7)
+    ap.add_argument("--batches", type=int, default=10)
+    ap.add_argument("--kill-after", type=int, default=4,
+                    help="stop the query after this many committed "
+                         "batches, then resume from the checkpoint")
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--budget", type=int, default=128)
+    ap.add_argument("--n-shards", type=int, default=4)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from kafka2clickhouse_py_streamer_spark.llm.sampling import (
+        chunk_dedup_pack,
+    )
+    from kafka2clickhouse_py_streamer_spark.operators.base import table
+    from kafka2clickhouse_py_streamer_spark.session import get_spark
+    from kafka2clickhouse_py_streamer_spark.streaming.corpus_stream import (
+        compact_state,
+        start_streaming_rag_ingest,
+    )
+
+    spark = get_spark(app_name="streaming_soak")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = (
+        table(spark, args.sf_dir, "documents")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .collect()
+    )
+    n_docs = len(docs)
+    per = (n_docs + args.batches - 1) // args.batches
+    slices = [docs[i * per : (i + 1) * per] for i in range(args.batches)]
+    slices = [s for s in slices if s]
+
+    work = tempfile.mkdtemp(prefix="rag_soak_")
+    src = os.path.join(work, "intake")
+    out = os.path.join(work, "out")
+    state = os.path.join(work, "state")
+    ckpt = os.path.join(work, "ckpt")
+    os.makedirs(src)
+
+    def start():
+        stream = spark.readStream.schema(
+            "doc_id long, text string"
+        ).option("maxFilesPerTrigger", 1).parquet(src)
+        return start_streaming_rag_ingest(
+            stream, out, state, ckpt,
+            budget=args.budget, n_shards=args.n_shards,
+        )
+
+    def feed(i: int) -> None:
+        # one file per micro-batch, doc_id-nondecreasing across files
+        # (the deterministic shard-writer precondition)
+        spark.createDataFrame(
+            slices[i], "doc_id long, text string"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def sample(phase: str, i: int, wall: float) -> dict:
+        return {
+            "batch": i,
+            "phase": phase,
+            "wall_sec": round(wall, 3),
+            "fps_state": dir_stats(os.path.join(state, "fps")),
+            "mass_state": dir_stats(os.path.join(state, "mass")),
+            "checkpoint": dir_stats(ckpt),
+            "output": dir_stats(out),
+        }
+
+    curve: list[dict] = []
+    q = start()
+    killed_at = None
+    try:
+        for i in range(len(slices)):
+            feed(i)
+            t0 = time.perf_counter()
+            q.processAllAvailable()
+            curve.append(sample("pre-kill", i, time.perf_counter() - t0))
+            print(f"batch {i}: {curve[-1]['wall_sec']}s "
+                  f"fps={curve[-1]['fps_state']['bytes']}B", flush=True)
+            if i + 1 == args.kill_after:
+                q.stop()          # the KILL: stream dies mid-corpus
+                killed_at = i
+                break
+    except Exception:
+        q.stop()
+        raise
+
+    assert killed_at is not None, "kill-after exceeds batch count"
+
+    # RESUME: a fresh query on the same checkpoint must pick up where
+    # the committed offsets end — feed the remaining slices through it
+    q = start()
+    try:
+        for i in range(killed_at + 1, len(slices)):
+            feed(i)
+            t0 = time.perf_counter()
+            q.processAllAvailable()
+            curve.append(sample("post-resume", i, time.perf_counter() - t0))
+            print(f"batch {i} (resumed): {curve[-1]['wall_sec']}s "
+                  f"fps={curve[-1]['fps_state']['bytes']}B", flush=True)
+            if i == killed_at + 2:
+                # mid-soak maintenance: fold committed fingerprint
+                # partitions (NOT mass — DISTINCT would collapse equal
+                # summands) while the stream is between batches
+                fps_before = dir_stats(os.path.join(state, "fps"))
+                folded = compact_state(
+                    spark, os.path.join(state, "fps"), i - 1
+                )
+                fps_after = dir_stats(os.path.join(state, "fps"))
+                compaction = {
+                    "after_batch": i,
+                    "partitions_folded": folded,
+                    "fps_before": fps_before,
+                    "fps_after": fps_after,
+                }
+                print(f"compacted {folded} fps partitions: "
+                      f"{fps_before['files']} -> {fps_after['files']} "
+                      "files", flush=True)
+    finally:
+        q.stop()
+
+    # TWIN: streamed union == batch composition over the whole corpus
+    streamed = {
+        tuple(r)
+        for r in spark.read.parquet(out).select(*RAG_COLS).collect()
+    }
+    full = spark.createDataFrame(docs, "doc_id long, text string")
+    batch = {
+        tuple(r)
+        for r in chunk_dedup_pack(
+            full, budget=args.budget, n_shards=args.n_shards
+        ).select(*RAG_COLS).collect()
+    }
+    twin_equal = streamed == batch
+    n_batches_seen = (
+        spark.read.parquet(out)
+        .select(F.countDistinct("batch_id"))
+        .first()[0]
+    )
+
+    artifact = {
+        "what": "streaming RAG-ingest soak: kill-and-resume + state "
+                "compaction + batch-twin equality",
+        "sf_dir": args.sf_dir,
+        "n_docs": n_docs,
+        "n_batches": len(slices),
+        "killed_after_batch": killed_at,
+        "micro_batches_committed": n_batches_seen,
+        "budget": args.budget,
+        "n_shards": args.n_shards,
+        "state_size_curve": curve,
+        "compaction": compaction,
+        "twin_equal": twin_equal,
+        "rows_streamed": len(streamed),
+        "rows_batch": len(batch),
+    }
+    dest = os.path.join(REPO, f"SOAK_r{args.round:02d}.json")
+    with open(dest, "w") as fh:
+        json.dump(artifact, fh, indent=1)
+    print(f"wrote {dest}: twin_equal={twin_equal} "
+          f"rows={len(streamed)}/{len(batch)} "
+          f"batches={n_batches_seen}")
+    shutil.rmtree(work, ignore_errors=True)
+    if not twin_equal:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
