@@ -100,6 +100,13 @@ def test_latest_soak_artifact_is_green():
     # the stream died mid-corpus and still committed every batch
     assert soak["killed_after_batch"] < soak["n_batches"] - 1
     assert soak["micro_batches_committed"] == soak["n_batches"]
+    # the kill erased the newest commit marker, so the resume REPLAYED
+    # that batch through foreachBatch — and the partition-overwrite
+    # design made the replay byte-idempotent on the output
+    replay = soak["uncommitted_replay"]
+    assert replay["idempotent"] is True
+    assert replay["replayed_batch"] == soak["killed_after_batch"]
+    assert replay["rows"] > 0
     phases = {c["phase"] for c in soak["state_size_curve"]}
     assert phases == {"pre-kill", "post-resume"}
     # compaction really shrank the fingerprint store

@@ -160,13 +160,22 @@ def test_png_codec_decodes_real_images_through_mapinpandas(spark):
     with pytest.raises(ValueError):
         png_codec(bytes(blob))
 
-    # if an imaging library IS present, the stdlib codec must agree
-    pil = pytest.importorskip("PIL.Image", reason="PIL not installed")
+
+def test_png_codec_agrees_with_pil_when_present():
+    """Skip-gated cross-check (its own test so the mapInPandas test
+    above records PASS, not SKIP, on PIL-less hosts): an imaging
+    library must agree with the stdlib codec on the same bytes."""
     import io
 
-    for i, w, h, _ in cases:
-        with pil.open(io.BytesIO(payloads[i])) as im:
-            assert im.size == (w, h)
+    import pytest
+
+    from kafka2clickhouse_py_streamer_spark.llm.multimodal import png_codec
+
+    pil = pytest.importorskip("PIL.Image", reason="PIL not installed")
+    for w, h, ch in [(1, 1, 1), (3, 2, 3), (7, 5, 3), (4, 9, 4)]:
+        payload = _encode_png(w, h, ch)
+        with pil.open(io.BytesIO(payload)) as im:
+            assert im.size == (w, h) == png_codec(payload)
 
 
 def test_m08_clusters_cover_m07_pairs(spark):

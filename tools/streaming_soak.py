@@ -154,9 +154,50 @@ def main() -> None:
 
     assert killed_at is not None, "kill-after exceeds batch count"
 
-    # RESUME: a fresh query on the same checkpoint must pick up where
-    # the committed offsets end — feed the remaining slices through it
+    # Harden the kill: delete the newest commit marker so the restart
+    # sees batch `killed_at` as UNCOMMITTED — the crash-between-
+    # foreachBatch-and-commit window — and must REPLAY it through
+    # rag_ingest_batch before taking new data. The partition-overwrite
+    # design makes that replay a no-op on the output (snapshot it to
+    # prove so).
+    commits_dir = os.path.join(ckpt, "commits")
+    last_commit = max(
+        int(f) for f in os.listdir(commits_dir) if f.isdigit()
+    )
+    os.remove(os.path.join(commits_dir, str(last_commit)))
+    crc = os.path.join(commits_dir, f".{last_commit}.crc")
+    if os.path.exists(crc):  # Hadoop local-FS checksum sidecar: the
+        os.remove(crc)       # re-commit's rename collides with it
+    pre_replay = {
+        tuple(r)
+        for r in spark.read.parquet(out)
+        .filter(f"batch_id = {last_commit}")
+        .select(*RAG_COLS)
+        .collect()
+    }
+
+    # RESUME: a fresh query on the same checkpoint replays the
+    # uncommitted batch, then takes the remaining slices as new batches
     q = start()
+    t0 = time.perf_counter()
+    q.processAllAvailable()  # the replay of batch `last_commit`
+    replay_wall = round(time.perf_counter() - t0, 3)
+    post_replay = {
+        tuple(r)
+        for r in spark.read.parquet(out)
+        .filter(f"batch_id = {last_commit}")
+        .select(*RAG_COLS)
+        .collect()
+    }
+    replay = {
+        "replayed_batch": last_commit,
+        "wall_sec": replay_wall,
+        "idempotent": pre_replay == post_replay,
+        "rows": len(post_replay),
+    }
+    print(f"replayed uncommitted batch {last_commit}: "
+          f"idempotent={replay['idempotent']} "
+          f"({len(post_replay)} rows, {replay_wall}s)", flush=True)
     try:
         for i in range(killed_at + 1, len(slices)):
             feed(i)
@@ -212,6 +253,7 @@ def main() -> None:
         "n_docs": n_docs,
         "n_batches": len(slices),
         "killed_after_batch": killed_at,
+        "uncommitted_replay": replay,
         "micro_batches_committed": n_batches_seen,
         "budget": args.budget,
         "n_shards": args.n_shards,
@@ -228,7 +270,7 @@ def main() -> None:
           f"rows={len(streamed)}/{len(batch)} "
           f"batches={n_batches_seen}")
     shutil.rmtree(work, ignore_errors=True)
-    if not twin_equal:
+    if not twin_equal or not replay["idempotent"]:
         sys.exit(1)
 
 
