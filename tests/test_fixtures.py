@@ -112,3 +112,33 @@ def test_latest_soak_artifact_is_green():
     # compaction really shrank the fingerprint store
     comp = soak["compaction"]
     assert comp["fps_after"]["files"] < comp["fps_before"]["files"]
+
+
+def test_latest_state_curve_artifact_is_green():
+    """The committed state-store curve artifact (STATE_CURVE_r{N}.json,
+    tools/state_curve.py — Spark's OWN state store under a watermarked
+    agg + dropDuplicatesWithinWatermark) must record bounded state,
+    exact beyond-retention readmission, and zero within-gap
+    duplicates."""
+    import glob
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    arts = sorted(glob.glob(os.path.join(repo, "STATE_CURVE_r*.json")))
+    if not arts:
+        import pytest
+
+        pytest.skip("no state-curve artifact recorded yet")
+    with open(arts[-1]) as fh:
+        art = json.load(fh)
+    assert art["agg_verdict"]["state_bounded"] is True
+    assert art["dedup_verdict"]["state_bounded"] is True
+    assert art["dedup_readmission_exact"] is True
+    assert art["dedup_within_gap_duplicates"] == 0
+    # the curves really show eviction: rows_removed fires once the
+    # watermark advances past the retention horizon
+    assert any(c["rows_removed"] > 0 for c in art["dedup_curve"])
+    # input kept growing while state stayed flat
+    v = art["dedup_verdict"]
+    assert v["cumulative_input_final"] > v["cumulative_input_mid"]
