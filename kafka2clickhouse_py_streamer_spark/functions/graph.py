@@ -22,8 +22,46 @@ keeps document bodies out of the graph (d07 feeds SimHash pair ids).
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_CKPT_DIR_SET: set[str] = set()  # sessions whose checkpoint dir is set
+
+
+def iter_materialize(df: DataFrame) -> DataFrame:
+    """Per-round materialization for ITERATIVE algorithms (star
+    contraction, k-hop frontiers, edge-list reuse). Iteration genuinely
+    needs lineage TRUNCATION — a lineage-retaining persist would let
+    the plan snowball across rounds, the exact problem checkpointing
+    exists to solve — so the choice is only WHERE the cut copy lives
+    (``SPARK_GRAFT_ITER_MAT``):
+
+    - ``"local"`` (default): ``localCheckpoint`` — executor-local
+      blocks, fastest, the single-node form. On a real cluster an
+      executor loss kills the job (no lineage left to recompute from).
+    - ``"reliable"``: ``checkpoint`` to the fault-tolerant checkpoint
+      dir (``SPARK_GRAFT_CHECKPOINT_DIR``, or a temp dir locally;
+      point it at HDFS/S3 on a cluster) — per-round writes cost more,
+      but node loss re-reads instead of killing a multi-hour CC job.
+      This is the 100 TB deployment setting.
+    """
+    mode = os.environ.get("SPARK_GRAFT_ITER_MAT", "local")
+    if mode == "local":
+        return df.localCheckpoint(eager=True)
+    if mode != "reliable":  # pragma: no cover - config error
+        raise ValueError(f"unknown iterative materialization: {mode!r}")
+    spark = df.sparkSession
+    key = spark.sparkContext.applicationId
+    if key not in _CKPT_DIR_SET:
+        ckpt = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR") or (
+            tempfile.mkdtemp(prefix="spark_graft_ckpt_")
+        )
+        spark.sparkContext.setCheckpointDir(ckpt)
+        _CKPT_DIR_SET.add(key)
+    return df.checkpoint(eager=True)
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
@@ -79,20 +117,21 @@ def connected_components(
 
     Convergence is the honest fixed-point check (canonical edge sets
     equal via ``exceptAll``), not a checksum: one extra digest-sized
-    shuffle per round, and rounds are logarithmic. ``localCheckpoint``
-    truncates lineage each round so plans don't snowball.
+    shuffle per round, and rounds are logarithmic. Each round is cut
+    through :func:`iter_materialize` so plans don't snowball
+    (``localCheckpoint`` locally; reliable ``checkpoint`` on clusters
+    via ``SPARK_GRAFT_ITER_MAT=reliable``).
     """
-    nodes = (
+    nodes = iter_materialize(
         edges.select(F.col("u").alias("doc_id"))
         .union(edges.select(F.col("v").alias("doc_id")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    cur = _small_star(edges).localCheckpoint(eager=True)
+    cur = iter_materialize(_small_star(edges))
     rounds = 0
     converged = cur.isEmpty()  # edgeless graph: nothing to contract
     while not converged and rounds < max_iters:
-        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        nxt = iter_materialize(_small_star(_large_star(cur)))
         rounds += 1
         # star fixed point: both canonical sets distinct, so equality
         # == same count + empty difference (one direction suffices)

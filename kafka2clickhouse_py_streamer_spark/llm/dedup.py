@@ -775,7 +775,8 @@ DEDUP_CC_MAX_ITERS = 20
 # Converged labels per (session, sf_dir): d08 consumes d07's output, and
 # recomputing the whole iterative loop (plus d06's band join feeding it)
 # for the policy step doubles the most expensive family's wall time. The
-# cached frame is localCheckpoint-materialized, so reuse costs nothing
+# cached frame is already cut by connected_components'
+# iter_materialize, so reuse costs nothing
 # and the fixture paths are immutable. Keyed on id(session) so a new
 # session never sees another session's checkpoints.
 _CC_LABELS_CACHE: dict[tuple[int, str], DataFrame] = {}

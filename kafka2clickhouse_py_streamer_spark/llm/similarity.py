@@ -1110,8 +1110,10 @@ def s10_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: each iteration is one equi-join of the rank vector
     (|nodes| rows, 2 cols) onto the edge list plus one partial+final
     agg on the destination — the classic iterate-as-dataflow plan. The
-    edge list is materialized ONCE (localCheckpoint — same per-round
-    pattern as d07's contraction; a deployment writes it as a table)
+    edge list is materialized ONCE (iter_materialize — same per-round
+    pattern as d07's contraction: localCheckpoint locally, reliable
+    checkpoint under SPARK_GRAFT_ITER_MAT=reliable; a deployment
+    writes it as a table)
     so the s09 self-join is not recomputed 2·iters+1 times."""
     nodes = _base(spark, sf_dir).select("vec_id")
     n = nodes.count()  # one scalar to the driver (constant in the plan)
@@ -1121,10 +1123,12 @@ def s10_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], "vec_id long, pagerank double, out_degree long"
         )
-    edges = (
-        s09_knn_graph(spark, sf_dir)
-        .select("src_id", "nbr_id")
-        .localCheckpoint(eager=True)
+    from kafka2clickhouse_py_streamer_spark.functions.graph import (
+        iter_materialize,
+    )
+
+    edges = iter_materialize(
+        s09_knn_graph(spark, sf_dir).select("src_id", "nbr_id")
     )
     outdeg = edges.groupBy("src_id").agg(
         F.count(F.lit(1)).alias("outdeg")
@@ -3044,17 +3048,20 @@ def s22_khop_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     reused across expansions (the streamed-ANN-index posture);
     expansion itself is output-bounded: ≤ |seeds|·K^hops rows.
 
-    Materialization: the edge list is localCheckpoint-ed ONCE (the
-    s10/d07 per-round pattern — a deployment reads the persisted s09
-    index instead), and each hop's new-frontier is checkpointed too:
+    Materialization: the edge list is cut ONCE via iter_materialize
+    (the s10/d07 per-round pattern — localCheckpoint locally, reliable
+    checkpoint on clusters; a deployment reads the persisted s09
+    index instead), and each hop's new-frontier is cut too:
     hop h's anti-join references the whole reached set, whose lineage
     otherwise re-expands the s09 plane self-join once per prior hop —
     measured 3.2× super-linear at 10× data before, because the graph
     CONSTRUCTION (not the expansion) was being recomputed ~7×."""
-    edges = (
-        s09_knn_graph(spark, sf_dir)
-        .select("src_id", "nbr_id")
-        .localCheckpoint(eager=True)
+    from kafka2clickhouse_py_streamer_spark.functions.graph import (
+        iter_materialize,
+    )
+
+    edges = iter_materialize(
+        s09_knn_graph(spark, sf_dir).select("src_id", "nbr_id")
     )
     seeds = _base(spark, sf_dir).filter(
         F.col("vec_id") % S22_SEED_MOD == 0
@@ -3077,9 +3084,9 @@ def s22_khop_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .distinct()
         )
-        new = step.join(
-            reached, ["seed_id", "node_id"], "left_anti"
-        ).localCheckpoint(eager=True)
+        new = iter_materialize(
+            step.join(reached, ["seed_id", "node_id"], "left_anti")
+        )
         reached = reached.unionByName(new)
         frontier = new
     return reached.orderBy("seed_id", "hops", "node_id")

@@ -298,36 +298,36 @@ _VERIFY_FIRST = [
     "p03_sequence_packing",
     "p08_flatten_mix",
     "p09_incremental_refresh",
+    "d20_snapshot_diff",
+    "d21_softdedup_weights",
+    "d22_dedup_roi",
+    "d23_removal_propagation",
+    "d24_editdist_neardup",
+    "d25_lsh_layout_tuner",
+    "d10_minhash_calibration",
+    "d11_ngram_jaccard_capped",
     # green-r05
     "q41_map_fns",
     # green-r06
     "w13_histogram_quantiles",
-    "d20_snapshot_diff",
     "t19_heaps_fit",
     "t20_gopher_funnel",
     "q64_weighted_quantiles",
-    "d21_softdedup_weights",
     "w14_decayed_rate",
-    "d22_dedup_roi",
-    "d23_removal_propagation",
     "w15_hll_distinct",
     "q65_running_distinct",
     "t21_tfidf_keywords",
     "q66_table_profile",
-    "d24_editdist_neardup",
     "t22_langid_eval",
     "t23_pmi_collocations",
     "q67_sequence_match",
     "w16_profile_sketch",
     "q68_interval_coverage",
-    "d25_lsh_layout_tuner",
     "q27_approx_stats",
     "q14_cube",
     "q23_grouping_sets",
     "q24_having",
     "t10_char_entropy",
-    "d10_minhash_calibration",
-    "d11_ngram_jaccard_capped",
     "q28_sessionization",
 ]
 

@@ -175,3 +175,36 @@ def test_star_contraction_matches_union_find_property(spark):
         only_self = {u for u, v in edges if u == v} - touched
         got = {p for p in got if p[0] not in only_self}
         assert got == want, f"seed {seed}"
+
+
+def test_iter_materialize_reliable_mode_agrees(spark, monkeypatch, tmp_path):
+    """SPARK_GRAFT_ITER_MAT=reliable swaps every per-round
+    localCheckpoint for a fault-tolerant checkpoint (the 100 TB
+    deployment setting: executor loss re-reads instead of killing an
+    hours-long CC job). Labels, round counts, and the checkpoint-dir
+    side effect must all hold, and results must equal local mode
+    bit-for-bit."""
+    from kafka2clickhouse_py_streamer_spark.functions.graph import (
+        connected_components,
+    )
+
+    local_labels, local_rounds = connected_components(
+        _chain_edges(spark, 64)
+    )
+    local = {(r.doc_id, r.cluster_id) for r in local_labels.collect()}
+
+    monkeypatch.setenv("SPARK_GRAFT_ITER_MAT", "reliable")
+    monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT_DIR", str(tmp_path / "ck"))
+    labels, rounds = connected_components(_chain_edges(spark, 64))
+    got = {(r.doc_id, r.cluster_id) for r in labels.collect()}
+    assert got == local == {(i, 0) for i in range(64)}
+    assert rounds == local_rounds
+    # the reliable copies really landed in the configured directory
+    import os
+
+    ckpt_files = [
+        os.path.join(dp, f)
+        for dp, _dn, fn in os.walk(tmp_path / "ck")
+        for f in fn
+    ]
+    assert ckpt_files, "reliable mode wrote no checkpoint files"
