@@ -157,25 +157,61 @@ def main() -> None:
         # verdict item 3), not eyeballed
         spreads[name] = [round(samples[0], 3), round(samples[-1], 3)]
 
-    total = round(sum(times.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "rep_spread": spreads,
-                "train_centroids_sec": train_sec,
-                "sf": sf_val,
-            }
-        )
-    )
+    line, sidecar = format_output(times, spreads, train_sec, sf_val)
+    with open(os.path.join(REPO_DIR, "BENCH_SPREAD.json"), "w") as fh:
+        json.dump(sidecar, fh, indent=1)
+    print(line)
+
+
+# hard cap with margin under the driver's ~2000-char stdout tail window
+LINE_CAP = 1900
+
+
+def format_output(
+    times: dict[str, float],
+    spreads: dict[str, list[float]],
+    train_sec: float,
+    sf_val: float | str,
+) -> tuple[str, dict]:
+    """Build the one-line stdout JSON and the full sidecar payload.
+
+    The per-rep spreads go to a SIDECAR file (BENCH_SPREAD.json), not
+    the stdout line: the driver parses the bench JSON out of a bounded
+    tail window of stdout (~2000 chars), and the round-7 run proved
+    that inlining rep_spread pushes the line past that window —
+    BENCH_r07.json recorded "parsed": null even though rc was 0. The
+    stdout contract is ONE compact line; everything bulky lives in the
+    sidecar. If even the queries dict outgrows the cap someday, the
+    line degrades to metric/value/unit/sf and points at the sidecar."""
+    total = round(sum(times.values()), 3)
+    payload = {
+        "metric": "headline_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "train_centroids_sec": train_sec,
+        "sf": sf_val,
+    }
+    line = json.dumps(payload)
+    if len(line) > LINE_CAP:
+        payload.pop("queries")
+        payload["queries_in"] = "BENCH_SPREAD.json"
+        line = json.dumps(payload)
+    sidecar = {
+        "metric": "headline_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "rep_spread": spreads,
+        "train_centroids_sec": train_sec,
+        "sf": sf_val,
+    }
+    return line, sidecar
 
 
 if __name__ == "__main__":

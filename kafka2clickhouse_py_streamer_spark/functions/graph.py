@@ -28,7 +28,13 @@ import tempfile
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_CKPT_DIR_SET: set[str] = set()  # sessions whose checkpoint dir is set
+# (applicationId, resolved dir) pairs already applied. Keyed on the
+# PAIR so changing SPARK_GRAFT_CHECKPOINT_DIR mid-session takes effect
+# (previously a later change was silently ignored — r7 advice); keyed
+# at all because setCheckpointDir is a context-global mutation we only
+# want to repeat when the target actually changed.
+_CKPT_DIR_SET: set[tuple[str, str]] = set()
+_MKDTEMP_DIRS: list[str] = []  # default temp dirs, removed at exit
 
 
 def iter_materialize(df: DataFrame) -> DataFrame:
@@ -54,11 +60,24 @@ def iter_materialize(df: DataFrame) -> DataFrame:
     if mode != "reliable":  # pragma: no cover - config error
         raise ValueError(f"unknown iterative materialization: {mode!r}")
     spark = df.sparkSession
-    key = spark.sparkContext.applicationId
+    env_dir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+    if env_dir:
+        ckpt = env_dir
+    else:
+        # one shared default temp dir per process, atexit-removed so
+        # local runs don't leave per-round checkpoint copies behind
+        # (on clusters the env var points at HDFS/S3 and the
+        # ContextCleaner conf in session.py reclaims old files)
+        if not _MKDTEMP_DIRS:
+            import atexit
+            import shutil
+
+            d = tempfile.mkdtemp(prefix="spark_graft_ckpt_")
+            _MKDTEMP_DIRS.append(d)
+            atexit.register(shutil.rmtree, d, ignore_errors=True)
+        ckpt = _MKDTEMP_DIRS[0]
+    key = (spark.sparkContext.applicationId, ckpt)
     if key not in _CKPT_DIR_SET:
-        ckpt = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR") or (
-            tempfile.mkdtemp(prefix="spark_graft_ckpt_")
-        )
         spark.sparkContext.setCheckpointDir(ckpt)
         _CKPT_DIR_SET.add(key)
     return df.checkpoint(eager=True)

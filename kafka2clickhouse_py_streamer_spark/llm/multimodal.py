@@ -119,7 +119,14 @@ def png_codec(payload: bytes) -> tuple[int, int]:
     pos, width = 8, None
     idat = bytearray()
     while pos < len(payload):
+        if pos + 8 > len(payload):
+            raise ValueError("truncated PNG chunk header")
         (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        # bound-check BEFORE slicing: a payload cut mid-chunk would
+        # otherwise surface as struct.error from the CRC unpack, and
+        # callers catching the documented ValueError would miss it
+        if pos + 12 + length > len(payload):
+            raise ValueError("truncated PNG chunk")
         ctype = payload[pos + 4 : pos + 8]
         data = payload[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack(

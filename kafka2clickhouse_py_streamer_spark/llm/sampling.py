@@ -95,6 +95,32 @@ def _quality_deduped(d: DataFrame) -> DataFrame:
     )
 
 
+# frames persisted by _two_pass_offsets in persist mode, so long-lived
+# sessions (streaming drivers, notebooks) can release the disk blocks
+# without the clearCache() sledgehammer — r7 advice: there was no
+# unpersist path at all, and many offsets consumers per session
+# accumulate unbounded DISK_ONLY blocks otherwise
+_OFFSETS_PERSISTED: list[DataFrame] = []
+
+
+def release_offsets_materializations(blocking: bool = False) -> int:
+    """Unpersist every frame ``_two_pass_offsets`` persisted so far in
+    this process; returns how many were released. Safe to call after a
+    composed pipeline's terminal action: lineage is retained, so any
+    still-lazy consumer recomputes (deterministically — see the
+    boundary-agreement note in ``_two_pass_offsets``) instead of
+    breaking. Idempotent; frames whose session has ended are skipped."""
+    n = 0
+    while _OFFSETS_PERSISTED:
+        frame = _OFFSETS_PERSISTED.pop()
+        try:
+            frame.unpersist(blocking=blocking)
+            n += 1
+        except Exception:  # session already stopped — nothing to free
+            pass
+    return n
+
+
 _SPILL_DIRS: list[str] = []
 
 
@@ -170,7 +196,9 @@ def _two_pass_offsets(
     ``spark.catalog.clearCache()`` between them — bench.py and
     tools/bench_sf1.py do), and it lives until unpersist/clearCache/
     session end — disk-only, so it costs spill space, never executor
-    memory."""
+    memory. Long-lived sessions running many offsets consumers should
+    call :func:`release_offsets_materializations` after each
+    pipeline's terminal action to bound the accumulation."""
     from pyspark.sql.types import LongType, StructField, StructType
 
     order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
@@ -201,6 +229,9 @@ def _two_pass_offsets(
             StorageLevel.MEMORY_AND_DISK if local
             else StorageLevel.DISK_ONLY_2
         )
+        # registered for release_offsets_materializations — the entry
+        # otherwise lives until clearCache/session end
+        _OFFSETS_PERSISTED.append(ranged)
     else:  # pragma: no cover - config error
         raise ValueError(f"unknown offsets materialization: {mode!r}")
     totals = (

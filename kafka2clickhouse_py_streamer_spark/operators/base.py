@@ -134,58 +134,7 @@ def spread(df: DataFrame) -> DataFrame:
 # asserts the committed list matches the tool and that no query's
 # evidence can age out of the driver window unseen.
 _VERIFY_FIRST = [
-    # green-r03 but file churned since
-    "q08_topk_per_group",
-    "q09_running_sum",
-    "q10_lag_lead",
-    "q29_keep_first",
-    "q44_frame_navigation",
-    "w05_attribution",
-    "w06_window_distinct",
-    "q52_interval_frame",
-    "q31_moment_stats",
-    "q32_exact_percentiles",
-    "q33_argmin_argmax",
-    "q34_filtered_agg",
-    "q35_in_subquery",
-    "s08_ann_recall",
-    "q11_sort_limit",
-    "q15_set_ops",
-    "q16_string_fns",
-    "q17_date_fns",
-    "q18_json_fns",
-    "q19_array_fns",
-    "q20_conditional",
-    "q22_pivot",
-    "q30_unpivot",
-    "q39_math_fns",
-    "q40_full_outer",
-    "q42_posexplode",
-    "q43_ratio_to_report",
-    "q45_calendar_arithmetic",
-    "q46_string_agg",
-    "q50_range_join",
-    "q02_region_revenue",
-    "q03_top_orders",
-    "q04_semi_join",
-    "q05_anti_join",
-    "q07_left_join_count",
-    "q21_correlated_subquery",
-    "q25_theta_join",
-    "q26_asof_join",
-    "q47_exists_pair",
     # green-r04 but file churned since
-    "d12_span_dedup",
-    "p10_budget_select",
-    "d13_quality_canonical",
-    "p11_curriculum_stages",
-    "d14_lsh_admission",
-    "s09_knn_graph",
-    "p12_temperature_mix",
-    "s10_pagerank",
-    "d15_semdedup",
-    "p13_pps_sample",
-    "s11_cluster_quality",
     "s12_product_quantize",
     "s13_pq_adc_topk",
     "d16_span_scrub",
@@ -221,10 +170,6 @@ _VERIFY_FIRST = [
     "q58_scd2_intervals",
     "q59_concurrency",
     "q61_gaps_islands",
-    "q01_pricing_summary",
-    "q06_revenue_filter",
-    "q12_distinct_agg",
-    "q13_rollup",
     # green-r05 but file churned since
     "d17_containment_pairs",
     "d18_bloom_decontamination",
@@ -275,6 +220,13 @@ _VERIFY_FIRST = [
     "w03_session_window",
     "w04_enriched_windows",
     "q63_forward_asof",
+    # green-r04
+    "q01_pricing_summary",
+    "q06_revenue_filter",
+    "q12_distinct_agg",
+    "q13_rollup",
+    # green-r05
+    "q41_map_fns",
     # green-r06 but file churned since
     "p17_chunk_pack",
     "m08_media_canonical",
@@ -306,8 +258,11 @@ _VERIFY_FIRST = [
     "d25_lsh_layout_tuner",
     "d10_minhash_calibration",
     "d11_ngram_jaccard_capped",
-    # green-r05
-    "q41_map_fns",
+    # green-r07 but file churned since
+    "p10_budget_select",
+    "p11_curriculum_stages",
+    "p12_temperature_mix",
+    "p13_pps_sample",
     # green-r06
     "w13_histogram_quantiles",
     "t19_heaps_fit",
@@ -329,6 +284,53 @@ _VERIFY_FIRST = [
     "q24_having",
     "t10_char_entropy",
     "q28_sessionization",
+    # green-r07
+    "q08_topk_per_group",
+    "q09_running_sum",
+    "q10_lag_lead",
+    "q29_keep_first",
+    "q44_frame_navigation",
+    "w05_attribution",
+    "w06_window_distinct",
+    "q52_interval_frame",
+    "q31_moment_stats",
+    "q32_exact_percentiles",
+    "q33_argmin_argmax",
+    "q34_filtered_agg",
+    "q35_in_subquery",
+    "s08_ann_recall",
+    "q11_sort_limit",
+    "q15_set_ops",
+    "q16_string_fns",
+    "q17_date_fns",
+    "q18_json_fns",
+    "q19_array_fns",
+    "q20_conditional",
+    "q22_pivot",
+    "q30_unpivot",
+    "q39_math_fns",
+    "q40_full_outer",
+    "q42_posexplode",
+    "q43_ratio_to_report",
+    "q45_calendar_arithmetic",
+    "q46_string_agg",
+    "q50_range_join",
+    "q02_region_revenue",
+    "q03_top_orders",
+    "q04_semi_join",
+    "q05_anti_join",
+    "q07_left_join_count",
+    "q21_correlated_subquery",
+    "q25_theta_join",
+    "q26_asof_join",
+    "q47_exists_pair",
+    "d12_span_dedup",
+    "d13_quality_canonical",
+    "d14_lsh_admission",
+    "s09_knn_graph",
+    "s10_pagerank",
+    "d15_semdedup",
+    "s11_cluster_quality",
 ]
 
 

@@ -57,6 +57,11 @@ def get_spark(
         # still loads (operators/base.normalize_event_time converts
         # every vintage — ns-long, NTZ, timestamp — uniformly)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # reliable-mode iter_materialize (functions/graph.py) writes a
+        # checkpoint file per iteration; let the ContextCleaner delete
+        # them once their RDDs are GC'd instead of accumulating for the
+        # application lifetime (r7 advice)
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -142,3 +142,38 @@ def test_latest_state_curve_artifact_is_green():
     # input kept growing while state stayed flat
     v = art["dedup_verdict"]
     assert v["cumulative_input_final"] > v["cumulative_input_mid"]
+
+
+def test_bench_stdout_line_fits_driver_tail_window():
+    """The driver parses bench.py's JSON out of a bounded (~2000 char)
+    stdout tail window; round 7 proved an over-long line records
+    "parsed": null in BENCH_r{N}.json even on rc 0. The emitted line
+    must stay under the cap for the CURRENT headline set (spreads go
+    to the BENCH_SPREAD.json sidecar), and the degraded form must kick
+    in rather than ever exceeding it."""
+    import json
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if repo not in sys.path:
+        sys.path.insert(0, repo)
+    from bench import HEADLINE, LINE_CAP, format_output
+
+    times = {name: 123.456 for name in HEADLINE}
+    spreads = {name: [123.456, 123.456] for name in HEADLINE}
+    line, sidecar = format_output(times, spreads, 12.345, 0.1)
+    assert len(line) <= LINE_CAP < 2000
+    parsed = json.loads(line)
+    # the real (non-degraded) form still carries per-query times inline
+    assert parsed["queries"] == times
+    assert parsed["metric"] == "headline_total_wall"
+    assert "rep_spread" not in parsed  # bulky — sidecar only
+    assert sidecar["rep_spread"] == spreads
+    assert sidecar["queries"] == times
+
+    # pathological growth degrades instead of overflowing
+    big = {f"q{i:02d}_{'x' * 40}": 1.0 for i in range(100)}
+    line2, _ = format_output(big, {}, 0.0, 0.1)
+    assert len(line2) <= LINE_CAP
+    assert json.loads(line2)["queries_in"] == "BENCH_SPREAD.json"

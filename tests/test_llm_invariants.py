@@ -171,6 +171,39 @@ def test_two_pass_offsets_materializations_agree(spark):
     assert spill == checkpoint
 
 
+def test_release_offsets_materializations_unpersists(spark):
+    """r7 advice: persist-mode offsets entries previously lived until
+    clearCache/session end with NO unpersist path — long-lived
+    sessions accumulate unbounded disk blocks. The release hook must
+    unpersist every tracked frame, be idempotent, and leave lazy
+    consumers recomputable (lineage retained)."""
+    from pyspark import StorageLevel
+
+    from kafka2clickhouse_py_streamer_spark.llm.sampling import (
+        _OFFSETS_PERSISTED,
+        _two_pass_offsets,
+        release_offsets_materializations,
+    )
+
+    release_offsets_materializations()  # clean slate from other tests
+    df = spark.createDataFrame(
+        [(i, "g", i % 7) for i in range(50)],
+        "doc_id long, grp string, n_tokens long",
+    )
+    out = _two_pass_offsets(df, ["grp"], materialize="persist")
+    expect = {r["doc_id"]: r["stream_offset"] for r in out.collect()}
+    assert len(_OFFSETS_PERSISTED) == 1
+    ranged = _OFFSETS_PERSISTED[0]
+    assert ranged.storageLevel != StorageLevel.NONE
+
+    assert release_offsets_materializations(blocking=True) == 1
+    assert not _OFFSETS_PERSISTED
+    assert ranged.storageLevel == StorageLevel.NONE
+    # idempotent, and the released frame still recomputes lazily
+    assert release_offsets_materializations() == 0
+    assert {r["doc_id"]: r["stream_offset"] for r in out.collect()} == expect
+
+
 def test_d14_greedy_predicate_matches_reference_and_cuts(spark, tmp_path):
     """Property: for random tiny corpora, (a) the Spark bucket-min
     admission equals a serial greedy reference computed from the band

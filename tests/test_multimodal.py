@@ -160,6 +160,14 @@ def test_png_codec_decodes_real_images_through_mapinpandas(spark):
     with pytest.raises(ValueError):
         png_codec(bytes(blob))
 
+    # truncate mid-chunk: must raise the DOCUMENTED ValueError, not a
+    # struct.error from slicing past end-of-buffer (r7 advice) — cut
+    # points inside the chunk header, the data, and the CRC all count
+    whole = payloads[2]
+    for cut in (10, len(whole) // 2, len(whole) - 2):
+        with pytest.raises(ValueError):
+            png_codec(whole[:cut])
+
 
 def test_png_codec_agrees_with_pil_when_present():
     """Skip-gated cross-check (its own test so the mapInPandas test

@@ -208,3 +208,18 @@ def test_iter_materialize_reliable_mode_agrees(spark, monkeypatch, tmp_path):
         for f in fn
     ]
     assert ckpt_files, "reliable mode wrote no checkpoint files"
+
+    # r7 advice: a mid-session change of SPARK_GRAFT_CHECKPOINT_DIR
+    # must take effect (the dir-set memo is keyed on (appId, dir), not
+    # appId alone — previously the second dir was silently ignored)
+    monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT_DIR", str(tmp_path / "ck2"))
+    labels2, _ = connected_components(_chain_edges(spark, 32))
+    assert {(r.doc_id, r.cluster_id) for r in labels2.collect()} == {
+        (i, 0) for i in range(32)
+    }
+    ck2_files = [
+        os.path.join(dp, f)
+        for dp, _dn, fn in os.walk(tmp_path / "ck2")
+        for f in fn
+    ]
+    assert ck2_files, "changed checkpoint dir was ignored"

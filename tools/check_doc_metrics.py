@@ -65,13 +65,21 @@ def _load_candidates():
                 add(k[:3], v)
 
     rounds = {}
-    for p in sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json"))):
+    spread_glob = glob.glob(os.path.join(REPO, "BENCH_SPREAD*.json"))
+    for p in sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")) + spread_glob):
         data = json.load(open(p))
-        # driver rounds wrap the bench JSON line under "parsed"
-        qs = data.get("parsed", data).get("queries", {})
+        # driver rounds wrap the bench JSON line under "parsed"; the
+        # wrap is null when the driver's tail window missed the line
+        # (BENCH_r07) — fall back to any top-level queries dict
+        qs = (data.get("parsed") or data).get("queries", {})
         rounds[p] = qs
         for k, v in qs.items():
             add(k[:3], v)
+        # the local sidecar additionally records per-rep spreads —
+        # quoted band endpoints must be checkable too
+        for k, band in (data.get("parsed") or data).get("rep_spread", {}).items():
+            for v in band:
+                add(k[:3], v)
 
     # cross-round ratios (e.g. "p04 0.61x" = r04/r03)
     round_list = list(rounds.values())

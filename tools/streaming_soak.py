@@ -98,6 +98,17 @@ def main() -> None:
     per = (n_docs + args.batches - 1) // args.batches
     slices = [docs[i * per : (i + 1) * per] for i in range(args.batches)]
     slices = [s for s in slices if s]
+    # The soak's shape needs a kill strictly inside the corpus (so the
+    # resume has batches left to take) AND at least 2 post-resume
+    # batches (the mid-soak compaction fires at killed_at + 2). Fail
+    # fast here — before any query starts — instead of asserting after
+    # the whole feed loop has run with a live query leaked (r7 advice).
+    if not 0 < args.kill_after <= len(slices) - 3:
+        ap.error(
+            f"--kill-after must be in [1, {len(slices) - 3}] for "
+            f"{len(slices)} non-empty batches (need >=2 post-resume "
+            "batches so the mid-soak compaction point is reached)"
+        )
 
     work = tempfile.mkdtemp(prefix="rag_soak_")
     src = os.path.join(work, "intake")
@@ -198,6 +209,9 @@ def main() -> None:
     print(f"replayed uncommitted batch {last_commit}: "
           f"idempotent={replay['idempotent']} "
           f"({len(post_replay)} rows, {replay_wall}s)", flush=True)
+    compaction = None  # set at killed_at + 2; the argparse guard above
+    # guarantees that point is reached, but a None here must still
+    # produce a valid (compaction-absent) artifact, not a NameError
     try:
         for i in range(killed_at + 1, len(slices)):
             feed(i)
