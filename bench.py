@@ -130,6 +130,13 @@ def main() -> None:
     for _ in range(2):
         for name in HEADLINE:
             registry[name].fn(spark, sf_dir).count()
+            # drop each warm pass's CacheManager entries immediately:
+            # every offsets consumer persists its ranged frame, and 2
+            # warm passes x 32 queries otherwise accumulate dozens of
+            # live MEMORY_AND_DISK blocks before timing even starts —
+            # the executor-memory pressure behind r07's p14 recording
+            # 6.57 s (rep band [6.5, 11.9]) vs 4.1 s measured clean
+            spark.catalog.clearCache()
 
     # Median of 5 timed reps per query: the host shows 2-3× wall-time
     # variance across identical runs, and a single sample would grade
@@ -150,6 +157,9 @@ def main() -> None:
             t0 = time.perf_counter()
             registry[name].fn(spark, sf_dir).count()
             samples.append(time.perf_counter() - t0)
+        # the LAST rep's persisted blocks must not stay live while the
+        # next query is timed (cross-query memory-pressure bleed)
+        spark.catalog.clearCache()
         samples.sort()
         times[name] = round(samples[REPS // 2], 3)
         # recorded so round-over-round ratio swings can be judged

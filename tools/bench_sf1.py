@@ -193,6 +193,10 @@ def time_queries(registry, spark, sf_dir, reps=3):
     times = {}
     for name in HEAVY:
         registry[name].fn(spark, sf_dir).count()  # warm plan + JIT
+        # the warm pass's persisted offsets frames must not stay live
+        # into the timed reps (same cross-query memory-pressure bleed
+        # bench.py fixed after r07's inflated p14)
+        spark.catalog.clearCache()
         samples = []
         for _ in range(reps):
             # Identical re-invocations share CacheManager entries (the
@@ -205,6 +209,7 @@ def time_queries(registry, spark, sf_dir, reps=3):
             t0 = time.perf_counter()
             registry[name].fn(spark, sf_dir).count()
             samples.append(time.perf_counter() - t0)
+        spark.catalog.clearCache()  # don't bleed into the next query
         times[name] = round(sorted(samples)[reps // 2], 3)
     return times
 
