@@ -177,3 +177,42 @@ def test_bench_stdout_line_fits_driver_tail_window():
     line2, _ = format_output(big, {}, 0.0, 0.1)
     assert len(line2) <= LINE_CAP
     assert json.loads(line2)["queries_in"] == "BENCH_SPREAD.json"
+
+
+def test_latest_throughput_artifact_is_green():
+    """The committed ingest-throughput artifact (THROUGHPUT_r{N}.json,
+    tools/ingest_throughput.py — the parity JSON→validate→cast→sink
+    pipeline over a file-stream twin) must record exact row accounting
+    (valid + DLQ + dropped == fed) for every configuration, and the
+    scaling direction must hold: more topic partitions and bigger
+    batches never make the steady rate worse."""
+    import glob
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    arts = sorted(glob.glob(os.path.join(repo, "THROUGHPUT_r*.json")))
+    if not arts:
+        import pytest
+
+        pytest.skip("no throughput artifact recorded yet")
+    with open(arts[-1]) as fh:
+        art = json.load(fh)
+    runs = art["runs"]
+    assert set(runs) >= {"parity_1p", "parity_8p", "bulk_8p"}
+    for name, r in runs.items():
+        assert (
+            r["valid_rows"] + r["dlq_rows"] + r["dropped_tombstones"]
+            == r["rows"]
+        ), name
+        assert r["dlq_rows"] > 0, name  # the DLQ path really ran
+        assert r["rows_per_sec"] > 0, name
+        assert sum(b["rows"] for b in r["per_batch"]) == r["rows"], name
+    assert (
+        runs["parity_8p"]["steady_rows_per_sec"]
+        > runs["parity_1p"]["steady_rows_per_sec"]
+    )
+    assert (
+        runs["bulk_8p"]["steady_rows_per_sec"]
+        > runs["parity_8p"]["steady_rows_per_sec"]
+    )
