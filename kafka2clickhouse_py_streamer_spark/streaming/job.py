@@ -25,6 +25,7 @@ writers.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Protocol
 
@@ -73,35 +74,54 @@ class PipelineJob:
         self._schema = None
 
     def run_batch(self, batch_df: DataFrame, batch_id: int = 0) -> None:
-        if batch_df.isEmpty():  # main.py:254-255, 337-339
-            return
-        tagged, valid_raw, typed, dlq = self._process(batch_df)
+        # SPARK_GRAFT_BATCH_CACHE=on persists the RAW batch before the
+        # empty probe: the probe scan and the tagged build otherwise
+        # each read the source — measured as rows_read = 2x the logical
+        # batch size (THROUGHPUT_r08 pre-fix), which against a real
+        # broker is every Kafka fetch paid twice per trigger. Keep it
+        # ON for remote sources (kafka — the deployment default); a
+        # cheap re-readable local source may not need the cache build,
+        # hence the knob (THROUGHPUT_r08 records both on parquet twins
+        # — the local delta is inside run noise either way).
+        # The empty-before-schema-fetch order (main.py:254-255,
+        # 337-339) is unchanged either way.
+        cache_raw = (
+            os.environ.get("SPARK_GRAFT_BATCH_CACHE", "on") != "off"
+        )
+        if cache_raw:
+            batch_df = batch_df.persist()
         try:
+            if batch_df.isEmpty():
+                return
+            tagged, valid_raw, typed, dlq = self._process(batch_df)
             try:
-                self._sink(typed)
-            except Exception:
-                # schema drift suspected: re-fetch, re-process, retry
-                # once (main.py:433-445)
-                tagged.unpersist()
-                self.invalidate_schema()
-                tagged, valid_raw, typed, dlq = self._process(batch_df)
                 try:
                     self._sink(typed)
-                except Exception as exc:
-                    # second failure → only the VALID rows go to the DLQ
-                    # with the insert error; invalid rows keep their
-                    # validation error (main.py:446-456)
-                    failed = valid_raw.select(
-                        F.col(self._value_col).alias("row"),
-                        F.lit(f"insert failed after retry: {exc}").alias(
-                            "error"
-                        ),
-                    )
-                    dlq = dlq.unionByName(failed)
-            if not dlq.isEmpty():
-                self._dlq_sink(dlq)
+                except Exception:
+                    # schema drift suspected: re-fetch, re-process,
+                    # retry once (main.py:433-445)
+                    tagged.unpersist()
+                    self.invalidate_schema()
+                    tagged, valid_raw, typed, dlq = self._process(batch_df)
+                    try:
+                        self._sink(typed)
+                    except Exception as exc:
+                        # second failure → only the VALID rows go to
+                        # the DLQ with the insert error; invalid rows
+                        # keep their validation error (main.py:446-456)
+                        failed = valid_raw.select(
+                            F.col(self._value_col).alias("row"),
+                            F.lit(
+                                f"insert failed after retry: {exc}"
+                            ).alias("error"),
+                        )
+                        dlq = dlq.unionByName(failed)
+                if not dlq.isEmpty():
+                    self._dlq_sink(dlq)
+            finally:
+                tagged.unpersist()
         finally:
-            tagged.unpersist()
+            batch_df.unpersist()
 
     def _process(self, batch_df: DataFrame):
         from kafka2clickhouse_py_streamer_spark.pipeline.core import (
