@@ -72,6 +72,16 @@ def _load_candidates():
         # wrap is null when the driver's tail window missed the line
         # (BENCH_r07) — fall back to any top-level queries dict
         qs = (data.get("parsed") or data).get("queries", {})
+        if not qs and data.get("tail"):
+            # the numbers still exist inside the truncated tail text —
+            # recover '"<key>": <float>' pairs so genuinely-recorded
+            # r07 values stay quotable
+            qs = {
+                m.group(1): float(m.group(2))
+                for m in re.finditer(
+                    r'"([qdstpwm]\d{2}_\w+)":\s*([0-9.]+)', data["tail"]
+                )
+            }
         rounds[p] = qs
         for k, v in qs.items():
             add(k[:3], v)
