@@ -208,6 +208,13 @@ def test_latest_throughput_artifact_is_green():
         assert r["dlq_rows"] > 0, name  # the DLQ path really ran
         assert r["rows_per_sec"] > 0, name
         assert sum(b["rows"] for b in r["per_batch"]) == r["rows"], name
+        if r.get("batch_cache") == "on":
+            # the single-source-scan fix: with the raw batch persisted,
+            # the streaming source reads each row exactly once per
+            # trigger (pre-fix this metric read 2x the batch size)
+            assert all(
+                b["rows_read"] == b["rows"] for b in r["per_batch"]
+            ), name
     assert (
         runs["parity_8p"]["steady_rows_per_sec"]
         > runs["parity_1p"]["steady_rows_per_sec"]
@@ -216,3 +223,12 @@ def test_latest_throughput_artifact_is_green():
         runs["bulk_8p"]["steady_rows_per_sec"]
         > runs["parity_8p"]["steady_rows_per_sec"]
     )
+    # the matches-or-beats receipt: on the same I/O-free basis the
+    # engine's per-core compute rate beats the reference's
+    # single-threaded row-loop twin, and cores multiply it
+    twin = art["reference_twin"]["rows_per_sec"]
+    compute = art["engine_compute"]
+    assert compute["1core"]["rows_per_sec"] > twin
+    assert compute["32core"]["rows_per_sec"] > 4 * compute["1core"][
+        "rows_per_sec"
+    ]
