@@ -26,9 +26,45 @@ import glob
 import json
 import os
 import re
+import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _committed_versions(relpath: str) -> list[dict]:
+    """Every committed version of ``relpath`` as parsed JSON.
+
+    BENCH_SPREAD.json is a mutable sidecar: the driver's post-seal bench
+    rerun overwrites it in place (round 8's doc-metrics failure — the
+    working tree contradicted ROUND8.md's committed quotes). Quotes are
+    legitimate if they match ANY committed recording, so resolve against
+    git history, not just the current file. Degrades to [] outside git.
+    """
+    try:
+        revs = subprocess.run(
+            ["git", "-C", REPO, "rev-list", "HEAD", "--", relpath],
+            capture_output=True, text=True, timeout=30,
+        ).stdout.split()
+        out, seen = [], set()
+        for rev in revs:
+            blob = subprocess.run(
+                ["git", "-C", REPO, "show", f"{rev}:{relpath}"],
+                capture_output=True, text=True, timeout=30,
+            )
+            if blob.returncode != 0:
+                continue
+            h = hash(blob.stdout)
+            if h in seen:
+                continue
+            seen.add(h)
+            try:
+                out.append(json.loads(blob.stdout))
+            except ValueError:
+                pass
+        return out
+    except Exception:
+        return []
 
 DOCS = sorted(
     glob.glob(os.path.join(REPO, "ROUND*.md")) + [os.path.join(REPO, "SCALE.md")]
@@ -53,8 +89,11 @@ def _load_candidates():
 
     # BENCH_sf1.json is overwritten per re-recording; BENCH_sf1_r{NN}
     # archives keep earlier rounds' quotes (in ROUND*.md) checkable
-    for sf1_path in sorted(glob.glob(os.path.join(REPO, "BENCH_sf1*.json"))):
-        sf1 = json.load(open(sf1_path))
+    sf1_sources = [
+        json.load(open(p))
+        for p in sorted(glob.glob(os.path.join(REPO, "BENCH_sf1*.json")))
+    ] + _committed_versions("BENCH_sf1.json")
+    for sf1 in sf1_sources:
         for section in ("sf0.1", "sf1", "scaling_ratio"):
             for k, v in sf1.get(section, {}).items():
                 add(k[:3], v)
@@ -66,8 +105,16 @@ def _load_candidates():
 
     rounds = {}
     spread_glob = glob.glob(os.path.join(REPO, "BENCH_SPREAD*.json"))
-    for p in sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")) + spread_glob):
-        data = json.load(open(p))
+    sources: list[tuple[str, dict]] = [
+        (p, json.load(open(p)))
+        for p in sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")) + spread_glob)
+    ]
+    # plus every committed historical version of the mutable sidecars —
+    # a driver rerun that overwrites the working-tree file must not
+    # invalidate quotes that matched a committed recording
+    for i, data in enumerate(_committed_versions("BENCH_SPREAD.json")):
+        sources.append((f"git:BENCH_SPREAD.json@{i}", data))
+    for p, data in sources:
         # driver rounds wrap the bench JSON line under "parsed"; the
         # wrap is null when the driver's tail window missed the line
         # (BENCH_r07) — fall back to any top-level queries dict
