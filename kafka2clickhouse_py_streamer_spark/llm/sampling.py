@@ -99,8 +99,44 @@ def _quality_deduped(d: DataFrame) -> DataFrame:
 # sessions (streaming drivers, notebooks) can release the disk blocks
 # without the clearCache() sledgehammer — r7 advice: there was no
 # unpersist path at all, and many offsets consumers per session
-# accumulate unbounded DISK_ONLY blocks otherwise
+# accumulate unbounded DISK_ONLY blocks otherwise. r8 advice: nothing
+# in the engine calls the release hook, so the registry itself became
+# the leak — it is now BOUNDED: registering past the cap evicts (and
+# unpersists) the oldest entry. Lineage is retained, so a still-lazy
+# consumer of an evicted frame recomputes deterministically.
 _OFFSETS_PERSISTED: list[DataFrame] = []
+_OFFSETS_PERSISTED_CAP = int(os.environ.get("SPARK_GRAFT_OFFSETS_CAP", "16"))
+
+
+def _session_stopped(frame: DataFrame) -> bool:
+    try:
+        sc = frame.sparkSession.sparkContext
+        return sc._jsc is None  # stop() nulls the JVM context handle
+    except Exception:
+        return True
+
+
+def _unpersist_registered(frame: DataFrame, blocking: bool) -> bool:
+    """Unpersist one registered frame; True if blocks were freed.
+    Only a stopped session is silently skipped — any other failure is
+    logged (it means JVM blocks may genuinely still be held)."""
+    try:
+        frame.unpersist(blocking=blocking)
+        return True
+    except Exception as exc:
+        if not _session_stopped(frame):
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "offsets unpersist failed (blocks may still be held): %s", exc
+            )
+        return False
+
+
+def _register_offsets_persist(frame: DataFrame) -> None:
+    _OFFSETS_PERSISTED.append(frame)
+    while len(_OFFSETS_PERSISTED) > _OFFSETS_PERSISTED_CAP:
+        _unpersist_registered(_OFFSETS_PERSISTED.pop(0), blocking=False)
 
 
 def release_offsets_materializations(blocking: bool = False) -> int:
@@ -112,12 +148,8 @@ def release_offsets_materializations(blocking: bool = False) -> int:
     breaking. Idempotent; frames whose session has ended are skipped."""
     n = 0
     while _OFFSETS_PERSISTED:
-        frame = _OFFSETS_PERSISTED.pop()
-        try:
-            frame.unpersist(blocking=blocking)
+        if _unpersist_registered(_OFFSETS_PERSISTED.pop(), blocking):
             n += 1
-        except Exception:  # session already stopped — nothing to free
-            pass
     return n
 
 
@@ -230,8 +262,9 @@ def _two_pass_offsets(
             else StorageLevel.DISK_ONLY_2
         )
         # registered for release_offsets_materializations — the entry
-        # otherwise lives until clearCache/session end
-        _OFFSETS_PERSISTED.append(ranged)
+        # otherwise lives until clearCache/session end; the registry is
+        # capped, evicting (unpersisting) the oldest past the cap
+        _register_offsets_persist(ranged)
     else:  # pragma: no cover - config error
         raise ValueError(f"unknown offsets materialization: {mode!r}")
     totals = (

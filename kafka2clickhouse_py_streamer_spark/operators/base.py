@@ -134,58 +134,7 @@ def spread(df: DataFrame) -> DataFrame:
 # asserts the committed list matches the tool and that no query's
 # evidence can age out of the driver window unseen.
 _VERIFY_FIRST = [
-    # green-r04 but file churned since
-    "s12_product_quantize",
-    "s13_pq_adc_topk",
-    "d16_span_scrub",
-    "d01_exact_dedup",
-    "d02_ngram_jaccard",
-    "d03_minhash_lsh",
-    "d04_simhash",
-    "d05_embedding_neardup",
-    "d06_simhash_pairs",
-    "t11_readability",
-    "t12_lexical_diversity",
-    "w07_window_topk",
-    "w08_disorder_profile",
-    "t13_zipf_fit",
-    "w09_gap_fill",
-    "w10_rate_anomaly",
-    "t14_bigram_logprob",
-    "w11_rollup_cascade",
-    "m06_multimodal_packing",
-    "q54_histogram",
-    "q55_robust_outliers",
-    "q57_cohort_retention",
-    "q60_linear_trend",
-    "q36_range_frame",
-    "q37_ntile_cume",
-    "q51_skew_profile",
-    "q38_collect_agg",
-    "q62_lateral_topn",
-    "q48_salted_join",
-    "q49_upsert_merge",
-    "q53_funnel",
-    "q56_mom_growth",
-    "q58_scd2_intervals",
-    "q59_concurrency",
-    "q61_gaps_islands",
     # green-r05 but file churned since
-    "d17_containment_pairs",
-    "d18_bloom_decontamination",
-    "d19_containment_calibration",
-    "d07_dedup_clusters",
-    "d08_canonical_corpus",
-    "d09_contamination",
-    "p14_span_scrub_pipeline",
-    "s14_ivfpq_search",
-    "s15_mrl_truncation_recall",
-    "s16_rrf_fusion",
-    "m07_phash_neardup",
-    "p15_dedup_rebalance",
-    "s17_probe_recall_sweep",
-    "s18_knn_label_eval",
-    "p16_pack_efficiency",
     "s01_cosine_topk",
     "s02_lsh_buckets",
     "s03_lsh_topk",
@@ -220,13 +169,6 @@ _VERIFY_FIRST = [
     "w03_session_window",
     "w04_enriched_windows",
     "q63_forward_asof",
-    # green-r04
-    "q01_pricing_summary",
-    "q06_revenue_filter",
-    "q12_distinct_agg",
-    "q13_rollup",
-    # green-r05
-    "q41_map_fns",
     # green-r06 but file churned since
     "p17_chunk_pack",
     "m08_media_canonical",
@@ -258,11 +200,13 @@ _VERIFY_FIRST = [
     "d25_lsh_layout_tuner",
     "d10_minhash_calibration",
     "d11_ngram_jaccard_capped",
-    # green-r07 but file churned since
-    "p10_budget_select",
-    "p11_curriculum_stages",
-    "p12_temperature_mix",
-    "p13_pps_sample",
+    # green-r04
+    "q01_pricing_summary",
+    "q06_revenue_filter",
+    "q12_distinct_agg",
+    "q13_rollup",
+    # green-r05
+    "q41_map_fns",
     # green-r06
     "w13_histogram_quantiles",
     "t19_heaps_fit",
@@ -284,6 +228,15 @@ _VERIFY_FIRST = [
     "q24_having",
     "t10_char_entropy",
     "q28_sessionization",
+    # green-r07 but file churned since
+    "p10_budget_select",
+    "p11_curriculum_stages",
+    "p12_temperature_mix",
+    "p13_pps_sample",
+    # green-r08 but file churned since
+    "p14_span_scrub_pipeline",
+    "p15_dedup_rebalance",
+    "p16_pack_efficiency",
     # green-r07
     "q08_topk_per_group",
     "q09_running_sum",
@@ -331,6 +284,54 @@ _VERIFY_FIRST = [
     "s10_pagerank",
     "d15_semdedup",
     "s11_cluster_quality",
+    # green-r08
+    "s12_product_quantize",
+    "s13_pq_adc_topk",
+    "d16_span_scrub",
+    "d01_exact_dedup",
+    "d02_ngram_jaccard",
+    "d03_minhash_lsh",
+    "d04_simhash",
+    "d05_embedding_neardup",
+    "d06_simhash_pairs",
+    "t11_readability",
+    "t12_lexical_diversity",
+    "w07_window_topk",
+    "w08_disorder_profile",
+    "t13_zipf_fit",
+    "w09_gap_fill",
+    "w10_rate_anomaly",
+    "t14_bigram_logprob",
+    "w11_rollup_cascade",
+    "m06_multimodal_packing",
+    "q54_histogram",
+    "q55_robust_outliers",
+    "q57_cohort_retention",
+    "q60_linear_trend",
+    "q36_range_frame",
+    "q37_ntile_cume",
+    "q51_skew_profile",
+    "q38_collect_agg",
+    "q62_lateral_topn",
+    "q48_salted_join",
+    "q49_upsert_merge",
+    "q53_funnel",
+    "q56_mom_growth",
+    "q58_scd2_intervals",
+    "q59_concurrency",
+    "q61_gaps_islands",
+    "d17_containment_pairs",
+    "d18_bloom_decontamination",
+    "d19_containment_calibration",
+    "d07_dedup_clusters",
+    "d08_canonical_corpus",
+    "d09_contamination",
+    "s14_ivfpq_search",
+    "s15_mrl_truncation_recall",
+    "s16_rrf_fusion",
+    "m07_phash_neardup",
+    "s17_probe_recall_sweep",
+    "s18_knn_label_eval",
 ]
 
 

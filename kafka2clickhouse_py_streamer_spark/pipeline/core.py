@@ -277,8 +277,13 @@ def tag_errors(
     not a plain identifier (can't be embedded in a JSON path literal)
     falls back to the pandas form automatically."""
     mode = os.environ.get("SPARK_GRAFT_VALIDATOR", "pandas")
+    # guard BOTH name sources the CASE text interpolates raw: column
+    # names (JSON path + error message) and the configured required
+    # keys (REQUIRED_COLUMNS env — a quote/dot/$ would make an invalid
+    # path literal or wrong error string, not a clean fallback)
     if mode == "jvm" and all(
-        _IDENT.match(c.name) for c in schema.columns
+        _IDENT.match(n)
+        for n in [*(c.name for c in schema.columns), *schema.required]
     ):
         return _tag_errors_jvm(raw_df, schema, value_col)
     if mode not in ("jvm", "pandas"):  # pragma: no cover - config error

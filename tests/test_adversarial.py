@@ -468,3 +468,164 @@ def test_p04_p13_null_doc_id_parity(spark, tmp_path):
             assert r.get("values_match"), (name, r)
     finally:
         con.close()
+
+
+# --- vacuous-mirror-green guard (r8 verdict, What's-wrong #3) ------------
+
+def _mirror_tool():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "local_oracle_mirror",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                     "tools", "local_oracle_mirror.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_vacuous_mirror_greens_have_nonempty_twins(
+    spark, adv_dir, adv_ev_dir, tmp_path
+):
+    """A mirror green with 0 Spark rows is `0 == 0` — it cannot
+    distinguish a correct operator from a degenerately-empty one. This
+    guard (a) pins that every zero-row green in the latest committed
+    mirror is a KNOWN_VACUOUS entry, and (b) proves each such query
+    NON-empty (and oracle-equal) on crafted data, so a query can never
+    be "covered" by emptiness alone."""
+    from kafka2clickhouse_py_streamer_spark.operators.base import all_queries
+
+    mirror = _mirror_tool()
+    _, art = mirror.latest_mirror()
+    if art is None:
+        pytest.skip("no LOCAL_ORACLE mirror recorded yet")
+    vacuous = {
+        n for n, r in art["results"].items()
+        if r.get("mode") == "oracle" and r.get("ok")
+        and r.get("spark_rows") == 0
+    }
+    unknown = vacuous - set(mirror.KNOWN_VACUOUS)
+    assert not unknown, (
+        f"zero-row mirror greens without a declared non-empty twin: "
+        f"{sorted(unknown)} — add to KNOWN_VACUOUS + this test's fixtures"
+    )
+
+    # crafted fixture for q05: customers that genuinely have no orders
+    q05_dir = str(tmp_path / "childless_customers")
+    os.makedirs(q05_dir)
+    for p in glob.glob(os.path.join(SRC, "*.parquet")):
+        if os.path.basename(p) != "customer.parquet":
+            shutil.copy(p, os.path.join(q05_dir, os.path.basename(p)))
+    cust = pq.read_table(os.path.join(SRC, "customer.parquet"))
+    top = cust.to_pylist()
+    maxkey = max(r["c_custkey"] for r in top)
+    for i in range(1, 4):
+        row = dict(top[0])
+        row["c_custkey"] = maxkey + i
+        row["c_name"] = f"Childless Customer#{i}"
+        top.append(row)
+    pq.write_table(
+        pa.Table.from_pylist(top, schema=cust.schema),
+        os.path.join(q05_dir, "customer.parquet"),
+    )
+
+    # crafted fixture for d05: two same-label, near-identical vectors
+    # (the synthetic embeddings have no same-label pair over the 0.6
+    # cosine threshold at small SF — that's why its mirror green is 0==0)
+    d05_dir = str(tmp_path / "neardup_embeddings")
+    os.makedirs(d05_dir)
+    for p in glob.glob(os.path.join(SRC, "*.parquet")):
+        if os.path.basename(p) != "embeddings.parquet":
+            shutil.copy(p, os.path.join(d05_dir, os.path.basename(p)))
+    base_vec = [float(i % 7) - 3.0 for i in range(64)]
+    near_vec = list(base_vec)
+    near_vec[0] += 0.25
+    far_vec = [(-1.0) ** i * float(i % 5 + 1) for i in range(64)]
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "embedding": pa.array(
+                [base_vec, near_vec, far_vec, base_vec],
+                pa.list_(pa.float32()),
+            ),
+            # 1-2 near pair shares label 7; 4 is identical to 1 but in
+            # label 9 — blocking must exclude it
+            "label": pa.array([7, 7, 7, 9], pa.int32()),
+        }),
+        os.path.join(d05_dir, "embeddings.parquet"),
+    )
+
+    # crafted fixture for m07: duplicate texts → identical fake media
+    # payloads → phash Hamming distance 0 (the adversarial documents
+    # fixture has all-distinct texts, so no near-dup media pair exists)
+    m07_dir = str(tmp_path / "dup_media_docs")
+    os.makedirs(m07_dir)
+    for p in glob.glob(os.path.join(SRC, "*.parquet")):
+        if os.path.basename(p) != "documents.parquet":
+            shutil.copy(p, os.path.join(m07_dir, os.path.basename(p)))
+    dup_texts = [
+        "identical payload text", "identical payload text",
+        "another body", "yet another body", "fifth distinct body",
+    ]
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(list(range(1, 6)), pa.int64()),
+            "text": pa.array(dup_texts, pa.string()),
+            "lang": pa.array(["en"] * 5, pa.string()),
+            "source": pa.array(["web"] * 5, pa.string()),
+            "n_chars": pa.array([len(t) for t in dup_texts], pa.int64()),
+        }),
+        os.path.join(m07_dir, "documents.parquet"),
+    )
+
+    # crafted fixture for q63: events whose user_id is a real o_custkey
+    # and whose ts PRECEDES that customer's order date, so a forward
+    # as-of match exists (the synthetic events/orders key+time ranges
+    # don't overlap that way at small SF)
+    q63_dir = str(tmp_path / "pre_order_events")
+    os.makedirs(q63_dir)
+    for p in glob.glob(os.path.join(SRC, "*.parquet")):
+        if os.path.basename(p) != "events.parquet":
+            shutil.copy(p, os.path.join(q63_dir, os.path.basename(p)))
+    ordr = pq.read_table(
+        os.path.join(SRC, "orders.parquet"),
+        columns=["o_custkey", "o_orderdate"],
+    ).to_pylist()[:3]
+    import datetime as _dt
+
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "ts": pa.array(
+                [r["o_orderdate"] - _dt.timedelta(days=1) for r in ordr],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([r["o_custkey"] for r in ordr], pa.int64()),
+            "event_type": pa.array(["click"] * 3, pa.string()),
+            "value": pa.array([1.0, 2.0, 3.0], pa.float64()),
+            "props": pa.array(["{}"] * 3, pa.string()),
+        }),
+        os.path.join(q63_dir, "events.parquet"),
+    )
+
+    dirs = {
+        "adv_dir": adv_dir,
+        "adv_ev_dir": adv_ev_dir,
+        "crafted_childless_customers": q05_dir,
+        "crafted_neardup_embeddings": d05_dir,
+        "crafted_dup_media": m07_dir,
+        "crafted_pre_order_events": q63_dir,
+    }
+    qs = all_queries()
+    for name, fixture in mirror.KNOWN_VACUOUS.items():
+        d = dirs[fixture]
+        con = duckdb_conn(d)
+        try:
+            r = compare(qs[name].fn(spark, d), con, qs[name].oracle)
+            assert r.get("values_match"), (name, r)
+            assert r["spark_rows"] > 0, (
+                f"{name}: crafted twin is ALSO empty — not a twin"
+            )
+        finally:
+            con.close()

@@ -204,6 +204,34 @@ def test_release_offsets_materializations_unpersists(spark):
     assert {r["doc_id"]: r["stream_offset"] for r in out.collect()} == expect
 
 
+def test_offsets_persist_registry_is_bounded(spark, monkeypatch):
+    """r8 advice: no engine path calls the release hook, so the
+    registry itself grew unboundedly (strong refs + live JVM blocks).
+    Registering past the cap must evict AND unpersist the oldest entry,
+    and evicted frames must still recompute (lineage retained)."""
+    from pyspark import StorageLevel
+
+    from kafka2clickhouse_py_streamer_spark.llm import sampling
+
+    sampling.release_offsets_materializations()
+    monkeypatch.setattr(sampling, "_OFFSETS_PERSISTED_CAP", 2)
+    frames = []
+    for i in range(4):
+        df = spark.createDataFrame(
+            [(j, f"g{i}", j % (i + 2)) for j in range(20)],
+            "doc_id long, grp string, n_tokens long",
+        )
+        frames.append(sampling._two_pass_offsets(df, ["grp"], materialize="persist"))
+    reg = sampling._OFFSETS_PERSISTED
+    assert len(reg) == 2  # oldest two evicted and unpersisted
+    assert all(f.storageLevel != StorageLevel.NONE for f in reg)
+    # every output — including ones whose persist was evicted — still
+    # computes (deterministic recompute from lineage)
+    assert all(f.count() == 20 for f in frames)
+    assert sampling.release_offsets_materializations(blocking=True) == 2
+    assert not reg
+
+
 def test_d14_greedy_predicate_matches_reference_and_cuts(spark, tmp_path):
     """Property: for random tiny corpora, (a) the Spark bucket-min
     admission equals a serial greedy reference computed from the band

@@ -191,6 +191,38 @@ def test_jvm_validator_has_no_python_ops():
     assert "BatchEvalPython" not in plan_default
 
 
+def test_jvm_mode_falls_back_on_hostile_required_name():
+    """r8 advice: the jvm-mode identifier guard checked only
+    schema.columns, but the CASE text also interpolates the configured
+    REQUIRED_COLUMNS names raw into variant_get path literals and error
+    strings — a quote/dot/$ there must route to the pandas validator,
+    not produce an AnalysisException or a silently wrong JSON path."""
+    import os
+
+    from kafka2clickhouse_py_streamer_spark.pipeline.core import (
+        tag_errors,
+    )
+    from kafka2clickhouse_py_streamer_spark.plans.analysis import (
+        formatted_plan,
+    )
+
+    hostile = build_table_schema(
+        [("device_id", "UInt32")],
+        required_columns=["a'b.c$d"],
+        string_enum_columns=[],
+    )
+    spark = _get_spark()
+    raw = spark.createDataFrame([("{}",)], "value string")
+    os.environ["SPARK_GRAFT_VALIDATOR"] = "jvm"
+    try:
+        plan = formatted_plan(tag_errors(raw, hostile))
+    finally:
+        os.environ.pop("SPARK_GRAFT_VALIDATOR", None)
+    # fell back to the Arrow UDF — no variant expressions in the plan
+    assert "ArrowEvalPython" in plan
+    assert "variant_get" not in plan
+
+
 def test_jvm_and_pandas_validators_agree_on_parser_edges():
     """Deterministic adversarial parse shapes — the class the random
     strategy under-samples. Trailing garbage after a complete object
