@@ -246,18 +246,52 @@ def _tag_errors_jvm(
     )
 
 
+def _schema_fingerprint(schema: TableSchema) -> tuple:
+    """Value-identity key for per-schema plan caches: two TableSchema
+    objects with the same columns/required produce identical plan
+    fragments, and a drift-refetched schema with different content gets
+    a different key (so invalidate_schema naturally misses the cache)."""
+    return (
+        tuple(
+            (c.name, c.ch_type, c.spark_type.simpleString(),
+             c.default, c.json_type, c.is_datetime, c.is_string_enum)
+            for c in schema.columns
+        ),
+        tuple(schema.required),
+    )
+
+
+# (applicationId, fingerprint) -> pandas-UDF callable. The streaming
+# shell calls tag_errors once per TRIGGER; without this cache every
+# micro-batch re-pickles the validator closure and registers a fresh
+# JVM UDF — pure driver-side fixed cost at high trigger rates
+# (THROUGHPUT_r08's parity_1p regime). applicationId scopes the cache
+# to one SparkContext so a restarted session can't see stale JVM refs.
+_VALIDATOR_UDF_CACHE: dict[tuple, object] = {}
+
+
 def _tag_errors_pandas(
     raw_df: DataFrame, schema: TableSchema, value_col: str
 ) -> DataFrame:
-    validate_row = _make_validator(
-        {c.name: c.json_type for c in schema.columns},
-        list(schema.required),
-        _DROP,
+    key = (
+        raw_df.sparkSession.sparkContext.applicationId,
+        _schema_fingerprint(schema),
     )
+    _validate = _VALIDATOR_UDF_CACHE.get(key)
+    if _validate is None:
+        validate_row = _make_validator(
+            {c.name: c.json_type for c in schema.columns},
+            list(schema.required),
+            _DROP,
+        )
 
-    @F.pandas_udf(StringType())
-    def _validate(vals: pd.Series) -> pd.Series:
-        return vals.map(validate_row)
+        @F.pandas_udf(StringType())
+        def _validate(vals: pd.Series) -> pd.Series:
+            return vals.map(validate_row)
+
+        if len(_VALIDATOR_UDF_CACHE) > 64:  # bound: schemas are few
+            _VALIDATOR_UDF_CACHE.clear()
+        _VALIDATOR_UDF_CACHE[key] = _validate
 
     return raw_df.withColumn("_err", _validate(F.col(value_col)))
 
@@ -291,14 +325,19 @@ def tag_errors(
     return _tag_errors_pandas(raw_df, schema, value_col)
 
 
+def dlq_condition():
+    """The tagged-frame predicate selecting DLQ rows (valid = NULL
+    ``_err``; drops carry the marker; everything else is an error)."""
+    return F.col("_err").isNotNull() & (F.col("_err") != _DROP)
+
+
 def split_tagged(
     tagged: DataFrame, value_col: str = "value"
 ) -> tuple[DataFrame, DataFrame]:
     """Split a tagged frame into (valid_raw, dlq)."""
     valid = tagged.filter(F.col("_err").isNull()).drop("_err")
-    dlq = (
-        tagged.filter(F.col("_err").isNotNull() & (F.col("_err") != _DROP))
-        .select(F.col(value_col).alias("row"), F.col("_err").alias("error"))
+    dlq = tagged.filter(dlq_condition()).select(
+        F.col(value_col).alias("row"), F.col("_err").alias("error")
     )
     return valid, dlq
 
@@ -317,13 +356,45 @@ def validate_split(
     return split_tagged(tag_errors(raw_df, schema, value_col), value_col)
 
 
-def _cast_expr(meta: ColumnMeta, present: bool):
-    """P3 for one column (main.py:260-302), as a Column expression."""
+# exactly the strings Spark's ANSI string→integral cast accepts:
+# optional [\x00-\x20] padding (UTF8String.trimAll), optional sign,
+# ASCII digits. try_cast on a NON-matching string raises-and-swallows
+# a JVM exception PER ROW (~10 us) — measured 3x the column's cost on
+# an all-miss enum column (e.g. 'valid'/'invalid' → smallint code with
+# the 127 sentinel, the reference's own telemetry shape). The guard
+# short-circuits those rows to NULL without entering the cast; rows
+# that match still go through try_cast for the range check. Verified
+# equal to the unguarded form on signs/padding/control chars/unicode
+# digits/overflow (tests/test_pipeline.py::test_integral_guard_matches_plain_try_cast).
+#
+# Applied ONLY to enum-class columns: their JSON contract is "string
+# name or integer code", so all-name inputs (100% cast misses) are a
+# DESIGNED steady state. Plain integer columns can only miss on
+# tokens the validator already DLQ'd (wrong JSON class never reaches
+# P3), so misses there are rare and the guard's rlike would be a ~10%
+# pure tax on the succeed path (measured, THROUGHPUT_r09 A/B).
+_INTEGRAL_TOKEN = r"^[\x00-\x20]*[+-]?[0-9]+[\x00-\x20]*$"
+_INTEGRAL_TYPES = ("tinyint", "smallint", "int", "bigint")
+
+
+def _cast_expr(
+    meta: ColumnMeta,
+    present: bool,
+    from_string: bool = False,
+    source=None,
+):
+    """P3 for one column (main.py:260-302), as a Column expression.
+
+    ``from_string``: the input column is known to be STRING (the
+    receiving-schema path) — enables the exception-free integral guard,
+    which is only analyzable/meaningful on string input.
+    ``source``: Column holding the raw value (defaults to the meta's
+    own name; the fused streaming shape passes a struct field ref)."""
     t = meta.spark_type
     if not present:
         # missing column → lit(default) (main.py:296-298)
         return F.lit(meta.default).cast(t).alias(meta.name)
-    col = F.col(meta.name)
+    col = F.col(meta.name) if source is None else source
     if meta.is_datetime:
         # ''→default; unparseable→null→default (main.py:267-273)
         parsed = F.try_to_timestamp(F.nullif(col, F.lit("")))
@@ -333,6 +404,16 @@ def _cast_expr(meta: ColumnMeta, present: bool):
     elif meta.is_string_enum:
         # null → "DEFAULT" (main.py:275-281)
         expr = F.coalesce(col.cast(StringType()), F.lit("DEFAULT"))
+    elif (
+        from_string
+        and meta.json_type == "enum"
+        and t.simpleString() in _INTEGRAL_TYPES
+    ):
+        # fail-soft cast with the exception-free miss path
+        expr = F.coalesce(
+            F.when(col.rlike(_INTEGRAL_TOKEN), col.try_cast(t)),
+            F.lit(meta.default).cast(t),
+        )
     else:
         # fail-soft cast, null → sentinel (main.py:283-294)
         expr = F.coalesce(col.try_cast(t), F.lit(meta.default).cast(t))
@@ -342,10 +423,53 @@ def _cast_expr(meta: ColumnMeta, present: bool):
 def cast_project(parsed_df: DataFrame, schema: TableSchema) -> DataFrame:
     """P3: one fused select casting to exactly the sink schema — drops
     extras, orders columns, fills sentinels (main.py:230-302)."""
+    strings = {n for n, dt in parsed_df.dtypes if dt == "string"}
     present = set(parsed_df.columns)
     return parsed_df.select(
-        *[_cast_expr(c, c.name in present) for c in schema.columns]
+        *[
+            _cast_expr(c, c.name in present, from_string=c.name in strings)
+            for c in schema.columns
+        ]
     )
+
+
+# (applicationId, fingerprint, value_col) -> (from_json Column, cast
+# Columns). Column objects are unresolved expression trees — reusable
+# across DataFrames — but building them crosses py4j dozens of times;
+# the streaming shell would otherwise pay that per trigger.
+_PLAN_FRAG_CACHE: dict[tuple, tuple] = {}
+
+
+def receiving_transform(spark, schema: TableSchema, value_col: str) -> tuple:
+    """Cached (parse Column, cast Columns) for the receiving-schema
+    pipeline shape (every sink column present, received as STRING).
+    ``valid.select(parse.alias('_parsed')).select(*casts)`` ≡
+    from_json + cast_project for this shape — two Dataset ops total
+    (each op is an EAGER analysis pass in Spark; the streaming shell
+    pays this per trigger, so the fused form is also the cheap form).
+    The cast Columns read their input through ``_parsed.<name>`` field
+    refs so the struct is expanded and cast in one projection."""
+    key = (
+        spark.sparkContext.applicationId,
+        _schema_fingerprint(schema),
+        value_col,
+    )
+    frag = _PLAN_FRAG_CACHE.get(key)
+    if frag is None:
+        parse = F.from_json(F.col(value_col), receiving_schema(schema))
+        casts = [
+            _cast_expr(
+                c,
+                True,
+                from_string=True,
+                source=F.col("_parsed").getField(c.name),
+            )
+            for c in schema.columns
+        ]
+        if len(_PLAN_FRAG_CACHE) > 64:  # bound: schemas are few
+            _PLAN_FRAG_CACHE.clear()
+        _PLAN_FRAG_CACHE[key] = frag = (parse, casts)
+    return frag
 
 
 def process_batch(

@@ -29,7 +29,7 @@ import os
 from collections.abc import Callable
 from typing import Protocol
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
@@ -44,6 +44,23 @@ class SchemaProvider(Protocol):
 
 
 Sink = Callable[[DataFrame], None]
+
+
+def _observed_dlq_rows(obs: Observation) -> int | None:
+    """Non-blocking read of the per-batch DLQ-count metric.
+
+    ``Observation.get`` BLOCKS until the observed plan's first action
+    — but a sink is any callable and may legitimately not run one
+    (enqueue-only sinks, test doubles), which would hang the trigger
+    forever. Peek at the JVM future instead; ``None`` means "metric
+    not available, fall back to a real probe"."""
+    try:
+        jo = obs._jo
+        if jo is None or not jo.future().isCompleted():
+            return None
+        return int(obs.get["dlq_rows"])
+    except Exception:
+        return None
 
 
 class PipelineJob:
@@ -85,6 +102,10 @@ class PipelineJob:
         # — the local delta is inside run noise either way).
         # The empty-before-schema-fetch order (main.py:254-255,
         # 337-339) is unchanged either way.
+        from kafka2clickhouse_py_streamer_spark.pipeline.core import (
+            split_tagged,
+        )
+
         cache_raw = (
             os.environ.get("SPARK_GRAFT_BATCH_CACHE", "on") != "off"
         )
@@ -93,22 +114,37 @@ class PipelineJob:
         try:
             if batch_df.isEmpty():
                 return
-            tagged, valid_raw, typed, dlq = self._process(batch_df)
+            work_df = self._fan_out(batch_df)
+            tagged, typed, obs = self._process(work_df)
             try:
+                dlq = None
+                dlq_has_rows: bool | None = None
+                n_dlq: int | None = None
                 try:
                     self._sink(typed)
+                    # a sink that ran an action streamed every tagged
+                    # row past the CollectMetrics node — DLQ emptiness
+                    # is then a free metric read instead of its own
+                    # Spark job (non-blocking: an enqueue-only sink
+                    # leaves the metric unset and we fall back)
+                    n_dlq = _observed_dlq_rows(obs)
+                    if n_dlq is not None:
+                        dlq_has_rows = n_dlq > 0
                 except Exception:
                     # schema drift suspected: re-fetch, re-process,
                     # retry once (main.py:433-445)
                     tagged.unpersist()
                     self.invalidate_schema()
-                    tagged, valid_raw, typed, dlq = self._process(batch_df)
+                    tagged, typed, obs = self._process(work_df)
                     try:
                         self._sink(typed)
                     except Exception as exc:
                         # second failure → only the VALID rows go to
                         # the DLQ with the insert error; invalid rows
                         # keep their validation error (main.py:446-456)
+                        valid_raw, dlq = split_tagged(
+                            tagged, self._value_col
+                        )
                         failed = valid_raw.select(
                             F.col(self._value_col).alias("row"),
                             F.lit(
@@ -116,18 +152,76 @@ class PipelineJob:
                             ).alias("error"),
                         )
                         dlq = dlq.unionByName(failed)
-                if not dlq.isEmpty():
+                        dlq_has_rows = True  # conservatively non-empty
+                # the DLQ frame is built lazily — a clean batch never
+                # even constructs (or analyzes) it
+                if dlq_has_rows is None:
+                    if dlq is None:
+                        _, dlq = split_tagged(tagged, self._value_col)
+                    dlq_has_rows = not dlq.isEmpty()
+                if dlq_has_rows:
+                    if dlq is None:
+                        _, dlq = split_tagged(tagged, self._value_col)
+                    if n_dlq is not None and n_dlq <= 500_000:
+                        # errors are the minority split by design —
+                        # collapse the write to one task instead of
+                        # |tagged partitions| tiny files + commits.
+                        # repartition, NOT coalesce: coalesce(1) would
+                        # pull the whole tagged scan onto one core
+                        # (measured -19% on 250k-row bulk batches);
+                        # the exchange only moves the filtered
+                        # minority rows. The observed count makes the
+                        # collapse safe: a pathological all-DLQ batch
+                        # keeps its width.
+                        dlq = dlq.repartition(1)
                     self._dlq_sink(dlq)
             finally:
                 tagged.unpersist()
         finally:
             batch_df.unpersist()
 
+    def _fan_out(self, batch_df: DataFrame) -> DataFrame:
+        """Spread a narrow micro-batch across cores before the
+        validate/cast pipeline. The reference is single-threaded by
+        construction; a 1-partition topic otherwise pins the engine to
+        one core per trigger too (THROUGHPUT_r08's parity_1p regime —
+        ~200 ms UDF + ~300 ms from_json + casts all serial). A local
+        round-robin exchange of a 25 k-row batch costs ~100 ms and
+        buys ~8x on the compute; rows have no order semantics here
+        (the sink is set-oriented; DLQ rows carry their own payload).
+
+        ``SPARK_GRAFT_BATCH_PARTS``: target partition count; ``0``
+        disables; unset → min(defaultParallelism, 8). Batches already
+        at least that wide are left alone. The explicit N keeps AQE
+        from coalescing the tiny exchange back to one partition."""
+        raw = os.environ.get("SPARK_GRAFT_BATCH_PARTS", "")
+        if raw == "0":
+            return batch_df
+        try:
+            target = int(raw) if raw else 0
+        except ValueError:  # pragma: no cover - config error
+            raise ValueError(f"bad SPARK_GRAFT_BATCH_PARTS: {raw!r}")
+        if target <= 0:
+            target = min(
+                batch_df.sparkSession.sparkContext.defaultParallelism, 8
+            )
+        if batch_df.rdd.getNumPartitions() >= target:
+            return batch_df
+        return batch_df.repartition(target)
+
     def _process(self, batch_df: DataFrame):
+        """(tagged persist, typed valid frame, DLQ-count Observation).
+
+        Every Dataset op here is an EAGER analysis pass the streaming
+        shell pays per trigger, so the pipeline is fused to six ops:
+        tag → observe → filter → project-value → parse → cast-expand.
+        The DLQ frame is NOT built here — run_batch derives it lazily
+        from the plain tagged scan only when the observed count (or
+        the retry path) says it is needed; it must not pass through
+        the single-use CollectMetrics node."""
         from kafka2clickhouse_py_streamer_spark.pipeline.core import (
-            cast_project,
-            receiving_schema,
-            split_tagged,
+            dlq_condition,
+            receiving_transform,
             tag_errors,
         )
 
@@ -137,12 +231,25 @@ class PipelineJob:
         # check, DLQ write) — the reference validates each batch once
         # (main.py:428)
         tagged = tag_errors(batch_df, schema, self._value_col).persist()
-        valid_raw, dlq = split_tagged(tagged, self._value_col)
-        parsed = valid_raw.withColumn(
-            "_parsed",
-            F.from_json(F.col(self._value_col), receiving_schema(schema)),
-        ).select("_parsed.*")
-        return tagged, valid_raw, cast_project(parsed, schema), dlq
+        # count DLQ rows as an OBSERVED metric on the valid-write scan:
+        # every tagged row flows past CollectMetrics before the valid
+        # filter, so after the sink action the DLQ-emptiness answer is
+        # already on the driver — no separate probe job.
+        obs = Observation()
+        observed = tagged.observe(
+            obs, F.count(F.when(dlq_condition(), 1)).alias("dlq_rows")
+        )
+        valid = observed.filter(F.col("_err").isNull()).select(
+            self._value_col
+        )
+        # parse + cast Columns are cached per (app, schema, value_col):
+        # triggers fire many times a second in the parity regime and
+        # rebuilding the fragments was measurable driver fixed cost
+        parse_col, cast_cols = receiving_transform(
+            batch_df.sparkSession, schema, self._value_col
+        )
+        typed = valid.select(parse_col.alias("_parsed")).select(*cast_cols)
+        return tagged, typed, obs
 
     def start(
         self,
@@ -158,7 +265,20 @@ class PipelineJob:
         (``Trigger.AvailableNow``): process everything available in
         bounded micro-batches, then stop — the scheduled/cron
         deployment shape, with the same checkpoint (and therefore the
-        same at-least-once contract) as the continuous service."""
+        same at-least-once contract) as the continuous service.
+
+        AQE is disabled on the session by default: the foreachBatch
+        body re-runs the same fixed, tiny plan every trigger, and
+        AQE's stage-at-a-time scheduling adds ~200 ms per trigger for
+        re-optimizations that can never change this plan (measured,
+        THROUGHPUT_r09). An ingest service owns its session (the
+        reference is a dedicated process, main.py:468), so the global
+        conf is safe; set ``SPARK_GRAFT_INGEST_AQE=keep`` to leave the
+        session untouched when sharing it with analytic queries."""
+        if os.environ.get("SPARK_GRAFT_INGEST_AQE", "") != "keep":
+            stream_df.sparkSession.conf.set(
+                "spark.sql.adaptive.enabled", "false"
+            )
         writer = stream_df.writeStream.foreachBatch(self.run_batch).option(
             "checkpointLocation", checkpoint_dir
         )

@@ -215,9 +215,15 @@ def test_latest_throughput_artifact_is_green():
             assert all(
                 b["rows_read"] == b["rows"] for b in r["per_batch"]
             ), name
+    # r9's intra-trigger fan-out (SPARK_GRAFT_BATCH_PARTS) decouples
+    # compute width from topic partitions, so 1p ≈ 8p at equal batch
+    # size (both run ~8-wide; 1p pays a small local shuffle, 8p pays
+    # multi-file listing). The old strict 8p > 1p ladder no longer
+    # encodes anything real — the invariants now: partitions never
+    # cost more than noise, and bulk batches amortize trigger overhead.
     assert (
         runs["parity_8p"]["steady_rows_per_sec"]
-        > runs["parity_1p"]["steady_rows_per_sec"]
+        > 0.8 * runs["parity_1p"]["steady_rows_per_sec"]
     )
     assert (
         runs["bulk_8p"]["steady_rows_per_sec"]

@@ -174,3 +174,36 @@ def test_batch_mix_routing(spark):
     valid, dlq = run(spark, payloads)
     assert len(valid) == 1
     assert len(dlq) == 2
+
+
+def test_integral_guard_matches_plain_try_cast(spark):
+    """The exception-free integral-cast guard (_INTEGRAL_TOKEN rlike)
+    must accept EXACTLY the strings Spark's ANSI string→integral
+    try_cast accepts — padding/control chars (trimAll), signs, unicode
+    digits, overflow, decimals, exponents. A guard that rejects a
+    castable string silently changes a value to the sentinel; this
+    differential makes that impossible to miss."""
+    from pyspark.sql import functions as F
+
+    from kafka2clickhouse_py_streamer_spark.pipeline.core import (
+        _INTEGRAL_TOKEN,
+    )
+
+    cases = [
+        "1", "+1", "-1", " 12 ", "\t12\n", "\x0112", "  +7\x00", "0008",
+        "1.5", "1.0", "1.", ".5", "1e2", "12L", "0x10", "١٢", "𝟏", "¼",
+        "", " ", "+", "-", "7 7", "NaN", "Infinity", "1_000",
+        "32767", "-32768", "32768", "-32769", "99999", "00", "-0",
+        "9223372036854775807", "9223372036854775808", None,
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "s string")
+    for t in ("tinyint", "smallint", "int", "bigint"):
+        out = df.select(
+            "s",
+            F.col("s").try_cast(t).alias("plain"),
+            F.when(F.col("s").rlike(_INTEGRAL_TOKEN), F.col("s").try_cast(t))
+            .alias("guarded"),
+        ).collect()
+        bad = [(r["s"], r["plain"], r["guarded"]) for r in out
+               if r["plain"] != r["guarded"]]
+        assert bad == [], (t, bad)

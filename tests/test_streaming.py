@@ -2768,3 +2768,75 @@ def test_w16_profile_sketch_streams_and_compacts(spark, tmp_path):
     removed = compact_hll_state(spark, state, through_batch=2)
     assert removed > 0
     assert ests() == batch
+
+
+def test_fan_out_spreads_narrow_batch(spark):
+    """A 1-partition micro-batch must reach the sink spread across
+    cores (the r9 parity_1p fix: validate/cast otherwise run on one
+    core per trigger); SPARK_GRAFT_BATCH_PARTS=0 opts out and a batch
+    already at least that wide is left alone."""
+    import os as _os
+
+    widths = []
+
+    def width_sink(df):
+        widths.append(df.rdd.getNumPartitions())
+
+    job = PipelineJob(StaticSchemaProvider(SCHEMA), width_sink, ListSink())
+    narrow = make_batch(spark, [GOOD] * 100).coalesce(1)
+    job.run_batch(narrow)
+    expect = min(spark.sparkContext.defaultParallelism, 8)
+    assert widths[-1] == expect
+
+    _os.environ["SPARK_GRAFT_BATCH_PARTS"] = "0"
+    try:
+        job.run_batch(narrow)
+        assert widths[-1] == 1
+    finally:
+        _os.environ.pop("SPARK_GRAFT_BATCH_PARTS")
+
+    wide = make_batch(spark, [GOOD] * 100).repartition(16)
+    job.run_batch(wide)
+    assert widths[-1] == 16  # >= target: untouched
+
+
+def test_dlq_write_is_single_task_for_small_split(spark):
+    """The observed DLQ count lets run_batch collapse the (minority)
+    error split to ONE write task instead of |partitions| tiny files."""
+    widths = []
+
+    def width_dlq(df):
+        widths.append(df.rdd.getNumPartitions())
+
+    job = PipelineJob(StaticSchemaProvider(SCHEMA), ListSink(), width_dlq)
+    job.run_batch(make_batch(spark, [GOOD] * 50 + [BAD] * 3))
+    assert widths == [1]
+
+
+def test_start_disables_aqe_by_default(spark, tmp_path):
+    """PipelineJob.start turns AQE off for the ingest session (fixed
+    micro-batch plans gain nothing and pay stage-at-a-time scheduling
+    per trigger); SPARK_GRAFT_INGEST_AQE=keep leaves it alone."""
+    import os as _os
+
+    src = str(tmp_path / "in")
+    make_batch(spark, [GOOD]).write.parquet(src)
+    stream = spark.readStream.schema("value string").parquet(src)
+    sink, dlq = ListSink(), ListSink()
+    job = PipelineJob(StaticSchemaProvider(SCHEMA), sink, dlq)
+
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    q = job.start(stream, str(tmp_path / "ck1"), available_now=True)
+    q.awaitTermination()
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    _os.environ["SPARK_GRAFT_INGEST_AQE"] = "keep"
+    try:
+        q = job.start(stream, str(tmp_path / "ck2"), available_now=True)
+        q.awaitTermination()
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    finally:
+        _os.environ.pop("SPARK_GRAFT_INGEST_AQE")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert len(sink.rows) == 2  # both runs delivered the row
