@@ -51,6 +51,10 @@ class JobConfig:
     dlq_topic: str = ""
     starting_offsets: str = "latest"  # auto.offset.reset (main.py:494)
     max_offsets_per_trigger: int = 25_000  # NUM_MESSAGES (main.py:569)
+    # source-side fan-out: split each trigger's offset ranges into at
+    # least this many tasks (0 = Spark's 1:1 topic-partition mapping);
+    # the shuffle-free sibling of SPARK_GRAFT_BATCH_PARTS
+    kafka_min_partitions: int = 0
     checkpoint_dir: str = "/tmp/pipeline-checkpoint"
     required_columns: list[str] = field(default_factory=list)
     string_enum_columns: list[str] = field(
@@ -78,6 +82,7 @@ class JobConfig:
             dlq_topic=e.get("KAFKA_DLQ_TOPIC", ""),
             starting_offsets=e.get("KAFKA_OFFSET_RESET", "latest"),
             max_offsets_per_trigger=int(e.get("NUM_MESSAGES", "25000")),
+            kafka_min_partitions=int(e.get("KAFKA_MIN_PARTITIONS", "0")),
             checkpoint_dir=e.get("CHECKPOINT_DIR", "/tmp/pipeline-checkpoint"),
             required_columns=_split_list(e.get("REQUIRED_COLUMNS")),
             string_enum_columns=_split_list(

@@ -94,6 +94,7 @@ def build_query(
         cfg.kafka_topic,
         starting_offsets=cfg.starting_offsets,
         max_offsets_per_trigger=cfg.max_offsets_per_trigger,
+        min_partitions=cfg.kafka_min_partitions or None,
     )
     return job.start(stream, cfg.checkpoint_dir, available_now=available_now)
 

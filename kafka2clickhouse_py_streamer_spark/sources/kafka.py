@@ -26,18 +26,32 @@ def kafka_stream(
     starting_offsets: str = "latest",  # auto.offset.reset, main.py:494
     max_offsets_per_trigger: int = DEFAULT_MAX_OFFSETS_PER_TRIGGER,
     fetch_max_bytes: int = DEFAULT_FETCH_MAX_BYTES,
+    min_partitions: int | None = None,
 ) -> DataFrame:
     """S1: Kafka micro-batch source → one string ``value`` column (the
-    shape the pipeline core consumes)."""
-    return (
+    shape the pipeline core consumes).
+
+    ``min_partitions``: ask Spark to split each trigger's offset
+    ranges into at least this many tasks — the SOURCE-side version of
+    the engine's intra-trigger fan-out. A low-partition-count topic
+    (the reference's single consumer reads one partition) otherwise
+    pins validate/cast to as many cores as the topic has partitions;
+    with ``minPartitions`` the split happens at the broker fetch, no
+    local shuffle needed, and ``PipelineJob``'s shuffle fan-out
+    (``SPARK_GRAFT_BATCH_PARTS``) sees a wide-enough batch and becomes
+    a no-op. Defaults to None (Spark's 1:1 partition mapping)."""
+    reader = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
         .option("subscribe", topic)
         .option("startingOffsets", starting_offsets)
         .option("maxOffsetsPerTrigger", max_offsets_per_trigger)
         .option("kafka.fetch.max.bytes", fetch_max_bytes)
-        .load()
-        .select(F.col("value").cast("string").alias("value"))
+    )
+    if min_partitions is not None:
+        reader = reader.option("minPartitions", int(min_partitions))
+    return reader.load().select(
+        F.col("value").cast("string").alias("value")
     )
 
 

@@ -27,6 +27,13 @@ def test_config_from_env_defaults():
     assert cfg.max_offsets_per_trigger == 25000  # reference NUM_MESSAGES
     assert cfg.string_enum_columns == ["gps_validity", "incognito_mode"]
     assert cfg.required_columns == []
+    assert cfg.kafka_min_partitions == 0  # 1:1 topic-partition mapping
+
+
+def test_config_kafka_min_partitions_env():
+    env = {**BASE_ENV, "KAFKA_MIN_PARTITIONS": "16"}
+    cfg = JobConfig.from_env(env, env_file="/nonexistent")
+    assert cfg.kafka_min_partitions == 16
 
 
 def test_config_fail_fast_on_missing():
