@@ -43,6 +43,15 @@ class SchemaProvider(Protocol):
     def fetch(self) -> TableSchema: ...
 
 
+# Contract: a Sink consumes the WHOLE frame it is given (write/insert
+# semantics — the reference's ClickHouse insert, main.py:329-335). The
+# DLQ-count observation relies on this: metrics reflect the rows the
+# sink's first action streamed past CollectMetrics, so a sink that
+# deliberately scans only part of the frame (a limit/show debug stub)
+# would under-count — but such a sink also silently drops VALID rows,
+# which is the larger contract violation. Sinks that run no action at
+# all are fine: the metric stays unset and run_batch falls back to a
+# real probe.
 Sink = Callable[[DataFrame], None]
 
 

@@ -2840,3 +2840,44 @@ def test_start_disables_aqe_by_default(spark, tmp_path):
         _os.environ.pop("SPARK_GRAFT_INGEST_AQE")
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert len(sink.rows) == 2  # both runs delivered the row
+
+
+@pytest.mark.parametrize("fail_times", [0, 1, 2])
+@pytest.mark.parametrize("parts_env", ["", "0"])
+def test_run_batch_accounting_exact_all_paths(spark, fail_times, parts_env):
+    """Exact row conservation through run_batch on a mixed batch, for
+    every sink-failure arm (happy / drift-retry / double-failure) and
+    with the fan-out both on and off: every input row is exactly one
+    of sink-delivered, DLQ'd, or silently dropped — under the r9
+    observation/fan-out/lazy-DLQ restructure, same as before it."""
+    import os as _os
+
+    n_good, n_bad, n_drop = 37, 11, 5
+    payloads = (
+        [GOOD] * n_good + [BAD] * n_bad + ["", "  ", "{oops", "\t\n", "[1]"]
+    )
+    if parts_env:
+        _os.environ["SPARK_GRAFT_BATCH_PARTS"] = parts_env
+    try:
+        sink, dlq = ListSink(fail_times=fail_times), ListSink()
+        job = PipelineJob(StaticSchemaProvider(SCHEMA), sink, dlq)
+        job.run_batch(make_batch(spark, payloads))
+        if fail_times <= 1:
+            # happy or drift-retry-then-success: valid rows delivered
+            assert len(sink.rows) == n_good
+            assert len(dlq.rows) == n_bad
+            assert {r.error for r in dlq.rows} == {
+                "data must contain ['device_id'] properties"
+            }
+        else:
+            # double failure: valid rows join the DLQ with the insert
+            # error; invalid rows keep their validation error
+            assert sink.rows == []
+            assert len(dlq.rows) == n_bad + n_good
+            errors = [r.error for r in dlq.rows]
+            assert sum("insert failed after retry" in e for e in errors) == n_good
+            assert sum("device_id" in e and "properties" in e for e in errors) == n_bad
+        # tombstones/malformed are silently dropped in every arm
+        assert len(sink.rows) + len(dlq.rows) <= n_good + n_bad
+    finally:
+        _os.environ.pop("SPARK_GRAFT_BATCH_PARTS", None)
