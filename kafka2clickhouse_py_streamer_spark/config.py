@@ -27,6 +27,19 @@ def _split_list(raw: str | None) -> list[str]:
     return [p.strip() for p in raw.split(",") if p.strip()]
 
 
+def _non_negative_int(var: str, raw: str) -> int:
+    """Fail fast with the VARIABLE NAME on junk or negative values —
+    a bare int() error or a Spark-internal IllegalArgumentException at
+    stream start would not say which env var is wrong."""
+    try:
+        val = int(raw)
+    except ValueError:
+        raise ValueError(f"{var} must be an integer, got {raw!r}") from None
+    if val < 0:
+        raise ValueError(f"{var} must be >= 0, got {val}")
+    return val
+
+
 def load_env_file(path: str) -> dict[str, str]:
     """Minimal .env parser (KEY=VALUE lines, # comments)."""
     out: dict[str, str] = {}
@@ -82,7 +95,9 @@ class JobConfig:
             dlq_topic=e.get("KAFKA_DLQ_TOPIC", ""),
             starting_offsets=e.get("KAFKA_OFFSET_RESET", "latest"),
             max_offsets_per_trigger=int(e.get("NUM_MESSAGES", "25000")),
-            kafka_min_partitions=int(e.get("KAFKA_MIN_PARTITIONS", "0")),
+            kafka_min_partitions=_non_negative_int(
+                "KAFKA_MIN_PARTITIONS", e.get("KAFKA_MIN_PARTITIONS", "0")
+            ),
             checkpoint_dir=e.get("CHECKPOINT_DIR", "/tmp/pipeline-checkpoint"),
             required_columns=_split_list(e.get("REQUIRED_COLUMNS")),
             string_enum_columns=_split_list(

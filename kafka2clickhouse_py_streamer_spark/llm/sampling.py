@@ -99,11 +99,21 @@ def _quality_deduped(d: DataFrame) -> DataFrame:
 # sessions (streaming drivers, notebooks) can release the disk blocks
 # without the clearCache() sledgehammer — r7 advice: there was no
 # unpersist path at all, and many offsets consumers per session
-# accumulate unbounded DISK_ONLY blocks otherwise. r8 advice: nothing
-# in the engine calls the release hook, so the registry itself became
-# the leak — it is now BOUNDED: registering past the cap evicts (and
-# unpersists) the oldest entry. Lineage is retained, so a still-lazy
-# consumer of an evicted frame recomputes deterministically.
+# accumulate unbounded DISK_ONLY blocks otherwise.
+#
+# AUTO-EVICTION IS DELIBERATELY ABSENT. A round-9 attempt capped the
+# registry and unpersisted the oldest entry past the cap; an empirical
+# repro showed that is WRONG: the ranged frame's pids come from
+# repartitionByRange, whose boundaries are SAMPLED with an rdd.id-
+# derived seed, so a still-lazy consumer recomputing after a full
+# unpersist gets DIFFERENT row→pid assignments than the pass-1 totals
+# already collected — silently corrupt stream_offset values (measured
+# 3838/5000 wrong). Lost-BLOCK recompute under the live partitioner is
+# deterministic; full unpersist before the consumer's terminal action
+# is not. Only the caller knows when consumption is done, so release
+# stays caller-controlled (release_offsets_materializations); past
+# _OFFSETS_PERSISTED_CAP registrations we log a loud warning naming
+# the hook instead of corrupting data.
 _OFFSETS_PERSISTED: list[DataFrame] = []
 _OFFSETS_PERSISTED_CAP = int(os.environ.get("SPARK_GRAFT_OFFSETS_CAP", "16"))
 
@@ -135,17 +145,27 @@ def _unpersist_registered(frame: DataFrame, blocking: bool) -> bool:
 
 def _register_offsets_persist(frame: DataFrame) -> None:
     _OFFSETS_PERSISTED.append(frame)
-    while len(_OFFSETS_PERSISTED) > _OFFSETS_PERSISTED_CAP:
-        _unpersist_registered(_OFFSETS_PERSISTED.pop(0), blocking=False)
+    if len(_OFFSETS_PERSISTED) > _OFFSETS_PERSISTED_CAP:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "%d offsets materializations are persisted; call "
+            "release_offsets_materializations() after each pipeline's "
+            "terminal action to free them (auto-eviction would corrupt "
+            "still-lazy consumers — see the registry note above)",
+            len(_OFFSETS_PERSISTED),
+        )
 
 
 def release_offsets_materializations(blocking: bool = False) -> int:
     """Unpersist every frame ``_two_pass_offsets`` persisted so far in
-    this process; returns how many were released. Safe to call after a
-    composed pipeline's terminal action: lineage is retained, so any
-    still-lazy consumer recomputes (deterministically — see the
-    boundary-agreement note in ``_two_pass_offsets``) instead of
-    breaking. Idempotent; frames whose session has ended are skipped."""
+    this process; returns how many were released. Call ONLY after the
+    composed pipelines' terminal actions: a consumer that has not yet
+    run its action would recompute the ranged frame with RESAMPLED
+    range boundaries (repartitionByRange seeds its sampler from the
+    new rdd.id) and join pass-1 totals against mismatched pids —
+    silently wrong stream_offset values, not an error. Idempotent;
+    frames whose session has ended are skipped."""
     n = 0
     while _OFFSETS_PERSISTED:
         if _unpersist_registered(_OFFSETS_PERSISTED.pop(), blocking):

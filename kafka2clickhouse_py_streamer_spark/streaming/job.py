@@ -43,30 +43,32 @@ class SchemaProvider(Protocol):
     def fetch(self) -> TableSchema: ...
 
 
-# Contract: a Sink consumes the WHOLE frame it is given (write/insert
-# semantics — the reference's ClickHouse insert, main.py:329-335). The
-# DLQ-count observation relies on this: metrics reflect the rows the
-# sink's first action streamed past CollectMetrics, so a sink that
-# deliberately scans only part of the frame (a limit/show debug stub)
-# would under-count — but such a sink also silently drops VALID rows,
-# which is the larger contract violation. Sinks that run no action at
-# all are fine: the metric stays unset and run_batch falls back to a
-# real probe.
 Sink = Callable[[DataFrame], None]
 
+_OBS_UNSET = "unset"  # sink ran no action through the observed plan
 
-def _observed_dlq_rows(obs: Observation) -> int | None:
+
+def _observed_dlq_rows(obs: Observation):
     """Non-blocking read of the per-batch DLQ-count metric.
 
     ``Observation.get`` BLOCKS until the observed plan's first action
     — but a sink is any callable and may legitimately not run one
     (enqueue-only sinks, test doubles), which would hang the trigger
-    forever. Peek at the JVM future instead; ``None`` means "metric
-    not available, fall back to a real probe"."""
+    forever. Peek at the JVM future instead. Returns an int count,
+    ``_OBS_UNSET`` (no action ever ran — the caller should stop
+    attaching observations for this job), or ``None`` (peek failed).
+
+    The count is a TRUSTED LOWER BOUND, not an exact value: metrics
+    reflect only the rows the sink's FIRST action streamed past
+    CollectMetrics, and a perfectly reasonable sink may probe before
+    writing (``if df.isEmpty(): return`` then write) — its limit-1
+    probe finalizes the metric at 0 while the full write follows.
+    Callers must treat ``> 0`` as proof of DLQ rows and ``0`` as
+    UNKNOWN (re-probe), never as proof of emptiness."""
     try:
         jo = obs._jo
         if jo is None or not jo.future().isCompleted():
-            return None
+            return _OBS_UNSET
         return int(obs.get["dlq_rows"])
     except Exception:
         return None
@@ -89,6 +91,11 @@ class PipelineJob:
         self._dlq_sink = dlq_sink
         self._value_col = value_col
         self._schema: TableSchema | None = None  # driver-side cache
+        # False once a trigger proves the sink never acts through the
+        # observed plan: each unconsumed Observation leaks one
+        # ObservationManager entry JVM-side, so stop attaching them —
+        # the job falls back to the isEmpty probe permanently
+        self._observe_dlq = True
 
     def _get_schema(self) -> TableSchema:
         if self._schema is None:  # lazy build + cache (main.py:423-425)
@@ -131,14 +138,21 @@ class PipelineJob:
                 n_dlq: int | None = None
                 try:
                     self._sink(typed)
-                    # a sink that ran an action streamed every tagged
-                    # row past the CollectMetrics node — DLQ emptiness
-                    # is then a free metric read instead of its own
-                    # Spark job (non-blocking: an enqueue-only sink
-                    # leaves the metric unset and we fall back)
-                    n_dlq = _observed_dlq_rows(obs)
-                    if n_dlq is not None:
-                        dlq_has_rows = n_dlq > 0
+                    # a full-scan sink action streamed every tagged row
+                    # past CollectMetrics — a POSITIVE count is then
+                    # proof of DLQ rows with no extra Spark job. A zero
+                    # stays UNKNOWN (a sink may probe-then-write; its
+                    # limit-1 probe finalizes the metric early) and an
+                    # unset metric marks a non-acting sink: disable
+                    # observations for this job so unconsumed entries
+                    # don't accumulate in the JVM ObservationManager.
+                    if obs is not None:
+                        observed = _observed_dlq_rows(obs)
+                        if observed is _OBS_UNSET:
+                            self._observe_dlq = False
+                        elif isinstance(observed, int) and observed > 0:
+                            n_dlq = observed
+                            dlq_has_rows = True
                 except Exception:
                     # schema drift suspected: re-fetch, re-process,
                     # retry once (main.py:433-445)
@@ -161,7 +175,9 @@ class PipelineJob:
                             ).alias("error"),
                         )
                         dlq = dlq.unionByName(failed)
-                        dlq_has_rows = True  # conservatively non-empty
+                        # emptiness re-checked below: an all-tombstone
+                        # batch has an empty union and must NOT invoke
+                        # the DLQ sink with an empty frame
                 # the DLQ frame is built lazily — a clean batch never
                 # even constructs (or analyzes) it
                 if dlq_has_rows is None:
@@ -179,9 +195,11 @@ class PipelineJob:
                         # pull the whole tagged scan onto one core
                         # (measured -19% on 250k-row bulk batches);
                         # the exchange only moves the filtered
-                        # minority rows. The observed count makes the
-                        # collapse safe: a pathological all-DLQ batch
-                        # keeps its width.
+                        # minority rows. n_dlq is a lower bound (a
+                        # probe-then-write sink undercounts), so a
+                        # pathological giant DLQ could collapse too —
+                        # slow but correct; an exact-count sink (the
+                        # normal case) keeps its width.
                         dlq = dlq.repartition(1)
                     self._dlq_sink(dlq)
             finally:
@@ -242,13 +260,17 @@ class PipelineJob:
         tagged = tag_errors(batch_df, schema, self._value_col).persist()
         # count DLQ rows as an OBSERVED metric on the valid-write scan:
         # every tagged row flows past CollectMetrics before the valid
-        # filter, so after the sink action the DLQ-emptiness answer is
-        # already on the driver — no separate probe job.
-        obs = Observation()
-        observed = tagged.observe(
-            obs, F.count(F.when(dlq_condition(), 1)).alias("dlq_rows")
-        )
-        valid = observed.filter(F.col("_err").isNull()).select(
+        # filter, so after a full-scan sink action a positive count is
+        # already on the driver — no separate probe job. Skipped once
+        # the sink proved non-acting (see _observe_dlq).
+        if self._observe_dlq:
+            obs = Observation()
+            base = tagged.observe(
+                obs, F.count(F.when(dlq_condition(), 1)).alias("dlq_rows")
+            )
+        else:
+            obs, base = None, tagged
+        valid = base.filter(F.col("_err").isNull()).select(
             self._value_col
         )
         # parse + cast Columns are cached per (app, schema, value_col):

@@ -204,11 +204,17 @@ def test_release_offsets_materializations_unpersists(spark):
     assert {r["doc_id"]: r["stream_offset"] for r in out.collect()} == expect
 
 
-def test_offsets_persist_registry_is_bounded(spark, monkeypatch):
-    """r8 advice: no engine path calls the release hook, so the
-    registry itself grew unboundedly (strong refs + live JVM blocks).
-    Registering past the cap must evict AND unpersist the oldest entry,
-    and evicted frames must still recompute (lineage retained)."""
+def test_offsets_registry_never_auto_unpersists(spark, monkeypatch, caplog):
+    """Round-9 regression (code-review repro): auto-evicting the
+    oldest persisted ranged frame CORRUPTS still-lazy consumers —
+    repartitionByRange resamples boundaries on recompute (rdd.id
+    seed), so pass-2 pids no longer match the collected pass-1 totals
+    (measured 3838/5000 wrong stream_offset). The registry must keep
+    every frame persisted past the cap (warning only) and release
+    must stay caller-controlled; consumers that defer their action
+    past later registrations must still read EXACT offsets."""
+    import logging
+
     from pyspark import StorageLevel
 
     from kafka2clickhouse_py_streamer_spark.llm import sampling
@@ -216,19 +222,36 @@ def test_offsets_persist_registry_is_bounded(spark, monkeypatch):
     sampling.release_offsets_materializations()
     monkeypatch.setattr(sampling, "_OFFSETS_PERSISTED_CAP", 2)
     frames = []
+    n_rows = 500
     for i in range(4):
         df = spark.createDataFrame(
-            [(j, f"g{i}", j % (i + 2)) for j in range(20)],
+            [(j, f"g{j % 3}", (j * 7 + i) % 11) for j in range(n_rows)],
             "doc_id long, grp string, n_tokens long",
         )
-        frames.append(sampling._two_pass_offsets(df, ["grp"], materialize="persist"))
+        with caplog.at_level(logging.WARNING):
+            frames.append(
+                sampling._two_pass_offsets(df, ["grp"], materialize="persist")
+            )
     reg = sampling._OFFSETS_PERSISTED
-    assert len(reg) == 2  # oldest two evicted and unpersisted
+    assert len(reg) == 4  # nothing evicted
     assert all(f.storageLevel != StorageLevel.NONE for f in reg)
-    # every output — including ones whose persist was evicted — still
-    # computes (deterministic recompute from lineage)
-    assert all(f.count() == 20 for f in frames)
-    assert sampling.release_offsets_materializations(blocking=True) == 2
+    assert any("release_offsets_materializations" in r.message
+               for r in caplog.records)
+    # the FIRST (over-cap-aged) frame's offsets are EXACT: per group,
+    # offsets ordered by doc_id must be the prefix sums of n_tokens
+    # in doc_id order — the serial definition
+    rows = frames[0].collect()
+    assert len(rows) == n_rows
+    by_grp: dict = {}
+    for r in rows:
+        by_grp.setdefault(r["grp"], []).append(r)
+    for grp, rs in by_grp.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        acc = 0
+        for r in rs:
+            assert r["stream_offset"] == acc, (grp, r)
+            acc += r["n_tokens"]
+    assert sampling.release_offsets_materializations(blocking=True) == 4
     assert not reg
 
 

@@ -2881,3 +2881,58 @@ def test_run_batch_accounting_exact_all_paths(spark, fail_times, parts_env):
         assert len(sink.rows) + len(dlq.rows) <= n_good + n_bad
     finally:
         _os.environ.pop("SPARK_GRAFT_BATCH_PARTS", None)
+
+
+def test_probe_then_write_sink_still_delivers_dlq(spark):
+    """Round-9 code-review repro: a sink that probes emptiness before
+    writing (`if df.isEmpty(): return` then write — a normal JDBC
+    pattern) finalizes the Observation on its limit-1 probe scan, so
+    the observed dlq_rows reads 0 while DLQ rows exist. A zero metric
+    must be treated as UNKNOWN (re-probe), never as proof of
+    emptiness — the DLQ rows must still reach the DLQ sink."""
+
+    class ProbeThenWriteSink(ListSink):
+        def __call__(self, df):
+            self.calls += 1
+            if df.isEmpty():
+                return
+            self.rows.extend(df.collect())
+
+    sink, dlq = ProbeThenWriteSink(), ListSink()
+    job = PipelineJob(StaticSchemaProvider(SCHEMA), sink, dlq)
+    job.run_batch(make_batch(spark, [GOOD] * 50 + [BAD] * 3))
+    assert len(sink.rows) == 50
+    assert len(dlq.rows) == 3  # NOT silently dropped
+
+
+def test_all_tombstone_double_failure_skips_empty_dlq_write(spark):
+    """Round-9 code-review finding: an all-tombstone batch whose sink
+    fails twice produces an EMPTY dlq union (no validation errors, no
+    valid rows to fail) — the DLQ sink must not be invoked with an
+    empty frame (spurious empty file / empty Kafka produce)."""
+    sink, dlq = ListSink(fail_times=2), ListSink()
+    job = PipelineJob(StaticSchemaProvider(SCHEMA), sink, dlq)
+    job.run_batch(make_batch(spark, ["", "  ", "{oops", "\t\n"]))
+    assert dlq.calls == 0
+
+
+def test_non_acting_sink_disables_observation_after_first_trigger(spark):
+    """An enqueue-only sink never completes the per-trigger
+    Observation; each unconsumed one retains a JVM ObservationManager
+    entry. After the first such trigger the job must stop attaching
+    observations (bounding the leak to one) while routing stays exact."""
+
+    class EnqueueSink:
+        def __init__(self):
+            self.frames = []
+
+        def __call__(self, df):
+            self.frames.append(df)  # no action
+
+    sink, dlq = EnqueueSink(), ListSink()
+    job = PipelineJob(StaticSchemaProvider(SCHEMA), sink, dlq)
+    batch = make_batch(spark, [GOOD, BAD])
+    job.run_batch(batch)
+    assert job._observe_dlq is False
+    job.run_batch(batch)  # second trigger: no observation attached
+    assert len(dlq.rows) == 2  # DLQ still routed via the probe path
