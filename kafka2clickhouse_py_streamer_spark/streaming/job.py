@@ -193,7 +193,8 @@ class PipelineJob:
                         # |tagged partitions| tiny files + commits.
                         # repartition, NOT coalesce: coalesce(1) would
                         # pull the whole tagged scan onto one core
-                        # (measured -19% on 250k-row bulk batches);
+                        # (~10% on 250k-row bulk batches — 122.7k vs
+                        # 136.1k steady in same-day recordings);
                         # the exchange only moves the filtered
                         # minority rows. n_dlq is a lower bound (a
                         # probe-then-write sink undercounts), so a
