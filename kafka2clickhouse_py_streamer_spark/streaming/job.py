@@ -16,6 +16,10 @@ Reference parity (re-expressed on Structured Streaming):
 - C4 driver loop (main.py:468-534): ``writeStream.foreachBatch(...)
   .start()`` replaces the infinite poll loop.
 - Empty-batch short-circuit (main.py:254-255, 337-339).
+- Pre-insert valid/invalid counts (main.py:429 logs "Valid: n,
+  Invalid: m" before the insert): the per-trigger count job below is
+  that same step, and doubles as the emptiness check plus the exact
+  DLQ-write sizing.
 
 The sink is a plain callable — no Catalyst extension needed (SURVEY.md
 §4). A ClickHouse-compatible deployment passes a JDBC writer with the
@@ -27,9 +31,10 @@ from __future__ import annotations
 
 import os
 from collections.abc import Callable
+from concurrent.futures import ThreadPoolExecutor
 from typing import Protocol
 
-from pyspark.sql import DataFrame, Observation
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
@@ -44,34 +49,6 @@ class SchemaProvider(Protocol):
 
 
 Sink = Callable[[DataFrame], None]
-
-_OBS_UNSET = "unset"  # sink ran no action through the observed plan
-
-
-def _observed_dlq_rows(obs: Observation):
-    """Non-blocking read of the per-batch DLQ-count metric.
-
-    ``Observation.get`` BLOCKS until the observed plan's first action
-    — but a sink is any callable and may legitimately not run one
-    (enqueue-only sinks, test doubles), which would hang the trigger
-    forever. Peek at the JVM future instead. Returns an int count,
-    ``_OBS_UNSET`` (no action ever ran — the caller should stop
-    attaching observations for this job), or ``None`` (peek failed).
-
-    The count is a TRUSTED LOWER BOUND, not an exact value: metrics
-    reflect only the rows the sink's FIRST action streamed past
-    CollectMetrics, and a perfectly reasonable sink may probe before
-    writing (``if df.isEmpty(): return`` then write) — its limit-1
-    probe finalizes the metric at 0 while the full write follows.
-    Callers must treat ``> 0`` as proof of DLQ rows and ``0`` as
-    UNKNOWN (re-probe), never as proof of emptiness."""
-    try:
-        jo = obs._jo
-        if jo is None or not jo.future().isCompleted():
-            return _OBS_UNSET
-        return int(obs.get["dlq_rows"])
-    except Exception:
-        return None
 
 
 class PipelineJob:
@@ -91,11 +68,10 @@ class PipelineJob:
         self._dlq_sink = dlq_sink
         self._value_col = value_col
         self._schema: TableSchema | None = None  # driver-side cache
-        # False once a trigger proves the sink never acts through the
-        # observed plan: each unconsumed Observation leaks one
-        # ObservationManager entry JVM-side, so stop attaching them —
-        # the job falls back to the isEmpty probe permanently
-        self._observe_dlq = True
+        # lazily-created single worker reused across triggers for the
+        # overlapped DLQ write (see _run_overlapped); lives as long as
+        # the job object
+        self._dlq_pool: ThreadPoolExecutor | None = None
 
     def _get_schema(self) -> TableSchema:
         if self._schema is None:  # lazy build + cache (main.py:423-425)
@@ -107,106 +83,201 @@ class PipelineJob:
         self._schema = None
 
     def run_batch(self, batch_df: DataFrame, batch_id: int = 0) -> None:
-        # SPARK_GRAFT_BATCH_CACHE=on persists the RAW batch before the
-        # empty probe: the probe scan and the tagged build otherwise
-        # each read the source — measured as rows_read = 2x the logical
-        # batch size (THROUGHPUT_r08 pre-fix), which against a real
-        # broker is every Kafka fetch paid twice per trigger. Keep it
-        # ON for remote sources (kafka — the deployment default); a
-        # cheap re-readable local source may not need the cache build,
-        # hence the knob (THROUGHPUT_r08 records both on parquet twins
-        # — the local delta is inside run noise either way).
-        # The empty-before-schema-fetch order (main.py:254-255,
-        # 337-339) is unchanged either way.
+        # One persist per trigger — the TAGGED frame (post fan-out,
+        # post validator). Every action of the trigger (count job,
+        # valid write, DLQ write, drift re-validation) reads that
+        # cache; the count job's shuffle-map stage is the trigger's
+        # single source scan (Spark reuses the registered map outputs
+        # across the later writes — against a real broker the Kafka
+        # fetch is paid exactly once). This replaces r8's raw-batch
+        # persist (SPARK_GRAFT_BATCH_CACHE): same one-scan guarantee,
+        # minus a redundant 25k-row cache build per trigger (~110 ms
+        # at the parity shape, r9b profile).
+        #
+        # Empty-before-schema-fetch order (main.py:254-255, 337-339):
+        # only the FIRST non-cached-schema trigger needs a probe ahead
+        # of the DESCRIBE — a limit-1 scan, no persist (reads ~one
+        # page / one Kafka record). Once the schema is cached the
+        # emptiness check rides the count job.
+        if self._schema is None and batch_df.isEmpty():
+            return
+        work_df = self._fan_out(batch_df)
+        tagged = self._tag(work_df)
+        try:
+            n_rows, n_dlq = self._count_tagged(tagged)
+            if n_rows == 0:
+                return
+            typed = self._plan_valid(tagged)
+            overlap = (
+                os.environ.get("SPARK_GRAFT_DLQ_OVERLAP", "on") != "off"
+            )
+            if overlap:
+                self._run_overlapped(tagged, typed, n_dlq)
+            else:
+                self._run_sequential(tagged, typed, n_dlq)
+        finally:
+            tagged.unpersist()
+
+    def _count_tagged(self, tagged: DataFrame) -> tuple[int, int]:
+        """(total rows, DLQ rows) in ONE job — the reference's own
+        pre-insert "Valid: n, Invalid: m" step (main.py:429), which
+        here also materializes the whole tagged cache with every core
+        participating, answers the empty-batch check, and sizes the
+        DLQ write exactly.
+
+        Deliberately a full aggregate rather than ``isEmpty``: a
+        limit-1 probe on the persisted frame still builds partition 0
+        wholesale but SERIALLY, and measures ~25% slower than this
+        all-partition count at the 25 k parity shape (402 ms vs
+        317 ms, r9b profile) — the cache has to be built for the
+        writes anyway, so the fastest probe is the one that builds it
+        in parallel."""
+        from kafka2clickhouse_py_streamer_spark.pipeline.core import (
+            dlq_condition,
+        )
+
+        row = tagged.select(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(F.when(dlq_condition(), 1)).alias("n_dlq"),
+        ).first()
+        return int(row["n_rows"]), int(row["n_dlq"])
+
+    def _run_overlapped(
+        self, tagged: DataFrame, typed: DataFrame, n_dlq: int
+    ) -> None:
+        """Happy path with the DLQ write OVERLAPPED against the valid
+        write (default; ``SPARK_GRAFT_DLQ_OVERLAP=off`` opts out).
+
+        The DLQ split is a per-batch minority and its write is a fixed
+        ~130 ms job at the reference's 25 k-row trigger — fully
+        hidden behind the (longer) valid write when run concurrently;
+        both jobs read the already-built tagged cache, so no work
+        duplicates. Ordering vs the reference: main.py pushes invalid
+        rows AFTER the insert; the two writes land on different
+        systems (ClickHouse vs the DLQ topic), so their relative order
+        is unobservable — but a deployment whose sinks share a
+        connection, or that wants the reference's strict sequence,
+        sets the knob off.
+
+        Drift caveat (documented, rare): if the valid sink fails and
+        re-validation under the re-fetched schema RECLASSIFIES rows,
+        rows invalid-under-old-but-valid-under-new have already been
+        DLQ'd here and are then also inserted by the retry — an
+        at-least-once superset. Rows invalid under both schemas are
+        written once (the retry anti-joins them away) but carry the
+        OLD schema's error string. With an unchanged schema (sink
+        failures that are not drift) accounting is exactly the
+        sequential path's."""
+        fut = None
+        if n_dlq > 0:
+            # one REUSED worker thread per job, created lazily: a
+            # fresh Thread per trigger would churn a py4j connection
+            # per batch in a long-running service (triggers ~1/s)
+            if self._dlq_pool is None:
+                self._dlq_pool = ThreadPoolExecutor(
+                    max_workers=1, thread_name_prefix="dlq-overlap"
+                )
+            fut = self._dlq_pool.submit(self._write_dlq, tagged, n_dlq)
+        sink_exc = None
+        try:
+            self._sink(typed)
+        except Exception as exc:
+            sink_exc = exc
+        # raises if DLQ delivery failed → fail the batch (replayed
+        # wholesale under the at-least-once checkpoint contract);
+        # always awaited, so no trigger returns with a write in flight
+        if fut is not None:
+            fut.result()
+        if sink_exc is not None:
+            self._retry_after_failure(
+                tagged, invalid_already_written=fut is not None
+            )
+
+    def _run_sequential(
+        self, tagged: DataFrame, typed: DataFrame, n_dlq: int
+    ) -> None:
+        """Strict reference ordering: valid insert (with drift retry)
+        first, DLQ push after (main.py:430-462)."""
+        try:
+            self._sink(typed)
+        except Exception:
+            self._retry_after_failure(
+                tagged, invalid_already_written=False
+            )
+            return
+        if n_dlq > 0:
+            self._write_dlq(tagged, n_dlq)
+
+    def _write_dlq(self, tagged: DataFrame, n_dlq: int) -> None:
+        """Deliver the (exactly ``n_dlq``-row) DLQ split."""
         from kafka2clickhouse_py_streamer_spark.pipeline.core import (
             split_tagged,
         )
 
-        cache_raw = (
-            os.environ.get("SPARK_GRAFT_BATCH_CACHE", "on") != "off"
+        _, dlq = split_tagged(tagged, self._value_col)
+        if n_dlq <= 500_000:
+            # minority split → ONE write task instead of |tagged
+            # partitions| tiny files. repartition, NOT coalesce:
+            # coalesce(1) pulls the whole tagged scan onto one core
+            # (~10% on 250k-row bulk batches); the exchange moves only
+            # the filtered minority rows.
+            dlq = dlq.repartition(1)
+        self._dlq_sink(dlq)
+
+    def _retry_after_failure(
+        self, tagged: DataFrame, invalid_already_written: bool
+    ) -> None:
+        """Schema drift suspected: re-fetch, re-validate, retry the
+        insert once; on a second failure the valid rows join the DLQ
+        with the insert error (main.py:433-456).
+
+        Re-validation reads the raw messages back out of the TAGGED
+        cache (``tagged.select(value_col)``) — the source is not
+        re-fetched even in the drift path, and the width set by the
+        fan-out carries over."""
+        from kafka2clickhouse_py_streamer_spark.pipeline.core import (
+            split_tagged,
         )
-        if cache_raw:
-            batch_df = batch_df.persist()
+
+        self.invalidate_schema()
+        rework = tagged.select(self._value_col)
+        tagged2 = self._tag(rework)
         try:
-            if batch_df.isEmpty():
-                return
-            work_df = self._fan_out(batch_df)
-            tagged, typed, obs = self._process(work_df)
+            typed2 = self._plan_valid(tagged2)
+            failed = None
             try:
-                dlq = None
-                dlq_has_rows: bool | None = None
-                n_dlq: int | None = None
-                try:
-                    self._sink(typed)
-                    # a full-scan sink action streamed every tagged row
-                    # past CollectMetrics — a POSITIVE count is then
-                    # proof of DLQ rows with no extra Spark job. A zero
-                    # stays UNKNOWN (a sink may probe-then-write; its
-                    # limit-1 probe finalizes the metric early) and an
-                    # unset metric marks a non-acting sink: disable
-                    # observations for this job so unconsumed entries
-                    # don't accumulate in the JVM ObservationManager.
-                    if obs is not None:
-                        observed = _observed_dlq_rows(obs)
-                        if observed is _OBS_UNSET:
-                            self._observe_dlq = False
-                        elif isinstance(observed, int) and observed > 0:
-                            n_dlq = observed
-                            dlq_has_rows = True
-                except Exception:
-                    # schema drift suspected: re-fetch, re-process,
-                    # retry once (main.py:433-445)
-                    tagged.unpersist()
-                    self.invalidate_schema()
-                    tagged, typed, obs = self._process(work_df)
-                    try:
-                        self._sink(typed)
-                    except Exception as exc:
-                        # second failure → only the VALID rows go to
-                        # the DLQ with the insert error; invalid rows
-                        # keep their validation error (main.py:446-456)
-                        valid_raw, dlq = split_tagged(
-                            tagged, self._value_col
-                        )
-                        failed = valid_raw.select(
-                            F.col(self._value_col).alias("row"),
-                            F.lit(
-                                f"insert failed after retry: {exc}"
-                            ).alias("error"),
-                        )
-                        dlq = dlq.unionByName(failed)
-                        # emptiness re-checked below: an all-tombstone
-                        # batch has an empty union and must NOT invoke
-                        # the DLQ sink with an empty frame
-                # the DLQ frame is built lazily — a clean batch never
-                # even constructs (or analyzes) it
-                if dlq_has_rows is None:
-                    if dlq is None:
-                        _, dlq = split_tagged(tagged, self._value_col)
-                    dlq_has_rows = not dlq.isEmpty()
-                if dlq_has_rows:
-                    if dlq is None:
-                        _, dlq = split_tagged(tagged, self._value_col)
-                    if n_dlq is not None and n_dlq <= 500_000:
-                        # errors are the minority split by design —
-                        # collapse the write to one task instead of
-                        # |tagged partitions| tiny files + commits.
-                        # repartition, NOT coalesce: coalesce(1) would
-                        # pull the whole tagged scan onto one core
-                        # (~10% on 250k-row bulk batches — 122.7k vs
-                        # 136.1k steady in same-day recordings);
-                        # the exchange only moves the filtered
-                        # minority rows. n_dlq is a lower bound (a
-                        # probe-then-write sink undercounts), so a
-                        # pathological giant DLQ could collapse too —
-                        # slow but correct; an exact-count sink (the
-                        # normal case) keeps its width.
-                        dlq = dlq.repartition(1)
-                    self._dlq_sink(dlq)
-            finally:
-                tagged.unpersist()
+                self._sink(typed2)
+            except Exception as exc:
+                # second failure → only the VALID rows go to the DLQ
+                # with the insert error; invalid rows keep their
+                # validation error (main.py:446-456)
+                valid_raw, _ = split_tagged(tagged2, self._value_col)
+                failed = valid_raw.select(
+                    F.col(self._value_col).alias("row"),
+                    F.lit(f"insert failed after retry: {exc}").alias(
+                        "error"
+                    ),
+                )
+            _, dlq2 = split_tagged(tagged2, self._value_col)
+            if invalid_already_written:
+                # the overlap thread already delivered every row
+                # invalid under the OLD schema — deliver only rows
+                # newly invalid under the re-fetched one. Invalidity
+                # is a function of the message text, so the value
+                # anti-join removes exactly the already-written rows.
+                _, dlq1 = split_tagged(tagged, self._value_col)
+                dlq2 = dlq2.join(
+                    dlq1.select("row"), on="row", how="left_anti"
+                )
+            dlq_final = (
+                dlq2 if failed is None else dlq2.unionByName(failed)
+            )
+            # an all-tombstone batch has an empty union and must NOT
+            # invoke the DLQ sink with an empty frame
+            if not dlq_final.isEmpty():
+                self._dlq_sink(dlq_final)
         finally:
-            batch_df.unpersist()
+            tagged2.unpersist()
 
     def _fan_out(self, batch_df: DataFrame) -> DataFrame:
         """Spread a narrow micro-batch across cores before the
@@ -237,51 +308,41 @@ class PipelineJob:
             return batch_df
         return batch_df.repartition(target)
 
-    def _process(self, batch_df: DataFrame):
-        """(tagged persist, typed valid frame, DLQ-count Observation).
-
-        Every Dataset op here is an EAGER analysis pass the streaming
-        shell pays per trigger, so the pipeline is fused to six ops:
-        tag → observe → filter → project-value → parse → cast-expand.
-        The DLQ frame is NOT built here — run_batch derives it lazily
-        from the plain tagged scan only when the observed count (or
-        the retry path) says it is needed; it must not pass through
-        the single-use CollectMetrics node."""
+    def _tag(self, batch_df: DataFrame) -> DataFrame:
+        """Validator-tagged PERSISTED frame: the validation UDF would
+        otherwise re-run for every downstream action (valid write, DLQ
+        write, drift re-validation) — the reference validates each
+        batch once (main.py:428)."""
         from kafka2clickhouse_py_streamer_spark.pipeline.core import (
-            dlq_condition,
-            receiving_transform,
             tag_errors,
         )
 
         schema = self._get_schema()
-        # persist the tagged frame: the validation UDF would otherwise
-        # re-run for every downstream action (valid write, DLQ empty
-        # check, DLQ write) — the reference validates each batch once
-        # (main.py:428)
-        tagged = tag_errors(batch_df, schema, self._value_col).persist()
-        # count DLQ rows as an OBSERVED metric on the valid-write scan:
-        # every tagged row flows past CollectMetrics before the valid
-        # filter, so after a full-scan sink action a positive count is
-        # already on the driver — no separate probe job. Skipped once
-        # the sink proved non-acting (see _observe_dlq).
-        if self._observe_dlq:
-            obs = Observation()
-            base = tagged.observe(
-                obs, F.count(F.when(dlq_condition(), 1)).alias("dlq_rows")
-            )
-        else:
-            obs, base = None, tagged
-        valid = base.filter(F.col("_err").isNull()).select(
+        return tag_errors(batch_df, schema, self._value_col).persist()
+
+    def _plan_valid(self, tagged: DataFrame) -> DataFrame:
+        """Typed valid frame over a tagged frame.
+
+        Every Dataset op here is an EAGER analysis pass the streaming
+        shell pays per trigger, so the pipeline is fused to five ops:
+        tag → filter → project-value → parse → cast-expand. The DLQ
+        frame is NOT built here — _write_dlq derives it from the
+        tagged cache only when the count job said rows exist."""
+        from kafka2clickhouse_py_streamer_spark.pipeline.core import (
+            receiving_transform,
+        )
+
+        schema = self._get_schema()
+        valid = tagged.filter(F.col("_err").isNull()).select(
             self._value_col
         )
         # parse + cast Columns are cached per (app, schema, value_col):
         # triggers fire many times a second in the parity regime and
         # rebuilding the fragments was measurable driver fixed cost
         parse_col, cast_cols = receiving_transform(
-            batch_df.sparkSession, schema, self._value_col
+            tagged.sparkSession, schema, self._value_col
         )
-        typed = valid.select(parse_col.alias("_parsed")).select(*cast_cols)
-        return tagged, typed, obs
+        return valid.select(parse_col.alias("_parsed")).select(*cast_cols)
 
     def start(
         self,
@@ -310,6 +371,18 @@ class PipelineJob:
         if os.environ.get("SPARK_GRAFT_INGEST_AQE", "") != "keep":
             stream_df.sparkSession.conf.set(
                 "spark.sql.adaptive.enabled", "false"
+            )
+        # the per-trigger tagged cache lives for milliseconds and is
+        # read 2-3 times — columnar compression buys nothing there and
+        # costs ~60 ms per 25 k-row build (measured, r9b profile). An
+        # ingest service owns its session (see above); a shared
+        # analytic session sets the knob to keep compression.
+        if (
+            os.environ.get("SPARK_GRAFT_INGEST_CACHE_COMPRESS", "")
+            != "keep"
+        ):
+            stream_df.sparkSession.conf.set(
+                "spark.sql.inMemoryColumnarStorage.compressed", "false"
             )
         writer = stream_df.writeStream.foreachBatch(self.run_batch).option(
             "checkpointLocation", checkpoint_dir

@@ -209,11 +209,26 @@ def test_latest_throughput_artifact_is_green():
         assert r["rows_per_sec"] > 0, name
         assert sum(b["rows"] for b in r["per_batch"]) == r["rows"], name
         if r.get("batch_cache") == "on":
-            # the single-source-scan fix: with the raw batch persisted,
-            # the streaming source reads each row exactly once per
-            # trigger (pre-fix this metric read 2x the batch size)
+            # r8 artifacts: with the raw batch persisted, the source
+            # reads each row exactly once per trigger (pre-fix this
+            # metric read 2x the batch size)
             assert all(
                 b["rows_read"] == b["rows"] for b in r["per_batch"]
+            ), name
+        elif "batch_cache" not in r:
+            # r9b artifacts (tagged-persist design): one source scan
+            # per trigger is structural; only the FIRST trigger adds
+            # the pre-schema-fetch limit-1 probe's partial scan
+            # (reference parity: empty check before DESCRIBE)
+            first = r["per_batch"][0]
+            assert (
+                first["rows"]
+                <= first["rows_read"]
+                <= 2 * first["rows"]
+            ), name
+            assert all(
+                b["rows_read"] == b["rows"]
+                for b in r["per_batch"][1:]
             ), name
     # r9's intra-trigger fan-out (SPARK_GRAFT_BATCH_PARTS) decouples
     # compute width from topic partitions, so 1p ≈ 8p at equal batch

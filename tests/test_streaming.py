@@ -2801,7 +2801,7 @@ def test_fan_out_spreads_narrow_batch(spark):
 
 
 def test_dlq_write_is_single_task_for_small_split(spark):
-    """The observed DLQ count lets run_batch collapse the (minority)
+    """The pre-insert DLQ count lets run_batch collapse the (minority)
     error split to ONE write task instead of |partitions| tiny files."""
     widths = []
 
@@ -2814,11 +2814,14 @@ def test_dlq_write_is_single_task_for_small_split(spark):
 
 
 def test_start_disables_aqe_by_default(spark, tmp_path):
-    """PipelineJob.start turns AQE off for the ingest session (fixed
-    micro-batch plans gain nothing and pay stage-at-a-time scheduling
-    per trigger); SPARK_GRAFT_INGEST_AQE=keep leaves it alone."""
+    """PipelineJob.start turns AQE and in-memory columnar compression
+    off for the ingest session (fixed micro-batch plans gain nothing
+    from stage-at-a-time scheduling; a cache that lives milliseconds
+    gains nothing from compression); SPARK_GRAFT_INGEST_AQE=keep and
+    SPARK_GRAFT_INGEST_CACHE_COMPRESS=keep leave each alone."""
     import os as _os
 
+    _COMPRESS = "spark.sql.inMemoryColumnarStorage.compressed"
     src = str(tmp_path / "in")
     make_batch(spark, [GOOD]).write.parquet(src)
     stream = spark.readStream.schema("value string").parquet(src)
@@ -2826,36 +2829,50 @@ def test_start_disables_aqe_by_default(spark, tmp_path):
     job = PipelineJob(StaticSchemaProvider(SCHEMA), sink, dlq)
 
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set(_COMPRESS, "true")
     q = job.start(stream, str(tmp_path / "ck1"), available_now=True)
     q.awaitTermination()
     assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+    assert spark.conf.get(_COMPRESS) == "false"
 
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set(_COMPRESS, "true")
     _os.environ["SPARK_GRAFT_INGEST_AQE"] = "keep"
+    _os.environ["SPARK_GRAFT_INGEST_CACHE_COMPRESS"] = "keep"
     try:
         q = job.start(stream, str(tmp_path / "ck2"), available_now=True)
         q.awaitTermination()
         assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+        assert spark.conf.get(_COMPRESS) == "true"
     finally:
         _os.environ.pop("SPARK_GRAFT_INGEST_AQE")
+        _os.environ.pop("SPARK_GRAFT_INGEST_CACHE_COMPRESS")
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set(_COMPRESS, "true")
     assert len(sink.rows) == 2  # both runs delivered the row
 
 
 @pytest.mark.parametrize("fail_times", [0, 1, 2])
 @pytest.mark.parametrize("parts_env", ["", "0"])
-def test_run_batch_accounting_exact_all_paths(spark, fail_times, parts_env):
+@pytest.mark.parametrize("overlap", ["on", "off"])
+def test_run_batch_accounting_exact_all_paths(
+    spark, fail_times, parts_env, overlap
+):
     """Exact row conservation through run_batch on a mixed batch, for
-    every sink-failure arm (happy / drift-retry / double-failure) and
-    with the fan-out both on and off: every input row is exactly one
-    of sink-delivered, DLQ'd, or silently dropped — under the r9
-    observation/fan-out/lazy-DLQ restructure, same as before it."""
+    every sink-failure arm (happy / drift-retry / double-failure),
+    with the fan-out both on and off, and in BOTH DLQ modes (r9b
+    overlapped default and the strict-ordering sequential path): every
+    input row is exactly one of sink-delivered, DLQ'd, or silently
+    dropped. The failure arms here keep the same schema across the
+    retry (no reclassification), so the overlapped mode's accounting
+    must be bit-identical to the sequential one."""
     import os as _os
 
     n_good, n_bad, n_drop = 37, 11, 5
     payloads = (
         [GOOD] * n_good + [BAD] * n_bad + ["", "  ", "{oops", "\t\n", "[1]"]
     )
+    _os.environ["SPARK_GRAFT_DLQ_OVERLAP"] = overlap
     if parts_env:
         _os.environ["SPARK_GRAFT_BATCH_PARTS"] = parts_env
     try:
@@ -2881,15 +2898,94 @@ def test_run_batch_accounting_exact_all_paths(spark, fail_times, parts_env):
         assert len(sink.rows) + len(dlq.rows) <= n_good + n_bad
     finally:
         _os.environ.pop("SPARK_GRAFT_BATCH_PARTS", None)
+        _os.environ.pop("SPARK_GRAFT_DLQ_OVERLAP", None)
+
+
+def test_empty_batch_after_schema_cached_skips_sinks(spark):
+    """r9b moved the steady-state emptiness check onto the tagged
+    cache probe (the first-trigger raw probe only covers the
+    empty-before-DESCRIBE parity order). An empty batch arriving
+    AFTER the schema is cached must still reach neither sink."""
+    sink, dlq = ListSink(), ListSink()
+    provider = StaticSchemaProvider(SCHEMA)
+    job = PipelineJob(provider, sink, dlq)
+    job.run_batch(make_batch(spark, [GOOD]))
+    assert sink.calls == 1
+    job.run_batch(make_batch(spark, []))
+    assert sink.calls == 1 and dlq.calls == 0
+    assert provider.fetch_count == 1
+
+
+class ReclassifyingProvider:
+    """First fetch: device_id required. After invalidation (drift):
+    note required instead — rows missing device_id become VALID and
+    rows missing note become INVALID, exercising reclassification."""
+
+    def __init__(self):
+        self.fetch_count = 0
+
+    def fetch(self):
+        self.fetch_count += 1
+        cols = [
+            ("device_id", "UInt32"),
+            ("speed", "Float32"),
+            ("note", "String"),
+        ]
+        req = ["device_id"] if self.fetch_count == 1 else ["note"]
+        return build_table_schema(cols, required_columns=req)
+
+
+@pytest.mark.parametrize("overlap", ["on", "off"])
+def test_reclassifying_drift_retry_accounting(spark, overlap):
+    """True drift that RECLASSIFIES rows. Sequential mode matches the
+    reference exactly: the retry re-validates everything and only the
+    NEW invalid set is DLQ'd. Overlapped mode is the documented
+    at-least-once superset: rows invalid under the OLD schema were
+    already DLQ'd before the sink failed, rows invalid under both are
+    NOT written twice (the retry anti-joins them away), and newly
+    invalid rows are delivered."""
+    import os as _os
+
+    has_note_no_id = '{"speed": 1.0, "note": "n"}'  # invalid1 → valid2
+    has_id_no_note = '{"device_id": 7, "speed": 2.0}'  # valid1 → invalid2
+    has_both = '{"device_id": 8, "speed": 3.0, "note": "m"}'  # valid both
+    has_neither = '{"speed": 4.0}'  # invalid under BOTH schemas
+
+    _os.environ["SPARK_GRAFT_DLQ_OVERLAP"] = overlap
+    try:
+        sink, dlq = ListSink(fail_times=1), ListSink()
+        job = PipelineJob(ReclassifyingProvider(), sink, dlq)
+        job.run_batch(
+            make_batch(
+                spark,
+                [has_note_no_id, has_id_no_note, has_both, has_neither],
+            )
+        )
+    finally:
+        _os.environ.pop("SPARK_GRAFT_DLQ_OVERLAP", None)
+
+    # retry succeeded → rows valid under schema 2 are inserted
+    assert sorted(r.note for r in sink.rows) == ["m", "n"]
+    dlq_rows = sorted(r.row for r in dlq.rows)
+    if overlap == "off":
+        # reference-exact: only the re-validated invalid set
+        assert dlq_rows == sorted([has_id_no_note, has_neither])
+    else:
+        # superset: old-invalid written pre-failure + newly-invalid;
+        # invalid-under-both written exactly once
+        assert dlq_rows == sorted(
+            [has_note_no_id, has_id_no_note, has_neither]
+        )
+        assert dlq_rows.count(has_neither) == 1
 
 
 def test_probe_then_write_sink_still_delivers_dlq(spark):
-    """Round-9 code-review repro: a sink that probes emptiness before
-    writing (`if df.isEmpty(): return` then write — a normal JDBC
-    pattern) finalizes the Observation on its limit-1 probe scan, so
-    the observed dlq_rows reads 0 while DLQ rows exist. A zero metric
-    must be treated as UNKNOWN (re-probe), never as proof of
-    emptiness — the DLQ rows must still reach the DLQ sink."""
+    """Round-9 code-review repro, kept as a regression pin: a sink
+    that probes emptiness before writing (`if df.isEmpty(): return`
+    then write — a normal JDBC pattern) silently lost DLQ rows under
+    the r9 Observation design (its limit-1 probe finalized the metric
+    at 0). The r9b counts-first design takes the DLQ count in its own
+    pre-insert job, so nothing the sink does can undercount it."""
 
     class ProbeThenWriteSink(ListSink):
         def __call__(self, df):
@@ -2916,11 +3012,15 @@ def test_all_tombstone_double_failure_skips_empty_dlq_write(spark):
     assert dlq.calls == 0
 
 
-def test_non_acting_sink_disables_observation_after_first_trigger(spark):
-    """An enqueue-only sink never completes the per-trigger
-    Observation; each unconsumed one retains a JVM ObservationManager
-    entry. After the first such trigger the job must stop attaching
-    observations (bounding the leak to one) while routing stays exact."""
+@pytest.mark.parametrize("overlap", ["on", "off"])
+def test_non_acting_sink_routes_exactly(spark, overlap):
+    """An enqueue-only sink (no Spark action of its own — the r8/r9
+    Observation design's failure mode, which leaked one JVM
+    ObservationManager entry per such trigger until disabled) must
+    still see exact routing under the r9b counts-first design, in
+    both DLQ modes: the pre-insert count job (main.py:429 parity)
+    decides DLQ delivery, not anything the sink runs."""
+    import os as _os
 
     class EnqueueSink:
         def __init__(self):
@@ -2929,10 +3029,14 @@ def test_non_acting_sink_disables_observation_after_first_trigger(spark):
         def __call__(self, df):
             self.frames.append(df)  # no action
 
-    sink, dlq = EnqueueSink(), ListSink()
-    job = PipelineJob(StaticSchemaProvider(SCHEMA), sink, dlq)
-    batch = make_batch(spark, [GOOD, BAD])
-    job.run_batch(batch)
-    assert job._observe_dlq is False
-    job.run_batch(batch)  # second trigger: no observation attached
-    assert len(dlq.rows) == 2  # DLQ still routed via the probe path
+    _os.environ["SPARK_GRAFT_DLQ_OVERLAP"] = overlap
+    try:
+        sink, dlq = EnqueueSink(), ListSink()
+        job = PipelineJob(StaticSchemaProvider(SCHEMA), sink, dlq)
+        batch = make_batch(spark, [GOOD, BAD])
+        job.run_batch(batch)
+        job.run_batch(batch)
+        assert len(sink.frames) == 2
+        assert len(dlq.rows) == 2
+    finally:
+        _os.environ.pop("SPARK_GRAFT_DLQ_OVERLAP", None)
