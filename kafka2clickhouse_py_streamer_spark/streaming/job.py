@@ -187,7 +187,15 @@ class PipelineJob:
         # wholesale under the at-least-once checkpoint contract);
         # always awaited, so no trigger returns with a write in flight
         if fut is not None:
-            fut.result()
+            try:
+                fut.result()
+            except Exception as dlq_exc:
+                if sink_exc is not None:
+                    # both writes failed: surface the DLQ error (it
+                    # aborts the batch) with the sink failure chained
+                    # as its cause so neither root cause is lost
+                    raise dlq_exc from sink_exc
+                raise
         if sink_exc is not None:
             self._retry_after_failure(
                 tagged, invalid_already_written=fut is not None
@@ -259,19 +267,27 @@ class PipelineJob:
                     ),
                 )
             _, dlq2 = split_tagged(tagged2, self._value_col)
-            if invalid_already_written:
-                # the overlap thread already delivered every row
-                # invalid under the OLD schema — deliver only rows
-                # newly invalid under the re-fetched one. Invalidity
-                # is a function of the message text, so the value
-                # anti-join removes exactly the already-written rows.
-                _, dlq1 = split_tagged(tagged, self._value_col)
-                dlq2 = dlq2.join(
-                    dlq1.select("row"), on="row", how="left_anti"
-                )
             dlq_final = (
                 dlq2 if failed is None else dlq2.unionByName(failed)
             )
+            if invalid_already_written:
+                # the overlap thread already delivered every row
+                # invalid under the OLD schema — deliver only rows it
+                # has not written: newly-invalid ones, and failed
+                # valid ones that were not old-invalid. Invalidity is
+                # a function of the message text, so the value
+                # anti-join removes exactly the already-written rows;
+                # applying it AFTER the union also covers the
+                # double-failure arm's reclassified rows
+                # (invalid-under-old, valid-under-new), which would
+                # otherwise reach the DLQ twice with contradictory
+                # errors. Each message lands exactly once per attempt;
+                # under reclassifying drift the delivered error string
+                # is the old schema's (documented in _run_overlapped).
+                _, dlq1 = split_tagged(tagged, self._value_col)
+                dlq_final = dlq_final.join(
+                    dlq1.select("row"), on="row", how="left_anti"
+                )
             # an all-tombstone batch has an empty union and must NOT
             # invoke the DLQ sink with an empty frame
             if not dlq_final.isEmpty():

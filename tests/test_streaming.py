@@ -2935,15 +2935,21 @@ class ReclassifyingProvider:
         return build_table_schema(cols, required_columns=req)
 
 
+@pytest.mark.parametrize("fail_times", [1, 2])
 @pytest.mark.parametrize("overlap", ["on", "off"])
-def test_reclassifying_drift_retry_accounting(spark, overlap):
-    """True drift that RECLASSIFIES rows. Sequential mode matches the
-    reference exactly: the retry re-validates everything and only the
-    NEW invalid set is DLQ'd. Overlapped mode is the documented
-    at-least-once superset: rows invalid under the OLD schema were
-    already DLQ'd before the sink failed, rows invalid under both are
-    NOT written twice (the retry anti-joins them away), and newly
-    invalid rows are delivered."""
+def test_reclassifying_drift_retry_accounting(spark, overlap, fail_times):
+    """True drift that RECLASSIFIES rows, in the retry-success AND
+    double-failure arms. Sequential mode matches the reference
+    exactly: the retry re-validates everything and DLQs only the NEW
+    invalid set (plus, on a second failure, the new valid set with the
+    insert error). Overlapped mode is the documented at-least-once
+    superset — rows invalid under the OLD schema were already DLQ'd
+    before the sink failed — but within the trigger each MESSAGE
+    reaches the DLQ at most once: the retry anti-joins the
+    already-written values out of its whole final frame, covering both
+    the invalid-under-both rows and (in the double-failure arm) the
+    reclassified rows that would otherwise land twice with
+    contradictory errors."""
     import os as _os
 
     has_note_no_id = '{"speed": 1.0, "note": "n"}'  # invalid1 → valid2
@@ -2953,7 +2959,7 @@ def test_reclassifying_drift_retry_accounting(spark, overlap):
 
     _os.environ["SPARK_GRAFT_DLQ_OVERLAP"] = overlap
     try:
-        sink, dlq = ListSink(fail_times=1), ListSink()
+        sink, dlq = ListSink(fail_times=fail_times), ListSink()
         job = PipelineJob(ReclassifyingProvider(), sink, dlq)
         job.run_batch(
             make_batch(
@@ -2964,19 +2970,53 @@ def test_reclassifying_drift_retry_accounting(spark, overlap):
     finally:
         _os.environ.pop("SPARK_GRAFT_DLQ_OVERLAP", None)
 
-    # retry succeeded → rows valid under schema 2 are inserted
-    assert sorted(r.note for r in sink.rows) == ["m", "n"]
     dlq_rows = sorted(r.row for r in dlq.rows)
-    if overlap == "off":
-        # reference-exact: only the re-validated invalid set
-        assert dlq_rows == sorted([has_id_no_note, has_neither])
+    if fail_times == 1:
+        # retry succeeded → rows valid under schema 2 are inserted
+        assert sorted(r.note for r in sink.rows) == ["m", "n"]
+        if overlap == "off":
+            # reference-exact: only the re-validated invalid set
+            assert dlq_rows == sorted([has_id_no_note, has_neither])
+        else:
+            # superset: old-invalid written pre-failure + newly-invalid
+            assert dlq_rows == sorted(
+                [has_note_no_id, has_id_no_note, has_neither]
+            )
     else:
-        # superset: old-invalid written pre-failure + newly-invalid;
-        # invalid-under-both written exactly once
+        # double failure: nothing inserted; every message lands in the
+        # DLQ EXACTLY once in both modes (the four messages partition
+        # into old-invalid / new-invalid / failed-valid legs)
+        assert sink.rows == []
         assert dlq_rows == sorted(
-            [has_note_no_id, has_id_no_note, has_neither]
+            [has_note_no_id, has_id_no_note, has_both, has_neither]
         )
-        assert dlq_rows.count(has_neither) == 1
+        errors = {r.row: r.error for r in dlq.rows}
+        # the rows valid under the retry schema carry the insert error
+        assert "insert failed after retry" in errors[has_both]
+        if overlap == "off":
+            assert "insert failed after retry" in errors[has_note_no_id]
+        else:
+            # overlapped: written pre-failure with the OLD schema's
+            # validation error (documented)
+            assert "device_id" in errors[has_note_no_id]
+
+
+def test_both_writes_failing_chains_both_causes(spark):
+    """Overlapped mode, valid sink AND DLQ sink both failing: the
+    batch must abort on the DLQ failure (it cannot be retried away)
+    with the sink failure chained as its __cause__ — neither root
+    cause may vanish from the operator's traceback."""
+
+    def bad_sink(df):
+        raise RuntimeError("insert down")
+
+    def bad_dlq(df):
+        raise RuntimeError("dlq down")
+
+    job = PipelineJob(StaticSchemaProvider(SCHEMA), bad_sink, bad_dlq)
+    with pytest.raises(RuntimeError, match="dlq down") as ei:
+        job.run_batch(make_batch(spark, [GOOD, BAD]))
+    assert "insert down" in str(ei.value.__cause__)
 
 
 def test_probe_then_write_sink_still_delivers_dlq(spark):
