@@ -3001,6 +3001,73 @@ def test_reclassifying_drift_retry_accounting(spark, overlap, fail_times):
             assert "device_id" in errors[has_note_no_id]
 
 
+def test_overlap_crash_after_dlq_write_replays_without_loss(
+    spark, tmp_path
+):
+    """The overlapped mode's new crash window, exercised as a REAL
+    streaming kill/replay: the DLQ write lands, then the trigger dies
+    before the batch commits (here: the DLQ sink raises AFTER its
+    parquet write — the 'wrote but crashed before ack' shape). The
+    checkpoint must replay the whole batch on restart; nothing may be
+    lost. Valid rows stay exactly-once through the batch-id-keyed
+    idempotent sink; the non-idempotent DLQ write duplicates — the
+    documented at-least-once contract, same as any whole-batch replay
+    in the reference (main.py:525-526)."""
+    from kafka2clickhouse_py_streamer_spark.streaming.exactly_once import (
+        idempotent_parquet_sink,
+        read_idempotent,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    with open(src / "batch0.txt", "w") as f:
+        f.write("\n".join([GOOD] * 10 + [BAD] * 3))
+
+    out = str(tmp_path / "out")
+    dlq_dir = str(tmp_path / "dlq")
+    ckpt = str(tmp_path / "ckpt")
+    idem = idempotent_parquet_sink(out)
+
+    crashes = {"armed": True}
+
+    def crashy_dlq(df):
+        df.write.mode("append").parquet(dlq_dir)
+        if crashes["armed"]:
+            crashes["armed"] = False
+            raise RuntimeError("simulated crash after DLQ write")
+
+    def make_stream():
+        return spark.readStream.format("text").load(str(src))
+
+    job = PipelineJob(
+        StaticSchemaProvider(SCHEMA),
+        sink=lambda df: idem(df, 0),
+        dlq_sink=crashy_dlq,
+    )
+    q = job.start(make_stream(), ckpt)
+    try:
+        with pytest.raises(Exception):
+            q.processAllAvailable()
+            q.awaitTermination(30)
+    finally:
+        q.stop()
+    assert q.exception() is not None  # the trigger really died
+
+    # restart from the same checkpoint with the DLQ sink healed
+    q = job.start(make_stream(), ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got_valid = read_idempotent(spark, out)
+    assert got_valid.count() == 10  # exactly-once via batch-id key
+    dlq_rows = spark.read.parquet(dlq_dir)
+    # at-least-once: the crashed attempt's write + the replay's write
+    assert dlq_rows.count() == 6
+    assert dlq_rows.select("row").distinct().count() == 1  # BAD only
+
+
 def test_both_writes_failing_chains_both_causes(spark):
     """Overlapped mode, valid sink AND DLQ sink both failing: the
     batch must abort on the DLQ failure (it cannot be retried away)
