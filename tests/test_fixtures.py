@@ -253,3 +253,48 @@ def test_latest_throughput_artifact_is_green():
     assert compute["32core"]["rows_per_sec"] > 4 * compute["1core"][
         "rows_per_sec"
     ]
+
+
+def test_latest_ingest_soak_artifact_is_green():
+    """The committed parity-ingest kill/replay soak
+    (INGEST_SOAK_r{N}.json, tools/ingest_soak.py) must record a REAL
+    replay (the erased-commit batch re-ran through the sinks) with
+    exact accounting: valid rows exactly-once via the idempotent
+    sink, the DLQ duplicated for precisely the replayed batch, and
+    valid + unique-DLQ + dropped == fed."""
+    import glob
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    arts = sorted(glob.glob(os.path.join(repo, "INGEST_SOAK_r*.json")))
+    if not arts:
+        import pytest
+
+        pytest.skip("no ingest-soak artifact recorded yet")
+    with open(arts[-1]) as fh:
+        art = json.load(fh)
+    assert art["valid_exactly_once"] is True
+    assert art["accounting_exact"] is True
+    assert (
+        art["valid_rows"]
+        + art["dlq_rows_unique"]
+        + art["dropped_tombstones"]
+        == art["rows"]
+    )
+    # the replay really happened: one batch's DLQ write appears twice
+    # with identical row counts, and its rows are the written surplus
+    calls = art["dlq_calls"]
+    replayed = [
+        c["batch"]
+        for c in calls
+        if sum(1 for d in calls if d["batch"] == c["batch"]) == 2
+    ]
+    assert set(replayed) == {art["replayed_batch"]}
+    assert art["dlq_replay_duplicates"] > 0
+    assert (
+        art["dlq_rows_written"]
+        == art["dlq_rows_unique"] + art["dlq_replay_duplicates"]
+    )
+    # the kill landed strictly inside the corpus
+    assert 0 < art["killed_after_commits"] < art["n_batches"]

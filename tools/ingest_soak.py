@@ -1,0 +1,260 @@
+"""Kill/replay soak of the PARITY ingest pipeline (PipelineJob).
+
+SOAK_r*.json proves kill/replay for the streaming corpus (RAG) path;
+this tool records the same receipt for the reference-parity pipeline
+itself — JSON decode → validate/DLQ split → typed cast → sink under
+`foreachBatch` with checkpointed offsets (reference main.py:525-526's
+at-least-once commit):
+
+  1. feed N micro-batches of the seeded-fault telemetry corpus
+     (tools/ingest_throughput.build_corpus — ~2% malformed/missing/
+     tombstone rows so every routing path is live);
+  2. KILL the query after --kill-after commits, then erase the newest
+     commit marker — the crash-between-foreachBatch-and-commit window
+     (the streaming_soak.py hardening) — so the restart must REPLAY
+     that batch wholesale;
+  3. resume from the same checkpoint to the end of the corpus;
+  4. assert EXACT accounting: valid rows land exactly-once (the sink
+     is the batch-id-keyed idempotent parquet sink — the documented
+     recipe for upgrading foreachBatch's at-least-once to
+     exactly-once file output), the DLQ shows precisely ONE batch's
+     rows twice (the non-idempotent at-least-once leg, duplicated by
+     design on replay — the overlapped DLQ write makes this window
+     REAL: the split lands before the batch commits), and
+     valid + unique-DLQ + dropped == fed.
+
+Writes INGEST_SOAK_r{N}.json. Run:
+  python tools/ingest_soak.py [--rows 200000] [--kill-after 3]
+                              [--round 9b]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+
+def expected_dlq(rows: int) -> int:
+    """Rows whose only fault is a missing required column (DLQ'd);
+    malformed JSON (i%97) wins the fault chain, tombstones (i%101)
+    lose to it — mirrors build_corpus's when-chain exactly."""
+    return sum(1 for i in range(rows) if i % 103 == 0 and i % 97 != 0)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=200_000)
+    ap.add_argument("--batch", type=int, default=25_000)
+    ap.add_argument("--kill-after", type=int, default=3,
+                    help="stop after this many committed batches")
+    ap.add_argument("--round", type=str, default="9b")
+    args = ap.parse_args()
+
+    n_batches = (args.rows + args.batch - 1) // args.batch
+    if not 0 < args.kill_after < n_batches:
+        raise SystemExit(
+            f"--kill-after must be in [1, {n_batches - 1}] for "
+            f"{n_batches} batches"
+        )
+
+    from ingest_throughput import CH_COLUMNS, build_corpus, expected_dropped
+
+    from kafka2clickhouse_py_streamer_spark.schema.clickhouse import (
+        build_table_schema,
+    )
+    from kafka2clickhouse_py_streamer_spark.session import get_spark
+    from kafka2clickhouse_py_streamer_spark.streaming.exactly_once import (
+        idempotent_parquet_sink,
+        read_idempotent,
+    )
+    from kafka2clickhouse_py_streamer_spark.streaming.job import (
+        PipelineJob,
+        StaticSchemaProvider,
+    )
+
+    spark = get_spark(app_name="ingest_soak")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    schema = build_table_schema(
+        CH_COLUMNS,
+        required_columns=["device_id", "event_ts"],
+        string_enum_columns=["gps_validity", "incognito_mode"],
+        datetime_columns=["event_ts", "event_date"],
+    )
+
+    work = tempfile.mkdtemp(prefix="ingest_soak_")
+    try:
+        intake = os.path.join(work, "intake")
+        out = os.path.join(work, "out")
+        dlq_dir = os.path.join(work, "dlq")
+        ckpt = os.path.join(work, "ckpt")
+        build_corpus(spark, intake, args.rows, args.batch, 1)
+
+        idem = idempotent_parquet_sink(out)
+        current = {"bid": None}
+        dlq_calls: list[tuple[int, int]] = []  # (batch_id, rows written)
+
+        def dlq_sink(df):
+            n = df.count()
+            df.write.mode("append").parquet(dlq_dir)
+            dlq_calls.append((current["bid"], n))
+
+        job = PipelineJob(
+            StaticSchemaProvider(schema),
+            sink=lambda df: idem(df, current["bid"]),
+            dlq_sink=dlq_sink,
+        )
+
+        def body(df, bid: int) -> None:
+            current["bid"] = bid
+            job.run_batch(df, bid)
+
+        def start():
+            stream = (
+                spark.readStream.schema("value string, f long")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(intake)
+                .drop("f")
+            )
+            # the confs PipelineJob.start would set on the session
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            spark.conf.set(
+                "spark.sql.inMemoryColumnarStorage.compressed", "false"
+            )
+            return (
+                stream.writeStream.foreachBatch(body)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        t0 = time.perf_counter()
+        commits_dir = os.path.join(ckpt, "commits")
+        q = start()
+        try:
+            while True:
+                done = (
+                    len(
+                        [
+                            f
+                            for f in os.listdir(commits_dir)
+                            if f.isdigit()
+                        ]
+                    )
+                    if os.path.isdir(commits_dir)
+                    else 0
+                )
+                if done >= args.kill_after:
+                    break
+                if not q.isActive:
+                    raise SystemExit("query died before the kill point")
+                time.sleep(0.2)
+        finally:
+            q.stop()  # the KILL
+
+        # Harden the kill (the streaming_soak.py pattern, extended):
+        # roll the checkpoint back to "crashed mid-batch-N": erase
+        # batch N's commit marker so the restart sees it UNCOMMITTED,
+        # AND trim any log entries the scheduler raced ahead with
+        # (offsets/sources entries for N+1 may be written before the
+        # stop lands; left in place they make the restart resume at
+        # N+1 and silently skip the replay — observed on the first
+        # run of this tool). crc twins go too (a re-commit's rename
+        # collides with a stale crc).
+        def _trim(d: str, keep_max: int) -> None:
+            if not os.path.isdir(d):
+                return
+            for f in os.listdir(d):
+                name = f.lstrip(".").removesuffix(".crc")
+                if name.isdigit() and int(name) > keep_max:
+                    os.remove(os.path.join(d, f))
+
+        last_commit = max(
+            int(f) for f in os.listdir(commits_dir) if f.isdigit()
+        )
+        _trim(commits_dir, last_commit - 1)
+        _trim(os.path.join(ckpt, "offsets"), last_commit)
+        _trim(os.path.join(ckpt, "sources", "0"), last_commit)
+
+        q = start()
+        q.awaitTermination()
+        wall = round(time.perf_counter() - t0, 3)
+
+        # ---- accounting ----
+        valid_rows = read_idempotent(spark, out).count()
+        dlq_rows = spark.read.parquet(dlq_dir).count()
+        dropped = expected_dropped(args.rows)
+        exp_dlq = expected_dlq(args.rows)
+        exp_valid = args.rows - exp_dlq - dropped
+
+        bids = [b for b, _ in dlq_calls]
+        replayed = sorted({b for b in bids if bids.count(b) == 2})
+        per_call = dict()
+        for b, n in dlq_calls:
+            per_call.setdefault(b, []).append(n)
+        dup_rows = sum(ns[0] for b, ns in per_call.items() if len(ns) == 2)
+
+        assert valid_rows == exp_valid, (valid_rows, exp_valid)
+        assert replayed == [last_commit], (replayed, last_commit)
+        assert all(len(set(ns)) == 1 for ns in per_call.values()), per_call
+        assert dlq_rows == exp_dlq + dup_rows, (
+            dlq_rows, exp_dlq, dup_rows,
+        )
+        assert valid_rows + exp_dlq + dropped == args.rows
+
+        artifact = {
+            "what": "kill/replay soak of the parity ingest pipeline "
+                    "(PipelineJob over a file-stream twin): kill after "
+                    "N commits, erase the newest commit marker, resume "
+                    "from the checkpoint; valid rows exactly-once via "
+                    "the batch-id-keyed idempotent sink, DLQ "
+                    "at-least-once with exactly the replayed batch "
+                    "duplicated",
+            "rows": args.rows,
+            "batch_size": args.batch,
+            "n_batches": n_batches,
+            "killed_after_commits": args.kill_after,
+            "replayed_batch": last_commit,
+            "wall_sec": wall,
+            "valid_rows": valid_rows,
+            "valid_exactly_once": True,
+            "dlq_rows_written": dlq_rows,
+            "dlq_rows_unique": exp_dlq,
+            "dlq_replay_duplicates": dup_rows,
+            "dropped_tombstones": dropped,
+            "accounting_exact": True,
+            "dlq_calls": [
+                {"batch": b, "rows": n} for b, n in dlq_calls
+            ],
+        }
+        m = re.fullmatch(r"(\d+)([a-z]*)", args.round)
+        if not m:
+            raise SystemExit(f"bad --round tag: {args.round!r}")
+        tag = f"{int(m.group(1)):02d}{m.group(2)}"
+        path = os.path.join(REPO, f"INGEST_SOAK_r{tag}.json")
+        with open(path, "w") as fh:
+            json.dump(artifact, fh, indent=1)
+        print(
+            f"wrote {path}: {valid_rows} valid exactly-once, "
+            f"{dlq_rows} DLQ ({dup_rows} replay dups on batch "
+            f"{last_commit}), {dropped} dropped — accounting exact",
+            flush=True,
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
