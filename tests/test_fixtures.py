@@ -244,6 +244,16 @@ def test_latest_throughput_artifact_is_green():
         runs["bulk_8p"]["steady_rows_per_sec"]
         > runs["parity_8p"]["steady_rows_per_sec"]
     )
+    if "parity_1p_seq" in runs:
+        # the overlap A/B (r09c+): the overlapped default must never
+        # record slower than the strict-ordering sequential twin
+        assert (
+            runs["parity_1p"]["steady_rows_per_sec"]
+            >= runs["parity_1p_seq"]["steady_rows_per_sec"]
+        )
+        assert runs["parity_1p_seq"].get("env") == {
+            "SPARK_GRAFT_DLQ_OVERLAP": "off"
+        }
     # the matches-or-beats receipt: on the same I/O-free basis the
     # engine's per-core compute rate beats the reference's
     # single-threaded row-loop twin, and cores multiply it
