@@ -134,58 +134,14 @@ def spread(df: DataFrame) -> DataFrame:
 # asserts the committed list matches the tool and that no query's
 # evidence can age out of the driver window unseen.
 _VERIFY_FIRST = [
-    # green-r05 but file churned since
-    "s01_cosine_topk",
-    "s02_lsh_buckets",
-    "s03_lsh_topk",
-    "s04_ivf_topk",
-    "s05_trained_ivf",
-    "s06_quantize",
-    "s07_knn_label",
-    "p01_train_test_split",
-    "p02_stratified_sample",
-    "p04_global_shuffle",
-    "p05_clean_corpus",
-    "p06_domain_mix",
-    "p07_corpus_pipeline",
-    "m01_media_metadata",
-    "m02_decode_stats",
-    "t15_perplexity_buckets",
-    "t16_bm25_topk",
-    "t17_chunk_passages",
-    "t18_ngram_novelty",
-    "t01_token_count",
-    "t02_quality_score",
-    "t03_langid",
-    "t04_fingerprint",
-    "t05_rolling_hash",
-    "t06_repetition",
-    "t07_vocab_idf",
-    "t08_unigram_logprob",
-    "t09_pii_scrub",
-    "w12_countmin_heavyhitters",
-    "w01_tumbling",
-    "w02_sliding",
-    "w03_session_window",
-    "w04_enriched_windows",
-    "q63_forward_asof",
+    # green-r04
+    "q01_pricing_summary",
+    "q06_revenue_filter",
+    "q12_distinct_agg",
+    "q13_rollup",
+    # green-r05
+    "q41_map_fns",
     # green-r06 but file churned since
-    "p17_chunk_pack",
-    "m08_media_canonical",
-    "p18_shard_manifest",
-    "p19_chunk_dedup_pack",
-    "s19_cascade_rerank",
-    "p20_epoch_budget",
-    "s20_index_staleness",
-    "p21_split_leakage",
-    "s21_filtered_search",
-    "s22_khop_expansion",
-    "s23_mips_norm_pruned",
-    "s24_triangle_count",
-    "p22_padding_waste",
-    "p23_weighted_sample",
-    "p24_shard_balance",
-    "s25_radius_search",
     "m03_frame_sample",
     "m04_feature_extract",
     "m05_media_dedup",
@@ -200,14 +156,6 @@ _VERIFY_FIRST = [
     "d25_lsh_layout_tuner",
     "d10_minhash_calibration",
     "d11_ngram_jaccard_capped",
-    # green-r04
-    "q01_pricing_summary",
-    "q06_revenue_filter",
-    "q12_distinct_agg",
-    "q13_rollup",
-    # green-r05
-    "q41_map_fns",
-    # green-r06
     "w13_histogram_quantiles",
     "t19_heaps_fit",
     "t20_gopher_funnel",
@@ -233,11 +181,6 @@ _VERIFY_FIRST = [
     "p11_curriculum_stages",
     "p12_temperature_mix",
     "p13_pps_sample",
-    # green-r08 but file churned since
-    "p14_span_scrub_pipeline",
-    "p15_dedup_rebalance",
-    "p16_pack_efficiency",
-    # green-r07
     "q08_topk_per_group",
     "q09_running_sum",
     "q10_lag_lead",
@@ -284,7 +227,10 @@ _VERIFY_FIRST = [
     "s10_pagerank",
     "d15_semdedup",
     "s11_cluster_quality",
-    # green-r08
+    # green-r08 but file churned since
+    "p14_span_scrub_pipeline",
+    "p15_dedup_rebalance",
+    "p16_pack_efficiency",
     "s12_product_quantize",
     "s13_pq_adc_topk",
     "d16_span_scrub",
@@ -332,6 +278,57 @@ _VERIFY_FIRST = [
     "m07_phash_neardup",
     "s17_probe_recall_sweep",
     "s18_knn_label_eval",
+    # green-r09
+    "s01_cosine_topk",
+    "s02_lsh_buckets",
+    "s03_lsh_topk",
+    "s04_ivf_topk",
+    "s05_trained_ivf",
+    "s06_quantize",
+    "s07_knn_label",
+    "p01_train_test_split",
+    "p02_stratified_sample",
+    "p04_global_shuffle",
+    "p05_clean_corpus",
+    "p06_domain_mix",
+    "p07_corpus_pipeline",
+    "m01_media_metadata",
+    "m02_decode_stats",
+    "t15_perplexity_buckets",
+    "t16_bm25_topk",
+    "t17_chunk_passages",
+    "t18_ngram_novelty",
+    "t01_token_count",
+    "t02_quality_score",
+    "t03_langid",
+    "t04_fingerprint",
+    "t05_rolling_hash",
+    "t06_repetition",
+    "t07_vocab_idf",
+    "t08_unigram_logprob",
+    "t09_pii_scrub",
+    "w12_countmin_heavyhitters",
+    "w01_tumbling",
+    "w02_sliding",
+    "w03_session_window",
+    "w04_enriched_windows",
+    "q63_forward_asof",
+    "p17_chunk_pack",
+    "m08_media_canonical",
+    "p18_shard_manifest",
+    "p19_chunk_dedup_pack",
+    "s19_cascade_rerank",
+    "p20_epoch_budget",
+    "s20_index_staleness",
+    "p21_split_leakage",
+    "s21_filtered_search",
+    "s22_khop_expansion",
+    "s23_mips_norm_pruned",
+    "s24_triangle_count",
+    "p22_padding_waste",
+    "p23_weighted_sample",
+    "p24_shard_balance",
+    "s25_radius_search",
 ]
 
 

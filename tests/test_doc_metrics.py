@@ -25,6 +25,40 @@ def test_doc_counts_match_code():
     assert problems == [], "\n".join(problems)
 
 
+def test_window_composition_claims_match_artifacts():
+    """Round-9 verdict finding #1: a round doc claimed four queries
+    'head the r09 window' while the committed rotation had them at
+    positions 64-67 and CORRECTNESS_r09 recorded none of them. Window
+    composition claims are now checked against the artifact (sealed
+    CORRECTNESS file, or the committed _VERIFY_FIRST head for the
+    round in progress), so round notes can't contradict committed
+    rotation state again."""
+    problems = check_doc_metrics.check_window_claims()
+    assert problems == [], "\n".join(problems)
+
+
+def test_window_claim_checker_is_not_vacuous(tmp_path):
+    """An over-narrow regex that skips every sentence would green
+    trivially — feed the checker the exact round-9 false claim (keys
+    that were NOT in CORRECTNESS_r09) and require it to flag it, plus
+    a wrapped true claim it must accept."""
+    false_doc = tmp_path / "ROUND9.md"
+    false_doc.write_text(
+        "## 1. Rotation\n\n"
+        "The four r04-evidence queries q01/q06/q12/q13 and the\n"
+        "35-query r05 block head the r09 window.\n"
+    )
+    problems = check_doc_metrics.check_window_claims([str(false_doc)])
+    assert len(problems) == 1 and "q01" in problems[0], problems
+
+    true_doc = tmp_path / "ROUND4.md"
+    true_doc.write_text(
+        "The 5 r01-only rows (d01/d02/d03/q36/q37) head\n"
+        "the round-4 driver window.\n"
+    )
+    assert check_doc_metrics.check_window_claims([str(true_doc)]) == []
+
+
 def test_quotes_resolve_against_committed_sidecar_history():
     """Round-8 regression: the driver's post-seal bench rerun overwrote
     BENCH_SPREAD.json in place, turning ROUND8.md's committed quotes

@@ -243,8 +243,83 @@ def check_counts() -> list[str]:
     return problems
 
 
+def check_window_claims(docs: list[str] | None = None) -> list[str]:
+    """Window-composition claims must quote the artifact, not the
+    intent (round-9 verdict finding #1: ROUND9.md and commit fba9f7a
+    claimed q01/q06/q12/q13 'head the r09 window' while the committed
+    rotation had them at positions 64-67, outside the 50-row driver
+    window, and CORRECTNESS_r09 contains none of them).
+
+    Any ROUND*.md sentence that says query keys head / headed the
+    round-N driver window is verified against the recorded evidence:
+
+      - sealed round (CORRECTNESS_r{N}.json exists): every named key
+        must have a row in that artifact — the driver actually
+        recorded it inside the window;
+      - round in progress (no artifact yet): every named key must sit
+        inside the first WINDOW entries of the committed
+        ``_VERIFY_FIRST`` — the claim is at least true of the list
+        the driver will read.
+
+    Sentences with no query keys ("the 35 r02-stale queries head...")
+    or negated claims ("outside the ... window") are not checkable and
+    are skipped; the defect class being closed is the falsely-positive
+    composition claim.
+    """
+    sys.path.insert(0, REPO)
+    from kafka2clickhouse_py_streamer_spark.operators.base import (
+        _VERIFY_FIRST,
+    )
+
+    WINDOW = 50
+    problems: list[str] = []
+    head_re = re.compile(r"\bhead(?:s|ed)?\b[^.;]*\bwindow\b", re.I)
+    round_ref = re.compile(r"\br(?:ound[- ])?0?(\d{1,2})(?:\b|'s)")
+
+    def present(prefix: str, names) -> bool:
+        return any(n == prefix or n.startswith(prefix + "_") for n in names)
+
+    for doc in (docs if docs is not None
+                else sorted(glob.glob(os.path.join(REPO, "ROUND*.md")))):
+        doc_round = int(re.search(r"ROUND(\d+)\.md$", doc).group(1))
+        text = open(doc, encoding="utf-8").read()
+        # join hard-wrapped lines inside paragraphs so a claim that
+        # wraps ("... head\nthe r09 window") is seen as one sentence
+        flat = re.sub(r"(?<!\n)\n(?!\n)", " ", text)
+        for para in flat.split("\n\n"):
+            for sent in re.split(r"(?<=[.;])\s+", para):
+                if not head_re.search(sent) or "outside" in sent.lower():
+                    continue
+                keys = {m.group(1) for m in KEY_RE.finditer(sent)}
+                if not keys:
+                    continue
+                # a sentence can mention several rounds ("the four
+                # r04-evidence queries ... head the r09 window") — the
+                # claim is about the round NEAREST the word "window"
+                win_pos = sent.lower().rindex("window")
+                refs = list(round_ref.finditer(sent))
+                rnd = (
+                    min(refs, key=lambda m: abs(m.start() - win_pos)).group(1)
+                    if refs else doc_round
+                )
+                rnd = int(rnd)
+                art = os.path.join(REPO, f"CORRECTNESS_r{rnd:02d}.json")
+                if os.path.exists(art):
+                    names, src = json.load(open(art)), f"CORRECTNESS_r{rnd:02d}.json"
+                else:
+                    names, src = list(_VERIFY_FIRST)[:WINDOW], "_VERIFY_FIRST head"
+                missing = sorted(k for k in keys if not present(k, names))
+                if missing:
+                    problems.append(
+                        f"{os.path.basename(doc)}: claims {missing} head the "
+                        f"round-{rnd} window but they are absent from {src}; "
+                        f"sentence: {sent.strip()[:140]}"
+                    )
+    return problems
+
+
 if __name__ == "__main__":
-    probs = check() + check_counts()
+    probs = check() + check_counts() + check_window_claims()
     for p in probs:
         print(p)
     if probs:

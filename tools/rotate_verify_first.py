@@ -11,13 +11,20 @@ found 5 queries whose only green row was r01 while their files churned):
 priority order
   1. never green in any ``CORRECTNESS_r*.json``, or errored in the
      latest round they appeared;
-  2. green, but the file DEFINING the query churned since the round
-     that recorded the green (``git diff --name-only`` against the
-     commit that added that round's CORRECTNESS file) — oldest green
-     first;
-  3. everything else, oldest green round first (registry order breaks
-     ties), so evidence ages out of the window no faster than the
-     rotation revisits it.
+  2. every other query by (last-green round ASC, churned-before-
+     unchurned, registry position): age of the driver evidence is the
+     PRIMARY key, so the absolute-stalest greens always head the
+     window; whether the defining file churned since that green
+     (``git diff --name-only`` against the commit that added that
+     round's CORRECTNESS file) only breaks ties WITHIN a round.
+
+     Round-9 verdict find: the previous ordering put ALL churned
+     greens (category) ahead of ALL unchurned greens regardless of
+     age, so whenever churn alone overfilled the ~50-row window the
+     stalest-evidence queries (q01/q06/q12/q13, green r04) were
+     mechanically starved round after round. Age-primary interleave
+     makes starvation impossible: a query's wait is bounded by the
+     count of strictly-older evidence, which shrinks every round.
 
 Usage:
     python tools/rotate_verify_first.py            # print the list
@@ -154,12 +161,16 @@ def rotation() -> tuple[list[str], dict[str, str]]:
         ) else 1
         if g is None or last_err.get(name, 0) > g:
             reasons[name] = "never-green" if g is None else f"errored-r{last_err[name]:02d}"
-            return (needy, 0, 0, pos)
+            return (needy, 0, 0, 0, pos)
+        # Age-primary: last-green round before churn status, so the
+        # stalest driver evidence can never be starved by a flood of
+        # fresher-but-churned greens (round-9 verdict).  Churned still
+        # outranks unchurned WITHIN the same round.
         if defining_file(name, registry) in churn_by_round.get(g, set()):
             reasons[name] = f"green-r{g:02d} but file churned since"
-            return (needy, 1, g, pos)
+            return (needy, 1, g, 0, pos)
         reasons[name] = f"green-r{g:02d}"
-        return (needy, 2, g, pos)
+        return (needy, 1, g, 1, pos)
 
     return sorted(names, key=key), reasons
 
