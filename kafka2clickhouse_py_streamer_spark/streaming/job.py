@@ -112,9 +112,9 @@ class PipelineJob:
                 os.environ.get("SPARK_GRAFT_DLQ_OVERLAP", "on") != "off"
             )
             if overlap:
-                self._run_overlapped(tagged, typed, n_dlq)
+                self._run_overlapped(tagged, typed, n_dlq, n_rows)
             else:
-                self._run_sequential(tagged, typed, n_dlq)
+                self._run_sequential(tagged, typed, n_dlq, n_rows)
         finally:
             tagged.unpersist()
 
@@ -143,7 +143,8 @@ class PipelineJob:
         return int(row["n_rows"]), int(row["n_dlq"])
 
     def _run_overlapped(
-        self, tagged: DataFrame, typed: DataFrame, n_dlq: int
+        self, tagged: DataFrame, typed: DataFrame, n_dlq: int,
+        n_rows: int,
     ) -> None:
         """Happy path with the DLQ write OVERLAPPED against the valid
         write (default; ``SPARK_GRAFT_DLQ_OVERLAP=off`` opts out).
@@ -177,15 +178,50 @@ class PipelineJob:
                 self._dlq_pool = ThreadPoolExecutor(
                     max_workers=1, thread_name_prefix="dlq-overlap"
                 )
-            fut = self._dlq_pool.submit(self._write_dlq, tagged, n_dlq)
+            # Under pinned-thread mode (PYSPARK_PIN_THREAD, the
+            # default) each Python thread maps to its own JVM thread,
+            # so a plain pool worker starts with EMPTY JVM local
+            # properties: the DLQ job would escape the streaming
+            # query's job group (query.stop() couldn't cancel it) and
+            # lose its scheduler-pool attribution. Copy the trigger
+            # thread's properties into the worker per submit — the
+            # same mechanism pyspark.InheritableThread uses — captured
+            # here because the job group is (re)set per trigger.
+            props = None
+            sc = tagged.sparkSession.sparkContext
+            try:
+                props = sc._jsc.sc().getLocalProperties().clone()
+            except Exception:  # pragma: no cover - py4j internals moved
+                pass
+
+            def _dlq_task() -> None:
+                if props is not None:
+                    try:
+                        sc._jsc.sc().setLocalProperties(props)
+                    except Exception:  # pragma: no cover
+                        pass
+                self._write_dlq(tagged, n_dlq)
+
+            fut = self._dlq_pool.submit(_dlq_task)
         sink_exc = None
         try:
             self._sink(typed)
         except Exception as exc:
             sink_exc = exc
+        except BaseException:
+            # fatal interrupts (KeyboardInterrupt, py4j fatal errors)
+            # bypass the Exception arm — still await the in-flight DLQ
+            # write before propagating, else run_batch's finally
+            # unpersists the tagged cache under a running job
+            if fut is not None:
+                from concurrent.futures import wait as _fut_wait
+
+                _fut_wait([fut])
+            raise
         # raises if DLQ delivery failed → fail the batch (replayed
         # wholesale under the at-least-once checkpoint contract);
-        # always awaited, so no trigger returns with a write in flight
+        # always awaited — on every exception type — so no trigger
+        # returns with a write in flight
         if fut is not None:
             try:
                 fut.result()
@@ -198,11 +234,13 @@ class PipelineJob:
                 raise
         if sink_exc is not None:
             self._retry_after_failure(
-                tagged, invalid_already_written=fut is not None
+                tagged, invalid_already_written=fut is not None,
+                n_rows=n_rows,
             )
 
     def _run_sequential(
-        self, tagged: DataFrame, typed: DataFrame, n_dlq: int
+        self, tagged: DataFrame, typed: DataFrame, n_dlq: int,
+        n_rows: int,
     ) -> None:
         """Strict reference ordering: valid insert (with drift retry)
         first, DLQ push after (main.py:430-462)."""
@@ -210,7 +248,7 @@ class PipelineJob:
             self._sink(typed)
         except Exception:
             self._retry_after_failure(
-                tagged, invalid_already_written=False
+                tagged, invalid_already_written=False, n_rows=n_rows
             )
             return
         if n_dlq > 0:
@@ -233,7 +271,8 @@ class PipelineJob:
         self._dlq_sink(dlq)
 
     def _retry_after_failure(
-        self, tagged: DataFrame, invalid_already_written: bool
+        self, tagged: DataFrame, invalid_already_written: bool,
+        n_rows: int,
     ) -> None:
         """Schema drift suspected: re-fetch, re-validate, retry the
         insert once; on a second failure the valid rows join the DLQ
@@ -291,6 +330,14 @@ class PipelineJob:
             # an all-tombstone batch has an empty union and must NOT
             # invoke the DLQ sink with an empty frame
             if not dlq_final.isEmpty():
+                # same single-task collapse _write_dlq applies on the
+                # happy path: dlq_final is a union of disjoint subsets
+                # of the batch, so |dlq_final| <= n_rows bounds it
+                # without an extra count job — left at full tagged2
+                # width the retry arm emitted |partitions| tiny DLQ
+                # files/commits per drift event
+                if n_rows <= 500_000:
+                    dlq_final = dlq_final.repartition(1)
                 self._dlq_sink(dlq_final)
         finally:
             tagged2.unpersist()

@@ -245,11 +245,15 @@ def test_latest_throughput_artifact_is_green():
         > runs["parity_8p"]["steady_rows_per_sec"]
     )
     if "parity_1p_seq" in runs:
-        # the overlap A/B (r09c+): the overlapped default must never
-        # record slower than the strict-ordering sequential twin
+        # the overlap A/B (r09c+): the overlapped default must not be
+        # materially slower than the strict-ordering sequential twin.
+        # SCALE.md's own spread analysis shows the ~7% A/B gap has
+        # overlapping rep spreads, so a strict median ordering would
+        # fail an honest re-record where the twins tie within host
+        # noise — allow 5% (round-9 advice)
         assert (
             runs["parity_1p"]["steady_rows_per_sec"]
-            >= runs["parity_1p_seq"]["steady_rows_per_sec"]
+            >= 0.95 * runs["parity_1p_seq"]["steady_rows_per_sec"]
         )
         assert runs["parity_1p_seq"].get("env") == {
             "SPARK_GRAFT_DLQ_OVERLAP": "off"

@@ -89,6 +89,26 @@ def test_double_failure_routes_valid_to_dlq(spark):
     assert any("device_id" in e for e in errors)
 
 
+def test_retry_arm_dlq_collapses_to_one_task(spark, monkeypatch):
+    """Round-9 advice: the drift-retry arm wrote dlq_final at full
+    tagged2 width — |partitions| tiny DLQ files/commits per drift
+    event — while the happy path's _write_dlq collapses minority
+    splits to one task. The retry arm must apply the same collapse."""
+    monkeypatch.setenv("SPARK_GRAFT_DLQ_OVERLAP", "off")
+    parts_seen = []
+
+    class PartProbeSink(ListSink):
+        def __call__(self, df):
+            parts_seen.append(df.rdd.getNumPartitions())
+            super().__call__(df)
+
+    sink, dlq = ListSink(fail_times=2), PartProbeSink()
+    job = PipelineJob(StaticSchemaProvider(SCHEMA), sink, dlq)
+    job.run_batch(make_batch(spark, [GOOD, BAD]))
+    assert len(dlq.rows) == 2
+    assert parts_seen == [1], parts_seen
+
+
 def test_file_stream_end_to_end(spark, tmp_path):
     """Real Structured Streaming run: text-file source → foreachBatch →
     memory sinks, with checkpointing (the at-least-once WAL)."""
