@@ -37,7 +37,7 @@ _CKPT_DIR_SET: set[tuple[str, str]] = set()
 _MKDTEMP_DIRS: list[str] = []  # default temp dirs, removed at exit
 
 
-def iter_materialize(df: DataFrame) -> DataFrame:
+def iter_materialize(df: DataFrame, defer: bool = False) -> DataFrame:
     """Per-round materialization for ITERATIVE algorithms (star
     contraction, k-hop frontiers, edge-list reuse). Iteration genuinely
     needs lineage TRUNCATION — a lineage-retaining persist would let
@@ -53,10 +53,19 @@ def iter_materialize(df: DataFrame) -> DataFrame:
       point it at HDFS/S3 on a cluster) — per-round writes cost more,
       but node loss re-reads instead of killing a multi-hour CC job.
       This is the 100 TB deployment setting.
+
+    ``defer=True`` marks the cut but lets the CALLER's next full-scan
+    action materialize it (local mode only): the CC loop counts every
+    round's edge set anyway, so an eager materialization job followed
+    by a count job is one fixed-cost job too many — at ~100 ms/job
+    fixed on small rounds the loop cost was dominated by job count,
+    not data (r10 profile). Reliable mode stays eager: a lazily-
+    checkpointed reliable cut recomputes the plan a second time to
+    write the checkpoint files, which is the worse trade there.
     """
     mode = os.environ.get("SPARK_GRAFT_ITER_MAT", "local")
     if mode == "local":
-        return df.localCheckpoint(eager=True)
+        return df.localCheckpoint(eager=not defer)
     if mode != "reliable":  # pragma: no cover - config error
         raise ValueError(f"unknown iterative materialization: {mode!r}")
     spark = df.sparkSession
@@ -141,23 +150,32 @@ def connected_components(
     (``localCheckpoint`` locally; reliable ``checkpoint`` on clusters
     via ``SPARK_GRAFT_ITER_MAT=reliable``).
     """
+    # Job-count discipline (r10): each round runs ONE full-scan job —
+    # a count() that doubles as the deferred localCheckpoint's
+    # materializer — plus the exceptAll equality probe only when the
+    # counts tie. The previous eager-materialize-then-count shape paid
+    # two fixed-cost jobs per round and recounted the prior round's
+    # edge set, tripling the per-round job count; on small graphs the
+    # loop is job-overhead-bound, not data-bound. ``nodes`` is also
+    # deferred: the final labels join is its materializing scan.
     nodes = iter_materialize(
         edges.select(F.col("u").alias("doc_id"))
         .union(edges.select(F.col("v").alias("doc_id")))
-        .distinct()
+        .distinct(),
+        defer=True,
     )
-    cur = iter_materialize(_small_star(edges))
+    cur = iter_materialize(_small_star(edges), defer=True)
+    n_cur = cur.count()  # materializes the cut; 0 = edgeless graph
     rounds = 0
-    converged = cur.isEmpty()  # edgeless graph: nothing to contract
+    converged = n_cur == 0
     while not converged and rounds < max_iters:
-        nxt = iter_materialize(_small_star(_large_star(cur)))
+        nxt = iter_materialize(_small_star(_large_star(cur)), defer=True)
         rounds += 1
+        n_nxt = nxt.count()
         # star fixed point: both canonical sets distinct, so equality
         # == same count + empty difference (one direction suffices)
-        converged = (
-            nxt.count() == cur.count() and nxt.exceptAll(cur).isEmpty()
-        )
-        cur = nxt
+        converged = n_nxt == n_cur and nxt.exceptAll(cur).isEmpty()
+        cur, n_cur = nxt, n_nxt
     if not converged:
         raise RuntimeError(
             "connected_components: star contraction did not reach its "
