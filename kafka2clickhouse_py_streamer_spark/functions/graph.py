@@ -156,16 +156,34 @@ def connected_components(
     # counts tie. The previous eager-materialize-then-count shape paid
     # two fixed-cost jobs per round and recounted the prior round's
     # edge set, tripling the per-round job count; on small graphs the
-    # loop is job-overhead-bound, not data-bound. ``nodes`` is also
-    # deferred: the final labels join is its materializing scan.
+    # loop is job-overhead-bound, not data-bound.
+    #
+    # The INPUT edge plan is cut exactly once (e0): callers hand in
+    # expensive pair-generation DAGs (m08's phash chain, d07's SimHash
+    # bands), and deriving ``nodes`` and the initial star from the raw
+    # plan re-ran that whole DAG once per consumer (r10 profile: the
+    # m07 chain dominated m08, computed ~3x).
+    # e0 is EAGER: _small_star scans it twice in one job, and a
+    # deferred cut materialized by racing consumer stages duplicates
+    # the caller's heavy DAG. The loop cuts below stay deferred —
+    # each round's count() is their single consumer.
+    e0 = iter_materialize(edges.select("u", "v"))
+    # ``nodes`` keeps its own DEFERRED cut: on a dense pair graph the
+    # union+distinct over e0 is a |2·edges|-row shuffle, and the
+    # labels frame is consumed by many downstream queries (the cached
+    # d07 labels feed d08/d13/d21/d22/d23), each of which would re-run
+    # that shuffle without the cut (r10: 89M-edge graph, ~37 s per
+    # consumer). Deferred is safe — the final labels join references
+    # nodes exactly once, so the first caller action materializes it
+    # without a stage race.
     nodes = iter_materialize(
-        edges.select(F.col("u").alias("doc_id"))
-        .union(edges.select(F.col("v").alias("doc_id")))
+        e0.select(F.col("u").alias("doc_id"))
+        .union(e0.select(F.col("v").alias("doc_id")))
         .distinct(),
         defer=True,
     )
-    cur = iter_materialize(_small_star(edges), defer=True)
-    n_cur = cur.count()  # materializes the cut; 0 = edgeless graph
+    cur = iter_materialize(_small_star(e0), defer=True)
+    n_cur = cur.count()  # materializes e0 AND the cut; 0 = edgeless
     rounds = 0
     converged = n_cur == 0
     while not converged and rounds < max_iters:

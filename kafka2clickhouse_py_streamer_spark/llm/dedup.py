@@ -616,29 +616,39 @@ ORDER BY doc_a, doc_b
 """
 
 
-SIMHASH_BITS = 16
+SIMHASH_BITS = 32
 
 
 def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash: per-token polynomial hash, per-bit majority vote over the
-    document's tokens -> 16-bit fingerprint. Explode + one groupBy with
-    16 conditional sums — pure JVM aggregation."""
+    """SimHash: per-token md5-prefix hash, per-bit majority vote over
+    the document's tokens -> 32-bit fingerprint. Explode + one groupBy
+    with 32 conditional sums — pure JVM aggregation.
+
+    WIDTH MATTERS (r10): the original 16-bit fingerprint put 50k+ docs
+    into a 65k-value space where P(random pair within hamming<=3) ≈
+    1.1e-2 — the sf1 probe measured the resulting quadratic blowup
+    (d06 pair count grew 26x at 10x data; the same trap m07's
+    docstring documents for media hashes, fixed there with 32 bits).
+    At 32 bits the random-collision rate is ~5.6e-7 and the band value
+    space is 256 per band, so d06's candidate join stays linear in the
+    true near-dup count. The token hash is an md5 prefix rather than
+    the old 4-char-prefix polynomial: the polynomial capped entropy at
+    ~22 bits (upper fingerprint bits would never vote 1) and collided
+    all tokens sharing a 4-char prefix; md5 hashes the WHOLE token
+    with uniform bits, and both engines compute it identically (the
+    d24 shingle-digest / m07 idiom)."""
     d = table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
         F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok"),
     ).filter(F.length("tok") > 0)
-    padded = "rpad(substring(tok, 1, 4), 4, 'x')"
-    # CAST to BIGINT before the multiply: ascii() yields the full code
-    # point, and an astral-plane char (codepoint ≥ 2^31/29791 ≈ 72k,
-    # e.g. any emoji) overflows INT*INT under ANSI arithmetic
-    th = (
-        f"(CAST(ascii(substring({padded}, 1, 1)) AS BIGINT) * 29791"
-        f" + CAST(ascii(substring({padded}, 2, 1)) AS BIGINT) * 961"
-        f" + CAST(ascii(substring({padded}, 3, 1)) AS BIGINT) * 31"
-        f" + CAST(ascii(substring({padded}, 4, 1)) AS BIGINT))"
+    # 8 hex chars of md5 = 32 uniform bits, non-negative, fits long
+    toks = toks.withColumn(
+        "th",
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast(
+            "long"
+        ),
     )
-    toks = toks.withColumn("th", F.expr(th).cast("long"))
     votes = toks.groupBy("doc_id").agg(
         *[
             F.sum(
@@ -658,15 +668,9 @@ def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _d04_sql() -> str:
-    padded = "RPAD(SUBSTRING(tok, 1, 4), 4, 'x')"
-    # BIGINT cast mirrors the Spark side: astral-plane code points
-    # overflow INT32 * INT32 in DuckDB too
-    th = (
-        f"(CAST(ASCII(SUBSTRING({padded}, 1, 1)) AS BIGINT) * 29791"
-        f" + CAST(ASCII(SUBSTRING({padded}, 2, 1)) AS BIGINT) * 961"
-        f" + CAST(ASCII(SUBSTRING({padded}, 3, 1)) AS BIGINT) * 31"
-        f" + CAST(ASCII(SUBSTRING({padded}, 4, 1)) AS BIGINT))"
-    )
+    # md5-prefix token hash, the Spark side's exact twin (32 uniform
+    # bits; '0x'||hex cast is the m07 cross-engine idiom)
+    th = "CAST('0x' || SUBSTRING(md5(tok), 1, 8) AS BIGINT)"
     votes = ",\n         ".join(
         f"SUM(CASE WHEN (th >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
         for b in range(SIMHASH_BITS)

@@ -622,7 +622,20 @@ def m07_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0)
         ),
     ).cast("long")
-    hashed = with_mean.select("doc_id", ph.alias("ph"))
+    # (doc_id, ph) is referenced FIVE times downstream (the distinct
+    # banding chain, both sides of the hash→doc expansion, both sides
+    # of the identical-hash self-join); without a lineage cut each
+    # reference re-runs the payload build + hex + 32-nibble conv scan
+    # (r10 profile: ~5 heavy scans per action). The cut is 16 bytes/
+    # row at any corpus size. EAGER deliberately: a deferred cut here
+    # is materialized by an action whose five consumer stages race to
+    # compute it (duplicated heavy scans + zombie-task accumulator
+    # errors); the one up-front job is the cheaper trade.
+    from kafka2clickhouse_py_streamer_spark.functions.graph import (
+        iter_materialize,
+    )
+
+    hashed = iter_materialize(with_mean.select("doc_id", ph.alias("ph")))
     banded = hashed.select("ph").distinct().select(
         "ph",
         F.explode(

@@ -181,6 +181,9 @@ _VERIFY_FIRST = [
     "p11_curriculum_stages",
     "p12_temperature_mix",
     "p13_pps_sample",
+    "d12_span_dedup",
+    "d13_quality_canonical",
+    "d14_lsh_admission",
     "q08_topk_per_group",
     "q09_running_sum",
     "q10_lag_lead",
@@ -220,9 +223,6 @@ _VERIFY_FIRST = [
     "q25_theta_join",
     "q26_asof_join",
     "q47_exists_pair",
-    "d12_span_dedup",
-    "d13_quality_canonical",
-    "d14_lsh_admission",
     "s09_knn_graph",
     "s10_pagerank",
     "d15_semdedup",
@@ -231,8 +231,6 @@ _VERIFY_FIRST = [
     "p14_span_scrub_pipeline",
     "p15_dedup_rebalance",
     "p16_pack_efficiency",
-    "s12_product_quantize",
-    "s13_pq_adc_topk",
     "d16_span_scrub",
     "d01_exact_dedup",
     "d02_ngram_jaccard",
@@ -240,6 +238,16 @@ _VERIFY_FIRST = [
     "d04_simhash",
     "d05_embedding_neardup",
     "d06_simhash_pairs",
+    "m06_multimodal_packing",
+    "d17_containment_pairs",
+    "d18_bloom_decontamination",
+    "d19_containment_calibration",
+    "d07_dedup_clusters",
+    "d08_canonical_corpus",
+    "d09_contamination",
+    "m07_phash_neardup",
+    "s12_product_quantize",
+    "s13_pq_adc_topk",
     "t11_readability",
     "t12_lexical_diversity",
     "w07_window_topk",
@@ -249,7 +257,6 @@ _VERIFY_FIRST = [
     "w10_rate_anomaly",
     "t14_bigram_logprob",
     "w11_rollup_cascade",
-    "m06_multimodal_packing",
     "q54_histogram",
     "q55_robust_outliers",
     "q57_cohort_retention",
@@ -266,19 +273,15 @@ _VERIFY_FIRST = [
     "q58_scd2_intervals",
     "q59_concurrency",
     "q61_gaps_islands",
-    "d17_containment_pairs",
-    "d18_bloom_decontamination",
-    "d19_containment_calibration",
-    "d07_dedup_clusters",
-    "d08_canonical_corpus",
-    "d09_contamination",
     "s14_ivfpq_search",
     "s15_mrl_truncation_recall",
     "s16_rrf_fusion",
-    "m07_phash_neardup",
     "s17_probe_recall_sweep",
     "s18_knn_label_eval",
-    # green-r09
+    # green-r09 but file churned since
+    "m01_media_metadata",
+    "m02_decode_stats",
+    "m08_media_canonical",
     "s01_cosine_topk",
     "s02_lsh_buckets",
     "s03_lsh_topk",
@@ -292,8 +295,6 @@ _VERIFY_FIRST = [
     "p05_clean_corpus",
     "p06_domain_mix",
     "p07_corpus_pipeline",
-    "m01_media_metadata",
-    "m02_decode_stats",
     "t15_perplexity_buckets",
     "t16_bm25_topk",
     "t17_chunk_passages",
@@ -314,7 +315,6 @@ _VERIFY_FIRST = [
     "w04_enriched_windows",
     "q63_forward_asof",
     "p17_chunk_pack",
-    "m08_media_canonical",
     "p18_shard_manifest",
     "p19_chunk_dedup_pack",
     "s19_cascade_rerank",

@@ -286,29 +286,43 @@ def test_latest_ingest_soak_artifact_is_green():
         import pytest
 
         pytest.skip("no ingest-soak artifact recorded yet")
-    with open(arts[-1]) as fh:
-        art = json.load(fh)
-    assert art["valid_exactly_once"] is True
-    assert art["accounting_exact"] is True
-    assert (
-        art["valid_rows"]
-        + art["dlq_rows_unique"]
-        + art["dropped_tombstones"]
-        == art["rows"]
-    )
-    # the replay really happened: one batch's DLQ write appears twice
-    # with identical row counts, and its rows are the written surplus
-    calls = art["dlq_calls"]
-    replayed = [
-        c["batch"]
-        for c in calls
-        if sum(1 for d in calls if d["batch"] == c["batch"]) == 2
-    ]
-    assert set(replayed) == {art["replayed_batch"]}
-    assert art["dlq_replay_duplicates"] > 0
-    assert (
-        art["dlq_rows_written"]
-        == art["dlq_rows_unique"] + art["dlq_replay_duplicates"]
-    )
+    latest_by_mode: dict = {}
+    for p in arts:  # latest artifact of EACH recorded mode
+        with open(p) as fh:
+            a = json.load(fh)
+        latest_by_mode[a.get("mode", "plain")] = a
+    for art in latest_by_mode.values():
+        assert art["valid_exactly_once"] is True
+        assert art["accounting_exact"] is True
+        # conservation holds in BOTH modes: under drift-on-replay the
+        # reclassified rows move from the valid side to the unique-DLQ
+        # side, never vanishing or double-counting
+        assert (
+            art["valid_rows"]
+            + art["dlq_rows_unique"]
+            + art["dropped_tombstones"]
+            == art["rows"]
+        )
+        # the replay really happened: one batch's DLQ write appears
+        # twice, and the surplus is exactly the duplicated leg
+        calls = art["dlq_calls"]
+        replayed = [
+            c["batch"]
+            for c in calls
+            if sum(1 for d in calls if d["batch"] == c["batch"]) == 2
+        ]
+        assert set(replayed) == {art["replayed_batch"]}
+        assert art["dlq_replay_duplicates"] > 0
+        assert (
+            art["dlq_rows_written"]
+            == art["dlq_rows_unique"] + art["dlq_replay_duplicates"]
+        )
+        if art.get("mode") == "drift_on_replay":
+            # the drifted schema actually re-validated the replay:
+            # rows reclassified, with the NEW schema's error string,
+            # and the fresh job fetched the drifted schema
+            assert art["reclassified_rows"] > 0
+            assert "must be integer" in art["reclassified_error"]
+            assert art["drift_schema_fetches"] >= 1
     # the kill landed strictly inside the corpus
     assert 0 < art["killed_after_commits"] < art["n_batches"]

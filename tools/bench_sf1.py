@@ -132,11 +132,26 @@ def generate(spark) -> None:
         print(f"generated {name}", file=sys.stderr)
 
     def docs(src, r):
-        # vowel rotation decorrelates every shingle between replicas
-        rot = VOWELS[r % len(VOWELS)] + VOWELS[(r + 1) % len(VOWELS)]
+        # Per-replica INJECTIVE remap of all five vowels (distinct
+        # target letters via a stride-3 window at offset 2r; replica 0
+        # is the identity). The previous two-letter rotation
+        # (translate 'ae' only) left every a/e-free WORD identical
+        # across replicas, so word-feature operators (d06 SimHash)
+        # saw 10-way cross-replica near-dup cliques — measured r10:
+        # 59M of 89M sf1 pairs were cross-replica, the exact
+        # quadratic distortion this decorrelation exists to prevent.
+        # With all vowels remapped, only wholly vowel-less words
+        # survive across replicas; shingle- and word-level features
+        # both decorrelate.
+        tgt = "".join(
+            chr(ord("a") + (2 * r + 3 * i) % 26) for i in range(5)
+        )
         return src.select(
             (F.col("doc_id") + F.lit(r * SHIFT)).alias("doc_id"),
-            F.translate("text", VOWELS[:2], rot).alias("text"),
+            (
+                F.col("text") if r == 0
+                else F.translate("text", VOWELS, tgt)
+            ).alias("text"),
             "lang",
             "source",
             "n_chars",

@@ -23,9 +23,23 @@ at-least-once commit):
      REAL: the split lands before the batch commits), and
      valid + unique-DLQ + dropped == fed.
 
+``--drift-on-replay`` (r10, verdict #6) hardens the one restart edge
+the plain arm can't see: the sink's schema CHANGES while the killed
+batch is waiting to be replayed (ClickHouse ALTERed between the crash
+and the restart). The resume runs a FRESH PipelineJob (the process
+restart the kill models — no driver-side schema cache) whose provider
+serves the drifted schema (speed Float32 → Int32), so the replayed
+batch re-validates under the NEW rules: every previously-valid row
+reclassifies to the DLQ ("data.speed must be integer"), the idempotent
+sink's per-batch overwrite REPLACES the batch's old valid rows with
+the now-empty set (replay-under-current-schema wins — the documented
+overwrite semantics), and row conservation still holds exactly:
+valid + unique-DLQ + dropped == fed, with the reclassified rows
+counted on the DLQ side.
+
 Writes INGEST_SOAK_r{N}.json. Run:
   python tools/ingest_soak.py [--rows 200000] [--kill-after 3]
-                              [--round 9b]
+                              [--round 9b] [--drift-on-replay]
 """
 
 from __future__ import annotations
@@ -52,6 +66,17 @@ def expected_dlq(rows: int) -> int:
     return sum(1 for i in range(rows) if i % 103 == 0 and i % 97 != 0)
 
 
+def range_counts(lo: int, hi: int) -> tuple[int, int, int]:
+    """(valid, dlq, dropped) under the ORIGINAL schema for corpus ids
+    [lo, hi) — the per-batch twin of the global expectations."""
+    dropped = sum(
+        1 for i in range(lo, hi)
+        if i % 97 == 0 or (i % 101 == 0 and i % 103 != 0)
+    )
+    dlq = sum(1 for i in range(lo, hi) if i % 103 == 0 and i % 97 != 0)
+    return (hi - lo) - dropped - dlq, dlq, dropped
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=200_000)
@@ -59,6 +84,10 @@ def main() -> None:
     ap.add_argument("--kill-after", type=int, default=3,
                     help="stop after this many committed batches")
     ap.add_argument("--round", type=str, default="9b")
+    ap.add_argument("--drift-on-replay", action="store_true",
+                    help="ALTER the sink schema (speed Float32->Int32) "
+                         "between kill and resume; the replayed batch "
+                         "re-validates under the new schema")
     args = ap.parse_args()
 
     n_batches = (args.rows + args.batch - 1) // args.batch
@@ -82,6 +111,8 @@ def main() -> None:
         PipelineJob,
         StaticSchemaProvider,
     )
+
+    from pyspark.sql import functions as F
 
     spark = get_spark(app_name="ingest_soak")
     spark.sparkContext.setLogLevel("ERROR")
@@ -187,6 +218,31 @@ def main() -> None:
         _trim(os.path.join(ckpt, "offsets"), last_commit)
         _trim(os.path.join(ckpt, "sources", "0"), last_commit)
 
+        drifted_provider = None
+        if args.drift_on_replay:
+            # the ALTER lands while the crashed batch waits for its
+            # replay: Float32 speed becomes Int32, so every float
+            # token that was valid is now "data.speed must be
+            # integer". The resume uses a FRESH PipelineJob — the
+            # process restart the kill models starts with no
+            # driver-side schema cache, so the first replayed trigger
+            # fetches the drifted schema.
+            ch_b = [
+                (n, "Int32" if n == "speed" else t) for n, t in CH_COLUMNS
+            ]
+            schema_b = build_table_schema(
+                ch_b,
+                required_columns=["device_id", "event_ts"],
+                string_enum_columns=["gps_validity", "incognito_mode"],
+                datetime_columns=["event_ts", "event_date"],
+            )
+            drifted_provider = StaticSchemaProvider(schema_b)
+            job = PipelineJob(  # noqa: F841 — body() reads the binding
+                drifted_provider,
+                sink=lambda df: idem(df, current["bid"]),
+                dlq_sink=dlq_sink,
+            )
+
         q = start()
         q.awaitTermination()
         wall = round(time.perf_counter() - t0, 3)
@@ -203,15 +259,58 @@ def main() -> None:
         per_call = dict()
         for b, n in dlq_calls:
             per_call.setdefault(b, []).append(n)
-        dup_rows = sum(ns[0] for b, ns in per_call.items() if len(ns) == 2)
 
-        assert valid_rows == exp_valid, (valid_rows, exp_valid)
         assert replayed == [last_commit], (replayed, last_commit)
-        assert all(len(set(ns)) == 1 for ns in per_call.values()), per_call
-        assert dlq_rows == exp_dlq + dup_rows, (
-            dlq_rows, exp_dlq, dup_rows,
-        )
-        assert valid_rows + exp_dlq + dropped == args.rows
+        if args.drift_on_replay:
+            # batch N re-validated under the drifted schema: its
+            # old-valid rows reclassify to the DLQ, and the idempotent
+            # sink's per-batch overwrite replaces its valid rows with
+            # the now-empty set — replay-under-current-schema wins
+            lo = last_commit * args.batch
+            hi = min(lo + args.batch, args.rows)
+            valid_n, dlq_n, _ = range_counts(lo, hi)
+            assert valid_n > 0, "drift arm needs a non-trivial batch"
+            assert per_call[last_commit] == [dlq_n, dlq_n + valid_n], (
+                per_call[last_commit], dlq_n, valid_n,
+            )
+            assert all(
+                len(ns) == 1
+                for b, ns in per_call.items()
+                if b != last_commit
+            ), per_call
+            exp_valid_final = exp_valid - valid_n
+            unique_dlq = exp_dlq + valid_n
+            dup_rows = dlq_n
+            assert valid_rows == exp_valid_final, (
+                valid_rows, exp_valid_final,
+            )
+            assert dlq_rows == exp_dlq + dlq_n + valid_n, (
+                dlq_rows, exp_dlq, dlq_n, valid_n,
+            )
+            # the reclassified rows carry the NEW schema's error
+            reclassified = (
+                spark.read.parquet(dlq_dir)
+                .filter(
+                    F.col("error").contains("data.speed must be integer")
+                )
+                .count()
+            )
+            assert reclassified == valid_n, (reclassified, valid_n)
+            assert drifted_provider.fetch_count >= 1
+            assert valid_rows + unique_dlq + dropped == args.rows
+        else:
+            dup_rows = sum(
+                ns[0] for b, ns in per_call.items() if len(ns) == 2
+            )
+            unique_dlq = exp_dlq
+            assert valid_rows == exp_valid, (valid_rows, exp_valid)
+            assert all(
+                len(set(ns)) == 1 for ns in per_call.values()
+            ), per_call
+            assert dlq_rows == exp_dlq + dup_rows, (
+                dlq_rows, exp_dlq, dup_rows,
+            )
+            assert valid_rows + exp_dlq + dropped == args.rows
 
         artifact = {
             "what": "kill/replay soak of the parity ingest pipeline "
@@ -220,7 +319,17 @@ def main() -> None:
                     "from the checkpoint; valid rows exactly-once via "
                     "the batch-id-keyed idempotent sink, DLQ "
                     "at-least-once with exactly the replayed batch "
-                    "duplicated",
+                    "duplicated"
+                    + (
+                        "; schema DRIFTS (speed Float32->Int32) between "
+                        "kill and resume, so the replayed batch "
+                        "reclassifies under the new schema"
+                        if args.drift_on_replay
+                        else ""
+                    ),
+            "mode": (
+                "drift_on_replay" if args.drift_on_replay else "plain"
+            ),
             "rows": args.rows,
             "batch_size": args.batch,
             "n_batches": n_batches,
@@ -230,7 +339,7 @@ def main() -> None:
             "valid_rows": valid_rows,
             "valid_exactly_once": True,
             "dlq_rows_written": dlq_rows,
-            "dlq_rows_unique": exp_dlq,
+            "dlq_rows_unique": unique_dlq,
             "dlq_replay_duplicates": dup_rows,
             "dropped_tombstones": dropped,
             "accounting_exact": True,
@@ -238,6 +347,13 @@ def main() -> None:
                 {"batch": b, "rows": n} for b, n in dlq_calls
             ],
         }
+        if args.drift_on_replay:
+            artifact.update(
+                drifted_column="speed: Float32 -> Int32",
+                reclassified_rows=valid_n,
+                reclassified_error="data.speed must be integer",
+                drift_schema_fetches=drifted_provider.fetch_count,
+            )
         m = re.fullmatch(r"(\d+)([a-z]*)", args.round)
         if not m:
             raise SystemExit(f"bad --round tag: {args.round!r}")
