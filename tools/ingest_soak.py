@@ -262,30 +262,54 @@ def main() -> None:
 
         assert replayed == [last_commit], (replayed, last_commit)
         if args.drift_on_replay:
-            # batch N re-validated under the drifted schema: its
-            # old-valid rows reclassify to the DLQ, and the idempotent
-            # sink's per-batch overwrite replaces its valid rows with
-            # the now-empty set — replay-under-current-schema wins
-            lo = last_commit * args.batch
-            hi = min(lo + args.batch, args.rows)
-            valid_n, dlq_n, _ = range_counts(lo, hi)
+            # From the replayed batch ONWARD every trigger validates
+            # under the drifted schema: old-valid rows reclassify to
+            # the DLQ ("data.speed must be integer"), and the
+            # idempotent sink's per-batch overwrite replaces the
+            # replayed batch's old valid rows with the now-empty set —
+            # replay-under-current-schema wins. Only batches committed
+            # BEFORE the kill keep their schema-A valid rows.
+            #
+            # WHICH corpus rows each batch holds is read from the
+            # checkpoint's file-source log (batch->file order is a
+            # listing detail, not a contract — the first run of this
+            # arm caught the by-index assumption off by one file):
+            # sources/0/<b> records the consumed file's f=K partition,
+            # and file K carries corpus ids [K*batch, (K+1)*batch).
+            def batch_rows(b: int) -> tuple[int, int]:
+                with open(os.path.join(ckpt, "sources", "0", str(b))) as fh:
+                    fvals = [
+                        int(m.group(1))
+                        for m in re.finditer(r"/f=(\d+)/", fh.read())
+                    ]
+                assert len(fvals) == 1, (b, fvals)  # 1 file/trigger
+                lo = fvals[0] * args.batch
+                return lo, min(lo + args.batch, args.rows)
+
+            valid_n, dlq_n, _ = range_counts(*batch_rows(last_commit))
             assert valid_n > 0, "drift arm needs a non-trivial batch"
             assert per_call[last_commit] == [dlq_n, dlq_n + valid_n], (
                 per_call[last_commit], dlq_n, valid_n,
             )
+            post = sorted(b for b in per_call if b > last_commit)
+            reclass_total = valid_n
+            for b in post:
+                v_b, d_b, _ = range_counts(*batch_rows(b))
+                assert per_call[b] == [d_b + v_b], (b, per_call[b])
+                reclass_total += v_b
             assert all(
                 len(ns) == 1
                 for b, ns in per_call.items()
                 if b != last_commit
             ), per_call
-            exp_valid_final = exp_valid - valid_n
-            unique_dlq = exp_dlq + valid_n
+            exp_valid_final = exp_valid - reclass_total
+            unique_dlq = exp_dlq + reclass_total
             dup_rows = dlq_n
             assert valid_rows == exp_valid_final, (
                 valid_rows, exp_valid_final,
             )
-            assert dlq_rows == exp_dlq + dlq_n + valid_n, (
-                dlq_rows, exp_dlq, dlq_n, valid_n,
+            assert dlq_rows == exp_dlq + dlq_n + reclass_total, (
+                dlq_rows, exp_dlq, dlq_n, reclass_total,
             )
             # the reclassified rows carry the NEW schema's error
             reclassified = (
@@ -295,7 +319,9 @@ def main() -> None:
                 )
                 .count()
             )
-            assert reclassified == valid_n, (reclassified, valid_n)
+            assert reclassified == reclass_total, (
+                reclassified, reclass_total,
+            )
             assert drifted_provider.fetch_count >= 1
             assert valid_rows + unique_dlq + dropped == args.rows
         else:
@@ -350,7 +376,9 @@ def main() -> None:
         if args.drift_on_replay:
             artifact.update(
                 drifted_column="speed: Float32 -> Int32",
-                reclassified_rows=valid_n,
+                reclassified_rows=reclass_total,
+                reclassified_in_replayed_batch=valid_n,
+                post_drift_batches=len(post) + 1,
                 reclassified_error="data.speed must be integer",
                 drift_schema_fetches=drifted_provider.fetch_count,
             )
