@@ -705,11 +705,13 @@ SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
 
 
 def d06_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairing: candidates block on 4-bit fingerprint
+    """SimHash near-dup pairing: candidates block on 8-bit fingerprint
     bands (pigeonhole guarantees recall for hamming ≤ 3), verified with
     exact popcount(xor). Same LSH-banding plan shape as d03 but over a
-    16-bit integer — the cheapest near-dup join there is: the shuffle
-    key is 2 bytes and verify is two ALU ops."""
+    32-bit integer — the cheapest near-dup join there is: the shuffle
+    key is 4 bytes and verify is two ALU ops. Width is load-bearing:
+    see d04's docstring for the r10 measurement of the 16-bit
+    variant's quadratic random-collision blowup."""
     fp = d04_simhash(spark, sf_dir)
     band_cols = [
         F.struct(

@@ -60,7 +60,19 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             "        unhex(md5(text)))),"
             " cast(1 + doc_id % 4 as int))"
         ).alias("payload"),
-    ).withColumn("n_bytes", F.octet_length("payload").cast("long"))
+        # metadata column, computed analytically (16 MD5 bytes x k
+        # copies; NULL text -> NULL payload -> NULL bytes) rather than
+        # via octet_length(payload): the oracle already hardcodes this
+        # formula, and deriving it from the payload forced every
+        # metadata-only consumer (m01, m08's byte accounting) to
+        # materialize payload bytes it never reads — in a real
+        # deployment n_bytes is a stored metadata column, and the
+        # parquet scan prunes the binary column away
+        F.when(F.col("text").isNull(), F.lit(None))
+        .otherwise(F.lit(16) * (1 + F.col("doc_id") % 4))
+        .cast("long")
+        .alias("n_bytes"),
+    )
 
 
 # A codec maps one raw payload to decoded (width, height). Injectable so
