@@ -134,60 +134,7 @@ def spread(df: DataFrame) -> DataFrame:
 # asserts the committed list matches the tool and that no query's
 # evidence can age out of the driver window unseen.
 _VERIFY_FIRST = [
-    # green-r04
-    "q01_pricing_summary",
-    "q06_revenue_filter",
-    "q12_distinct_agg",
-    "q13_rollup",
-    # green-r05
-    "q41_map_fns",
-    # green-r06 but file churned since
-    "m03_frame_sample",
-    "m04_feature_extract",
-    "m05_media_dedup",
-    "p03_sequence_packing",
-    "p08_flatten_mix",
-    "p09_incremental_refresh",
-    "d20_snapshot_diff",
-    "d21_softdedup_weights",
-    "d22_dedup_roi",
-    "d23_removal_propagation",
-    "d24_editdist_neardup",
-    "d25_lsh_layout_tuner",
-    "d10_minhash_calibration",
-    "d11_ngram_jaccard_capped",
-    "w13_histogram_quantiles",
-    "t19_heaps_fit",
-    "t20_gopher_funnel",
-    "q64_weighted_quantiles",
-    "w14_decayed_rate",
-    "w15_hll_distinct",
-    "q65_running_distinct",
-    "t21_tfidf_keywords",
-    "q66_table_profile",
-    "t22_langid_eval",
-    "t23_pmi_collocations",
-    "q67_sequence_match",
-    "w16_profile_sketch",
-    "q68_interval_coverage",
-    "q27_approx_stats",
-    "q14_cube",
-    "q23_grouping_sets",
-    "q24_having",
-    "t10_char_entropy",
-    "q28_sessionization",
-    # green-r07 but file churned since
-    "p10_budget_select",
-    "p11_curriculum_stages",
-    "p12_temperature_mix",
-    "p13_pps_sample",
-    "d12_span_dedup",
-    "d13_quality_canonical",
-    "d14_lsh_admission",
-    "q08_topk_per_group",
-    "q09_running_sum",
-    "q10_lag_lead",
-    "q29_keep_first",
+    # green-r07
     "q44_frame_navigation",
     "w05_attribution",
     "w06_window_distinct",
@@ -329,6 +276,57 @@ _VERIFY_FIRST = [
     "p23_weighted_sample",
     "p24_shard_balance",
     "s25_radius_search",
+    # green-r10
+    "q01_pricing_summary",
+    "q06_revenue_filter",
+    "q12_distinct_agg",
+    "q13_rollup",
+    "q41_map_fns",
+    "m03_frame_sample",
+    "m04_feature_extract",
+    "m05_media_dedup",
+    "p03_sequence_packing",
+    "p08_flatten_mix",
+    "p09_incremental_refresh",
+    "d20_snapshot_diff",
+    "d21_softdedup_weights",
+    "d22_dedup_roi",
+    "d23_removal_propagation",
+    "d24_editdist_neardup",
+    "d25_lsh_layout_tuner",
+    "d10_minhash_calibration",
+    "d11_ngram_jaccard_capped",
+    "w13_histogram_quantiles",
+    "t19_heaps_fit",
+    "t20_gopher_funnel",
+    "q64_weighted_quantiles",
+    "w14_decayed_rate",
+    "w15_hll_distinct",
+    "q65_running_distinct",
+    "t21_tfidf_keywords",
+    "q66_table_profile",
+    "t22_langid_eval",
+    "t23_pmi_collocations",
+    "q67_sequence_match",
+    "w16_profile_sketch",
+    "q68_interval_coverage",
+    "q27_approx_stats",
+    "q14_cube",
+    "q23_grouping_sets",
+    "q24_having",
+    "t10_char_entropy",
+    "q28_sessionization",
+    "p10_budget_select",
+    "p11_curriculum_stages",
+    "p12_temperature_mix",
+    "p13_pps_sample",
+    "d12_span_dedup",
+    "d13_quality_canonical",
+    "d14_lsh_admission",
+    "q08_topk_per_group",
+    "q09_running_sum",
+    "q10_lag_lead",
+    "q29_keep_first",
 ]
 
 
