@@ -220,19 +220,27 @@ def decode_media(
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"]
-            dims = payloads.map(codec)
+            # na_action="ignore": a NULL payload (NULL source text)
+            # decodes to NULL metadata instead of crashing the codec —
+            # the oracle mirrors this (md5(NULL) = NULL end-to-end)
+            dims = payloads.map(codec, na_action="ignore")
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "media_type": pdf["media_type"],
-                    "n_bytes": payloads.map(len),
+                    "n_bytes": payloads.map(len, na_action="ignore"),
                     # first-4-bytes big-endian int: a stand-in for the
                     # codec's header parse
                     "checksum": payloads.map(
-                        lambda b: int.from_bytes(b[:4], "big")
+                        lambda b: int.from_bytes(b[:4], "big"),
+                        na_action="ignore",
                     ),
-                    "width": dims.map(lambda wh: wh[0]),
-                    "height": dims.map(lambda wh: wh[1]),
+                    "width": dims.map(
+                        lambda wh: wh[0], na_action="ignore"
+                    ),
+                    "height": dims.map(
+                        lambda wh: wh[1], na_action="ignore"
+                    ),
                 }
             )
 
@@ -267,12 +275,15 @@ def extract_features(df: DataFrame) -> DataFrame:
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"]
+            # NULL payload -> NULL features (same contract as decode)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "byte_mean": payloads.map(lambda b: sum(b) / len(b)),
-                    "byte_min": payloads.map(min),
-                    "byte_max": payloads.map(max),
+                    "byte_mean": payloads.map(
+                        lambda b: sum(b) / len(b), na_action="ignore"
+                    ),
+                    "byte_min": payloads.map(min, na_action="ignore"),
+                    "byte_max": payloads.map(max, na_action="ignore"),
                 }
             )
 
@@ -325,7 +336,9 @@ M01_SQL = """
 WITH media AS (
   SELECT doc_id,
          ['image','audio','video'][CAST(doc_id % 3 + 1 AS INTEGER)] AS media_type,
-         16 * (1 + doc_id % 4) AS n_bytes
+         -- null text -> null payload -> null byte count (media_table)
+         CASE WHEN text IS NULL THEN NULL
+              ELSE 16 * (1 + doc_id % 4) END AS n_bytes
   FROM documents
 )
 SELECT media_type,
@@ -353,7 +366,8 @@ def m02_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 M02_SQL = """
 SELECT doc_id,
        ['image','audio','video'][CAST(doc_id % 3 + 1 AS INTEGER)] AS media_type,
-       CAST(16 * (1 + doc_id % 4) AS BIGINT) AS n_bytes,
+       CASE WHEN text IS NULL THEN NULL
+            ELSE CAST(16 * (1 + doc_id % 4) AS BIGINT) END AS n_bytes,
        CAST('0x' || substring(md5(text), 1, 8) AS BIGINT) AS checksum,
        CAST(1 + CAST('0x' || substring(md5(text), 1, 2) AS BIGINT) % 64 AS INTEGER) AS width,
        CAST(1 + CAST('0x' || substring(md5(text), 3, 2) AS BIGINT) % 64 AS INTEGER) AS height
@@ -374,7 +388,11 @@ def m03_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 M03_SQL = f"""
 WITH media AS (
-  SELECT doc_id, 16 * (1 + doc_id % 4) AS n_bytes
+  SELECT doc_id,
+         -- null text -> null n_bytes; LEAST skips NULL on BOTH engines,
+         -- so a null-payload video still yields N_SAMPLED_FRAMES rows
+         CASE WHEN text IS NULL THEN NULL
+              ELSE 16 * (1 + doc_id % 4) END AS n_bytes
   FROM documents
   WHERE doc_id % 3 = 2  -- media_type = 'video' (array index 3)
 ),
@@ -457,7 +475,8 @@ def m05_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 M05_SQL = """
 WITH media AS (
   SELECT doc_id,
-         16 * (1 + doc_id % 4) AS n_bytes,
+         CASE WHEN text IS NULL THEN NULL
+              ELSE 16 * (1 + doc_id % 4) END AS n_bytes,
          md5(hex(repeat(unhex(md5(text)), CAST(1 + doc_id % 4 AS INTEGER))))
            AS fp
   FROM documents
@@ -850,9 +869,11 @@ cc AS (
 SELECT cluster_id,
        CAST(COUNT(*) AS BIGINT) AS n_members,
        CAST(SUM(CASE WHEN doc_id <> cluster_id
-                     THEN 16 * (1 + doc_id % 4) ELSE 0 END)
+                     THEN CASE WHEN d.text IS NULL THEN NULL
+                          ELSE 16 * (1 + doc_id % 4) END
+                     ELSE 0 END)
             AS BIGINT) AS dup_bytes
-FROM cc
+FROM cc JOIN documents d USING (doc_id)
 GROUP BY cluster_id
 ORDER BY cluster_id
 """

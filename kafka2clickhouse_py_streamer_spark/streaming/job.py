@@ -40,6 +40,15 @@ from pyspark.sql.streaming import StreamingQuery
 
 from kafka2clickhouse_py_streamer_spark.schema.model import TableSchema
 
+# DLQ writes at or below this row count collapse to ONE task
+# (repartition(1), not coalesce — see _write_dlq): a micro-batch DLQ
+# split is a per-trigger minority, and |partitions| tiny files/commits
+# per trigger is the pathology. 500k rows × ~200 B/record ≈ 100 MB —
+# comfortably one task's work — while anything larger keeps the full
+# write width. One policy for BOTH delivery arms (happy path and
+# drift-retry) so the collapse behavior cannot drift between them.
+DLQ_SINGLE_TASK_MAX_ROWS = 500_000
+
 
 class SchemaProvider(Protocol):
     """Fetches the sink table's schema (the reference's DESCRIBE TABLE,
@@ -125,7 +134,12 @@ class PipelineJob:
                 _fut_wait([plan_fut])
                 raise
             if n_rows == 0:
-                plan_fut.cancel()  # pure analysis; safe either way
+                # cancel() almost never lands (the idle single worker
+                # starts the task immediately) — resolve the future so
+                # a schema/analysis error on an all-tombstone batch
+                # surfaces HERE, not swallowed until a later nonempty
+                # batch misattributes it.
+                plan_fut.result()
                 return
             typed = plan_fut.result()
             overlap = (
@@ -281,7 +295,7 @@ class PipelineJob:
         )
 
         _, dlq = split_tagged(tagged, self._value_col)
-        if n_dlq <= 500_000:
+        if n_dlq <= DLQ_SINGLE_TASK_MAX_ROWS:
             # minority split → ONE write task instead of |tagged
             # partitions| tiny files. repartition, NOT coalesce:
             # coalesce(1) pulls the whole tagged scan onto one core
@@ -356,7 +370,7 @@ class PipelineJob:
                 # without an extra count job — left at full tagged2
                 # width the retry arm emitted |partitions| tiny DLQ
                 # files/commits per drift event
-                if n_rows <= 500_000:
+                if n_rows <= DLQ_SINGLE_TASK_MAX_ROWS:
                     dlq_final = dlq_final.repartition(1)
                 self._dlq_sink(dlq_final)
         finally:

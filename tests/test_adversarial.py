@@ -105,6 +105,8 @@ SWEEP = [
     "p23_weighted_sample",
     "p24_shard_balance",
     "d18_bloom_decontamination",
+    "m01_media_metadata", "m02_decode_stats", "m03_frame_sample",
+    "m04_feature_extract", "m05_media_dedup",
     "m06_multimodal_packing", "m07_phash_neardup",
     "m08_media_canonical",
 ]

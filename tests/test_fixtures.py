@@ -324,5 +324,6 @@ def test_latest_ingest_soak_artifact_is_green():
             assert art["reclassified_rows"] > 0
             assert "must be integer" in art["reclassified_error"]
             assert art["drift_schema_fetches"] >= 1
-    # the kill landed strictly inside the corpus
-    assert 0 < art["killed_after_commits"] < art["n_batches"]
+        # the kill landed strictly inside the corpus — checked per
+        # mode (outside the loop it only covered the last-bound art)
+        assert 0 < art["killed_after_commits"] < art["n_batches"]

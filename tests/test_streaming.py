@@ -58,6 +58,23 @@ def test_empty_batch_short_circuit(spark):
     assert provider.fetch_count == 0  # schema not even fetched
 
 
+def test_all_tombstone_batch_surfaces_plan_error(spark, monkeypatch):
+    """Round-10 advice: on the n_rows==0 path the plan future's
+    exception was never retrieved — a schema/analysis error on an
+    all-tombstone batch stayed swallowed until a later nonempty batch
+    misattributed it. The empty arm must resolve the future."""
+    sink, dlq = ListSink(), ListSink()
+    job = PipelineJob(StaticSchemaProvider(SCHEMA), sink, dlq)
+
+    def boom(tagged):
+        raise RuntimeError("analysis exploded")
+
+    monkeypatch.setattr(job, "_plan_valid", boom)
+    with pytest.raises(RuntimeError, match="analysis exploded"):
+        job.run_batch(make_batch(spark, ["", "   "]))
+    assert sink.calls == 0 and dlq.calls == 0
+
+
 def test_schema_cached_across_batches(spark):
     sink, dlq = ListSink(), ListSink()
     provider = StaticSchemaProvider(SCHEMA)
