@@ -173,8 +173,15 @@ def main() -> None:
     except ValueError:
         sf_val = sf
     line, sidecar = format_output(times, spreads, train_sec, sf_val)
-    with open(os.path.join(REPO_DIR, "BENCH_SPREAD.json"), "w") as fh:
-        json.dump(sidecar, fh, indent=1)
+    # The sidecar is the TRACKED median-of-3 record at the driver's
+    # bench scale (sf0.1) — round notes quote it beside the driver run
+    # (checked by tools/check_doc_metrics.py). A smoke run at another
+    # scale (sf0.01 iteration loop) must not overwrite it with numbers
+    # the round notes never meant (the round-11 accident: a sf0.01
+    # verify pass clobbered the sealed sf0.1 recording).
+    if sf_val == 0.1:
+        with open(os.path.join(REPO_DIR, "BENCH_SPREAD.json"), "w") as fh:
+            json.dump(sidecar, fh, indent=1)
     print(line)
 
 

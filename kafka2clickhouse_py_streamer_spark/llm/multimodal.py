@@ -587,49 +587,55 @@ ORDER BY doc_id
 """
 
 
-PHASH_HAMMING_MAX = 3  # m07 near-dup verify threshold (32-bit hash)
-PHASH_BITS = 32        # nibble-level threshold hash width
-PHASH_BANDS = 4        # 4 bands x 8 bits: exact recall for Hamming <= 3
+PHASH_HAMMING_MAX = 3  # m07 near-dup verify threshold (64-bit hash)
+# 64 threshold features (the nibbles of sha256 over the payload hex).
+# Width is the scale lever, same lesson as d04's SimHash: the r11
+# receipt (RECEIPT_GRAPHS.json) measured the old 32-bit hash's 4x8-bit
+# bands at 256 values per band — occupancy n/256, band-candidate pairs
+# ~ n^2/128: 197k at 5k media, 19.7M at 50k (99.9x at 10x data, the
+# d04 quadratic shape). 16-bit bands give 65,536 values per band; the
+# hash is carried as TWO 32-bit halves (ph_hi, ph_lo) so every value
+# stays a non-negative BIGINT on both engines (a single 64-bit hash
+# would need bit 63 = 2^63, overflowing signed int64).
+PHASH_BITS = 64
+PHASH_BANDS = 4        # 4 bands x 16 bits: exact recall for Hamming <= 3
+PHASH_BAND_BITS = PHASH_BITS // PHASH_BANDS
+PHASH_BAND_SPACE = 2 ** PHASH_BAND_BITS  # band-value space (65,536)
 
 
-def m07_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Perceptual-hash near-dup detection over media PAYLOADS — the
-    multimodal sibling of d06's text SimHash: the payload's 32 feature
-    NIBBLES (read from the BINARY column via hex(); with the stub
-    codec these are the MD5-block nibbles — a real deployment swaps in
-    pHash/aHash features at the decoder seam, everything downstream
-    unchanged) threshold against their own mean into a 32-bit hash;
-    DISTINCT hashes block into 4×8-bit bands; band collisions verify
-    by exact Hamming distance ≤ PHASH_HAMMING_MAX (bit_count of xor —
-    pure integer arithmetic both engines reproduce); hash pairs then
-    expand back to doc pairs, and identical-hash groups pair by a
-    plain ph self-join. FOUR bands is the pigeonhole guarantee: ≤3
-    differing bits cannot touch all 4 bands, so every true pair at the
-    verify threshold collides on at least one band — banding is EXACT
-    recall for Hamming ≤ 3 (same layout reasoning as d06's SimHash
-    bands; an earlier 2-band split measured 74% missed pairs).
+def phash_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, ph_hi, ph_lo): the 64-bit perceptual hash per media
+    item, carried as two non-negative 32-bit halves — m07's first
+    stage, factored out so the scale-receipt tool
+    (tools/receipt_graphs.py) measures the exact production frame.
 
-    Scale shape — two deliberate choices a 16-bit/doc-level variant
-    got wrong (it chained a 50k-doc corpus into ONE component through
-    ~1% random-pair collisions, 14.6M pairs):
-    (1) hash width scales the band value space — 8-bit band values
-        give 256 buckets per band, so band-join occupancy is
-        |distinct hashes|/256, and P(random pair ≤ 3 bits apart)
-        drops from 1e-2 (16-bit) to 1.3e-6 (32-bit);
-    (2) the band pair-join runs over DISTINCT hash values, never doc
-        rows — exact-duplicate payload groups (the common case in a
-        replicated/scraped corpus) cannot blow up the candidate join;
-        they expand only at the output, which is the true pair count.
-    Only (doc_id, 32-bit hash) cross the wire; the nibble→hash
-    projection rides the scan. The mean divides by 32 (a power of
-    two), so the threshold comparison is exact on both engines."""
+    Features are the 64 nibbles of sha256 over the payload hex —
+    derived from the FULL payload bytes (so, unlike the earlier
+    first-md5-block variant, two payloads of different length hash
+    differently, consistent with m05's full-payload fingerprint); a
+    real deployment swaps pHash/aHash features in at the decoder seam
+    and everything downstream is unchanged. Each nibble thresholds
+    against the feature mean (divides by 64, a power of two, so the
+    comparison is exact on both engines).
+
+    Staged projections, not one inlined tree: each nibble is a named
+    alias referenced twice (mean + its own threshold) and the mean is
+    referenced 32 times, so CollapseProject keeps them materialized —
+    the one-shot expression inlined the 32-conv mean into every
+    threshold branch (~1000 conv nodes/row) and tripled the wall time.
+
+    The result is ALWAYS lineage-cut: (doc_id, ph) is referenced FIVE
+    times downstream in m07 (the distinct banding chain, both sides of
+    the hash→doc expansion, both sides of the identical-hash
+    self-join); without the cut each reference re-runs the payload
+    build + hex + 32-nibble conv scan (r10 profile: ~5 heavy scans per
+    action). The cut is 16 bytes/row at any corpus size. EAGER
+    deliberately: a deferred cut here is materialized by an action
+    whose five consumer stages race to compute it (duplicated heavy
+    scans + zombie-task accumulator errors); the one up-front job is
+    the cheaper trade."""
     m = media_table(spark, sf_dir)
-    # staged projections, not one inlined tree: each nibble is a named
-    # alias referenced twice (mean + its own threshold) and the mean is
-    # referenced 32 times, so CollapseProject keeps them materialized —
-    # the one-shot expression inlined the 32-conv mean into every
-    # threshold branch (~1000 conv nodes/row) and tripled the wall time
-    hx = F.hex("payload")
+    hx = F.sha2(F.hex("payload"), 256)  # 64 lowercase hex chars
     nibbed = m.select(
         "doc_id",
         *[
@@ -643,60 +649,140 @@ def m07_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col(f"nib{i}") for i in range(1, PHASH_BITS)), F.col("nib0")
     ) / F.lit(float(PHASH_BITS))
     with_mean = nibbed.select("*", mean.alias("nib_mean"))
-    ph = sum(
-        (
-            F.when(F.col(f"nib{i}") >= F.col("nib_mean"), F.lit(1 << i))
-            .otherwise(F.lit(0))
-            for i in range(1, PHASH_BITS)
-        ),
-        F.when(F.col("nib0") >= F.col("nib_mean"), F.lit(1)).otherwise(
-            F.lit(0)
-        ),
-    ).cast("long")
-    # (doc_id, ph) is referenced FIVE times downstream (the distinct
-    # banding chain, both sides of the hash→doc expansion, both sides
-    # of the identical-hash self-join); without a lineage cut each
-    # reference re-runs the payload build + hex + 32-nibble conv scan
-    # (r10 profile: ~5 heavy scans per action). The cut is 16 bytes/
-    # row at any corpus size. EAGER deliberately: a deferred cut here
-    # is materialized by an action whose five consumer stages race to
-    # compute it (duplicated heavy scans + zombie-task accumulator
-    # errors); the one up-front job is the cheaper trade.
+    half = PHASH_BITS // 2
+
+    def threshold_word(lo_bit: int) -> "F.Column":
+        return sum(
+            (
+                F.when(
+                    F.col(f"nib{lo_bit + i}") >= F.col("nib_mean"),
+                    F.lit(1 << i),
+                )
+                .otherwise(F.lit(0))
+                for i in range(1, half)
+            ),
+            F.when(
+                F.col(f"nib{lo_bit}") >= F.col("nib_mean"), F.lit(1)
+            ).otherwise(F.lit(0)),
+        ).cast("long")
+
     from kafka2clickhouse_py_streamer_spark.functions.graph import (
         iter_materialize,
     )
 
-    hashed = iter_materialize(with_mean.select("doc_id", ph.alias("ph")))
-    banded = hashed.select("ph").distinct().select(
-        "ph",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("band_id"),
-                        F.expr(f"(ph div {256 ** j}) % 256").alias(
-                            "band_val"
-                        ),
-                    )
-                    for j in range(PHASH_BANDS)
-                ]
-            )
-        ).alias("b"),
-    ).select("ph", "b.band_id", "b.band_val")
+    return iter_materialize(
+        with_mean.select(
+            "doc_id",
+            threshold_word(half).alias("ph_hi"),
+            threshold_word(0).alias("ph_lo"),
+        )
+    )
+
+
+def phash_banded(hashed: DataFrame) -> DataFrame:
+    """(ph_hi, ph_lo, band_id, band_val) over DISTINCT hashes — m07's
+    banding stage (4×16-bit bands of the 64-bit hash: bands 0-1 from
+    the low half, 2-3 from the high half), shared with the receipt
+    tool so band-occupancy counts measure the production layout."""
+    half_bands = PHASH_BANDS // 2
+
+    def band_val(j: int) -> str:
+        word = "ph_lo" if j < half_bands else "ph_hi"
+        exp = PHASH_BAND_SPACE ** (j % half_bands)
+        return f"({word} div {exp}) % {PHASH_BAND_SPACE}"
+
+    return (
+        hashed.select("ph_hi", "ph_lo")
+        .distinct()
+        .select(
+            "ph_hi",
+            "ph_lo",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("band_id"),
+                            F.expr(band_val(j)).alias("band_val"),
+                        )
+                        for j in range(PHASH_BANDS)
+                    ]
+                )
+            ).alias("b"),
+        )
+        .select("ph_hi", "ph_lo", "b.band_id", "b.band_val")
+    )
+
+
+def m07_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup detection over media PAYLOADS — the
+    multimodal sibling of d06's text SimHash: 64 payload features (the
+    sha256 nibbles of the payload hex; a real deployment swaps in
+    pHash/aHash features at the decoder seam, everything downstream
+    unchanged) threshold against their own mean into a 64-bit hash
+    carried as two 32-bit halves; DISTINCT hashes block into 4×16-bit
+    bands; band collisions verify by exact Hamming distance ≤
+    PHASH_HAMMING_MAX (bit_count of xor per half — pure integer
+    arithmetic both engines reproduce); hash pairs then expand back to
+    doc pairs, and identical-hash groups pair by a plain (hi, lo)
+    self-join. FOUR bands is the pigeonhole guarantee: ≤3 differing
+    bits cannot touch all 4 bands, so every true pair at the verify
+    threshold collides on at least one band — banding is EXACT recall
+    for Hamming ≤ 3 (same layout reasoning as d06's SimHash bands; an
+    earlier 2-band split measured 74% missed pairs).
+
+    Scale shape — hash width is the lever, twice-learned (d04 r10,
+    m07 r11):
+    (1) band-value space = 2^(width/4). The 32-bit variant's 8-bit
+        bands (256 values) saturated: the r11 receipt measured its
+        band-candidate pairs ~ n²/128 — 197k at 5k media, 19.7M at
+        50k, a 99.9× blowup at 10× data. 16-bit bands (65,536
+        values) put occupancy below 1 at these corpus sizes; at
+        larger corpora band width is the deployment knob (the same
+        posture as s09's plane count).
+    (2) the band pair-join runs over DISTINCT hash values, never doc
+        rows — exact-duplicate payload groups (the common case in a
+        replicated/scraped corpus) cannot blow up the candidate join;
+        they expand only at the output, which is the true pair count.
+    Only (doc_id, two 32-bit words) cross the wire; the nibble→hash
+    projection rides the scan. The mean divides by 64 (a power of
+    two), so the threshold comparison is exact on both engines."""
+    return phash_band_pairs(phash_hashes(spark, sf_dir))
+
+
+def phash_band_pairs(hashed: DataFrame) -> DataFrame:
+    """Banded near-dup pair detection over a hashed frame
+    ``(doc_id, ph_hi, ph_lo)`` — m07's candidate+verify core, factored
+    out (the triangle_stats pattern) so the pigeonhole exactness
+    guarantee is testable on CRAFTED hash values at every admissible
+    Hamming distance: 64-bit near-collisions cannot be mined from
+    organic text (P(dist ≤ 3) ≈ 43k/2^64 per random pair), so the
+    recall property is pinned at the hash level and the text→hash
+    stage is oracle-checked separately."""
+    banded = phash_banded(hashed)
     x = banded.alias("x")
     y = banded.alias("y")
-    hamming = F.bit_count(
-        F.col("ph_a").bitwiseXOR(F.col("ph_b"))
+    # pair order on the (hi, lo) lexicographic 64-bit value — a
+    # post-join filter; the band keys stay the hash equi-join keys
+    pair_order = (F.col("x.ph_hi") < F.col("y.ph_hi")) | (
+        (F.col("x.ph_hi") == F.col("y.ph_hi"))
+        & (F.col("x.ph_lo") < F.col("y.ph_lo"))
+    )
+    hamming = (
+        F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+        + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
     ).cast("long")
     hp = (
         x.join(
             y,
             (F.col("x.band_id") == F.col("y.band_id"))
             & (F.col("x.band_val") == F.col("y.band_val"))
-            & (F.col("x.ph") < F.col("y.ph")),
+            & pair_order,
         )
         .select(
-            F.col("x.ph").alias("ph_a"), F.col("y.ph").alias("ph_b")
+            F.col("x.ph_hi").alias("hi_a"),
+            F.col("x.ph_lo").alias("lo_a"),
+            F.col("y.ph_hi").alias("hi_b"),
+            F.col("y.ph_lo").alias("lo_b"),
         )
         .distinct()
         .withColumn("hamming", hamming)
@@ -705,15 +791,19 @@ def m07_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross = (
         hp.join(
             hashed.select(
-                F.col("doc_id").alias("id_a"), F.col("ph").alias("ph_a")
+                F.col("doc_id").alias("id_a"),
+                F.col("ph_hi").alias("hi_a"),
+                F.col("ph_lo").alias("lo_a"),
             ),
-            "ph_a",
+            ["hi_a", "lo_a"],
         )
         .join(
             hashed.select(
-                F.col("doc_id").alias("id_b"), F.col("ph").alias("ph_b")
+                F.col("doc_id").alias("id_b"),
+                F.col("ph_hi").alias("hi_b"),
+                F.col("ph_lo").alias("lo_b"),
             ),
-            "ph_b",
+            ["hi_b", "lo_b"],
         )
         .select(
             F.least("id_a", "id_b").alias("doc_a"),
@@ -725,7 +815,8 @@ def m07_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     g2 = hashed.alias("g2")
     same = g1.join(
         g2,
-        (F.col("g1.ph") == F.col("g2.ph"))
+        (F.col("g1.ph_hi") == F.col("g2.ph_hi"))
+        & (F.col("g1.ph_lo") == F.col("g2.ph_lo"))
         & (F.col("g1.doc_id") < F.col("g2.doc_id")),
     ).select(
         F.col("g1.doc_id").alias("doc_a"),
@@ -736,8 +827,10 @@ def m07_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _m07_sql() -> str:
+    half = PHASH_BITS // 2
+    half_bands = PHASH_BANDS // 2
     nibs = [
-        f"CAST('0x' || substring(md5(text), {i + 1}, 1) AS BIGINT)"
+        f"CAST('0x' || substring(sh, {i + 1}, 1) AS BIGINT)"
         for i in range(PHASH_BITS)
     ]
     mean = (
@@ -745,54 +838,75 @@ def _m07_sql() -> str:
         + " + ".join(f"ns[{i + 1}]" for i in range(PHASH_BITS))
         + f") / {float(PHASH_BITS)}"
     )
-    ph = " + ".join(
-        f"(CASE WHEN ns[{i + 1}] >= m THEN {1 << i} ELSE 0 END)"
-        for i in range(PHASH_BITS)
-    )
+
+    def word(lo_bit: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN ns[{lo_bit + i + 1}] >= m"
+            f" THEN {1 << i} ELSE 0 END)"
+            for i in range(half)
+        )
+
+    def band_val(j: int) -> str:
+        w = "ph_lo" if j < half_bands else "ph_hi"
+        return f"({w} // {PHASH_BAND_SPACE ** (j % half_bands)})" \
+               f" % {PHASH_BAND_SPACE}"
+
     bands = "\n  UNION ALL\n".join(
-        f"  SELECT ph, {j} AS band_id, (ph // {256 ** j}) % 256"
-        " AS band_val FROM hu"
+        f"  SELECT ph_hi, ph_lo, {j} AS band_id,"
+        f" {band_val(j)} AS band_val FROM hu"
         for j in range(PHASH_BANDS)
     )
+    ham = "bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b))"
     return f"""
-WITH n AS (
-  SELECT doc_id, [{', '.join(nibs)}] AS ns
+WITH pay AS (
+  SELECT doc_id,
+         sha256(hex(repeat(unhex(md5(text)),
+                           CAST(1 + doc_id % 4 AS INTEGER)))) AS sh
   FROM documents
 ),
+n AS (
+  SELECT doc_id, [{', '.join(nibs)}] AS ns
+  FROM pay
+),
 hashed AS (
-  SELECT doc_id, CAST({ph} AS BIGINT) AS ph
+  SELECT doc_id,
+         CAST({word(half)} AS BIGINT) AS ph_hi,
+         CAST({word(0)} AS BIGINT) AS ph_lo
   FROM (SELECT doc_id, ns, {mean} AS m FROM n)
 ),
 hu AS (
-  SELECT DISTINCT ph FROM hashed
+  SELECT DISTINCT ph_hi, ph_lo FROM hashed
 ),
 banded AS (
 {bands}
 ),
 hp AS (
-  SELECT ph_a, ph_b,
-         CAST(bit_count(xor(ph_a, ph_b)) AS BIGINT) AS hamming
+  SELECT hi_a, lo_a, hi_b, lo_b,
+         CAST({ham} AS BIGINT) AS hamming
   FROM (
-    SELECT DISTINCT x.ph AS ph_a, y.ph AS ph_b
+    SELECT DISTINCT x.ph_hi AS hi_a, x.ph_lo AS lo_a,
+                    y.ph_hi AS hi_b, y.ph_lo AS lo_b
     FROM banded x
     JOIN banded y ON y.band_id = x.band_id
                 AND y.band_val = x.band_val
-                AND y.ph > x.ph
+                AND (y.ph_hi > x.ph_hi
+                     OR (y.ph_hi = x.ph_hi AND y.ph_lo > x.ph_lo))
   )
-  WHERE bit_count(xor(ph_a, ph_b)) <= {PHASH_HAMMING_MAX}
+  WHERE {ham} <= {PHASH_HAMMING_MAX}
 ),
 allpairs AS (
   SELECT LEAST(a.doc_id, b.doc_id) AS doc_a,
          GREATEST(a.doc_id, b.doc_id) AS doc_b,
          f.hamming
   FROM hp f
-  JOIN hashed a ON a.ph = f.ph_a
-  JOIN hashed b ON b.ph = f.ph_b
+  JOIN hashed a ON a.ph_hi = f.hi_a AND a.ph_lo = f.lo_a
+  JOIN hashed b ON b.ph_hi = f.hi_b AND b.ph_lo = f.lo_b
   UNION ALL
   SELECT g1.doc_id AS doc_a, g2.doc_id AS doc_b,
          CAST(0 AS BIGINT) AS hamming
   FROM hashed g1
-  JOIN hashed g2 ON g2.ph = g1.ph AND g2.doc_id > g1.doc_id
+  JOIN hashed g2 ON g2.ph_hi = g1.ph_hi AND g2.ph_lo = g1.ph_lo
+                AND g2.doc_id > g1.doc_id
 )
 SELECT doc_a, doc_b, hamming
 FROM allpairs
@@ -895,8 +1009,8 @@ QUERIES = [
           "media patch tokens, two-pass offsets)"),
     Query("m07_phash_neardup", m07_phash_neardup, _m07_sql(),
           "perceptual-hash near-dup over media payload bytes: "
-          "mean-threshold 32-bit hash, 4x8-bit bands over DISTINCT "
-          "hashes, exact Hamming verify"),
+          "mean-threshold 64-bit hash (two 32-bit halves), 4x16-bit "
+          "bands over DISTINCT hashes, exact Hamming verify"),
     Query("m08_media_canonical", m08_media_canonical, _m08_sql(),
           "media near-dup canonicalization: connected components over "
           "the m07 pair graph, canonical member + reclaimable dup "

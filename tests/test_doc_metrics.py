@@ -71,3 +71,12 @@ def test_quotes_resolve_against_committed_sidecar_history():
     # both the pre-seal (3.775) and post-seal (3.829) r08 recordings
     # must be quotable — they live in different commits of one path
     assert {3.775, 3.829} <= p14, p14
+
+
+def test_headline_citation_enforced():
+    """Round-10 verdict item 4: the latest round note (round >= 11)
+    must quote BOTH the tracked sf0.1 sidecar median and the latest
+    driver headline — one number alone cherry-picks whichever run
+    looked better that round."""
+    problems = check_doc_metrics.check_headline_citation()
+    assert problems == [], "\n".join(problems)

@@ -327,3 +327,51 @@ def test_latest_ingest_soak_artifact_is_green():
         # the kill landed strictly inside the corpus — checked per
         # mode (outside the loop it only covered the last-bound art)
         assert 0 < art["killed_after_commits"] < art["n_batches"]
+
+
+def test_sf1_amplification_decorrelates_replicas(spark, tmp_path):
+    """Round-10 guard: the sf1 generator's per-replica vowel remap is
+    load-bearing for every ratio in SCALE.md — the pre-fix two-letter
+    rotation left a/e-free words identical across replicas and
+    injected 59M phantom cross-replica SimHash pairs (the receipt:
+    1,649 after the fix). Re-run the remap on a mini 3-replica
+    amplification of sf0.001 and pin the cross-replica pair count to
+    at most the single-replica organic pair count, so a future
+    generator edit can't silently reinflate the pair graph."""
+    import glob as _glob
+    import os
+    import shutil
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "tools"),
+    )
+    from bench_sf1 import SHIFT, amplify_docs
+
+    from kafka2clickhouse_py_streamer_spark.llm.dedup import (
+        d06_simhash_pairs,
+    )
+
+    root = str(tmp_path / "mini_amp")
+    os.makedirs(root)
+    for p in _glob.glob(os.path.join(SF, "*.parquet")):
+        if os.path.basename(p) != "documents.parquet":
+            shutil.copy(p, os.path.join(root, os.path.basename(p)))
+    src = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    amp = amplify_docs(src, 0)
+    for r in (1, 2):
+        amp = amp.unionByName(amplify_docs(src, r))
+    amp.write.parquet(os.path.join(root, "documents.parquet"))
+
+    pairs = d06_simhash_pairs(spark, root).select("doc_a", "doc_b")
+    rep = lambda c: (F.col(c) / SHIFT).cast("long")  # noqa: E731
+    cross = pairs.filter(rep("doc_a") != rep("doc_b")).count()
+    base = d06_simhash_pairs(spark, SF).count()
+    # organic pairs triple with 3 replicas; phantom cross-replica
+    # cliques would add O(replicas^2 * docs) — orders beyond base
+    assert cross <= max(base, 5), (
+        f"cross-replica pairs {cross} exceed single-replica organic "
+        f"count {base}: the amplification remap has re-correlated"
+    )

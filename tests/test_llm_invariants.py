@@ -1210,55 +1210,95 @@ def test_p14_consistent_with_d16(spark, sf_dir):
         assert d16[d] == (kept, removed), (d, d16[d], (kept, removed))
 
 
-def _serial_phash(text: str) -> int:
-    """The m07 hash re-derived serially: threshold each of the 32
-    md5-hex nibbles against their mean (exact: /32 is a power of 2)."""
+def _serial_phash64(text: str, doc_id: int) -> int:
+    """The m07 hash re-derived serially: payload = raw md5(text) bytes
+    repeated k = 1 + doc_id % 4 times; features = the 64 nibbles of
+    sha256 over the UPPERCASE payload hex, each thresholded against
+    their mean (exact: /64 is a power of 2)."""
     import hashlib
 
-    ns = [int(c, 16) for c in hashlib.md5(text.encode()).hexdigest()[:32]]
-    m = sum(ns) / 32.0
-    return sum((1 << i) for i in range(32) if ns[i] >= m)
+    payload = hashlib.md5(text.encode()).digest() * (1 + doc_id % 4)
+    sh = hashlib.sha256(payload.hex().upper().encode()).hexdigest()
+    ns = [int(c, 16) for c in sh]
+    m = sum(ns) / 64.0
+    return sum((1 << i) for i in range(64) if ns[i] >= m)
 
 
-def test_m07_banding_is_exact_recall_at_threshold(spark, tmp_path):
-    """The pigeonhole guarantee: ≤3 differing bits cannot touch all 4
-    8-bit bands, so the banded candidate join over distinct hashes —
-    plus the identical-hash self-join — must find EVERY pair at the
-    verify threshold. Checked against an exhaustive serial Hamming
-    scan on a crafted corpus containing one pair at EACH distance
-    0..3 (the probe texts were mined offline for genuine 32-bit phash
-    near-collisions) and unrelated fillers, so recall is exercised at
-    every distance the threshold admits, not just the easy exact-dup
-    case."""
+def test_m07_hash_stage_matches_serial_reference(spark, tmp_path):
+    """The distributed text→hash stage (sha256-nibble threshold over
+    the payload hex, two 32-bit words) equals the serial rederivation
+    bit-for-bit — including the k-copies payload dependence on doc_id
+    and the identical-text hamming-0 pair through the full m07."""
     from kafka2clickhouse_py_streamer_spark.llm.multimodal import (
-        PHASH_HAMMING_MAX,
         m07_phash_neardup,
+        phash_hashes,
     )
 
-    probes = {
-        1: ("probe text number 6767 for phash search",
-            "probe text number 10737 for phash search"),
-        2: ("probe text number 2774 for phash search",
-            "probe text number 4731 for phash search"),
-        3: ("probe text number 165 for phash search",
-            "probe text number 201 for phash search"),
-    }
-    for d, (a, b) in probes.items():
-        assert bin(_serial_phash(a) ^ _serial_phash(b)).count("1") == d
-    rows = [(10, "identical payload text"), (11, "identical payload text")]
-    nxt = 20
-    for a, b in probes.values():
-        rows += [(nxt, a), (nxt + 1, b)]
-        nxt += 10
-    for j in range(6):  # unrelated fillers
-        rows.append((100 + j, f"filler document {j} with its own words"))
+    rows = [(10, "identical payload text"), (14, "identical payload text")]
+    rows += [(20 + j, f"serial twin doc {j} words") for j in range(6)]
     root = _write_docs(tmp_path, "phash_docs", rows)
-
     got = {
+        r.doc_id: (r.ph_hi << 32) | r.ph_lo
+        for r in phash_hashes(spark, root).collect()
+    }
+    assert got == {d: _serial_phash64(t, d) for d, t in rows}
+    # ids 10 and 14 share k (both % 4 == 2 -> 3 copies): identical
+    # payloads, found at hamming 0 by the same-hash join
+    pairs = {
         (r.doc_a, r.doc_b): r.hamming
         for r in m07_phash_neardup(spark, root).collect()
     }
-    hs = {d: _serial_phash(t) for d, t in rows}
+    assert pairs[(10, 14)] == 0
+
+
+def test_m07_banding_is_exact_recall_at_threshold(spark):
+    """The pigeonhole guarantee: ≤3 differing bits cannot touch all 4
+    16-bit bands, so the banded candidate join over distinct hashes —
+    plus the identical-hash self-join — must find EVERY pair at the
+    verify threshold. 64-bit near-collisions cannot be mined from
+    organic text (P(dist ≤ 3) ≈ 43k/2^64 per random pair), so the
+    recall property is pinned on CRAFTED hash values through the
+    factored phash_band_pairs core (the text→hash stage has its own
+    serial twin above): one pair at each distance 0..3, placed to
+    exercise single-band flips, cross-band flips, cross-HALF flips,
+    and the worst case of 3 bits in 3 different bands (only one band
+    intact), plus a distance-8 pair that must NOT appear."""
+    from kafka2clickhouse_py_streamer_spark.llm.multimodal import (
+        PHASH_HAMMING_MAX,
+        phash_band_pairs,
+    )
+
+    bases = [
+        0x0123_4567_89AB_CDEF,
+        0xF0F0_F0F0_0F0F_0F0F,
+        0x0000_FFFF_0000_FFFF,
+        0xDEAD_BEEF_CAFE_F00D,
+        0x1111_2222_3333_4444,
+        0xAAAA_5555_AAAA_5555,
+        0x7777_0000_8888_FFFF,
+        0x0F1E_2D3C_4B5A_6978,
+    ]
+    cases = [
+        (1000, bases[0]), (1001, bases[0]),              # dist 0
+        (1010, bases[1]), (1011, bases[1] ^ (1 << 5)),   # 1, band 0
+        (1020, bases[2]), (1021, bases[2] ^ (1 << 40)),  # 1, band 2
+        (1030, bases[3]), (1031, bases[3] ^ (0b11 << 10)),  # 2, one band
+        (1040, bases[4]),
+        (1041, bases[4] ^ ((1 << 3) | (1 << 60))),       # 2, both halves
+        (1050, bases[5]),
+        (1051, bases[5] ^ ((1 << 0) | (1 << 16) | (1 << 32))),  # 3 bands
+        (1060, bases[6]), (1061, bases[6] ^ (0b111 << 48)),  # 3, one band
+        (1070, bases[7]), (1071, bases[7] ^ 0xF000F),    # 8: excluded
+    ]
+    hs = dict(cases)
+    df = spark.createDataFrame(
+        [(d, h >> 32, h & 0xFFFFFFFF) for d, h in cases],
+        "doc_id long, ph_hi long, ph_lo long",
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in phash_band_pairs(df).collect()
+    }
     expect = {}
     ids = sorted(hs)
     for i, a in enumerate(ids):

@@ -1221,10 +1221,20 @@ def test_d18_bloom_probe_broadcasts_bits_not_shingles(spark, sf_dir):
 def test_m07_phash_bands_never_pair_scan(spark, sf_dir):
     # perceptual near-dup: candidates come from band equi-collisions
     # (never a cross of the media table); the byte->hash projection is
-    # JVM-only — no mapInPandas, no Python row ops, nothing cartesian
+    # JVM-only — no mapInPandas, no Python row ops, nothing cartesian.
+    # Width floor (r11, the d06 lesson applied a second time): the
+    # 32-bit hash's 8-bit bands saturated at 256 values — the receipt
+    # measured band-candidate pairs ~ n^2/128, 99.9x at 10x data. The
+    # band-value space must stay >= 2^16 and divide the hash evenly.
     from kafka2clickhouse_py_streamer_spark.llm.multimodal import (
+        PHASH_BANDS,
+        PHASH_BITS,
         m07_phash_neardup,
     )
+
+    assert PHASH_BITS >= 64
+    assert PHASH_BITS % PHASH_BANDS == 0
+    assert PHASH_BITS // PHASH_BANDS >= 16
 
     df = m07_phash_neardup(spark, sf_dir)
     plan = formatted_plan(df)

@@ -114,6 +114,41 @@ HEAVY = [
 VOWELS = "aeiou"
 
 
+def amplify_docs(src, r: int):
+    """Replica ``r`` of the documents table: doc_id shifted, text
+    under a per-replica INJECTIVE remap of all five vowels (distinct
+    target letters via a stride-3 window at offset 2r; replica 0 is
+    the identity). The previous two-letter rotation (translate 'ae'
+    only) left every a/e-free WORD identical across replicas, so
+    word-feature operators (d06 SimHash) saw 10-way cross-replica
+    near-dup cliques — measured r10: 59M of 89M sf1 pairs were
+    cross-replica, the exact quadratic distortion this decorrelation
+    exists to prevent. With all vowels remapped, only wholly
+    vowel-less words survive across replicas; shingle- and word-level
+    features both decorrelate.
+
+    Module-level (not nested in generate) so the fixture guard
+    (tests/test_fixtures.py) can re-run the remap on a mini
+    amplification and pin the cross-replica pair count — a future
+    generator edit must not silently reinflate the sf1 pair graph
+    every ratio in SCALE.md depends on."""
+    from pyspark.sql import functions as F
+
+    tgt = "".join(
+        chr(ord("a") + (2 * r + 3 * i) % 26) for i in range(5)
+    )
+    return src.select(
+        (F.col("doc_id") + F.lit(r * SHIFT)).alias("doc_id"),
+        (
+            F.col("text") if r == 0
+            else F.translate("text", VOWELS, tgt)
+        ).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+
+
 def generate(spark) -> None:
     from pyspark.sql import functions as F
 
@@ -131,31 +166,7 @@ def generate(spark) -> None:
         df.repartition(32).write.mode("overwrite").parquet(out)
         print(f"generated {name}", file=sys.stderr)
 
-    def docs(src, r):
-        # Per-replica INJECTIVE remap of all five vowels (distinct
-        # target letters via a stride-3 window at offset 2r; replica 0
-        # is the identity). The previous two-letter rotation
-        # (translate 'ae' only) left every a/e-free WORD identical
-        # across replicas, so word-feature operators (d06 SimHash)
-        # saw 10-way cross-replica near-dup cliques — measured r10:
-        # 59M of 89M sf1 pairs were cross-replica, the exact
-        # quadratic distortion this decorrelation exists to prevent.
-        # With all vowels remapped, only wholly vowel-less words
-        # survive across replicas; shingle- and word-level features
-        # both decorrelate.
-        tgt = "".join(
-            chr(ord("a") + (2 * r + 3 * i) % 26) for i in range(5)
-        )
-        return src.select(
-            (F.col("doc_id") + F.lit(r * SHIFT)).alias("doc_id"),
-            (
-                F.col("text") if r == 0
-                else F.translate("text", VOWELS, tgt)
-            ).alias("text"),
-            "lang",
-            "source",
-            "n_chars",
-        )
+    docs = amplify_docs
 
     def embs(src, r):
         jitter = F.transform(

@@ -318,8 +318,66 @@ def check_window_claims(docs: list[str] | None = None) -> list[str]:
     return problems
 
 
+def check_headline_citation() -> list[str]:
+    """The round-10 verdict (item 4): the driver-run headline noise
+    band (~±15%) now exceeds a typical round's real delta, so the
+    TRACKED number is the committed sf0.1 sidecar median
+    (BENCH_SPREAD.json) with the driver's BENCH_r{N} run quoted beside
+    it. The LATEST round note must cite BOTH numbers — one alone
+    cherry-picks whichever run looks better.
+
+    Only enforced once both artifacts exist; the sidecar value is
+    resolved from the newest sf0.1 recording (working tree if it is an
+    sf0.1 run, else the most recent committed sf0.1 version)."""
+    rounds = sorted(glob.glob(os.path.join(REPO, "ROUND*.md")),
+                    key=lambda p: int(re.search(r"(\d+)", p).group(1)))
+    if not rounds:
+        return []
+    note = rounds[-1]
+    if int(re.search(r"(\d+)", os.path.basename(note)).group(1)) < 11:
+        return []  # the two-number convention starts at round 11
+    # every recorded sf0.1 sidecar value is quotable — the note's
+    # author cites the one they recorded this round; the driver's own
+    # post-seal rerun also lands in this set (it too is a recording)
+    sidecar_vals = set()
+    candidates = []
+    try:
+        candidates.append(json.load(open(os.path.join(REPO, "BENCH_SPREAD.json"))))
+    except Exception:
+        pass
+    candidates += _committed_versions("BENCH_SPREAD.json")
+    for c in candidates:
+        if c.get("sf") == 0.1 and isinstance(c.get("value"), (int, float)):
+            sidecar_vals.add(c["value"])
+    # latest driver bench
+    driver_val = None
+    benches = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))
+    for p in reversed(benches):
+        parsed = (json.load(open(p)).get("parsed")) or {}
+        if isinstance(parsed.get("value"), (int, float)):
+            driver_val = (os.path.basename(p), parsed["value"])
+            break
+    if not sidecar_vals or driver_val is None:
+        return []
+    text = open(note, encoding="utf-8").read()
+    problems = []
+    if not any(f"{v}" in text for v in sidecar_vals):
+        problems.append(
+            f"{os.path.basename(note)}: must quote the tracked sf0.1 "
+            f"sidecar median (a recorded BENCH_SPREAD.json value; "
+            f"recorded: {sorted(sidecar_vals)})"
+        )
+    if f"{driver_val[1]}" not in text:
+        problems.append(
+            f"{os.path.basename(note)}: must quote the latest driver "
+            f"headline beside the sidecar ({driver_val[1]} s, {driver_val[0]})"
+        )
+    return problems
+
+
 if __name__ == "__main__":
-    probs = check() + check_counts() + check_window_claims()
+    probs = (check() + check_counts() + check_window_claims()
+             + check_headline_citation())
     for p in probs:
         print(p)
     if probs:
