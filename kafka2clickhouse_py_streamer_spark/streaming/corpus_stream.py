@@ -752,8 +752,17 @@ def _list_foldable(fs, root, through_batch: int):
     return parts
 
 
+class CompactionCrash(RuntimeError):
+    """Raised by the fault-injection seam below — a deterministic
+    stand-in for the process dying at a chosen point of the swap, so
+    the soak (tools/streaming_soak.py) can kill a compaction mid-fold
+    against the LIVE stream state and prove recovery, not just the
+    unit-fixture recovery test."""
+
+
 def _fold_and_swap(
-    spark, state_dir: str, consolidated, old_parts, through_batch: int
+    spark, state_dir: str, consolidated, old_parts, through_batch: int,
+    _crash_point: str | None = None,
 ) -> None:
     """Crash-recoverable partition swap shared by the digest compactor
     (DISTINCT fold) and the sketch compactor (SUM fold):
@@ -773,10 +782,14 @@ def _fold_and_swap(
     tmp = jvm.org.apache.hadoop.fs.Path(state_dir, _TMP_NAME)
     fs.delete(tmp, True)
     consolidated.write.mode("overwrite").parquet(str(tmp))
+    if _crash_point == "before_marker":  # fault-injection seam
+        raise CompactionCrash("injected crash before commit marker")
     marker = jvm.org.apache.hadoop.fs.Path(
         str(tmp), f"{_THROUGH_PREFIX}{through_batch}"
     )
     fs.create(marker, True).close()  # commit point
+    if _crash_point == "after_marker":  # fault-injection seam
+        raise CompactionCrash("injected crash after commit marker")
     for p in old_parts:
         fs.delete(p, True)
     target = jvm.org.apache.hadoop.fs.Path(
@@ -786,7 +799,10 @@ def _fold_and_swap(
         raise RuntimeError(f"compaction swap failed: {tmp} -> {target}")
 
 
-def compact_state(spark, state_dir: str, through_batch: int) -> int:
+def compact_state(
+    spark, state_dir: str, through_batch: int,
+    _crash_point: str | None = None,
+) -> int:
     """Fold the per-batch state partitions up to ``through_batch`` into
     ONE compacted partition (``batch_id=-1``) — the maintenance step
     that keeps a long-running stream's state table from accreting one
@@ -828,5 +844,8 @@ def compact_state(spark, state_dir: str, through_batch: int) -> int:
         .select(*keep_cols)
         .distinct()
     )
-    _fold_and_swap(spark, state_dir, consolidated, old_parts, through_batch)
+    _fold_and_swap(
+        spark, state_dir, consolidated, old_parts, through_batch,
+        _crash_point=_crash_point,
+    )
     return len(old_parts)

@@ -972,6 +972,76 @@ def test_d14_compaction_during_live_stream(spark, tmp_path):
     assert streamed == batch
 
 
+def test_compaction_killed_mid_fold_recovers_and_preserves_admission(
+    spark, tmp_path
+):
+    """Kill the compactor at BOTH sides of its commit point via the
+    fault-injection seam (the deterministic stand-in for a process
+    death the soak also drives end-to-end): a pre-marker kill rolls
+    back (sources untouched), a post-marker kill leaves a mid-swap
+    state that admission can still read (the dot-prefixed temp is
+    invisible), and the next maintenance call rolls forward — the
+    probe batch admits identically to the never-crashed twin."""
+    from kafka2clickhouse_py_streamer_spark.streaming.corpus_stream import (
+        CompactionCrash,
+        compact_state,
+        dedup_admit_batch,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "completely different words in this second document"),
+        (3, "the quick brown fox jumps over the lazy dog"),
+        (4, "novel content that matches nothing seen before"),
+    ]
+    probe = [
+        (7, "the quick brown fox jumps over the lazy dog"),  # dup of 1
+        (8, "entirely fresh text no prior batch ever claimed"),
+    ]
+
+    def run(tag, crash_point):
+        out = str(tmp_path / f"{tag}_o")
+        state = str(tmp_path / f"{tag}_s")
+        for bid, lo, hi in ((0, 0, 2), (1, 2, 4)):
+            dedup_admit_batch(
+                spark.createDataFrame(
+                    rows[lo:hi], "doc_id long, text string"
+                ),
+                bid, out, state,
+            )
+        if crash_point:
+            with pytest.raises(CompactionCrash):
+                compact_state(
+                    spark, state, through_batch=1,
+                    _crash_point=crash_point,
+                )
+            # mid-swap (or rolled-back) state is still readable by
+            # admission: the NEXT batch runs over it untouched
+            dedup_admit_batch(
+                spark.createDataFrame(
+                    [(6, "yet another unique closing document")],
+                    "doc_id long, text string",
+                ),
+                2, out, state,
+            )
+        removed = compact_state(spark, state, through_batch=2)
+        assert removed > 0
+        dedup_admit_batch(
+            spark.createDataFrame(probe, "doc_id long, text string"),
+            3, out, state,
+        )
+        return sorted(
+            r.doc_id for r in spark.read.parquet(out).collect()
+        )
+
+    clean = run("clean", None)
+    for crash_point in ("before_marker", "after_marker"):
+        got = run(crash_point, crash_point)
+        # id 6 only exists in the crashed runs' extra batch
+        assert [d for d in got if d != 6] == clean, (crash_point, got)
+        assert 7 not in got and 8 in got
+
+
 def test_state_compaction_preserves_admission(spark, tmp_path):
     """Folding committed per-batch state partitions into the compacted
     partition must change NOTHING about subsequent admission decisions

@@ -8,7 +8,11 @@ with persisted offsets) through the REAL Structured Streaming machinery
   checkpoint that must continue — not restart — the stream,
 - a mid-soak state compaction of the fingerprint store (the additive
   per-shard mass store is deliberately NOT folded: ``compact_state``'s
-  DISTINCT is correct for claim/digest layouts, not for summands),
+  DISTINCT is correct for claim/digest layouts, not for summands) —
+  KILLED MID-FOLD (after the commit marker, before delete/rename, via
+  the fault-injection seam): one full micro-batch then streams over
+  the mid-swap state, and the next maintenance call must roll the
+  swap forward (r10 verdict item 8),
 - a recorded per-batch state-store size curve (fps/mass/checkpoint
   bytes + file counts) — the artifact round 6's verdict asked for: a
   claim of "replay-idempotent stateful streaming" backed by a recorded
@@ -81,6 +85,7 @@ def main() -> None:
     from kafka2clickhouse_py_streamer_spark.operators.base import table
     from kafka2clickhouse_py_streamer_spark.session import get_spark
     from kafka2clickhouse_py_streamer_spark.streaming.corpus_stream import (
+        CompactionCrash,
         compact_state,
         start_streaming_rag_ingest,
     )
@@ -103,11 +108,12 @@ def main() -> None:
     # batches (the mid-soak compaction fires at killed_at + 2). Fail
     # fast here — before any query starts — instead of asserting after
     # the whole feed loop has run with a live query leaked (r7 advice).
-    if not 0 < args.kill_after <= len(slices) - 3:
+    if not 0 < args.kill_after <= len(slices) - 4:
         ap.error(
-            f"--kill-after must be in [1, {len(slices) - 3}] for "
-            f"{len(slices)} non-empty batches (need >=2 post-resume "
-            "batches so the mid-soak compaction point is reached)"
+            f"--kill-after must be in [1, {len(slices) - 4}] for "
+            f"{len(slices)} non-empty batches (need >=3 post-resume "
+            "batches: the crash-injected compaction fires at kill+2 "
+            "and its recovery at kill+3)"
         )
 
     work = tempfile.mkdtemp(prefix="rag_soak_")
@@ -221,23 +227,53 @@ def main() -> None:
             print(f"batch {i} (resumed): {curve[-1]['wall_sec']}s "
                   f"fps={curve[-1]['fps_state']['bytes']}B", flush=True)
             if i == killed_at + 2:
-                # mid-soak maintenance: fold committed fingerprint
-                # partitions (NOT mass — DISTINCT would collapse equal
-                # summands) while the stream is between batches
-                fps_before = dir_stats(os.path.join(state, "fps"))
-                folded = compact_state(
-                    spark, os.path.join(state, "fps"), i - 1
-                )
-                fps_after = dir_stats(os.path.join(state, "fps"))
+                # mid-soak maintenance with a KILL MID-FOLD (r10
+                # verdict item 8): the first compaction attempt dies
+                # AFTER its commit marker (fold materialized, sources
+                # not yet deleted, rename not done) via the
+                # fault-injection seam — the mid-swap state (dot-
+                # prefixed temp is invisible to parquet listings) must
+                # leave the live stream's admission untouched for the
+                # NEXT full batch, and the following maintenance call
+                # must roll the swap FORWARD, not refold or lose
+                # claims. Fold committed fingerprint partitions only
+                # (NOT mass — DISTINCT would collapse equal summands).
+                fps_dir = os.path.join(state, "fps")
+                fps_before = dir_stats(fps_dir)
+                crashed = False
+                try:
+                    compact_state(
+                        spark, fps_dir, i - 1,
+                        _crash_point="after_marker",
+                    )
+                except CompactionCrash:
+                    crashed = True
+                fps_mid_swap = dir_stats(fps_dir)
                 compaction = {
                     "after_batch": i,
-                    "partitions_folded": folded,
+                    "crash_injected": "after_marker",
+                    "crashed": crashed,
                     "fps_before": fps_before,
-                    "fps_after": fps_after,
+                    "fps_mid_swap": fps_mid_swap,
                 }
-                print(f"compacted {folded} fps partitions: "
-                      f"{fps_before['files']} -> {fps_after['files']} "
-                      "files", flush=True)
+                print(f"compaction killed mid-fold after batch {i} "
+                      f"(state {fps_mid_swap['files']} files incl. "
+                      "temp)", flush=True)
+            if i == killed_at + 3 and compaction is not None:
+                # next maintenance call: recovery rolls forward, then
+                # folds whatever accreted since (the batch streamed
+                # OVER the mid-swap state)
+                fps_dir = os.path.join(state, "fps")
+                folded = compact_state(spark, fps_dir, i - 1)
+                fps_after = dir_stats(fps_dir)
+                compaction.update({
+                    "recovered_after_batch": i,
+                    "partitions_folded": folded,
+                    "fps_after": fps_after,
+                })
+                print(f"recovered + compacted {folded} fps "
+                      f"partitions: {compaction['fps_before']['files']}"
+                      f" -> {fps_after['files']} files", flush=True)
     finally:
         q.stop()
 
