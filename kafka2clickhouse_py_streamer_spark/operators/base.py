@@ -276,15 +276,15 @@ _VERIFY_FIRST = [
     "p23_weighted_sample",
     "p24_shard_balance",
     "s25_radius_search",
-    # green-r10
+    # green-r10 but file churned since
+    "m03_frame_sample",
+    "m04_feature_extract",
+    "m05_media_dedup",
     "q01_pricing_summary",
     "q06_revenue_filter",
     "q12_distinct_agg",
     "q13_rollup",
     "q41_map_fns",
-    "m03_frame_sample",
-    "m04_feature_extract",
-    "m05_media_dedup",
     "p03_sequence_packing",
     "p08_flatten_mix",
     "p09_incremental_refresh",

@@ -558,9 +558,12 @@ def test_vacuous_mirror_greens_have_nonempty_twins(
         os.path.join(d05_dir, "embeddings.parquet"),
     )
 
-    # crafted fixture for m07: duplicate texts → identical fake media
-    # payloads → phash Hamming distance 0 (the adversarial documents
-    # fixture has all-distinct texts, so no near-dup media pair exists)
+    # crafted fixture for m07: duplicate texts at SAME doc_id % 4
+    # (ids 1 and 5 — the full-payload 64-bit hash includes the
+    # k = 1 + doc_id % 4 copy count, so only same-text same-k media
+    # are identical payloads) → phash Hamming distance 0 (the
+    # adversarial documents fixture has all-distinct texts, so no
+    # near-dup media pair exists)
     m07_dir = str(tmp_path / "dup_media_docs")
     os.makedirs(m07_dir)
     for p in glob.glob(os.path.join(SRC, "*.parquet")):
@@ -572,7 +575,7 @@ def test_vacuous_mirror_greens_have_nonempty_twins(
     ]
     pq.write_table(
         pa.table({
-            "doc_id": pa.array(list(range(1, 6)), pa.int64()),
+            "doc_id": pa.array([1, 5, 2, 3, 4], pa.int64()),
             "text": pa.array(dup_texts, pa.string()),
             "lang": pa.array(["en"] * 5, pa.string()),
             "source": pa.array(["web"] * 5, pa.string()),
