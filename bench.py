@@ -103,6 +103,36 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     registry = all_queries()
 
+    # HOST CALIBRATION (round 11): a fixed, data-free, deterministic
+    # JVM workload (whole-stage-codegen sum over a range — no I/O, no
+    # shuffle variability, no Python) timed median-of-3. The round-10
+    # verdict flagged the headline noise band (±15%+) exceeding a
+    # round's real delta; r11 measured three same-HEAD totals 20-37%
+    # above the r10 seal with UNTOUCHED code (train_centroids moved
+    # identically). This anchor lets any round separate "the host is
+    # slower today" from "the engine regressed": compare
+    # host_calibration_sec across recordings before reading the
+    # headline delta as a code signal.
+    cal_samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(1_000_000_000).selectExpr(
+            "sum(id * 3 + 1) as s"
+        ).collect()
+        cal_samples.append(time.perf_counter() - t0)
+    host_cal = round(sorted(cal_samples)[1], 3)
+    # second leg: a fixed shuffle (spill path / local-disk write+read)
+    # — the offsets-heavy queries are disk-sensitive and a CPU-only
+    # anchor can't see a slow disk day
+    shuf_samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(50_000_000).withColumnRenamed("id", "k").repartition(
+            64, "k"
+        ).selectExpr("sum(k) as s").collect()
+        shuf_samples.append(time.perf_counter() - t0)
+    host_cal_shuffle = round(sorted(shuf_samples)[1], 3)
+
     # Pay the shared Lloyd centroid training ONCE, up front and timed
     # (round-5 advice: the s12/s13/s14 headline numbers were dominated
     # by whichever query happened to run first and fill the per-session
@@ -172,7 +202,10 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    line, sidecar = format_output(times, spreads, train_sec, sf_val)
+    line, sidecar = format_output(
+        times, spreads, train_sec, sf_val, host_cal_sec=host_cal,
+        host_cal_shuffle_sec=host_cal_shuffle,
+    )
     # The sidecar is the TRACKED median-of-3 record at the driver's
     # bench scale (sf0.1) — round notes quote it beside the driver run
     # (checked by tools/check_doc_metrics.py). A smoke run at another
@@ -194,6 +227,8 @@ def format_output(
     spreads: dict[str, list[float]],
     train_sec: float,
     sf_val: float | str,
+    host_cal_sec: float | None = None,
+    host_cal_shuffle_sec: float | None = None,
 ) -> tuple[str, dict]:
     """Build the one-line stdout JSON and the full sidecar payload.
 
@@ -228,6 +263,12 @@ def format_output(
         "train_centroids_sec": train_sec,
         "sf": sf_val,
     }
+    if host_cal_sec is not None:
+        # the fixed data-free JVM anchors (see main) — sidecar only;
+        # the stdout line stays minimal under the driver's tail cap
+        sidecar["host_calibration_sec"] = host_cal_sec
+    if host_cal_shuffle_sec is not None:
+        sidecar["host_calibration_shuffle_sec"] = host_cal_shuffle_sec
     return line, sidecar
 
 
