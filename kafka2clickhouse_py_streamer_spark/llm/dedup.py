@@ -616,76 +616,108 @@ ORDER BY doc_a, doc_b
 """
 
 
-SIMHASH_BITS = 32
+SIMHASH_BITS = 64  # two 32-bit halves (simhash_hi, simhash_lo)
+_SIMHASH_HALF = SIMHASH_BITS // 2
 
 
-def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash: per-token md5-prefix hash, per-bit majority vote over
-    the document's tokens -> 32-bit fingerprint. Explode + one groupBy
-    with 32 conditional sums — pure JVM aggregation.
+def simhash_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash_hi, simhash_lo): the 64-bit SimHash per
+    document, carried as two non-negative 32-bit halves — d04's core,
+    factored out (unsorted) so d06 can lineage-cut it and the scale
+    receipt tools measure the exact production frame.
 
-    WIDTH MATTERS (r10): the original 16-bit fingerprint put 50k+ docs
-    into a 65k-value space where P(random pair within hamming<=3) ≈
-    1.1e-2 — the sf1 probe measured the resulting quadratic blowup
-    (d06 pair count grew 26x at 10x data; the same trap m07's
-    docstring documents for media hashes, fixed there with 32 bits).
-    At 32 bits the random-collision rate is ~5.6e-7 and the band value
-    space is 256 per band, so d06's candidate join stays linear in the
-    true near-dup count. The token hash is an md5 prefix rather than
-    the old 4-char-prefix polynomial: the polynomial capped entropy at
-    ~22 bits (upper fingerprint bits would never vote 1) and collided
-    all tokens sharing a 4-char prefix; md5 hashes the WHOLE token
-    with uniform bits, and both engines compute it identically (the
-    d24 shingle-digest / m07 idiom)."""
+    WIDTH MATTERS, learned three times (d04 r10, m07 r11, d06 r11):
+    the original 16-bit fingerprint put 50k+ docs into a 65k-value
+    space (P(random pair within hamming<=3) ≈ 1.1e-2 — d06's pair
+    graph grew 26x at 10x data); the 32-bit replacement fixed the
+    RANDOM-collision rate (~5.6e-7) but its 4x8-bit bands kept a
+    256-value band space whose candidate join is ~n²/128 — the exact
+    saturation the r11 m07 receipt measured at 50k media, fatal at
+    500k. 64 bits give 4x16-bit bands (65,536 values per band,
+    occupancy < 1 up to ~65k DISTINCT fingerprints, the deployment
+    re-bands beyond); two halves because a single 64-bit value would
+    overflow signed BIGINT at bit 63 — both engines carry each half
+    as a plain non-negative integer.
+
+    The token hash is the first 16 md5 hex chars split 8/8 into the
+    two words (md5 hashes the WHOLE token with uniform bits; the old
+    4-char-prefix polynomial capped entropy at ~22 bits and collided
+    all tokens sharing a prefix)."""
     d = table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
         F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok"),
     ).filter(F.length("tok") > 0)
-    # 8 hex chars of md5 = 32 uniform bits, non-negative, fits long
+    # 8+8 hex chars of md5 = 2x32 uniform bits, non-negative longs
+    md5 = F.md5(F.col("tok"))
     toks = toks.withColumn(
-        "th",
-        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast(
-            "long"
-        ),
+        "th_lo", F.conv(F.substring(md5, 1, 8), 16, 10).cast("long")
+    ).withColumn(
+        "th_hi", F.conv(F.substring(md5, 9, 8), 16, 10).cast("long")
     )
+
+    def vote(b: int):
+        word = F.col("th_lo") if b < _SIMHASH_HALF else F.col("th_hi")
+        return F.sum(
+            F.when(
+                F.shiftright(word, b % _SIMHASH_HALF).bitwiseAND(1) == 1,
+                1,
+            ).otherwise(-1)
+        ).alias(f"v{b}")
+
     votes = toks.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("th"), b).bitwiseAND(1) == 1, 1)
-                .otherwise(-1)
-            ).alias(f"v{b}")
-            for b in range(SIMHASH_BITS)
-        ]
+        *[vote(b) for b in range(SIMHASH_BITS)]
     )
-    simhash = None
-    for b in range(SIMHASH_BITS):
-        bit = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
-        simhash = bit if simhash is None else simhash + bit
+
+    def word(lo_bit: int):
+        out = None
+        for i in range(_SIMHASH_HALF):
+            bit = F.when(
+                F.col(f"v{lo_bit + i}") > 0, F.lit(1 << i)
+            ).otherwise(F.lit(0))
+            out = bit if out is None else out + bit
+        return out.cast("long")
+
     return votes.select(
-        "doc_id", simhash.cast("long").alias("simhash")
-    ).orderBy("doc_id")
+        "doc_id",
+        word(_SIMHASH_HALF).alias("simhash_hi"),
+        word(0).alias("simhash_lo"),
+    )
+
+
+def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash: per-token md5-prefix hash, per-bit majority vote over
+    the document's tokens -> 64-bit fingerprint as two 32-bit words.
+    Explode + one groupBy with 64 conditional sums — pure JVM
+    aggregation. Width/layout rationale: :func:`simhash_fp`."""
+    return simhash_fp(spark, sf_dir).orderBy("doc_id")
 
 
 def _d04_sql() -> str:
-    # md5-prefix token hash, the Spark side's exact twin (32 uniform
-    # bits; '0x'||hex cast is the m07 cross-engine idiom)
-    th = "CAST('0x' || SUBSTRING(md5(tok), 1, 8) AS BIGINT)"
+    # md5-prefix token hash split into two 32-bit words, the Spark
+    # side's exact twin ('0x'||hex cast is the m07 cross-engine idiom)
     votes = ",\n         ".join(
-        f"SUM(CASE WHEN (th >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        f"SUM(CASE WHEN ({'th_lo' if b < _SIMHASH_HALF else 'th_hi'}"
+        f" >> {b % _SIMHASH_HALF}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
         for b in range(SIMHASH_BITS)
     )
-    combine = " + ".join(
-        f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)"
-        for b in range(SIMHASH_BITS)
-    )
+
+    def combine(lo_bit: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN v{lo_bit + i} > 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(_SIMHASH_HALF)
+        )
+
     return f"""
 WITH toks AS (
   SELECT doc_id, UNNEST(regexp_split_to_array(TRIM(LOWER(text)), '\\s+')) AS tok
   FROM documents
 ),
 hashed AS (
-  SELECT doc_id, {th} AS th FROM toks WHERE LENGTH(tok) > 0
+  SELECT doc_id,
+         CAST('0x' || SUBSTRING(md5(tok), 1, 8) AS BIGINT) AS th_lo,
+         CAST('0x' || SUBSTRING(md5(tok), 9, 8) AS BIGINT) AS th_hi
+  FROM toks WHERE LENGTH(tok) > 0
 ),
 votes AS (
   SELECT doc_id,
@@ -693,7 +725,9 @@ votes AS (
   FROM hashed
   GROUP BY doc_id
 )
-SELECT doc_id, CAST({combine} AS BIGINT) AS simhash
+SELECT doc_id,
+       CAST({combine(_SIMHASH_HALF)} AS BIGINT) AS simhash_hi,
+       CAST({combine(0)} AS BIGINT) AS simhash_lo
 FROM votes
 ORDER BY doc_id
 """
@@ -702,76 +736,195 @@ ORDER BY doc_id
 SIMHASH_HAMMING_MAX = 3
 SIMHASH_BANDS = 4  # pigeonhole: hamming<=3 ⇒ ≥1 of 4 bands identical
 SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
+_SIMHASH_HALF_BANDS = SIMHASH_BANDS // 2
 
 
 def d06_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairing: candidates block on 8-bit fingerprint
-    bands (pigeonhole guarantees recall for hamming ≤ 3), verified with
-    exact popcount(xor). Same LSH-banding plan shape as d03 but over a
-    32-bit integer — the cheapest near-dup join there is: the shuffle
-    key is 4 bytes and verify is two ALU ops. Width is load-bearing:
-    see d04's docstring for the r10 measurement of the 16-bit
-    variant's quadratic random-collision blowup."""
-    fp = d04_simhash(spark, sf_dir)
-    band_cols = [
-        F.struct(
-            F.lit(bi).alias("band_id"),
-            F.shiftright(F.col("simhash"), bi * SIMHASH_BAND_BITS)
-            .bitwiseAND((1 << SIMHASH_BAND_BITS) - 1)
-            .alias("band_val"),
+    """SimHash near-dup pairing: DISTINCT fingerprints block on
+    16-bit bands (pigeonhole guarantees recall for hamming ≤ 3),
+    verified with exact popcount(xor) per half; fingerprint pairs
+    expand back to doc pairs, and identical-fingerprint groups pair
+    by a plain (hi, lo) self-join — the m07 shape applied to text.
+
+    Two r11 changes, both receipted (RECEIPT_GRAPHS/RECEIPT_SF10):
+    (1) banding runs over DISTINCT fingerprints, never doc rows —
+        exact-duplicate documents (the dominant real-world case)
+        cost output-size, not occupancy², in the candidate join;
+    (2) 64-bit width makes the band space 65,536 values (the 32-bit
+        variant's 256-value bands were ~n²/128 in the candidate
+        join — the m07 defect one module over).
+    The shuffle key is still tiny (two 4-byte words) and verify is
+    four ALU ops. Width history: :func:`simhash_fp`."""
+    from kafka2clickhouse_py_streamer_spark.functions.graph import (
+        iter_materialize,
+    )
+
+    # (doc_id, hi, lo) is referenced FIVE times downstream (the
+    # distinct banding chain, both sides of the fingerprint→doc
+    # expansion, both sides of the identical-fingerprint self-join);
+    # the cut is 24 bytes/row (m07's reasoning verbatim)
+    fp = iter_materialize(simhash_fp(spark, sf_dir))
+    hu = fp.select("simhash_hi", "simhash_lo").distinct()
+
+    def band_val(j: int):
+        word = (
+            F.col("simhash_lo") if j < _SIMHASH_HALF_BANDS
+            else F.col("simhash_hi")
         )
-        for bi in range(SIMHASH_BANDS)
-    ]
-    bands = fp.select(
-        "doc_id", "simhash", F.explode(F.array(*band_cols)).alias("bk")
-    ).select("doc_id", "simhash", "bk.band_id", "bk.band_val")
-    x = bands.alias("x")
-    y = bands.alias("y")
-    hamming = F.bit_count(
-        F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))
+        return F.shiftright(
+            word, (j % _SIMHASH_HALF_BANDS) * SIMHASH_BAND_BITS
+        ).bitwiseAND((1 << SIMHASH_BAND_BITS) - 1)
+
+    banded = hu.select(
+        "simhash_hi",
+        "simhash_lo",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band_id"),
+                        band_val(j).alias("band_val"),
+                    )
+                    for j in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("simhash_hi", "simhash_lo", "b.band_id", "b.band_val")
+    x = banded.alias("x")
+    y = banded.alias("y")
+    pair_order = (F.col("x.simhash_hi") < F.col("y.simhash_hi")) | (
+        (F.col("x.simhash_hi") == F.col("y.simhash_hi"))
+        & (F.col("x.simhash_lo") < F.col("y.simhash_lo"))
+    )
+    hamming = (
+        F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+        + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
     ).cast("long")
-    return (
+    hp = (
         x.join(
             y,
             (F.col("x.band_id") == F.col("y.band_id"))
             & (F.col("x.band_val") == F.col("y.band_val"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
+            & pair_order,
         )
         .select(
-            F.col("x.doc_id").alias("doc_a"),
-            F.col("y.doc_id").alias("doc_b"),
-            hamming.alias("hamming"),
+            F.col("x.simhash_hi").alias("hi_a"),
+            F.col("x.simhash_lo").alias("lo_a"),
+            F.col("y.simhash_hi").alias("hi_b"),
+            F.col("y.simhash_lo").alias("lo_b"),
         )
-        .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
         .distinct()
-        .orderBy("doc_a", "doc_b")
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
     )
+    cross = (
+        hp.join(
+            fp.select(
+                F.col("doc_id").alias("id_a"),
+                F.col("simhash_hi").alias("hi_a"),
+                F.col("simhash_lo").alias("lo_a"),
+            ),
+            ["hi_a", "lo_a"],
+        )
+        .join(
+            fp.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("simhash_hi").alias("hi_b"),
+                F.col("simhash_lo").alias("lo_b"),
+            ),
+            ["hi_b", "lo_b"],
+        )
+        .select(
+            F.least("id_a", "id_b").alias("doc_a"),
+            F.greatest("id_a", "id_b").alias("doc_b"),
+            "hamming",
+        )
+    )
+    g1 = fp.alias("g1")
+    g2 = fp.alias("g2")
+    same = g1.join(
+        g2,
+        (F.col("g1.simhash_hi") == F.col("g2.simhash_hi"))
+        & (F.col("g1.simhash_lo") == F.col("g2.simhash_lo"))
+        & (F.col("g1.doc_id") < F.col("g2.doc_id")),
+    ).select(
+        F.col("g1.doc_id").alias("doc_a"),
+        F.col("g2.doc_id").alias("doc_b"),
+        F.lit(0).cast("long").alias("hamming"),
+    )
+    return cross.unionByName(same).orderBy("doc_a", "doc_b")
 
 
 def _d06_sql() -> str:
     d04_core = _d04_sql().strip().rstrip()
     # reuse d04's CTE chain, re-rooted as a fingerprint relation
     core = d04_core[: d04_core.rindex("SELECT doc_id")]
-    bands = "\n  UNION ALL\n".join(
-        f"  SELECT doc_id, simhash, {bi} AS band_id,"
-        f" (simhash >> {bi * SIMHASH_BAND_BITS}) & {(1 << SIMHASH_BAND_BITS) - 1}"
-        f" AS band_val FROM fp"
-        for bi in range(SIMHASH_BANDS)
+    hi_combine = " + ".join(
+        f"(CASE WHEN v{_SIMHASH_HALF + i} > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(_SIMHASH_HALF)
     )
+    lo_combine = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(_SIMHASH_HALF)
+    )
+
+    def band_val(j: int) -> str:
+        w = "simhash_lo" if j < _SIMHASH_HALF_BANDS else "simhash_hi"
+        return (
+            f"({w} >> {(j % _SIMHASH_HALF_BANDS) * SIMHASH_BAND_BITS})"
+            f" & {(1 << SIMHASH_BAND_BITS) - 1}"
+        )
+
+    bands = "\n  UNION ALL\n".join(
+        f"  SELECT simhash_hi, simhash_lo, {j} AS band_id,"
+        f" {band_val(j)} AS band_val FROM hu"
+        for j in range(SIMHASH_BANDS)
+    )
+    ham = "bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b))"
     return f"""{core.rstrip()},
 fp AS (
-  SELECT doc_id, CAST({'+'.join(f'(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)' for b in range(SIMHASH_BITS))} AS BIGINT) AS simhash
+  SELECT doc_id,
+         CAST({hi_combine} AS BIGINT) AS simhash_hi,
+         CAST({lo_combine} AS BIGINT) AS simhash_lo
   FROM votes
+),
+hu AS (
+  SELECT DISTINCT simhash_hi, simhash_lo FROM fp
 ),
 bands AS (
 {bands}
+),
+hp AS (
+  SELECT hi_a, lo_a, hi_b, lo_b,
+         CAST({ham} AS BIGINT) AS hamming
+  FROM (
+    SELECT DISTINCT x.simhash_hi AS hi_a, x.simhash_lo AS lo_a,
+                    y.simhash_hi AS hi_b, y.simhash_lo AS lo_b
+    FROM bands x
+    JOIN bands y ON x.band_id = y.band_id AND x.band_val = y.band_val
+                AND (y.simhash_hi > x.simhash_hi
+                     OR (y.simhash_hi = x.simhash_hi
+                         AND y.simhash_lo > x.simhash_lo))
+  )
+  WHERE {ham} <= {SIMHASH_HAMMING_MAX}
+),
+allpairs AS (
+  SELECT LEAST(a.doc_id, b.doc_id) AS doc_a,
+         GREATEST(a.doc_id, b.doc_id) AS doc_b,
+         f.hamming
+  FROM hp f
+  JOIN fp a ON a.simhash_hi = f.hi_a AND a.simhash_lo = f.lo_a
+  JOIN fp b ON b.simhash_hi = f.hi_b AND b.simhash_lo = f.lo_b
+  UNION ALL
+  SELECT g1.doc_id AS doc_a, g2.doc_id AS doc_b,
+         CAST(0 AS BIGINT) AS hamming
+  FROM fp g1
+  JOIN fp g2 ON g2.simhash_hi = g1.simhash_hi
+            AND g2.simhash_lo = g1.simhash_lo
+            AND g2.doc_id > g1.doc_id
 )
-SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
-       CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
-FROM bands x
-JOIN bands y ON x.band_id = y.band_id AND x.band_val = y.band_val
-            AND x.doc_id < y.doc_id
-WHERE bit_count(xor(x.simhash, y.simhash)) <= {SIMHASH_HAMMING_MAX}
+SELECT doc_a, doc_b, hamming
+FROM allpairs
 ORDER BY doc_a, doc_b
 """
 
@@ -844,8 +997,8 @@ def _d07_sql() -> str:
     """Oracle: transitive closure via a recursive CTE over the same d06
     pair graph; MIN(reachable label) per node = the component id."""
     d06 = _d06_sql().strip()
-    cut = d06.rindex("SELECT DISTINCT")
-    ctes = d06[len("WITH"):cut].rstrip()
+    cut = d06.rindex("SELECT doc_a")
+    ctes = d06[len("WITH"):cut].rstrip().rstrip(",")
     pair_select = d06[cut:].split("ORDER BY")[0].rstrip()
     return f"""
 WITH RECURSIVE {ctes},

@@ -104,17 +104,22 @@ def test_d06_band_join_is_hash_equi_and_width_safe(spark, sf_dir):
     # r10: the 16-bit fingerprint put 50k docs in a 65k-value space
     # (P(random pair within hamming<=3) ~ 1.1e-2) and the sf1 probe
     # measured the quadratic pair blowup (3.4M pairs at sf0.1, 26x
-    # growth at 10x data). Pin the width floor AND the join shape: the
-    # band candidate join must stay a hash equi-join over band keys,
-    # never a cartesian/nested-loop, and fully JVM-side.
+    # growth at 10x data). r11 doubled down: the 32-bit variant's
+    # 8-bit bands were still ~n^2/128 in the candidate join (the m07
+    # receipt), so the floor is now 64 bits / 16-bit bands and the
+    # banding runs over DISTINCT fingerprints. Pin width, band space,
+    # AND the join shape: the band candidate join must stay a hash
+    # equi-join over band keys, never a cartesian/nested-loop, and
+    # fully JVM-side.
     from kafka2clickhouse_py_streamer_spark.llm.dedup import (
         SIMHASH_BANDS,
         SIMHASH_BITS,
         d06_simhash_pairs,
     )
 
-    assert SIMHASH_BITS >= 32
+    assert SIMHASH_BITS >= 64
     assert SIMHASH_BITS % SIMHASH_BANDS == 0
+    assert SIMHASH_BITS // SIMHASH_BANDS >= 16
     df = d06_simhash_pairs(spark, sf_dir)
     plan = formatted_plan(df)
     assert python_row_ops(df) == 0

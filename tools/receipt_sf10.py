@@ -1,0 +1,248 @@
+#!/usr/bin/env python
+"""Second-decade scale probe: the near-dup hash families at 100x data.
+
+The sf1 probe (tools/bench_sf1.py, 10x) caught two band-space
+quadratics (d04 16-bit in r10, m07 8-bit bands in r11) — each invisible
+at the scale below. This tool pushes the HASH-BLOCKED operators one
+more decade: 500k documents (100 replicas of sf0.1), where any
+remaining occupancy saturation must show in the candidate counts.
+
+Covered: d06 SimHash pairing (64-bit, 4x16-bit bands over DISTINCT
+fingerprints), m07/m08 perceptual-hash pairing + CC canonicalization
+(same layout), with d01 exact dedup and t01 token count as the linear
+baselines. For each, the STRUCTURAL quantities (distinct hashes,
+analytic band-candidate pairs, output pairs, CC rounds) are recorded at
+sf0.1, 10x, and 100x so wall ratios always have a measured explanation
+(the d04-receipt discipline).
+
+Decorrelation: each replica remaps the FULL alphabet (both cases) with
+a distinct affine map i -> (a*i + b) mod 26, a coprime to 26 (replica 0
+is the identity) — every letter-bearing word changes per replica, so
+the amplification adds organic-ish volume, not 100-way near-dup
+cliques; within-replica duplicate clusters replicate 100x, which is the
+DESIGNED case distinct-hash banding must absorb at output cost (a
+doc-level banding would pay clique^2 inside the join). The vowel-only
+remap bench_sf1 uses cannot scale past 13 replicas (its target window
+repeats); the affine family gives 312 distinct maps.
+
+Writes RECEIPT_SF10.json at the repo root. Bench-only data under
+$SF10_DIR (default /tmp/spark_graft_sf10); correctness oracles never
+run on this.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import string
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SRC = "/root/testdata/sf0.1"
+SF10_DIR = os.environ.get("SF10_DIR", "/tmp/spark_graft_sf10")
+SHIFT = 10_000_000
+# multiplicative residues coprime to 26; A[0]=1 so replica 0 with b=0
+# is the identity map
+_A = [1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25]
+
+
+def affine_alphabet(r: int) -> tuple[str, str]:
+    """(src, tgt) translate alphabets for replica ``r`` — a distinct
+    injective full-alphabet remap per replica, identity at r == 0."""
+    a, b = _A[r % len(_A)], r // len(_A)
+    lower = string.ascii_lowercase
+    tgt = "".join(lower[(a * i + b) % 26] for i in range(26))
+    return lower + lower.upper(), tgt + tgt.upper()
+
+
+def generate(spark, out_dir: str, replicas: int) -> None:
+    from pyspark.sql import functions as F
+
+    out = os.path.join(out_dir, "documents.parquet")
+    if os.path.exists(out):
+        return
+    os.makedirs(out_dir, exist_ok=True)
+    src = spark.read.parquet(os.path.join(SRC, "documents.parquet"))
+    parts = []
+    for r in range(replicas):
+        s, t = affine_alphabet(r)
+        parts.append(
+            src.select(
+                (F.col("doc_id") + F.lit(r * SHIFT)).alias("doc_id"),
+                (
+                    F.col("text") if r == 0
+                    else F.translate("text", s, t)
+                ).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    df.repartition(32).write.mode("overwrite").parquet(out)
+    print(f"generated {out} ({replicas} replicas)", file=sys.stderr)
+
+
+def d06_receipt(spark, sf_dir: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from kafka2clickhouse_py_streamer_spark.llm.dedup import (
+        SIMHASH_BAND_BITS,
+        SIMHASH_BANDS,
+        d06_simhash_pairs,
+        simhash_fp,
+    )
+
+    fp = simhash_fp(spark, sf_dir)
+    n_docs = fp.count()
+    hu = fp.select("simhash_hi", "simhash_lo").distinct()
+    n_distinct = hu.count()
+    half_bands = SIMHASH_BANDS // 2
+
+    def band_val(j):
+        word = (
+            F.col("simhash_lo") if j < half_bands else F.col("simhash_hi")
+        )
+        return F.shiftright(
+            word, (j % half_bands) * SIMHASH_BAND_BITS
+        ).bitwiseAND((1 << SIMHASH_BAND_BITS) - 1)
+
+    banded = hu.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band_id"),
+                        band_val(j).alias("band_val"),
+                    )
+                    for j in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("b")
+    ).select("b.band_id", "b.band_val")
+    band_pairs = int(
+        banded.groupBy("band_id", "band_val")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("p"))
+        .collect()[0]["p"]
+    )
+    t0 = time.perf_counter()
+    n_pairs = d06_simhash_pairs(spark, sf_dir).count()
+    wall = round(time.perf_counter() - t0, 3)
+    return {
+        "n_docs": n_docs,
+        "n_distinct_fp": n_distinct,
+        "band_candidate_fp_pairs": band_pairs,
+        "doc_pairs": n_pairs,
+        "d06_wall_sec": wall,
+    }
+
+
+def m07_receipt(spark, sf_dir: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from kafka2clickhouse_py_streamer_spark.functions.graph import (
+        connected_components,
+    )
+    from kafka2clickhouse_py_streamer_spark.llm.dedup import (
+        DEDUP_CC_MAX_ITERS,
+    )
+    from kafka2clickhouse_py_streamer_spark.llm.multimodal import (
+        m07_phash_neardup,
+        phash_banded,
+        phash_hashes,
+    )
+
+    hashed = phash_hashes(spark, sf_dir)
+    n_distinct = hashed.select("ph_hi", "ph_lo").distinct().count()
+    band_pairs = int(
+        phash_banded(hashed)
+        .groupBy("band_id", "band_val")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("p"))
+        .collect()[0]["p"]
+    )
+    t0 = time.perf_counter()
+    pairs = m07_phash_neardup(spark, sf_dir)
+    n_pairs = pairs.count()
+    m07_wall = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    _labels, rounds = connected_components(
+        pairs.select(
+            F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+        ),
+        max_iters=DEDUP_CC_MAX_ITERS,
+    )
+    cc_wall = round(time.perf_counter() - t0, 3)
+    return {
+        "n_distinct_ph": n_distinct,
+        "band_candidate_hash_pairs": band_pairs,
+        "doc_pairs": n_pairs,
+        "cc_rounds": rounds,
+        "m07_wall_sec": m07_wall,
+        "cc_wall_sec": cc_wall,
+    }
+
+
+def baselines(spark, sf_dir: str) -> dict:
+    from kafka2clickhouse_py_streamer_spark.operators.base import (
+        all_queries,
+    )
+
+    out = {}
+    reg = all_queries()
+    for name in ("d01_exact_dedup", "t01_token_count"):
+        t0 = time.perf_counter()
+        reg[name].fn(spark, sf_dir).count()
+        out[f"{name}_wall_sec"] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main() -> None:
+    from kafka2clickhouse_py_streamer_spark.session import get_spark
+
+    spark = get_spark(app_name="receipt-sf10")
+    spark.sparkContext.setLogLevel("ERROR")
+    ten = os.path.join(SF10_DIR, "x10")
+    hundred = os.path.join(SF10_DIR, "x100")
+    generate(spark, ten, 10)
+    generate(spark, hundred, 100)
+    # the non-document tables aren't read by these operators; point
+    # the dirs at documents only
+    out: dict = {"metric": "second_decade_scale_receipts"}
+    scales = [("sf0.1", SRC, 1), ("x10", ten, 10), ("x100", hundred, 100)]
+    for fam, fn in (
+        ("d06", d06_receipt),
+        ("m07", m07_receipt),
+        ("baselines", baselines),
+    ):
+        fam_out = {}
+        for label, d, _mult in scales:
+            fam_out[label] = fn(spark, d)
+            spark.catalog.clearCache()
+            print(f"{fam}@{label}: {json.dumps(fam_out[label])}",
+                  file=sys.stderr)
+        keys = [
+            k for k, v in fam_out["sf0.1"].items()
+            if isinstance(v, (int, float))
+        ]
+        fam_out["ratio_x100_vs_base"] = {
+            k: (
+                round(fam_out["x100"][k] / fam_out["sf0.1"][k], 2)
+                if fam_out["sf0.1"][k] else None
+            )
+            for k in keys
+        }
+        out[fam] = fam_out
+    with open(os.path.join(REPO, "RECEIPT_SF10.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
