@@ -280,14 +280,6 @@ _VERIFY_FIRST = [
     "m03_frame_sample",
     "m04_feature_extract",
     "m05_media_dedup",
-    "q01_pricing_summary",
-    "q06_revenue_filter",
-    "q12_distinct_agg",
-    "q13_rollup",
-    "q41_map_fns",
-    "p03_sequence_packing",
-    "p08_flatten_mix",
-    "p09_incremental_refresh",
     "d20_snapshot_diff",
     "d21_softdedup_weights",
     "d22_dedup_roi",
@@ -296,6 +288,17 @@ _VERIFY_FIRST = [
     "d25_lsh_layout_tuner",
     "d10_minhash_calibration",
     "d11_ngram_jaccard_capped",
+    "d12_span_dedup",
+    "d13_quality_canonical",
+    "d14_lsh_admission",
+    "q01_pricing_summary",
+    "q06_revenue_filter",
+    "q12_distinct_agg",
+    "q13_rollup",
+    "q41_map_fns",
+    "p03_sequence_packing",
+    "p08_flatten_mix",
+    "p09_incremental_refresh",
     "w13_histogram_quantiles",
     "t19_heaps_fit",
     "t20_gopher_funnel",
@@ -320,9 +323,6 @@ _VERIFY_FIRST = [
     "p11_curriculum_stages",
     "p12_temperature_mix",
     "p13_pps_sample",
-    "d12_span_dedup",
-    "d13_quality_canonical",
-    "d14_lsh_admission",
     "q08_topk_per_group",
     "q09_running_sum",
     "q10_lag_lead",
