@@ -195,6 +195,50 @@ def s22_receipt(spark, sf_dir: str) -> dict:
     }
 
 
+def d17_receipt(spark, sf_dir: str) -> dict:
+    """The capped inverted-index join's structural quantities: shingle
+    rows, rows surviving the MAX_SHINGLE_DF semi-join, the pair-row
+    volume the equi-join emits (sum over admitted shingles of
+    C(df, 2) — the quantity the DF cap exists to bound), and the
+    distinct candidate pairs the count-aggregate reduces them to."""
+    from pyspark.sql import functions as F
+
+    from kafka2clickhouse_py_streamer_spark.llm.dedup import (
+        MAX_SHINGLE_DF,
+        _shingle_rows,
+        d17_containment_pairs,
+    )
+
+    sh = _shingle_rows(spark, sf_dir)
+    n_rows = sh.count()
+    dfs = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    admitted = dfs.filter(F.col("df") <= MAX_SHINGLE_DF)
+    n_admitted_rows = int(
+        admitted.agg(F.sum("df").alias("n")).collect()[0]["n"]
+    )
+    pair_rows = int(
+        admitted.agg(
+            F.sum(F.col("df") * (F.col("df") - 1) / 2).alias("p")
+        ).collect()[0]["p"]
+    )
+    uncapped_pair_rows = int(
+        dfs.agg(
+            F.sum(F.col("df") * (F.col("df") - 1) / 2).alias("p")
+        ).collect()[0]["p"]
+    )
+    t0 = time.perf_counter()
+    n_out = d17_containment_pairs(spark, sf_dir).count()
+    wall = round(time.perf_counter() - t0, 3)
+    return {
+        "shingle_rows": n_rows,
+        "admitted_shingle_rows": n_admitted_rows,
+        "join_pair_rows": pair_rows,
+        "uncapped_join_pair_rows": uncapped_pair_rows,
+        "output_pairs": n_out,
+        "d17_wall_sec": wall,
+    }
+
+
 def main() -> None:
     from kafka2clickhouse_py_streamer_spark.session import get_spark
 
@@ -209,6 +253,7 @@ def main() -> None:
         ("m07_m08", m07_m08_receipt),
         ("s24", s24_receipt),
         ("s22", s22_receipt),
+        ("d17", d17_receipt),
     ):
         a = fn(spark, SRC)
         spark.catalog.clearCache()
