@@ -189,6 +189,89 @@ def m07_receipt(spark, sf_dir: str) -> dict:
     }
 
 
+def generate_embeddings(spark, out_dir: str, replicas: int) -> None:
+    """100x embeddings: vec_id shifted, elements jittered by a
+    deterministic sin(vec_id, dim) term per replica (bench_sf1's
+    decorrelation, generalized to any replica count) so LSH buckets
+    don't collapse into replica-degenerate cells."""
+    from pyspark.sql import functions as F
+
+    out = os.path.join(out_dir, "embeddings.parquet")
+    if os.path.exists(out):
+        return
+    os.makedirs(out_dir, exist_ok=True)
+    src = spark.read.parquet(os.path.join(SRC, "embeddings.parquet"))
+    def make_jitter(r: int):
+        def jit(x, i):
+            return (
+                x
+                + F.sin(
+                    (F.col("vec_id") + F.lit(r * SHIFT)).cast("double")
+                    * (i.cast("double") + F.lit(1.0))
+                    * F.lit(0.618)
+                )
+                * F.lit(0.05)
+            ).cast("float")
+
+        return jit
+
+    parts = []
+    for r in range(replicas):
+        jitter = F.transform("embedding", make_jitter(r))
+        parts.append(
+            src.select(
+                (F.col("vec_id") + F.lit(r * SHIFT)).alias("vec_id"),
+                jitter.alias("embedding"),
+                "label",
+            )
+        )
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    df.repartition(32).write.mode("overwrite").parquet(out)
+    print(f"generated {out} ({replicas} replicas)", file=sys.stderr)
+
+
+def s09_receipt(spark, sf_dir: str, run_planes: int) -> dict:
+    """The fixed-plane LSH trap at this corpus size, quantified: the
+    bucket self-join pays sum |bucket|^2 ~ N^2/2^planes, so the
+    ANALYTIC candidate count is recorded for a ladder of plane counts
+    (cheap occupancy aggregate — no join runs), and the kNN graph
+    itself is built once at ``run_planes`` (occupancy restored for
+    the scale) to time the end-to-end path."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from kafka2clickhouse_py_streamer_spark.llm.similarity import (
+        _base,
+        _bucket_expr,
+        s09_knn_graph,
+    )
+
+    base = _base(spark, sf_dir)
+    n_vecs = base.count()
+    pairs_at = {}
+    for planes in (7, 10, 14, 17):
+        pairs_at[f"planes{planes}"] = int(
+            base.withColumn("bucket", _bucket_expr(planes))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.sum(F.col("n") * (F.col("n") - 1)).alias("p"))
+            .collect()[0]["p"]
+        )
+    t0 = _t.perf_counter()
+    n_edges = s09_knn_graph(spark, sf_dir, n_planes=run_planes).count()
+    wall = round(_t.perf_counter() - t0, 3)
+    return {
+        "n_vectors": n_vecs,
+        "bucket_candidate_pairs": pairs_at,
+        "run_planes": run_planes,
+        "n_edges": n_edges,
+        "s09_wall_sec": wall,
+    }
+
+
 def baselines(spark, sf_dir: str) -> dict:
     from kafka2clickhouse_py_streamer_spark.operators.base import (
         all_queries,
@@ -212,18 +295,26 @@ def main() -> None:
     hundred = os.path.join(SF10_DIR, "x100")
     generate(spark, ten, 10)
     generate(spark, hundred, 100)
+    generate_embeddings(spark, ten, 10)
+    generate_embeddings(spark, hundred, 100)
     # the non-document tables aren't read by these operators; point
     # the dirs at documents only
     out: dict = {"metric": "second_decade_scale_receipts"}
     scales = [("sf0.1", SRC, 1), ("x10", ten, 10), ("x100", hundred, 100)]
-    for fam, fn in (
-        ("d06", d06_receipt),
-        ("m07", m07_receipt),
-        ("baselines", baselines),
-    ):
+    # occupancy-restored plane count per scale: keep N/2^planes flat
+    s09_planes = {"sf0.1": 7, "x10": 10, "x100": 14}
+    fns = {
+        "d06": d06_receipt,
+        "m07": m07_receipt,
+        "s09": lambda sp, d, _lbl: s09_receipt(sp, d, s09_planes[_lbl]),
+        "baselines": baselines,
+    }
+    for fam, fn in fns.items():
         fam_out = {}
         for label, d, _mult in scales:
-            fam_out[label] = fn(spark, d)
+            fam_out[label] = (
+                fn(spark, d, label) if fam == "s09" else fn(spark, d)
+            )
             spark.catalog.clearCache()
             print(f"{fam}@{label}: {json.dumps(fam_out[label])}",
                   file=sys.stderr)
