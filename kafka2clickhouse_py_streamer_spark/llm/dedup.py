@@ -759,100 +759,21 @@ def d06_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         iter_materialize,
     )
 
+    from kafka2clickhouse_py_streamer_spark.functions.hamming_lsh import (
+        banded_hamming_pairs,
+    )
+
     # (doc_id, hi, lo) is referenced FIVE times downstream (the
     # distinct banding chain, both sides of the fingerprint→doc
     # expansion, both sides of the identical-fingerprint self-join);
     # the cut is 24 bytes/row (m07's reasoning verbatim)
     fp = iter_materialize(simhash_fp(spark, sf_dir))
-    hu = fp.select("simhash_hi", "simhash_lo").distinct()
-
-    def band_val(j: int):
-        word = (
-            F.col("simhash_lo") if j < _SIMHASH_HALF_BANDS
-            else F.col("simhash_hi")
-        )
-        return F.shiftright(
-            word, (j % _SIMHASH_HALF_BANDS) * SIMHASH_BAND_BITS
-        ).bitwiseAND((1 << SIMHASH_BAND_BITS) - 1)
-
-    banded = hu.select(
-        "simhash_hi",
-        "simhash_lo",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("band_id"),
-                        band_val(j).alias("band_val"),
-                    )
-                    for j in range(SIMHASH_BANDS)
-                ]
-            )
-        ).alias("b"),
-    ).select("simhash_hi", "simhash_lo", "b.band_id", "b.band_val")
-    x = banded.alias("x")
-    y = banded.alias("y")
-    pair_order = (F.col("x.simhash_hi") < F.col("y.simhash_hi")) | (
-        (F.col("x.simhash_hi") == F.col("y.simhash_hi"))
-        & (F.col("x.simhash_lo") < F.col("y.simhash_lo"))
-    )
-    hamming = (
-        F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
-        + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
-    ).cast("long")
-    hp = (
-        x.join(
-            y,
-            (F.col("x.band_id") == F.col("y.band_id"))
-            & (F.col("x.band_val") == F.col("y.band_val"))
-            & pair_order,
-        )
-        .select(
-            F.col("x.simhash_hi").alias("hi_a"),
-            F.col("x.simhash_lo").alias("lo_a"),
-            F.col("y.simhash_hi").alias("hi_b"),
-            F.col("y.simhash_lo").alias("lo_b"),
-        )
-        .distinct()
-        .withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
-    )
-    cross = (
-        hp.join(
-            fp.select(
-                F.col("doc_id").alias("id_a"),
-                F.col("simhash_hi").alias("hi_a"),
-                F.col("simhash_lo").alias("lo_a"),
-            ),
-            ["hi_a", "lo_a"],
-        )
-        .join(
-            fp.select(
-                F.col("doc_id").alias("id_b"),
-                F.col("simhash_hi").alias("hi_b"),
-                F.col("simhash_lo").alias("lo_b"),
-            ),
-            ["hi_b", "lo_b"],
-        )
-        .select(
-            F.least("id_a", "id_b").alias("doc_a"),
-            F.greatest("id_a", "id_b").alias("doc_b"),
-            "hamming",
-        )
-    )
-    g1 = fp.alias("g1")
-    g2 = fp.alias("g2")
-    same = g1.join(
-        g2,
-        (F.col("g1.simhash_hi") == F.col("g2.simhash_hi"))
-        & (F.col("g1.simhash_lo") == F.col("g2.simhash_lo"))
-        & (F.col("g1.doc_id") < F.col("g2.doc_id")),
-    ).select(
-        F.col("g1.doc_id").alias("doc_a"),
-        F.col("g2.doc_id").alias("doc_b"),
-        F.lit(0).cast("long").alias("hamming"),
-    )
-    return cross.unionByName(same).orderBy("doc_a", "doc_b")
+    return banded_hamming_pairs(
+        fp,
+        ["simhash_hi", "simhash_lo"],
+        SIMHASH_BANDS,
+        SIMHASH_HAMMING_MAX,
+    ).orderBy("doc_a", "doc_b")
 
 
 def _d06_sql() -> str:

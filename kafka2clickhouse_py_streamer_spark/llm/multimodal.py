@@ -751,79 +751,24 @@ def m07_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def phash_band_pairs(hashed: DataFrame) -> DataFrame:
     """Banded near-dup pair detection over a hashed frame
-    ``(doc_id, ph_hi, ph_lo)`` — m07's candidate+verify core, factored
-    out (the triangle_stats pattern) so the pigeonhole exactness
-    guarantee is testable on CRAFTED hash values at every admissible
-    Hamming distance: 64-bit near-collisions cannot be mined from
-    organic text (P(dist ≤ 3) ≈ 43k/2^64 per random pair), so the
-    recall property is pinned at the hash level and the text→hash
-    stage is oracle-checked separately."""
-    banded = phash_banded(hashed)
-    x = banded.alias("x")
-    y = banded.alias("y")
-    # pair order on the (hi, lo) lexicographic 64-bit value — a
-    # post-join filter; the band keys stay the hash equi-join keys
-    pair_order = (F.col("x.ph_hi") < F.col("y.ph_hi")) | (
-        (F.col("x.ph_hi") == F.col("y.ph_hi"))
-        & (F.col("x.ph_lo") < F.col("y.ph_lo"))
+    ``(doc_id, ph_hi, ph_lo)`` — m07's candidate+verify core, now the
+    shared :func:`banded_hamming_pairs` machinery at the 2-word
+    (64-bit) layout. Factored out (the triangle_stats pattern) so the
+    pigeonhole exactness guarantee is testable on CRAFTED hash values
+    at every admissible Hamming distance: 64-bit near-collisions
+    cannot be mined from organic text (P(dist ≤ 3) ≈ 43k/2^64 per
+    random pair), so the recall property is pinned at the hash level
+    and the text→hash stage is oracle-checked separately. The scale
+    knob is the word list: a 128-bit deployment passes four words and
+    gets 4×32-bit bands (exactness for the 4-word layout is pinned by
+    its own crafted-hash test)."""
+    from kafka2clickhouse_py_streamer_spark.functions.hamming_lsh import (
+        banded_hamming_pairs,
     )
-    hamming = (
-        F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
-        + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
-    ).cast("long")
-    hp = (
-        x.join(
-            y,
-            (F.col("x.band_id") == F.col("y.band_id"))
-            & (F.col("x.band_val") == F.col("y.band_val"))
-            & pair_order,
-        )
-        .select(
-            F.col("x.ph_hi").alias("hi_a"),
-            F.col("x.ph_lo").alias("lo_a"),
-            F.col("y.ph_hi").alias("hi_b"),
-            F.col("y.ph_lo").alias("lo_b"),
-        )
-        .distinct()
-        .withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
-    )
-    cross = (
-        hp.join(
-            hashed.select(
-                F.col("doc_id").alias("id_a"),
-                F.col("ph_hi").alias("hi_a"),
-                F.col("ph_lo").alias("lo_a"),
-            ),
-            ["hi_a", "lo_a"],
-        )
-        .join(
-            hashed.select(
-                F.col("doc_id").alias("id_b"),
-                F.col("ph_hi").alias("hi_b"),
-                F.col("ph_lo").alias("lo_b"),
-            ),
-            ["hi_b", "lo_b"],
-        )
-        .select(
-            F.least("id_a", "id_b").alias("doc_a"),
-            F.greatest("id_a", "id_b").alias("doc_b"),
-            "hamming",
-        )
-    )
-    g1 = hashed.alias("g1")
-    g2 = hashed.alias("g2")
-    same = g1.join(
-        g2,
-        (F.col("g1.ph_hi") == F.col("g2.ph_hi"))
-        & (F.col("g1.ph_lo") == F.col("g2.ph_lo"))
-        & (F.col("g1.doc_id") < F.col("g2.doc_id")),
-    ).select(
-        F.col("g1.doc_id").alias("doc_a"),
-        F.col("g2.doc_id").alias("doc_b"),
-        F.lit(0).cast("long").alias("hamming"),
-    )
-    return cross.unionByName(same).orderBy("doc_a", "doc_b")
+
+    return banded_hamming_pairs(
+        hashed, ["ph_hi", "ph_lo"], PHASH_BANDS, PHASH_HAMMING_MAX
+    ).orderBy("doc_a", "doc_b")
 
 
 def _m07_sql() -> str:

@@ -1311,6 +1311,65 @@ def test_m07_banding_is_exact_recall_at_threshold(spark):
     assert {0, 1, 2, 3} <= set(expect.values())
 
 
+def test_banded_hamming_128bit_layout_is_exact(spark):
+    """The scale knob is working code: the shared banded-Hamming core
+    at the FOUR-word (128-bit) layout — what a deployment switches to
+    when 16-bit bands saturate (band space becomes 2^32) — must keep
+    pigeonhole-exact recall at the verify threshold. Crafted 4-word
+    hashes cover distance 0..3 including bits spread across three
+    different words (only one band untouched) and a far pair that
+    must not appear."""
+    from kafka2clickhouse_py_streamer_spark.functions.hamming_lsh import (
+        banded_hamming_pairs,
+    )
+
+    W = 0xFFFFFFFF
+    bases = [
+        [0x01234567, 0x89ABCDEF, 0x0F0F0F0F, 0xF0F0F0F0],
+        [0xDEADBEEF, 0xCAFEF00D, 0x11112222, 0x33334444],
+        [0xAAAA5555, 0x5555AAAA, 0x77770000, 0x8888FFFF],
+        [0x0F1E2D3C, 0x4B5A6978, 0x13579BDF, 0x2468ACE0],
+        [0x00FF00FF, 0xFF00FF00, 0x0000FFFF, 0xFFFF0000],
+        [0x12344321, 0x56788765, 0x9ABCCBA9, 0xDEFFFED0],
+    ]
+    cases = [
+        (1, bases[0]), (2, bases[0]),                      # dist 0
+        (10, bases[1]),
+        (11, [bases[1][0] ^ (1 << 7)] + bases[1][1:]),     # 1, word 0
+        (20, bases[2]),
+        (21, bases[2][:3] + [bases[2][3] ^ (0b11 << 20)]), # 2, word 3
+        (30, bases[3]),
+        (31, [bases[3][0] ^ 1, bases[3][1] ^ (1 << 31),
+              bases[3][2] ^ (1 << 15), bases[3][3]]),      # 3, 3 words
+        (40, bases[4]),
+        (41, [w ^ 0b11 for w in bases[4]]),                # 8: excluded
+        (50, bases[5]),
+    ]
+    df = spark.createDataFrame(
+        [(d, *[w & W for w in ws]) for d, ws in cases],
+        "doc_id long, w0 long, w1 long, w2 long, w3 long",
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in banded_hamming_pairs(
+            df, ["w0", "w1", "w2", "w3"], n_bands=4, hamming_max=3
+        ).collect()
+    }
+    hs = {d: ws for d, ws in cases}
+    expect = {}
+    ids = sorted(hs)
+    for i, a in enumerate(ids):
+        for b_ in ids[i + 1 :]:
+            h = sum(
+                bin(wa ^ wb).count("1")
+                for wa, wb in zip(hs[a], hs[b_])
+            )
+            if h <= 3:
+                expect[(a, b_)] = h
+    assert got == expect
+    assert {0, 1, 2, 3} <= set(expect.values())
+
+
 def test_p15_null_source_group_not_orphaned(spark, tmp_path):
     """A NULL-source group's post-dedup mass must survive the
     before/after join (eqNullSafe): with a duplicate inside the NULL
