@@ -790,7 +790,10 @@ def _d06_sql() -> str:
     )
 
     def band_val(j: int) -> str:
-        w = "simhash_lo" if j < _SIMHASH_HALF_BANDS else "simhash_hi"
+        # hi-first, matching the production banded_hamming_pairs call
+        # with word_cols ['simhash_hi', 'simhash_lo'] (round-11
+        # advice: band_id must mean the same band everywhere)
+        w = "simhash_hi" if j < _SIMHASH_HALF_BANDS else "simhash_lo"
         return (
             f"({w} >> {(j % _SIMHASH_HALF_BANDS) * SIMHASH_BAND_BITS})"
             f" & {(1 << SIMHASH_BAND_BITS) - 1}"

@@ -633,8 +633,17 @@ def phash_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     deliberately: a deferred cut here is materialized by an action
     whose five consumer stages race to compute it (duplicated heavy
     scans + zombie-task accumulator errors); the one up-front job is
-    the cheaper trade."""
-    m = media_table(spark, sf_dir)
+    the cheaper trade.
+
+    NULL payloads are filtered OUT before hashing (round-11 advice):
+    a NULL payload's nibbles are all NULL, so every threshold WHEN
+    falls to the ELSE 0 arm and the hash collapses to ph_hi=ph_lo=0 —
+    and since no real payload hashes to all-zero (the max nibble is
+    always >= the mean), every undecodable media item would pair with
+    every other at Hamming 0, declaring them mutual duplicates. The
+    NULL-payload -> NULL-metadata contract (m01-m05) means NULL media
+    carries no content signal; it must not enter the pair graph."""
+    m = media_table(spark, sf_dir).where(F.col("payload").isNotNull())
     hx = F.sha2(F.hex("payload"), 256)  # 64 lowercase hex chars
     nibbed = m.select(
         "doc_id",
@@ -681,13 +690,20 @@ def phash_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def phash_banded(hashed: DataFrame) -> DataFrame:
     """(ph_hi, ph_lo, band_id, band_val) over DISTINCT hashes — m07's
-    banding stage (4×16-bit bands of the 64-bit hash: bands 0-1 from
-    the low half, 2-3 from the high half), shared with the receipt
-    tool so band-occupancy counts measure the production layout."""
+    banding stage, shared with the receipt tool so band-occupancy
+    counts measure the production layout. Band labeling matches the
+    shared :func:`banded_hamming_pairs` core with word_cols
+    ``['ph_hi', 'ph_lo']`` exactly (round-11 advice: the earlier
+    lo-first labeling here was a band-id permutation of the
+    production join, so per-band occupancy breakdowns from the
+    receipts were mislabeled): bands 0-1 slice ph_hi (low 16 bits
+    first), bands 2-3 slice ph_lo."""
     half_bands = PHASH_BANDS // 2
 
     def band_val(j: int) -> str:
-        word = "ph_lo" if j < half_bands else "ph_hi"
+        # same layout as banded_hamming_pairs: word_cols[j // bands_
+        # per_word], shift (j % bands_per_word) * band_bits
+        word = "ph_hi" if j < half_bands else "ph_lo"
         exp = PHASH_BAND_SPACE ** (j % half_bands)
         return f"({word} div {exp}) % {PHASH_BAND_SPACE}"
 
@@ -792,7 +808,8 @@ def _m07_sql() -> str:
         )
 
     def band_val(j: int) -> str:
-        w = "ph_lo" if j < half_bands else "ph_hi"
+        # hi-first, matching banded_hamming_pairs(['ph_hi','ph_lo'])
+        w = "ph_hi" if j < half_bands else "ph_lo"
         return f"({w} // {PHASH_BAND_SPACE ** (j % half_bands)})" \
                f" % {PHASH_BAND_SPACE}"
 
@@ -808,6 +825,8 @@ WITH pay AS (
          sha256(hex(repeat(unhex(md5(text)),
                            CAST(1 + doc_id % 4 AS INTEGER)))) AS sh
   FROM documents
+  WHERE text IS NOT NULL  -- null text -> null payload: no content
+                          -- signal, must not enter the pair graph
 ),
 n AS (
   SELECT doc_id, [{', '.join(nibs)}] AS ns

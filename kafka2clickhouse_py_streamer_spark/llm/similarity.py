@@ -31,15 +31,56 @@ from kafka2clickhouse_py_streamer_spark.operators.base import Query, table
 
 N_QUERIES = 10  # vec_id < 10 are the query vectors
 TOP_K = 3
-# Default plane count targets the FIXTURE scale: occupancy = N/2^planes
-# should stay in the tens for candidate generation to be useful
-# (sf0.01: 500 vecs / 16 buckets ~ 31). A deployment sizes planes from
-# its corpus count (planes ~ log2(N / target occupancy)); the sf1 probe
-# measures both the fixed-plane quadratic trap and the knob restoring
-# linearity. (Raised-plane history: the original generator silently
-# repeated planes mod 7, so 8 nominal planes were 7 effective.)
-N_PLANES = 4
+# Plane-count sizing (round-12: the knob is now DERIVED code, not a
+# constant — the hamming-core lesson applied to the hyperplane family;
+# RECEIPT_SF10 measured 7 fixed planes = 349.8M candidate pairs vs 14
+# derived = 7.1M at 200k vectors). Per-bucket occupancy ≈ N/2^planes
+# and every bucket self-join pays occupancy², so the plane count must
+# grow with the corpus: planes_for(N) picks the smallest p with
+# N / 2^p <= TARGET_OCCUPANCY, floored at MIN_PLANES (the fixture
+# scale: sf0.01 ~500 vecs / 16 buckets ~ 31) and capped at MAX_PLANES
+# (occupancy 32 holds to ~2^24·32 ≈ 537M vectors; past that, raise the
+# cap). s02/s03/s09 derive the count from the corpus they scan; the
+# oracle SQL computes the SAME integer formula from COUNT(*) and masks
+# a MAX_PLANES-wide bucket, so both engines agree at every sf with ONE
+# static SQL string. The streamed admitter (corpus_stream) instead
+# takes the count as an explicit stream-lifetime parameter: its state
+# stores bucket ids across micro-batches, so the count must be fixed
+# at stream start, sized from the EXPECTED corpus.
+# (Raised-plane history: the original generator silently repeated
+# planes mod 7, so 8 nominal planes were 7 effective.)
+MIN_PLANES = 4
+MAX_PLANES = 24
+TARGET_OCCUPANCY = 32
+N_PLANES = MIN_PLANES  # fixture-scale floor (legacy alias; tools use it)
 DIM = 64
+
+
+def planes_for(n_vectors: int) -> int:
+    """Scale-derived hyperplane count: the smallest ``p`` in
+    [MIN_PLANES, MAX_PLANES] with ``n_vectors / 2**p`` at or under
+    TARGET_OCCUPANCY, computed as MIN_PLANES plus a sum of integer
+    threshold indicators — pure integer comparisons, reproduced
+    verbatim (CASE WHEN n > occ<<k) in the oracle SQL so both engines
+    derive the identical count from the identical COUNT(*)."""
+    return MIN_PLANES + sum(
+        1
+        for k in range(MIN_PLANES, MAX_PLANES)
+        if n_vectors > (TARGET_OCCUPANCY << k)
+    )
+
+
+def _planes_sql(count_from: str = "base") -> str:
+    """CTE body computing the derived plane count from ``count_from``:
+    the oracle-side twin of :func:`planes_for` (same indicator sum)."""
+    terms = " + ".join(
+        f"(CASE WHEN n > {TARGET_OCCUPANCY << k} THEN 1 ELSE 0 END)"
+        for k in range(MIN_PLANES, MAX_PLANES)
+    )
+    return (
+        f"SELECT {MIN_PLANES} + {terms} AS p"
+        f" FROM (SELECT COUNT(*) AS n FROM {count_from})"
+    )
 
 
 def _plane_coeff(plane: int, i: int) -> int:
@@ -132,10 +173,15 @@ def _bucket_expr(n_planes: int = N_PLANES):
 
     ``n_planes`` is the SCALE KNOB: per-bucket occupancy ≈
     N / 2^planes, and every bucket-self-join pays occupancy² — so
-    planes must grow with the corpus (planes ≈ log2(N / target
-    occupancy)) to keep candidate generation linear. The registry
-    queries pin the default for oracle comparability; a deployment
-    sizes it from the corpus count."""
+    planes must grow with the corpus. s02/s03/s09 derive it from the
+    corpus count (:func:`planes_for`); the streamed admitter fixes it
+    at stream start.
+
+    PREFIX-CLOSED by construction: plane ``p`` contributes bit ``p``,
+    so the ``q``-plane bucket equals the ``P``-plane bucket masked to
+    its low ``q`` bits for any q <= P. The oracle SQL depends on this
+    (it computes one MAX_PLANES-wide bucket and masks with the derived
+    count); do not reorder the bits."""
     bucket = None
     for p in range(n_planes):
         coeffs = F.array(
@@ -160,13 +206,26 @@ def _bucket_sql_expr(n_planes: int = N_PLANES) -> str:
     return "\n         + ".join(bits)
 
 
-def s02_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH ANN: N_PLANES deterministic planes -> sign bits
-    -> bucket id; report per-bucket membership stats (the candidate
-    generation stage — top-k within bucket composes with s01's scorer).
-    """
+def derived_planes(base: DataFrame) -> int:
+    """Corpus-derived plane count: one COUNT() to the driver (the s10
+    pattern — a scalar that becomes a plan constant), then
+    :func:`planes_for`. Callers with a known corpus size pass an
+    explicit ``n_planes`` instead and skip the count job."""
+    return planes_for(base.count())
+
+
+def s02_lsh_buckets(
+    spark: SparkSession, sf_dir: str, n_planes: int | None = None
+) -> DataFrame:
+    """Hyperplane-LSH ANN: scale-derived deterministic planes -> sign
+    bits -> bucket id; report per-bucket membership stats (the
+    candidate generation stage — top-k within bucket composes with
+    s01's scorer). ``n_planes`` defaults to the corpus-derived count
+    (:func:`planes_for`); pass it explicitly to pin a layout."""
     base = _base(spark, sf_dir)
-    tagged = base.select("vec_id", _bucket_expr().alias("bucket"))
+    if n_planes is None:
+        n_planes = derived_planes(base)
+    tagged = base.select("vec_id", _bucket_expr(n_planes).alias("bucket"))
     return (
         tagged.groupBy("bucket")
         .agg(
@@ -179,16 +238,18 @@ def s02_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _s02_sql() -> str:
-    combine = _bucket_sql_expr()
+    combine = _bucket_sql_expr(MAX_PLANES)
     return f"""
 WITH base AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
   WHERE {valid_emb_sql(DIM)}
 ),
+pl AS ({_planes_sql()}),
 tagged AS (
   SELECT vec_id,
-         CAST({combine} AS BIGINT) AS bucket
+         CAST({combine} AS BIGINT)
+           & ((CAST(1 AS BIGINT) << (SELECT p FROM pl)) - 1) AS bucket
   FROM base
 )
 SELECT bucket, COUNT(*) AS n_vectors,
@@ -199,13 +260,19 @@ ORDER BY bucket
 """
 
 
-def s03_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def s03_lsh_topk(
+    spark: SparkSession, sf_dir: str, n_planes: int | None = None
+) -> DataFrame:
     """ANN end-to-end: LSH bucket equi-join (candidates = same bucket)
     then exact cosine re-rank, top-k per query. The equi-join on bucket
     replaces s01's cross join — this is the shape that survives a
-    billion-vector corpus."""
+    billion-vector corpus. The plane count defaults to the corpus-
+    derived value (:func:`planes_for`), so occupancy — and with it the
+    per-query candidate cost — stays flat as the corpus grows."""
     base = _base(spark, sf_dir)
-    tagged = base.withColumn("bucket", _bucket_expr())
+    if n_planes is None:
+        n_planes = derived_planes(base)
+    tagged = base.withColumn("bucket", _bucket_expr(n_planes))
     q = tagged.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -234,16 +301,18 @@ def s03_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _s03_sql() -> str:
-    combine = _bucket_sql_expr()
+    combine = _bucket_sql_expr(MAX_PLANES)
     return f"""
 WITH base AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
   WHERE {valid_emb_sql(DIM)}
 ),
+pl AS ({_planes_sql()}),
 tagged AS (
   SELECT vec_id, v,
-         CAST({combine} AS BIGINT) AS bucket
+         CAST({combine} AS BIGINT)
+           & ((CAST(1 AS BIGINT) << (SELECT p FROM pl)) - 1) AS bucket
   FROM base
 ),
 scored AS (
@@ -996,7 +1065,7 @@ K_GRAPH = 3
 
 
 def s09_knn_graph(
-    spark: SparkSession, sf_dir: str, n_planes: int = N_PLANES
+    spark: SparkSession, sf_dir: str, n_planes: int | None = None
 ) -> DataFrame:
     """All-corpus kNN graph: every vector's top-``K_GRAPH`` nearest
     neighbours AMONG ITS LSH BUCKET-MATES — the graph-construction step
@@ -1005,10 +1074,12 @@ def s09_knn_graph(
     broadcast), both join sides here are the full corpus: candidates
     come from one shuffle-join on the bucket id, so the pair count is
     Σ|bucket|² ≈ N²/2^planes. That is linear in N ONLY if the plane
-    count scales with the corpus (occupancy N/2^planes held constant:
-    planes ≈ log2(N / target)); with a FIXED plane count a 10× corpus
-    pays ~100× pairs — measured by the sf1 probe, which also shows the
-    ``n_planes`` knob restoring the occupancy and the linear cost.
+    count scales with the corpus (occupancy N/2^planes held constant),
+    so the default is now DERIVED from the corpus count
+    (:func:`planes_for`, round-12 — RECEIPT_SF10 measured the fixed-7
+    trap at 349.8M candidate pairs vs 7.1M with occupancy restored at
+    200k vectors; the sf1 probe measured the same at sf1). Pass
+    ``n_planes`` explicitly to pin a layout.
     Vectors in singleton buckets have no graph edges by construction
     (production raises recall with multi-probe or band repetition,
     same trade s08 measures).
@@ -1018,6 +1089,8 @@ def s09_knn_graph(
     bucket-local groups. No broadcast side — this is the
     both-sides-large ANN shape."""
     base = _base(spark, sf_dir)
+    if n_planes is None:
+        n_planes = derived_planes(base)
     tagged = base.withColumn("bucket", _bucket_expr(n_planes))
     a = tagged.select(
         F.col("vec_id").alias("src_id"),
@@ -1053,16 +1126,18 @@ def s09_knn_graph(
 
 
 def _s09_sql() -> str:
-    combine = _bucket_sql_expr()
+    combine = _bucket_sql_expr(MAX_PLANES)
     return f"""
 WITH base AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
   WHERE {valid_emb_sql(DIM)}
 ),
+pl AS ({_planes_sql()}),
 tagged AS (
   SELECT vec_id, v,
-         CAST({combine} AS BIGINT) AS bucket
+         CAST({combine} AS BIGINT)
+           & ((CAST(1 AS BIGINT) << (SELECT p FROM pl)) - 1) AS bucket
   FROM base
 ),
 scored AS (
@@ -1262,7 +1337,9 @@ def semdedup_pruned(tagged: DataFrame) -> DataFrame:
     )
 
 
-def d15_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d15_semdedup(
+    spark: SparkSession, sf_dir: str, n_planes: int | None = None
+) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): LSH
     buckets stand in for the k-means clusters, and within each bucket a
     vector is pruned iff ANY smaller-id bucket-mate is τ-similar
@@ -1276,13 +1353,18 @@ def d15_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruned fraction.
 
     Scale shape: same as s09 — candidates come only from bucket
-    collisions (occupancy² per bucket, bounded by the N_PLANES knob);
-    digest-width rows cross the shuffle; the final audit is one hash
-    agg. Cites SURVEY.md §2b dedup family; the exact-baseline
-    embedding near-dup twin is dedup.d05."""
+    collisions (occupancy² per bucket, bounded by the corpus-derived
+    plane count; the streamed admitter must be sized with the SAME
+    value for the exact-twin contract to hold — see
+    streaming.corpus_stream.semdedup_admit_batch); digest-width rows
+    cross the shuffle; the final audit is one hash agg. Cites
+    SURVEY.md §2b dedup family; the exact-baseline embedding near-dup
+    twin is dedup.d05."""
     base = _base(spark, sf_dir)
+    if n_planes is None:
+        n_planes = derived_planes(base)
     tagged = base.select(
-        "vec_id", "v", "norm", _bucket_expr().alias("bucket")
+        "vec_id", "v", "norm", _bucket_expr(n_planes).alias("bucket")
     )
     pruned = semdedup_pruned(tagged)
     n_pruned = pruned.groupBy("bucket").agg(
@@ -1307,15 +1389,18 @@ def d15_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _d15_sql() -> str:
-    combine = _bucket_sql_expr()
+    combine = _bucket_sql_expr(MAX_PLANES)
     return f"""
 WITH base AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
   WHERE {valid_emb_sql(DIM)}
 ),
+pl AS ({_planes_sql()}),
 tagged AS (
-  SELECT vec_id, v, CAST({combine} AS BIGINT) AS bucket
+  SELECT vec_id, v,
+         CAST({combine} AS BIGINT)
+           & ((CAST(1 AS BIGINT) << (SELECT p FROM pl)) - 1) AS bucket
   FROM base
 ),
 pruned AS (

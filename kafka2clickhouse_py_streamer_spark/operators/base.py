@@ -134,58 +134,7 @@ def spread(df: DataFrame) -> DataFrame:
 # asserts the committed list matches the tool and that no query's
 # evidence can age out of the driver window unseen.
 _VERIFY_FIRST = [
-    # green-r07
-    "q44_frame_navigation",
-    "w05_attribution",
-    "w06_window_distinct",
-    "q52_interval_frame",
-    "q31_moment_stats",
-    "q32_exact_percentiles",
-    "q33_argmin_argmax",
-    "q34_filtered_agg",
-    "q35_in_subquery",
-    "s08_ann_recall",
-    "q11_sort_limit",
-    "q15_set_ops",
-    "q16_string_fns",
-    "q17_date_fns",
-    "q18_json_fns",
-    "q19_array_fns",
-    "q20_conditional",
-    "q22_pivot",
-    "q30_unpivot",
-    "q39_math_fns",
-    "q40_full_outer",
-    "q42_posexplode",
-    "q43_ratio_to_report",
-    "q45_calendar_arithmetic",
-    "q46_string_agg",
-    "q50_range_join",
-    "q02_region_revenue",
-    "q03_top_orders",
-    "q04_semi_join",
-    "q05_anti_join",
-    "q07_left_join_count",
-    "q21_correlated_subquery",
-    "q25_theta_join",
-    "q26_asof_join",
-    "q47_exists_pair",
-    "s09_knn_graph",
-    "s10_pagerank",
-    "d15_semdedup",
-    "s11_cluster_quality",
     # green-r08 but file churned since
-    "p14_span_scrub_pipeline",
-    "p15_dedup_rebalance",
-    "p16_pack_efficiency",
-    "d16_span_scrub",
-    "d01_exact_dedup",
-    "d02_ngram_jaccard",
-    "d03_minhash_lsh",
-    "d04_simhash",
-    "d05_embedding_neardup",
-    "d06_simhash_pairs",
-    "m06_multimodal_packing",
     "d17_containment_pairs",
     "d18_bloom_decontamination",
     "d19_containment_calibration",
@@ -195,6 +144,11 @@ _VERIFY_FIRST = [
     "m07_phash_neardup",
     "s12_product_quantize",
     "s13_pq_adc_topk",
+    "s14_ivfpq_search",
+    "s15_mrl_truncation_recall",
+    "s16_rrf_fusion",
+    "s17_probe_recall_sweep",
+    "s18_knn_label_eval",
     "t11_readability",
     "t12_lexical_diversity",
     "w07_window_topk",
@@ -220,11 +174,6 @@ _VERIFY_FIRST = [
     "q58_scd2_intervals",
     "q59_concurrency",
     "q61_gaps_islands",
-    "s14_ivfpq_search",
-    "s15_mrl_truncation_recall",
-    "s16_rrf_fusion",
-    "s17_probe_recall_sweep",
-    "s18_knn_label_eval",
     # green-r09 but file churned since
     "m01_media_metadata",
     "m02_decode_stats",
@@ -236,6 +185,13 @@ _VERIFY_FIRST = [
     "s05_trained_ivf",
     "s06_quantize",
     "s07_knn_label",
+    "s19_cascade_rerank",
+    "s20_index_staleness",
+    "s21_filtered_search",
+    "s22_khop_expansion",
+    "s23_mips_norm_pruned",
+    "s24_triangle_count",
+    "s25_radius_search",
     "p01_train_test_split",
     "p02_stratified_sample",
     "p04_global_shuffle",
@@ -264,18 +220,11 @@ _VERIFY_FIRST = [
     "p17_chunk_pack",
     "p18_shard_manifest",
     "p19_chunk_dedup_pack",
-    "s19_cascade_rerank",
     "p20_epoch_budget",
-    "s20_index_staleness",
     "p21_split_leakage",
-    "s21_filtered_search",
-    "s22_khop_expansion",
-    "s23_mips_norm_pruned",
-    "s24_triangle_count",
     "p22_padding_waste",
     "p23_weighted_sample",
     "p24_shard_balance",
-    "s25_radius_search",
     # green-r10 but file churned since
     "m03_frame_sample",
     "m04_feature_extract",
@@ -327,6 +276,57 @@ _VERIFY_FIRST = [
     "q09_running_sum",
     "q10_lag_lead",
     "q29_keep_first",
+    # green-r11 but file churned since
+    "s08_ann_recall",
+    "s09_knn_graph",
+    "s10_pagerank",
+    "d15_semdedup",
+    "s11_cluster_quality",
+    "d16_span_scrub",
+    "d01_exact_dedup",
+    "d02_ngram_jaccard",
+    "d03_minhash_lsh",
+    "d04_simhash",
+    "d05_embedding_neardup",
+    "d06_simhash_pairs",
+    "m06_multimodal_packing",
+    "q44_frame_navigation",
+    "w05_attribution",
+    "w06_window_distinct",
+    "q52_interval_frame",
+    "q31_moment_stats",
+    "q32_exact_percentiles",
+    "q33_argmin_argmax",
+    "q34_filtered_agg",
+    "q35_in_subquery",
+    "q11_sort_limit",
+    "q15_set_ops",
+    "q16_string_fns",
+    "q17_date_fns",
+    "q18_json_fns",
+    "q19_array_fns",
+    "q20_conditional",
+    "q22_pivot",
+    "q30_unpivot",
+    "q39_math_fns",
+    "q40_full_outer",
+    "q42_posexplode",
+    "q43_ratio_to_report",
+    "q45_calendar_arithmetic",
+    "q46_string_agg",
+    "q50_range_join",
+    "q02_region_revenue",
+    "q03_top_orders",
+    "q04_semi_join",
+    "q05_anti_join",
+    "q07_left_join_count",
+    "q21_correlated_subquery",
+    "q25_theta_join",
+    "q26_asof_join",
+    "q47_exists_pair",
+    "p14_span_scrub_pipeline",
+    "p15_dedup_rebalance",
+    "p16_pack_efficiency",
 ]
 
 

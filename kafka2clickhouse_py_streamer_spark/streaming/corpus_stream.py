@@ -238,6 +238,7 @@ def semdedup_admit_batch(
     batch_id: int,
     out_dir: str,
     state_dir: str,
+    n_planes: int | None = None,
 ) -> None:
     """SEMANTIC near-dup admission for one micro-batch (d15's
     pessimistic predicate, computed incrementally): a vector is
@@ -256,7 +257,16 @@ def semdedup_admit_batch(
     the embedding column itself, partitioned by batch_id, bucket-
     pruned on every probe join (candidates come only from bucket
     collisions). Replay overwrites its own partition (dynamic
-    overwrite + self-exclusion, the module contract)."""
+    overwrite + self-exclusion, the module contract).
+
+    ``n_planes`` is a STREAM-LIFETIME parameter, not per-batch derived
+    (round-12): the state stores bucket ids across micro-batches, so
+    every batch of one stream must hash with the same plane count — a
+    corpus-count-derived value would drift as the stream grows and
+    stop matching the stored buckets. Size it once at stream start
+    from the EXPECTED corpus (``planes_for(expected_n)``); the default
+    is the fixture floor MIN_PLANES, which also keeps the streamed
+    admitter the exact twin of batch d15 at fixture scale."""
     from kafka2clickhouse_py_streamer_spark.functions import (
         cosine,
         l2_norm,
@@ -265,10 +275,14 @@ def semdedup_admit_batch(
     )
     from kafka2clickhouse_py_streamer_spark.llm.similarity import (
         DIM,
+        MIN_PLANES,
         SEMDEDUP_TAU,
         _bucket_expr,
         semdedup_pruned,
     )
+
+    if n_planes is None:
+        n_planes = MIN_PLANES
 
     spark = batch_df.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -282,7 +296,7 @@ def semdedup_admit_batch(
         valid_embeddings(batch_df, DIM)
         .select("vec_id", vec_d.alias("v"))
         .withColumn("norm", l2_norm(F.col("v")))
-        .withColumn("bucket", _bucket_expr())
+        .withColumn("bucket", _bucket_expr(n_planes))
         .persist()
     )
     blocked_within = semdedup_pruned(tagged).select("vec_id")
@@ -347,12 +361,16 @@ def start_streaming_semdedup(
     out_dir: str,
     state_dir: str,
     checkpoint_dir: str,
+    n_planes: int | None = None,
 ) -> StreamingQuery:
-    """Wire ``semdedup_admit_batch`` under writeStream.foreachBatch."""
+    """Wire ``semdedup_admit_batch`` under writeStream.foreachBatch.
+    ``n_planes`` is fixed for the stream's lifetime (see the batch
+    fn's contract); size it from the expected corpus via
+    ``planes_for``."""
     return (
         stream_df.writeStream.foreachBatch(
             lambda df, bid: semdedup_admit_batch(
-                df, bid, out_dir, state_dir
+                df, bid, out_dir, state_dir, n_planes=n_planes
             )
         )
         .option("checkpointLocation", checkpoint_dir)

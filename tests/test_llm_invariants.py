@@ -1280,8 +1280,8 @@ def test_m07_banding_is_exact_recall_at_threshold(spark):
     ]
     cases = [
         (1000, bases[0]), (1001, bases[0]),              # dist 0
-        (1010, bases[1]), (1011, bases[1] ^ (1 << 5)),   # 1, band 0
-        (1020, bases[2]), (1021, bases[2] ^ (1 << 40)),  # 1, band 2
+        (1010, bases[1]), (1011, bases[1] ^ (1 << 5)),   # 1, band 2
+        (1020, bases[2]), (1021, bases[2] ^ (1 << 40)),  # 1, band 0
         (1030, bases[3]), (1031, bases[3] ^ (0b11 << 10)),  # 2, one band
         (1040, bases[4]),
         (1041, bases[4] ^ ((1 << 3) | (1 << 60))),       # 2, both halves

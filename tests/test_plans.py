@@ -1859,3 +1859,65 @@ def test_strip_cached_subtrees_on_crafted_plan():
         live,
     )
     assert len(found) == 1
+
+
+def test_s09_plane_count_is_scale_derived(spark, sf_dir):
+    # r12 (the hamming-core lesson applied to the hyperplane family):
+    # the plane count is DERIVED code, not a constant. Pins
+    # (1) the floor/cap/occupancy invariant of planes_for,
+    # (2) the prefix-closure the oracle SQL's masking depends on
+    #     (q-plane bucket == MAX-plane bucket & (2^q - 1)),
+    # (3) the SQL indicator-sum twin deriving the identical count.
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from kafka2clickhouse_py_streamer_spark.llm.similarity import (
+        MAX_PLANES,
+        MIN_PLANES,
+        TARGET_OCCUPANCY,
+        _base,
+        _bucket_expr,
+        _planes_sql,
+        planes_for,
+    )
+
+    # (1) floor at fixture scale, occupancy bound until the cap,
+    # monotone in N
+    assert planes_for(0) == MIN_PLANES
+    assert planes_for(TARGET_OCCUPANCY << MIN_PLANES) == MIN_PLANES
+    prev = MIN_PLANES
+    for n in (1, 500, 2_000, 20_000, 200_000, 2_000_000, 10**9, 10**12):
+        p = planes_for(n)
+        assert MIN_PLANES <= p <= MAX_PLANES
+        assert p >= prev or n < 500  # monotone over the ladder
+        prev = max(prev, p)
+        if p < MAX_PLANES:
+            assert n <= TARGET_OCCUPANCY << p  # occupancy holds
+        if p > MIN_PLANES:
+            assert n > TARGET_OCCUPANCY << (p - 1)  # and is tight
+    assert planes_for(200_000) == 13  # the RECEIPT_SF10 scale
+    assert planes_for(10**12) == MAX_PLANES
+
+    # (2) prefix closure on real vectors: masking the MAX-plane bucket
+    # to q bits reproduces the q-plane bucket exactly
+    base = _base(spark, sf_dir).limit(64)
+    for q in (MIN_PLANES, 7):
+        bad = (
+            base.select(
+                _bucket_expr(q).alias("direct"),
+                _bucket_expr(MAX_PLANES)
+                .bitwiseAND(F.lit((1 << q) - 1))
+                .alias("masked"),
+            )
+            .filter(F.col("direct") != F.col("masked"))
+            .count()
+        )
+        assert bad == 0, f"prefix closure broken at q={q}"
+
+    # (3) the static SQL derives the same count from the same COUNT(*)
+    con = duckdb.connect()
+    for n in (0, 500, 512, 513, 2_000, 200_000, 10**9):
+        con.execute("CREATE OR REPLACE TABLE base AS "
+                    f"SELECT * FROM range({max(n, 0)})")
+        got = con.execute(_planes_sql()).fetchone()[0]
+        assert got == planes_for(n), (n, got, planes_for(n))

@@ -217,7 +217,10 @@ def check_counts() -> list[str]:
     # counts are CURRENT-state claims: check only the inventory doc and
     # the latest round changelog (historical ROUND*.md describe their
     # own rounds' states and must keep their numbers)
-    rounds = sorted(glob.glob(os.path.join(REPO, "ROUND*.md")))
+    rounds = sorted(
+        glob.glob(os.path.join(REPO, "ROUND*.md")),
+        key=lambda p: int(re.search(r"(\d+)", os.path.basename(p)).group(1)),
+    )
     current_docs = [
         os.path.join(REPO, "OPERATORS.md"),
         os.path.join(REPO, "README.md"),
@@ -329,8 +332,13 @@ def check_headline_citation() -> list[str]:
     Only enforced once both artifacts exist; the sidecar value is
     resolved from the newest sf0.1 recording (working tree if it is an
     sf0.1 run, else the most recent committed sf0.1 version)."""
-    rounds = sorted(glob.glob(os.path.join(REPO, "ROUND*.md")),
-                    key=lambda p: int(re.search(r"(\d+)", p).group(1)))
+    # sort by the round number in the BASENAME (round-11 advice: the
+    # first integer in the full path would mis-sort under a digit-
+    # bearing checkout dir, e.g. a worktree named build2/)
+    rounds = sorted(
+        glob.glob(os.path.join(REPO, "ROUND*.md")),
+        key=lambda p: int(re.search(r"(\d+)", os.path.basename(p)).group(1)),
+    )
     if not rounds:
         return []
     note = rounds[-1]
@@ -361,17 +369,46 @@ def check_headline_citation() -> list[str]:
         return []
     text = open(note, encoding="utf-8").read()
     problems = []
-    if not any(f"{v}" in text for v in sidecar_vals):
+
+    def quoted(v) -> bool:
+        # word-boundary match (round-11 advice: a raw substring test
+        # let a short value like 3.8 false-pass against any 3.85)
+        return re.search(
+            r"(?<![\d.])" + re.escape(f"{v}") + r"(?![\d])", text
+        ) is not None
+
+    if not any(quoted(v) for v in sidecar_vals):
         problems.append(
             f"{os.path.basename(note)}: must quote the tracked sf0.1 "
             f"sidecar median (a recorded BENCH_SPREAD.json value; "
             f"recorded: {sorted(sidecar_vals)})"
         )
-    if f"{driver_val[1]}" not in text:
+    if not quoted(driver_val[1]):
         problems.append(
             f"{os.path.basename(note)}: must quote the latest driver "
             f"headline beside the sidecar ({driver_val[1]} s, {driver_val[0]})"
         )
+    # round-11 verdict order 4: quoting raw seconds alone leaves "host
+    # or code?" a judgment call — the note must ALSO quote the anchor-
+    # normalized headline (headline ÷ host_calibration_sec, the data-
+    # free CPU-codegen anchor recorded in the same sidecar run), so a
+    # slow host shows up as a stable normalized number. Enforced from
+    # round 12; any recorded sidecar's normalized value (1-decimal) is
+    # quotable.
+    if int(re.search(r"(\d+)", os.path.basename(note)).group(1)) >= 12:
+        norm_vals = set()
+        for c in candidates:
+            v, cal = c.get("value"), c.get("host_calibration_sec")
+            if (c.get("sf") == 0.1
+                    and isinstance(v, (int, float))
+                    and isinstance(cal, (int, float)) and cal):
+                norm_vals.add(round(v / cal, 1))
+        if norm_vals and not any(quoted(v) for v in norm_vals):
+            problems.append(
+                f"{os.path.basename(note)}: must quote the anchor-"
+                f"normalized headline (headline ÷ host_calibration_sec, "
+                f"1 decimal; recorded: {sorted(norm_vals)})"
+            )
     return problems
 
 

@@ -105,8 +105,10 @@ def d06_receipt(spark, sf_dir: str) -> dict:
     half_bands = SIMHASH_BANDS // 2
 
     def band_val(j):
+        # hi-first — same labeling as the production
+        # banded_hamming_pairs(['simhash_hi', 'simhash_lo']) join
         word = (
-            F.col("simhash_lo") if j < half_bands else F.col("simhash_hi")
+            F.col("simhash_hi") if j < half_bands else F.col("simhash_lo")
         )
         return F.shiftright(
             word, (j % half_bands) * SIMHASH_BAND_BITS
@@ -189,6 +191,102 @@ def m07_receipt(spark, sf_dir: str) -> dict:
     }
 
 
+def d06_wide_receipt(spark, sf_dir: str) -> dict:
+    """The 4-word (128-bit) hamming knob run END-TO-END at scale
+    (round-11 verdict order 3): the knob is test-pinned on crafted
+    hashes, but had never hashed a real corpus. A 128-bit SimHash —
+    the full 32 md5 hex chars per token as FOUR 32-bit words, 128
+    majority votes — goes through the SAME shared
+    ``banded_hamming_pairs`` core at 4 bands x 32 bits (band space
+    2^32: occupancy stays < 1 into the billions of distinct
+    fingerprints; this is what a deployment switches to when 16-bit
+    bands saturate past ~65k distinct). Records distinct-fingerprint
+    count, analytic band-candidate pairs, per-band occupancy, and the
+    wall next to the production 2-word run."""
+    from pyspark.sql import functions as F
+
+    from kafka2clickhouse_py_streamer_spark.functions.hamming_lsh import (
+        banded_hamming_pairs,
+    )
+    from kafka2clickhouse_py_streamer_spark.operators.base import table
+
+    WORDS = 4
+    BITS = 32 * WORDS
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    md5 = F.md5(F.col("tok"))
+    for w in range(WORDS):
+        toks = toks.withColumn(
+            f"th{w}",
+            F.conv(F.substring(md5, 1 + 8 * w, 8), 16, 10).cast("long"),
+        )
+
+    def vote(b: int):
+        word = F.col(f"th{b // 32}")
+        return F.sum(
+            F.when(
+                F.shiftright(word, b % 32).bitwiseAND(1) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"v{b}")
+
+    votes = toks.groupBy("doc_id").agg(*[vote(b) for b in range(BITS)])
+
+    def word_col(w: int):
+        out = None
+        for i in range(32):
+            bit = F.when(
+                F.col(f"v{32 * w + i}") > 0, F.lit(1 << i)
+            ).otherwise(F.lit(0))
+            out = bit if out is None else out + bit
+        return out.cast("long")
+
+    t0 = time.perf_counter()
+    fp = votes.select(
+        "doc_id", *[word_col(w).alias(f"w{w}") for w in range(WORDS)]
+    ).localCheckpoint()
+    word_cols = [f"w{w}" for w in range(WORDS)]
+    hu = fp.select(*word_cols).distinct()
+    n_distinct = hu.count()
+    # 4 bands x 1 band/word: band_val IS the word (band_bits = 32)
+    occ = (
+        hu.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(w).alias("band_id"),
+                            F.col(f"w{w}").alias("band_val"),
+                        )
+                        for w in range(WORDS)
+                    ]
+                )
+            ).alias("b")
+        )
+        .select("b.band_id", "b.band_val")
+        .groupBy("band_id", "band_val")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    stats = occ.groupBy("band_id").agg(
+        F.max("n").alias("max_n"),
+        (F.sum(F.col("n") * (F.col("n") - 1) / 2)).alias("pairs"),
+    ).collect()
+    band_pairs = int(sum(r["pairs"] for r in stats))
+    max_bucket = int(max(r["max_n"] for r in stats))
+    n_pairs = banded_hamming_pairs(fp, word_cols, WORDS, 3).count()
+    wall = round(time.perf_counter() - t0, 3)
+    return {
+        "n_distinct_fp128": n_distinct,
+        "band_candidate_fp_pairs": band_pairs,
+        "max_band_bucket": max_bucket,
+        "occupancy_lt_1": bool(max_bucket <= 1),
+        "doc_pairs": n_pairs,
+        "wall_sec": wall,
+    }
+
+
 def generate_embeddings(spark, out_dir: str, replicas: int) -> None:
     """100x embeddings: vec_id shifted, elements jittered by a
     deterministic sin(vec_id, dim) term per replica (bench_sf1's
@@ -232,13 +330,16 @@ def generate_embeddings(spark, out_dir: str, replicas: int) -> None:
     print(f"generated {out} ({replicas} replicas)", file=sys.stderr)
 
 
-def s09_receipt(spark, sf_dir: str, run_planes: int) -> dict:
+def s09_receipt(spark, sf_dir: str) -> dict:
     """The fixed-plane LSH trap at this corpus size, quantified: the
     bucket self-join pays sum |bucket|^2 ~ N^2/2^planes, so the
     ANALYTIC candidate count is recorded for a ladder of plane counts
     (cheap occupancy aggregate — no join runs), and the kNN graph
-    itself is built once at ``run_planes`` (occupancy restored for
-    the scale) to time the end-to-end path."""
+    itself is built once at the SCALE-DERIVED count — round 12: the
+    plane count is no longer a hand-picked per-scale constant but
+    ``planes_for(n)``, the same derivation the production s09 default
+    runs; the receipt records the derived value next to the fixed-7
+    trap it replaces."""
     import time as _t
 
     from pyspark.sql import functions as F
@@ -246,13 +347,15 @@ def s09_receipt(spark, sf_dir: str, run_planes: int) -> dict:
     from kafka2clickhouse_py_streamer_spark.llm.similarity import (
         _base,
         _bucket_expr,
+        planes_for,
         s09_knn_graph,
     )
 
     base = _base(spark, sf_dir)
     n_vecs = base.count()
+    derived = planes_for(n_vecs)
     pairs_at = {}
-    for planes in (7, 10, 14, 17):
+    for planes in sorted({7, 10, 14, 17, derived}):
         pairs_at[f"planes{planes}"] = int(
             base.withColumn("bucket", _bucket_expr(planes))
             .groupBy("bucket")
@@ -261,12 +364,14 @@ def s09_receipt(spark, sf_dir: str, run_planes: int) -> dict:
             .collect()[0]["p"]
         )
     t0 = _t.perf_counter()
-    n_edges = s09_knn_graph(spark, sf_dir, n_planes=run_planes).count()
+    # n_planes omitted: the production default derives the same count
+    n_edges = s09_knn_graph(spark, sf_dir).count()
     wall = round(_t.perf_counter() - t0, 3)
     return {
         "n_vectors": n_vecs,
         "bucket_candidate_pairs": pairs_at,
-        "run_planes": run_planes,
+        "run_planes": derived,
+        "planes_derived_in_code": True,
         "n_edges": n_edges,
         "s09_wall_sec": wall,
     }
@@ -301,26 +406,23 @@ def main() -> None:
     # the dirs at documents only
     out: dict = {"metric": "second_decade_scale_receipts"}
     scales = [("sf0.1", SRC, 1), ("x10", ten, 10), ("x100", hundred, 100)]
-    # occupancy-restored plane count per scale: keep N/2^planes flat
-    s09_planes = {"sf0.1": 7, "x10": 10, "x100": 14}
     fns = {
         "d06": d06_receipt,
+        "d06_wide": d06_wide_receipt,
         "m07": m07_receipt,
-        "s09": lambda sp, d, _lbl: s09_receipt(sp, d, s09_planes[_lbl]),
+        "s09": s09_receipt,
         "baselines": baselines,
     }
     for fam, fn in fns.items():
         fam_out = {}
         for label, d, _mult in scales:
-            fam_out[label] = (
-                fn(spark, d, label) if fam == "s09" else fn(spark, d)
-            )
+            fam_out[label] = fn(spark, d)
             spark.catalog.clearCache()
             print(f"{fam}@{label}: {json.dumps(fam_out[label])}",
                   file=sys.stderr)
         keys = [
             k for k, v in fam_out["sf0.1"].items()
-            if isinstance(v, (int, float))
+            if isinstance(v, (int, float)) and not isinstance(v, bool)
         ]
         fam_out["ratio_x100_vs_base"] = {
             k: (
