@@ -657,7 +657,10 @@ def query_streamed_index(
     )
 
 
-def compact_index(spark, index_dir: str, through_batch: int) -> int:
+def compact_index(
+    spark, index_dir: str, through_batch: int,
+    _crash_point: str | None = None,
+) -> int:
     """Fold the streamed ANN index's per-batch partitions into one
     compacted partition PER CELL — the index-maintenance twin of
     ``compact_state``. ``index_ingest_batch`` lays the index out as
@@ -675,7 +678,15 @@ def compact_index(spark, index_dir: str, through_batch: int) -> int:
     compacted partition already holds. Returns the total number of
     per-batch partitions removed across all cells (a pre-existing
     compacted partition being re-folded does not count, so re-running
-    over already-compacted cells reports 0)."""
+    over already-compacted cells reports 0).
+
+    ``_crash_point`` is the per-cell fault-injection seam passed down
+    to ``compact_state``: the first cell with foldable partitions dies
+    at the chosen point of ITS swap and the remaining cells go
+    untouched — the realistic partial-maintenance crash (one cell
+    mid-swap, the rest unfolded) the index soak arm injects; the next
+    ``compact_index`` call must recover that one cell and fold the
+    rest (tools/streaming_soak.py, round 12)."""
     _, fs, root = _fs(spark, index_dir)
     removed = 0
     for st in fs.listStatus(root):
@@ -690,7 +701,10 @@ def compact_index(spark, index_dir: str, through_batch: int) -> int:
             bid = int(n2.split("=", 1)[1])
             if bid != COMPACTED_BATCH_ID and bid <= through_batch:
                 n_real += 1
-        compact_state(spark, str(st.getPath()), through_batch)
+        compact_state(
+            spark, str(st.getPath()), through_batch,
+            _crash_point=_crash_point if n_real else None,
+        )
         removed += n_real
     return removed
 

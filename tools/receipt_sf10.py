@@ -280,8 +280,14 @@ def d06_wide_receipt(spark, sf_dir: str) -> dict:
     return {
         "n_distinct_fp128": n_distinct,
         "band_candidate_fp_pairs": band_pairs,
+        # MEAN occupancy is the linearity lever (n/2^32 per band value,
+        # << 1 into the billions); max_band_bucket witnesses the skew
+        # correlated SimHash words produce (hot 32-bit word values from
+        # similar docs) — candidates_per_fp staying O(1) across scales
+        # is the claim that matters
+        "mean_band_occupancy": round(n_distinct / 2.0**32, 9),
         "max_band_bucket": max_bucket,
-        "occupancy_lt_1": bool(max_bucket <= 1),
+        "candidates_per_fp": round(band_pairs / max(n_distinct, 1), 3),
         "doc_pairs": n_pairs,
         "wall_sec": wall,
     }

@@ -65,6 +65,147 @@ def dir_stats(path: str) -> dict:
     return {"bytes": total, "files": files}
 
 
+def ivf_index_soak(spark, sf_dir: str) -> dict:
+    """Kill-mid-swap arm for the STREAMED IVF index compactor (round-11
+    verdict order 6): the generic state compactor is crash-proven by
+    the arm above, but ``compact_index`` reuses the fold-and-swap PER
+    CELL, and its own crash window — one cell mid-swap after its
+    commit marker, sibling cells unfolded — was untested. Shape:
+
+    1. stream the embedding corpus into the (cell, batch_id)-
+       partitioned index through real readStream + foreachBatch +
+       checkpoint; probe it (query_streamed_index);
+    2. ``compact_index`` dies AFTER the first foldable cell's commit
+       marker (fault-injection seam) — that cell holds a complete
+       temp fold + untouched sources, the rest untouched;
+    3. the probe re-runs OVER the mid-swap index (dot-prefixed temp is
+       invisible; sources still present) and must return identical
+       rows; one full micro-batch then streams over the mid-swap
+       index;
+    4. the next ``compact_index`` call rolls the crashed cell FORWARD
+       and folds the siblings; remaining batches stream; a final
+       compaction folds everything to one partition per cell;
+    5. twins: index content == the batch cell assignment over the full
+       corpus, vec_ids unique, and every cell dir ends at exactly one
+       ``batch_id=-1`` partition.
+    """
+    from pyspark.sql import functions as F
+
+    from kafka2clickhouse_py_streamer_spark.llm.similarity import (
+        N_QUERIES,
+        _assign_cell_df,
+        _base,
+        _train_centroids,
+    )
+    from kafka2clickhouse_py_streamer_spark.operators.base import table
+    from kafka2clickhouse_py_streamer_spark.streaming.corpus_stream import (
+        COMPACTED_BATCH_ID,
+        CompactionCrash,
+        compact_index,
+        query_streamed_index,
+        start_streaming_index_ingest,
+    )
+
+    work = tempfile.mkdtemp(prefix="ivf_soak_")
+    src = os.path.join(work, "intake")
+    idx = os.path.join(work, "index")
+    ckpt = os.path.join(work, "ckpt")
+    os.makedirs(src)
+
+    base = _base(spark, sf_dir)
+    cents = _train_centroids(base, sf_dir)
+    em = table(spark, sf_dir, "embeddings")
+    corpus = em.filter(F.col("vec_id") >= N_QUERIES)
+    queries = em.filter(F.col("vec_id") < N_QUERIES)
+    ids = sorted(r[0] for r in corpus.select("vec_id").collect())
+    n_batches = 6
+    per = (len(ids) + n_batches - 1) // n_batches
+    bounds = [ids[i * per] for i in range(n_batches)] + [ids[-1] + 1]
+
+    def feed(i: int) -> None:
+        corpus.filter(
+            (F.col("vec_id") >= bounds[i])
+            & (F.col("vec_id") < bounds[i + 1])
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def probe() -> set:
+        return {
+            tuple(r)
+            for r in query_streamed_index(
+                spark, idx, queries, cents
+            ).collect()
+        }
+
+    stream = spark.readStream.schema(corpus.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = start_streaming_index_ingest(stream, idx, ckpt, cents)
+    out: dict = {"n_batches": n_batches, "n_corpus": len(ids)}
+    try:
+        for i in range(3):  # batches 0..2 committed
+            feed(i)
+            q.processAllAvailable()
+        probe_before = probe()
+        stats_before = dir_stats(idx)
+        crashed = False
+        try:
+            compact_index(spark, idx, 2, _crash_point="after_marker")
+        except CompactionCrash:
+            crashed = True
+        stats_mid = dir_stats(idx)
+        probe_mid = probe()
+        feed(3)  # one full micro-batch OVER the mid-swap index
+        q.processAllAvailable()
+        folded = compact_index(spark, idx, 2)  # recovery: roll forward
+        for i in (4, 5):
+            feed(i)
+            q.processAllAvailable()
+        final_folded = compact_index(spark, idx, 5)
+        stats_after = dir_stats(idx)
+    finally:
+        q.stop()
+
+    streamed = {
+        (r.vec_id, int(r.cell))
+        for r in spark.read.parquet(idx).select("vec_id", "cell").collect()
+    }
+    expected = {
+        (r.vec_id, int(r.cell))
+        for r in _assign_cell_df(
+            base.filter(F.col("vec_id") >= N_QUERIES), cents
+        ).select("vec_id", "cell").collect()
+    }
+    cell_parts = {}
+    for cell in os.listdir(idx):
+        if cell.startswith("cell="):
+            cell_parts[cell] = sorted(
+                p for p in os.listdir(os.path.join(idx, cell))
+                if p.startswith("batch_id=")
+            )
+    one_compacted_each = all(
+        parts == [f"batch_id={COMPACTED_BATCH_ID}"]
+        for parts in cell_parts.values()
+    )
+    out.update({
+        "crash_injected": "after_marker",
+        "crashed": crashed,
+        "index_before": stats_before,
+        "index_mid_swap": stats_mid,
+        "index_after": stats_after,
+        "probe_stable_over_mid_swap": probe_mid == probe_before,
+        "probe_rows": len(probe_before),
+        "recovery_partitions_folded": folded,
+        "final_partitions_folded": final_folded,
+        "cells": len(cell_parts),
+        "one_compacted_partition_per_cell": one_compacted_each,
+        "index_matches_batch_assignment": streamed == expected,
+        "vec_ids_unique": len({v for v, _ in streamed}) == len(streamed),
+        "rows_indexed": len(streamed),
+    })
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--round", type=int, default=7)
@@ -296,9 +437,17 @@ def main() -> None:
         .first()[0]
     )
 
+    ivf = ivf_index_soak(spark, args.sf_dir)
+    print(f"ivf index arm: crash={ivf['crashed']} "
+          f"probe_stable={ivf['probe_stable_over_mid_swap']} "
+          f"twin={ivf['index_matches_batch_assignment']} "
+          f"one_part_per_cell={ivf['one_compacted_partition_per_cell']}",
+          flush=True)
+
     artifact = {
         "what": "streaming RAG-ingest soak: kill-and-resume + state "
-                "compaction + batch-twin equality",
+                "compaction + batch-twin equality + IVF-index "
+                "kill-mid-swap compaction arm",
         "sf_dir": args.sf_dir,
         "n_docs": n_docs,
         "n_batches": len(slices),
@@ -312,6 +461,7 @@ def main() -> None:
         "twin_equal": twin_equal,
         "rows_streamed": len(streamed),
         "rows_batch": len(batch),
+        "ivf_index_compaction": ivf,
     }
     dest = os.path.join(REPO, f"SOAK_r{args.round:02d}.json")
     with open(dest, "w") as fh:
@@ -321,6 +471,14 @@ def main() -> None:
           f"batches={n_batches_seen}")
     shutil.rmtree(work, ignore_errors=True)
     if not twin_equal or not replay["idempotent"]:
+        sys.exit(1)
+    if not (
+        ivf["crashed"]
+        and ivf["probe_stable_over_mid_swap"]
+        and ivf["index_matches_batch_assignment"]
+        and ivf["vec_ids_unique"]
+        and ivf["one_compacted_partition_per_cell"]
+    ):
         sys.exit(1)
 
 
