@@ -643,45 +643,76 @@ def simhash_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     two words (md5 hashes the WHOLE token with uniform bits; the old
     4-char-prefix polynomial capped entropy at ~22 bits and collided
     all tokens sharing a prefix)."""
+    fp = simhash_fp_words(spark, sf_dir, 2)
+    return fp.select(
+        "doc_id",
+        F.col("w1").alias("simhash_hi"),
+        F.col("w0").alias("simhash_lo"),
+    )
+
+
+def simhash_fp_words(
+    spark: SparkSession, sf_dir: str, n_words: int = 2
+) -> DataFrame:
+    """(doc_id, w0..w{n-1}): the width-general SimHash builder behind
+    :func:`simhash_fp` — ``32 * n_words`` fingerprint bits as
+    non-negative 32-bit words, word ``k`` from md5 hex chars
+    [1+8k, 8+8k] of each token (md5 = 32 hex chars, so up to 4 words
+    / 128 bits per token hash). The width knob made PRODUCTION code,
+    completing what the shared ``banded_hamming_pairs`` core started
+    (round 11): a deployment past ~65k distinct fingerprints — where
+    16-bit bands saturate; RECEIPT_SF10 measured 7.69M band
+    candidates at 500k distinct vs 626k for the 4-word layout —
+    switches to ``simhash_fp_words(spark, sf, 4)`` +
+    ``banded_hamming_pairs(fp, ['w0','w1','w2','w3'], 4, 3)`` and
+    everything downstream is unchanged.
+
+    PREFIX-CLOSED in words: bit b's vote reads token-hash word
+    ``b // 32``, so (w0, w1) of the 4-word fingerprint equals the
+    2-word fingerprint exactly (w0 = simhash_lo, w1 = simhash_hi) —
+    pinned by tests/test_llm_invariants.py; a width migration can
+    therefore re-derive the narrow fingerprint from stored wide ones
+    without touching the corpus."""
+    if not 1 <= n_words <= 4:
+        raise ValueError(
+            f"n_words={n_words}: md5's 32 hex chars bound the token "
+            "hash at 4x32 bits (use a longer token digest to go wider)"
+        )
+    bits = 32 * n_words
     d = table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
         F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok"),
     ).filter(F.length("tok") > 0)
-    # 8+8 hex chars of md5 = 2x32 uniform bits, non-negative longs
+    # 8 hex chars of md5 per word = 32 uniform bits, non-negative longs
     md5 = F.md5(F.col("tok"))
-    toks = toks.withColumn(
-        "th_lo", F.conv(F.substring(md5, 1, 8), 16, 10).cast("long")
-    ).withColumn(
-        "th_hi", F.conv(F.substring(md5, 9, 8), 16, 10).cast("long")
-    )
+    for w in range(n_words):
+        toks = toks.withColumn(
+            f"th{w}",
+            F.conv(F.substring(md5, 1 + 8 * w, 8), 16, 10).cast("long"),
+        )
 
     def vote(b: int):
-        word = F.col("th_lo") if b < _SIMHASH_HALF else F.col("th_hi")
+        word = F.col(f"th{b // 32}")
         return F.sum(
             F.when(
-                F.shiftright(word, b % _SIMHASH_HALF).bitwiseAND(1) == 1,
-                1,
+                F.shiftright(word, b % 32).bitwiseAND(1) == 1, 1
             ).otherwise(-1)
         ).alias(f"v{b}")
 
-    votes = toks.groupBy("doc_id").agg(
-        *[vote(b) for b in range(SIMHASH_BITS)]
-    )
+    votes = toks.groupBy("doc_id").agg(*[vote(b) for b in range(bits)])
 
-    def word(lo_bit: int):
+    def word(w: int):
         out = None
-        for i in range(_SIMHASH_HALF):
+        for i in range(32):
             bit = F.when(
-                F.col(f"v{lo_bit + i}") > 0, F.lit(1 << i)
+                F.col(f"v{32 * w + i}") > 0, F.lit(1 << i)
             ).otherwise(F.lit(0))
             out = bit if out is None else out + bit
         return out.cast("long")
 
     return votes.select(
-        "doc_id",
-        word(_SIMHASH_HALF).alias("simhash_hi"),
-        word(0).alias("simhash_lo"),
+        "doc_id", *[word(w).alias(f"w{w}") for w in range(n_words)]
     )
 
 

@@ -2531,3 +2531,47 @@ def test_s24_core_on_adversarial_graph_shapes(spark):
     assert tri[2][0] == 3 and tri[2][1] == 1
     assert abs(tri[2][2] - round(2 * 1 / (3 * 2), 6)) < 1e-9
     assert tri[3] == (1, 0, 0.0)
+
+
+def test_simhash_width_builder_prefix_closed(spark, sf_dir):
+    """The width-general SimHash builder (r12: the receipt tool's
+    128-bit fingerprint factored into production code): (w0, w1) of
+    the 4-word fingerprint must equal the 2-word fingerprint exactly
+    (bit b's vote reads token-hash word b // 32, so narrow widths are
+    word-prefixes of wide ones), and simhash_fp's (lo, hi) must be
+    the same frame under the production column names — a width
+    migration can re-derive stored narrow fingerprints from wide
+    ones. Widths beyond md5's 4 words fail loudly."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from kafka2clickhouse_py_streamer_spark.llm.dedup import (
+        simhash_fp,
+        simhash_fp_words,
+    )
+
+    fp2 = simhash_fp_words(spark, sf_dir, 2).alias("a")
+    fp4 = simhash_fp_words(spark, sf_dir, 4).alias("b")
+    mism = (
+        fp2.join(fp4, "doc_id")
+        .filter(
+            (F.col("a.w0") != F.col("b.w0"))
+            | (F.col("a.w1") != F.col("b.w1"))
+        )
+        .count()
+    )
+    assert mism == 0
+    prod = simhash_fp(spark, sf_dir).alias("p")
+    mism2 = (
+        prod.join(fp2, "doc_id")
+        .filter(
+            (F.col("p.simhash_lo") != F.col("a.w0"))
+            | (F.col("p.simhash_hi") != F.col("a.w1"))
+        )
+        .count()
+    )
+    assert mism2 == 0
+    assert fp4.count() == prod.count() > 0
+    with _pytest.raises(ValueError, match="n_words=5"):
+        simhash_fp_words(spark, sf_dir, 5)

@@ -208,45 +208,13 @@ def d06_wide_receipt(spark, sf_dir: str) -> dict:
     from kafka2clickhouse_py_streamer_spark.functions.hamming_lsh import (
         banded_hamming_pairs,
     )
-    from kafka2clickhouse_py_streamer_spark.operators.base import table
+    from kafka2clickhouse_py_streamer_spark.llm.dedup import (
+        simhash_fp_words,
+    )
 
     WORDS = 4
-    BITS = 32 * WORDS
-    d = table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok"),
-    ).filter(F.length("tok") > 0)
-    md5 = F.md5(F.col("tok"))
-    for w in range(WORDS):
-        toks = toks.withColumn(
-            f"th{w}",
-            F.conv(F.substring(md5, 1 + 8 * w, 8), 16, 10).cast("long"),
-        )
-
-    def vote(b: int):
-        word = F.col(f"th{b // 32}")
-        return F.sum(
-            F.when(
-                F.shiftright(word, b % 32).bitwiseAND(1) == 1, 1
-            ).otherwise(-1)
-        ).alias(f"v{b}")
-
-    votes = toks.groupBy("doc_id").agg(*[vote(b) for b in range(BITS)])
-
-    def word_col(w: int):
-        out = None
-        for i in range(32):
-            bit = F.when(
-                F.col(f"v{32 * w + i}") > 0, F.lit(1 << i)
-            ).otherwise(F.lit(0))
-            out = bit if out is None else out + bit
-        return out.cast("long")
-
     t0 = time.perf_counter()
-    fp = votes.select(
-        "doc_id", *[word_col(w).alias(f"w{w}") for w in range(WORDS)]
-    ).localCheckpoint()
+    fp = simhash_fp_words(spark, sf_dir, WORDS).localCheckpoint()
     word_cols = [f"w{w}" for w in range(WORDS)]
     hu = fp.select(*word_cols).distinct()
     n_distinct = hu.count()
