@@ -70,9 +70,13 @@ def planes_for(n_vectors: int) -> int:
     )
 
 
-def _planes_sql(count_from: str = "base") -> str:
+def _planes_sql(count_from: str = "embeddings") -> str:
     """CTE body computing the derived plane count from ``count_from``:
-    the oracle-side twin of :func:`planes_for` (same indicator sum)."""
+    the oracle-side twin of :func:`planes_for` (same indicator sum).
+    Defaults to the RAW embeddings table — the same unfiltered count
+    the Spark side derives from (see :func:`derived_planes`: the raw
+    count is metadata-cheap; the filtered count would scan the
+    embedding column)."""
     terms = " + ".join(
         f"(CASE WHEN n > {TARGET_OCCUPANCY << k} THEN 1 ELSE 0 END)"
         for k in range(MIN_PLANES, MAX_PLANES)
@@ -206,12 +210,20 @@ def _bucket_sql_expr(n_planes: int = N_PLANES) -> str:
     return "\n         + ".join(bits)
 
 
-def derived_planes(base: DataFrame) -> int:
+def derived_planes(spark: SparkSession, sf_dir: str) -> int:
     """Corpus-derived plane count: one COUNT() to the driver (the s10
     pattern — a scalar that becomes a plan constant), then
-    :func:`planes_for`. Callers with a known corpus size pass an
+    :func:`planes_for`. Counts the RAW embeddings table, not the
+    validity-filtered base: the occupancy target is approximate, so
+    the exact member count doesn't matter, but WHICH count is used
+    must match the oracle SQL's — and the raw count is
+    metadata-cheap (a zero-column parquet scan reads footers and row
+    counts), where the filtered count would evaluate the validity
+    predicate over the embedding column, a full data scan at corpus
+    scale. Raw ≥ filtered only ever rounds the plane count UP (never
+    hurts linearity). Callers with a known corpus size pass an
     explicit ``n_planes`` instead and skip the count job."""
-    return planes_for(base.count())
+    return planes_for(table(spark, sf_dir, "embeddings").count())
 
 
 def s02_lsh_buckets(
@@ -224,7 +236,7 @@ def s02_lsh_buckets(
     (:func:`planes_for`); pass it explicitly to pin a layout."""
     base = _base(spark, sf_dir)
     if n_planes is None:
-        n_planes = derived_planes(base)
+        n_planes = derived_planes(spark, sf_dir)
     tagged = base.select("vec_id", _bucket_expr(n_planes).alias("bucket"))
     return (
         tagged.groupBy("bucket")
@@ -271,7 +283,7 @@ def s03_lsh_topk(
     per-query candidate cost — stays flat as the corpus grows."""
     base = _base(spark, sf_dir)
     if n_planes is None:
-        n_planes = derived_planes(base)
+        n_planes = derived_planes(spark, sf_dir)
     tagged = base.withColumn("bucket", _bucket_expr(n_planes))
     q = tagged.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -1090,7 +1102,7 @@ def s09_knn_graph(
     both-sides-large ANN shape."""
     base = _base(spark, sf_dir)
     if n_planes is None:
-        n_planes = derived_planes(base)
+        n_planes = derived_planes(spark, sf_dir)
     tagged = base.withColumn("bucket", _bucket_expr(n_planes))
     a = tagged.select(
         F.col("vec_id").alias("src_id"),
@@ -1362,7 +1374,7 @@ def d15_semdedup(
     twin is dedup.d05."""
     base = _base(spark, sf_dir)
     if n_planes is None:
-        n_planes = derived_planes(base)
+        n_planes = derived_planes(spark, sf_dir)
     tagged = base.select(
         "vec_id", "v", "norm", _bucket_expr(n_planes).alias("bucket")
     )

@@ -1915,9 +1915,12 @@ def test_s09_plane_count_is_scale_derived(spark, sf_dir):
         assert bad == 0, f"prefix closure broken at q={q}"
 
     # (3) the static SQL derives the same count from the same COUNT(*)
+    # (both engines count the RAW embeddings table: metadata-cheap on
+    # the Spark side, where the filtered count would scan the
+    # embedding column)
     con = duckdb.connect()
     for n in (0, 500, 512, 513, 2_000, 200_000, 10**9):
-        con.execute("CREATE OR REPLACE TABLE base AS "
+        con.execute("CREATE OR REPLACE TABLE embeddings AS "
                     f"SELECT * FROM range({max(n, 0)})")
         got = con.execute(_planes_sql()).fetchone()[0]
         assert got == planes_for(n), (n, got, planes_for(n))
