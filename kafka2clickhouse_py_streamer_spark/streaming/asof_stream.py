@@ -114,7 +114,8 @@ def start_streaming_asof(
 
 
 def compact_asof_state(
-    spark, state_dir: str, through_batch: int, watermark
+    spark, state_dir: str, through_batch: int, watermark,
+    _crash_point: str | None = None,
 ) -> int:
     """Timeline maintenance: fold the dimension partitions up to
     ``through_batch`` into ONE compacted partition holding only the
@@ -146,5 +147,8 @@ def compact_asof_state(
         .drop("_rn")
     )
     consolidated = fresh.unionByName(frontier).select(*_DIM_COLS)
-    _fold_and_swap(spark, state_dir, consolidated, old_parts, through_batch)
+    _fold_and_swap(
+        spark, state_dir, consolidated, old_parts, through_batch,
+        _crash_point=_crash_point,
+    )
     return len(old_parts)

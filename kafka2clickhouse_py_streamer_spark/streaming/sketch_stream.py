@@ -199,7 +199,10 @@ def hist_quantile_estimates(spark, state_dir: str) -> DataFrame:
     return hist_quantiles_from_cells(merged_hist(spark, state_dir))
 
 
-def compact_hist_state(spark, state_dir: str, through_batch: int) -> int:
+def compact_hist_state(
+    spark, state_dir: str, through_batch: int,
+    _crash_point: str | None = None,
+) -> int:
     """Histogram maintenance: fold per-batch cell partitions up to
     ``through_batch`` into ONE compacted partition by bin-wise SUM —
     `compact_sketch_state`'s contract with the histogram's merge.
@@ -219,11 +222,17 @@ def compact_hist_state(spark, state_dir: str, through_batch: int) -> int:
         .groupBy("bin")
         .agg(F.sum("cnt").alias("cnt"))
     )
-    _fold_and_swap(spark, state_dir, consolidated, old_parts, through_batch)
+    _fold_and_swap(
+        spark, state_dir, consolidated, old_parts, through_batch,
+        _crash_point=_crash_point,
+    )
     return len(old_parts)
 
 
-def compact_sketch_state(spark, state_dir: str, through_batch: int) -> int:
+def compact_sketch_state(
+    spark, state_dir: str, through_batch: int,
+    _crash_point: str | None = None,
+) -> int:
     """Sketch maintenance: fold the per-batch cell partitions up to
     ``through_batch`` into ONE compacted partition by CELL-WISE SUM
     (the sketch merge itself — corpus_stream.compact_state's DISTINCT
@@ -248,7 +257,10 @@ def compact_sketch_state(spark, state_dir: str, through_batch: int) -> int:
         .groupBy("j", "bucket")
         .agg(F.sum("cell").alias("cell"))
     )
-    _fold_and_swap(spark, state_dir, consolidated, old_parts, through_batch)
+    _fold_and_swap(
+        spark, state_dir, consolidated, old_parts, through_batch,
+        _crash_point=_crash_point,
+    )
     return len(old_parts)
 
 
@@ -359,7 +371,10 @@ def decayed_rate_estimates(spark, state_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
-def compact_decay_state(spark, state_dir: str, through_batch: int) -> int:
+def compact_decay_state(
+    spark, state_dir: str, through_batch: int,
+    _crash_point: str | None = None,
+) -> int:
     """Decayed-counter maintenance: fold the per-batch partitions up
     to ``through_batch`` into ONE compacted partition by the
     re-referencing merge itself (`_re_reference` to the folded
@@ -381,7 +396,10 @@ def compact_decay_state(spark, state_dir: str, through_batch: int) -> int:
     consolidated = _re_reference(state, gref).crossJoin(
         F.broadcast(gref.select(F.col("g_ref_us").alias("t_ref_us")))
     )
-    _fold_and_swap(spark, state_dir, consolidated, old_parts, through_batch)
+    _fold_and_swap(
+        spark, state_dir, consolidated, old_parts, through_batch,
+        _crash_point=_crash_point,
+    )
     return len(old_parts)
 
 
@@ -459,7 +477,10 @@ def hll_distinct_estimates(spark, state_dir: str) -> DataFrame:
     return hll_estimates_from_registers(merged_hll(spark, state_dir))
 
 
-def compact_hll_state(spark, state_dir: str, through_batch: int) -> int:
+def compact_hll_state(
+    spark, state_dir: str, through_batch: int,
+    _crash_point: str | None = None,
+) -> int:
     """HLL maintenance: fold the per-batch register partitions up to
     ``through_batch`` into ONE compacted partition by register-wise
     MAX (the sketch merge itself). Same safety contract and shared
@@ -480,7 +501,10 @@ def compact_hll_state(spark, state_dir: str, through_batch: int) -> int:
         .groupBy("scope", "reg")
         .agg(F.max("r").alias("r"))
     )
-    _fold_and_swap(spark, state_dir, consolidated, old_parts, through_batch)
+    _fold_and_swap(
+        spark, state_dir, consolidated, old_parts, through_batch,
+        _crash_point=_crash_point,
+    )
     return len(old_parts)
 
 
@@ -587,7 +611,8 @@ def distinct_curve(spark, state_dir: str) -> DataFrame:
 
 
 def compact_distinct_curve_state(
-    spark, state_dir: str, through_batch: int
+    spark, state_dir: str, through_batch: int,
+    _crash_point: str | None = None,
 ) -> int:
     """Curve maintenance: fold both state tables' per-batch partitions
     up to ``through_batch`` into ONE compacted partition each — pairs
@@ -608,6 +633,9 @@ def compact_distinct_curve_state(
             | (F.col("batch_id") <= through_batch)
         ).drop("batch_id")
         consolidated = state.distinct() if dedup else state
-        _fold_and_swap(spark, d, consolidated, old_parts, through_batch)
+        _fold_and_swap(
+            spark, d, consolidated, old_parts, through_batch,
+            _crash_point=_crash_point,
+        )
         removed += len(old_parts)
     return removed

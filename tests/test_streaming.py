@@ -3350,3 +3350,112 @@ def test_non_acting_sink_routes_exactly(spark, overlap):
         assert len(dlq.rows) == 2
     finally:
         _os.environ.pop("SPARK_GRAFT_DLQ_OVERLAP", None)
+
+
+def test_hist_compaction_crash_through_seam(spark, tmp_path):
+    """SUM-fold crash window exercised through the ACTUAL compactor
+    (r12: the seam threaded to every fold family, not just the digest
+    compactor): compact_hist_state dies after its commit marker — the
+    quantile read-off over the mid-swap state is unchanged (temp
+    invisible, sources intact), and the next maintenance call rolls
+    the swap forward to one compacted partition with identical
+    estimates (a SUM fold replayed or refolded wrongly would shift
+    counts, unlike the DISTINCT fold where duplication is absorbed)."""
+    import os
+
+    from kafka2clickhouse_py_streamer_spark.streaming.corpus_stream import (
+        CompactionCrash,
+    )
+    from kafka2clickhouse_py_streamer_spark.streaming.sketch_stream import (
+        compact_hist_state,
+        hist_quantile_estimates,
+        hist_update_batch,
+    )
+
+    state = str(tmp_path / "hist_crash_state")
+    for bid, lo in ((0, 0.0), (1, 30.0), (2, 70.0)):
+        hist_update_batch(
+            spark.createDataFrame(
+                [(lo + i * 0.9,) for i in range(50)], "value double"
+            ),
+            bid,
+            state,
+        )
+
+    def est():
+        return {
+            tuple(r)
+            for r in hist_quantile_estimates(spark, state).collect()
+        }
+
+    before = est()
+    with pytest.raises(CompactionCrash):
+        compact_hist_state(spark, state, 1, _crash_point="after_marker")
+    assert os.path.isdir(os.path.join(state, ".compact_tmp"))
+    assert est() == before  # mid-swap reads see the sources
+    removed = compact_hist_state(spark, state, 2)
+    assert removed > 0
+    parts = {p for p in os.listdir(state) if p.startswith("batch_id=")}
+    assert parts == {"batch_id=-1"}
+    assert est() == before
+
+
+def test_asof_compaction_crash_through_seam(spark, tmp_path):
+    """Frontier-fold crash window through the actual compactor: the
+    SCD-frontier fold (per-key winner at-or-before the watermark +
+    everything newer) dies after its commit marker; the state read
+    mid-swap is unchanged; the next call rolls forward, and the
+    recovered state equals a twin state compacted WITHOUT the crash,
+    row for row."""
+    import datetime
+    import shutil
+
+    from kafka2clickhouse_py_streamer_spark.streaming.asof_stream import (
+        asof_enrich_batch,
+        compact_asof_state,
+    )
+    from kafka2clickhouse_py_streamer_spark.streaming.corpus_stream import (
+        CompactionCrash,
+    )
+
+    def dims_batch(rows):
+        return spark.createDataFrame(
+            [
+                (0, None, None, None, ck, ok,
+                 datetime.datetime(2024, 1, d), p)
+                for ck, ok, d, p in rows
+            ],
+            "is_event int, event_id long, user_id long, ts timestamp,"
+            " o_custkey long, o_orderkey long, o_orderdate timestamp,"
+            " o_totalprice double",
+        )
+
+    state = str(tmp_path / "asof_crash_state")
+    out = str(tmp_path / "asof_crash_out")
+    batches = [
+        [(1, 10, 1, 5.0), (1, 11, 3, 6.0), (2, 20, 2, 7.0)],
+        [(1, 12, 8, 8.0), (2, 21, 9, 9.0)],
+        [(1, 13, 20, 10.0), (3, 30, 21, 11.0)],
+    ]
+    for bid, rows in enumerate(batches):
+        asof_enrich_batch(dims_batch(rows), bid, out, state)
+    twin = str(tmp_path / "asof_twin_state")
+    shutil.copytree(state, twin)
+    wm = datetime.datetime(2024, 1, 10)
+
+    def rows_of(d):
+        return {
+            tuple(r)
+            for r in spark.read.parquet(d)
+            .drop("batch_id")
+            .collect()
+        }
+
+    before = rows_of(state)
+    with pytest.raises(CompactionCrash):
+        compact_asof_state(spark, state, 1, wm, _crash_point="after_marker")
+    assert rows_of(state) == before  # sources intact mid-swap
+    removed = compact_asof_state(spark, state, 1, wm)  # roll forward
+    assert removed > 0
+    compact_asof_state(spark, twin, 1, wm)  # uninterrupted twin
+    assert rows_of(state) == rows_of(twin)
