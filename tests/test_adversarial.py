@@ -634,3 +634,36 @@ def test_vacuous_mirror_greens_have_nonempty_twins(
             )
         finally:
             con.close()
+
+
+def test_m07_null_payload_never_pairs(spark, adv_dir):
+    """The NULL-payload contract extended to the pair graph (r12,
+    closing the r11 advice): a NULL payload has no content signal
+    (m01-m05 yield NULL metadata for it), so it must not appear in
+    the m07 near-dup graph at all — before the fix, all NULL payloads
+    hashed to ph_hi=ph_lo=0 and paired with each other at Hamming 0
+    on BOTH engines, so oracle parity could never catch it. m08 must
+    report each NULL-payload item as its own singleton cluster with
+    zero reclaimable bytes."""
+    from kafka2clickhouse_py_streamer_spark.llm.multimodal import (
+        m07_phash_neardup,
+        m08_media_canonical,
+        phash_hashes,
+    )
+
+    null_ids = {r[0] for r in ADV_ROWS if r[1] is None}
+    assert null_ids  # the fixture must keep exercising this
+    hashed_ids = {
+        r.doc_id for r in phash_hashes(spark, adv_dir).collect()
+    }
+    assert hashed_ids.isdisjoint(null_ids)
+    pairs = m07_phash_neardup(spark, adv_dir).collect()
+    touched = {r.doc_a for r in pairs} | {r.doc_b for r in pairs}
+    assert touched.isdisjoint(null_ids)
+    clusters = {
+        r.cluster_id: r for r in m08_media_canonical(spark, adv_dir).collect()
+    }
+    for d in null_ids:
+        assert d in clusters
+        assert clusters[d].n_members == 1
+        assert clusters[d].dup_bytes == 0
