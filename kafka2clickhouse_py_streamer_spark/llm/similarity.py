@@ -1021,7 +1021,8 @@ ORDER BY query_id
 
 def s08_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k of the LSH ANN path against exact brute-force ground
-    truth — the evaluation loop for tuning N_PLANES / bucket width
+    truth — the evaluation loop for auditing the derived plane
+    count / bucket width
     before trusting the approximate path on a real corpus.
 
     Scale shape: ground truth is only ever computed for the (small)
@@ -1320,7 +1321,8 @@ ORDER BY n.vec_id
 
 # SemDeDup threshold: tuned to the synthetic fixture's cosine range
 # (random vectors concentrate near 0; same-bucket pairs reach ~0.47).
-# Real embedding corpora run this at ~0.95 — the knob, like N_PLANES,
+# Real embedding corpora run this at ~0.95 — the knob, like the
+# plane floor,
 # is data-dependent and the structure is threshold-invariant.
 SEMDEDUP_TAU = 0.3
 

@@ -291,7 +291,7 @@ def semdedup_admit_batch(
     # within-batch self-join reads it twice and the state probe a
     # third time — caching is plan-identity based, so persisting only
     # a derived frame would recompute the validity gate + bucket
-    # hashing (N_PLANES 64-dim dots per row) on every consumer
+    # hashing (n_planes 64-dim dots per row) on every consumer
     tagged = (
         valid_embeddings(batch_df, DIM)
         .select("vec_id", vec_d.alias("v"))
