@@ -94,6 +94,131 @@ HEADLINE = [
 ]
 
 
+# The 11 queries of the round-1 recording (BENCH_r01.json) — the 2×
+# baseline-gate subset. FROZEN: the gate compares this subset's
+# anchor-normalized wall across rounds (BASELINE.md), so its
+# membership must never drift with the headline list above.
+R01_SUBSET = HEADLINE[:11]
+
+
+def measure_anchors(spark) -> tuple[float, float]:
+    """HOST CALIBRATION (round 11): two fixed, data-free,
+    deterministic JVM workloads timed median-of-3.
+
+    Leg 1 — whole-stage-codegen sum over a range (no I/O, no shuffle
+    variability, no Python). The round-10 verdict flagged the headline
+    noise band (±15%+) exceeding a round's real delta; r11 measured
+    three same-HEAD totals 20-37% above the r10 seal with UNTOUCHED
+    code. This anchor lets any round separate "the host is slower
+    today" from "the engine regressed": compare host_calibration_sec
+    across recordings before reading the headline delta as a code
+    signal. From round 13 it is also the DENOMINATOR of the baseline
+    gate (BASELINE.md: subset_wall / codegen_anchor).
+
+    Leg 2 — a fixed shuffle (spill path / local-disk write+read): the
+    offsets-heavy queries are disk-sensitive and a CPU-only anchor
+    can't see a slow disk day."""
+    cal_samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(1_000_000_000).selectExpr(
+            "sum(id * 3 + 1) as s"
+        ).collect()
+        cal_samples.append(time.perf_counter() - t0)
+    host_cal = round(sorted(cal_samples)[1], 3)
+    shuf_samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(50_000_000).withColumnRenamed("id", "k").repartition(
+            64, "k"
+        ).selectExpr("sum(k) as s").collect()
+        shuf_samples.append(time.perf_counter() - t0)
+    return host_cal, round(sorted(shuf_samples)[1], 3)
+
+
+def warm_queries(spark, registry, names, sf_dir, passes: int = 2) -> None:
+    """Warm every plan ``passes`` times so the timed pass measures
+    steady state (plan + data, not first-touch JIT/planning). The
+    reference is a continuously-running service, so steady state is
+    the apples-to-apples number. One warm pass is not enough:
+    profiling d03 showed JIT warm-up persisting into the second
+    execution ([2.19, 2.20, 1.67, 1.59, ...] over 7 reps), so a
+    single warm + median can still elect a warm-up sample — the
+    likely cause of the r02 "+33% d03 drift". Each warm pass's
+    CacheManager entries are dropped immediately: every offsets
+    consumer persists its ranged frame, and 2 warm passes × N queries
+    otherwise accumulate dozens of live MEMORY_AND_DISK blocks before
+    timing even starts — the executor-memory pressure behind r07's
+    p14 recording 6.57 s (rep band [6.5, 11.9]) vs 4.1 s clean."""
+    for _ in range(passes):
+        for name in names:
+            registry[name].fn(spark, sf_dir).count()
+            spark.catalog.clearCache()
+
+
+def time_queries(
+    spark, registry, names, sf_dir, reps: int = 5
+) -> tuple[dict[str, float], dict[str, list[float]]]:
+    """Median-of-``reps`` per query with cache hygiene: the host shows
+    2-3× wall-time variance across identical runs, and a single sample
+    would grade noise, not the engine. CacheManager is cleared between
+    reps (the two-pass offsets' DISK_ONLY persist is keyed by logical
+    plan, so reps 2+ would read the rep-1 materialization and the
+    median would measure cache-read cost) and after each query's last
+    rep (cross-query memory-pressure bleed). Returns (medians,
+    per-query [min, max] spreads)."""
+    times: dict[str, float] = {}
+    spreads: dict[str, list[float]] = {}
+    for name in names:
+        samples = []
+        for _ in range(reps):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            registry[name].fn(spark, sf_dir).count()
+            samples.append(time.perf_counter() - t0)
+        spark.catalog.clearCache()
+        samples.sort()
+        times[name] = round(samples[reps // 2], 3)
+        spreads[name] = [round(samples[0], 3), round(samples[-1], 3)]
+    return times, spreads
+
+
+# Longitudinal rotation outside the static headline list (round-12
+# verdict order 6): each round the sidecar additionally records
+# EXTRA_K non-headline registry queries, round-robin by registry
+# order keyed on the round number, so every heavy query outside the
+# 32 (p03, d15, s22, ...) re-earns wall-time evidence every
+# ceil(|registry - headline| / EXTRA_K) rounds without touching the
+# headline total the 2× gate reads (committed BENCH_SPREAD.json
+# history is the record — check_doc_metrics resolves it via git).
+EXTRA_K = 6
+
+
+def select_extras(registry_names, round_no: int, k: int = EXTRA_K) -> list[str]:
+    """Deterministic rotation: the non-headline registry queries in
+    registry order, window ``k`` starting at ``(round_no * k) % n``
+    (wrapping). Pure function of (registry, round number) so the
+    selection is reproducible from the committed artifacts alone."""
+    pool = [n for n in registry_names if n not in set(HEADLINE)]
+    if not pool:
+        return []
+    start = (round_no * k) % len(pool)
+    return [pool[(start + i) % len(pool)] for i in range(min(k, len(pool)))]
+
+
+def _current_round() -> int:
+    """Round in progress = latest recorded CORRECTNESS round + 1."""
+    import glob
+    import re
+
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(REPO_DIR, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+    ]
+    return max(rounds, default=0) + 1
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from kafka2clickhouse_py_streamer_spark.session import get_spark
@@ -103,35 +228,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     registry = all_queries()
 
-    # HOST CALIBRATION (round 11): a fixed, data-free, deterministic
-    # JVM workload (whole-stage-codegen sum over a range — no I/O, no
-    # shuffle variability, no Python) timed median-of-3. The round-10
-    # verdict flagged the headline noise band (±15%+) exceeding a
-    # round's real delta; r11 measured three same-HEAD totals 20-37%
-    # above the r10 seal with UNTOUCHED code (train_centroids moved
-    # identically). This anchor lets any round separate "the host is
-    # slower today" from "the engine regressed": compare
-    # host_calibration_sec across recordings before reading the
-    # headline delta as a code signal.
-    cal_samples = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        spark.range(1_000_000_000).selectExpr(
-            "sum(id * 3 + 1) as s"
-        ).collect()
-        cal_samples.append(time.perf_counter() - t0)
-    host_cal = round(sorted(cal_samples)[1], 3)
-    # second leg: a fixed shuffle (spill path / local-disk write+read)
-    # — the offsets-heavy queries are disk-sensitive and a CPU-only
-    # anchor can't see a slow disk day
-    shuf_samples = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        spark.range(50_000_000).withColumnRenamed("id", "k").repartition(
-            64, "k"
-        ).selectExpr("sum(k) as s").collect()
-        shuf_samples.append(time.perf_counter() - t0)
-    host_cal_shuffle = round(sorted(shuf_samples)[1], 3)
+    host_cal, host_cal_shuffle = measure_anchors(spark)
 
     # Pay the shared Lloyd centroid training ONCE, up front and timed
     # (round-5 advice: the s12/s13/s14 headline numbers were dominated
@@ -149,53 +246,21 @@ def main() -> None:
     _train_centroids(_base(spark, sf_dir), sf_dir)
     train_sec = round(time.perf_counter() - t0, 3)
 
-    # Warm every headline plan TWICE so the timed pass measures steady
-    # state (plan + data, not first-touch JIT/planning). The reference is
-    # a continuously-running service, so steady state is the
-    # apples-to-apples number. One warm pass is not enough: profiling
-    # d03 showed JIT warm-up persisting into the second execution
-    # ([2.19, 2.20, 1.67, 1.59, ...] over 7 reps), so a single warm +
-    # median-of-3 can still elect a warm-up sample — the likely cause of
-    # the r02 "+33% d03 drift".
-    for _ in range(2):
-        for name in HEADLINE:
-            registry[name].fn(spark, sf_dir).count()
-            # drop each warm pass's CacheManager entries immediately:
-            # every offsets consumer persists its ranged frame, and 2
-            # warm passes x 32 queries otherwise accumulate dozens of
-            # live MEMORY_AND_DISK blocks before timing even starts —
-            # the executor-memory pressure behind r07's p14 recording
-            # 6.57 s (rep band [6.5, 11.9]) vs 4.1 s measured clean
-            spark.catalog.clearCache()
+    warm_queries(spark, registry, HEADLINE, sf_dir)
+    times, spreads = time_queries(spark, registry, HEADLINE, sf_dir)
 
-    # Median of 5 timed reps per query: the host shows 2-3× wall-time
-    # variance across identical runs, and a single sample would grade
-    # noise, not the engine. Reps are interleaved per query (not
-    # back-to-back whole-suite passes) to keep cache states comparable.
-    REPS = 5
-    times: dict[str, float] = {}
-    spreads: dict[str, list[float]] = {}
-    for name in HEADLINE:
-        samples = []
-        for _ in range(REPS):
-            # drop CacheManager reuse between identical reps: the
-            # two-pass offsets' DISK_ONLY persist is keyed by logical
-            # plan, so reps 2+ of the offsets consumers would read the
-            # rep-1 materialization and the median would measure
-            # cache-read cost, not the pipeline
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            registry[name].fn(spark, sf_dir).count()
-            samples.append(time.perf_counter() - t0)
-        # the LAST rep's persisted blocks must not stay live while the
-        # next query is timed (cross-query memory-pressure bleed)
-        spark.catalog.clearCache()
-        samples.sort()
-        times[name] = round(samples[REPS // 2], 3)
-        # recorded so round-over-round ratio swings can be judged
-        # against each query's own measured noise band (round-6
-        # verdict item 3), not eyeballed
-        spreads[name] = [round(samples[0], 3), round(samples[-1], 3)]
+    # the rotating longitudinal extras (sidecar-only; never in the
+    # headline total the gate reads). Only at the tracked scale —
+    # other scales never write the sidecar, so timing them there
+    # would be unrecorded work in the sf0.01 smoke loop.
+    extra_times: dict[str, float] = {}
+    extra_spreads: dict[str, list[float]] = {}
+    if sf_dir.rstrip("/").endswith("sf0.1"):
+        extras = select_extras(list(registry), _current_round())
+        warm_queries(spark, registry, extras, sf_dir, passes=1)
+        extra_times, extra_spreads = time_queries(
+            spark, registry, extras, sf_dir, reps=3
+        )
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -206,6 +271,10 @@ def main() -> None:
         times, spreads, train_sec, sf_val, host_cal_sec=host_cal,
         host_cal_shuffle_sec=host_cal_shuffle,
     )
+    if extra_times:
+        sidecar["extra_queries"] = extra_times
+        sidecar["extra_rep_spread"] = extra_spreads
+        sidecar["extra_round"] = _current_round()
     # The sidecar is the TRACKED median-of-3 record at the driver's
     # bench scale (sf0.1) — round notes quote it beside the driver run
     # (checked by tools/check_doc_metrics.py). A smoke run at another

@@ -661,8 +661,9 @@ def simhash_fp_words(
     / 128 bits per token hash). The width knob made PRODUCTION code,
     completing what the shared ``banded_hamming_pairs`` core started
     (round 11): a deployment past ~65k distinct fingerprints — where
-    16-bit bands saturate; RECEIPT_SF10 measured 7.69M band
-    candidates at 500k distinct vs 626k for the 4-word layout —
+    16-bit bands saturate; RECEIPT_SF10 measured 41.38M band
+    candidates for the 2-word SimHash layout at ~496k distinct
+    (d06 x100) vs 626k for the 4-word layout —
     switches to ``simhash_fp_words(spark, sf, 4)`` +
     ``banded_hamming_pairs(fp, ['w0','w1','w2','w3'], 4, 3)`` and
     everything downstream is unchanged.

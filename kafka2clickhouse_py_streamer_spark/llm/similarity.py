@@ -33,8 +33,8 @@ N_QUERIES = 10  # vec_id < 10 are the query vectors
 TOP_K = 3
 # Plane-count sizing (round-12: the knob is now DERIVED code, not a
 # constant — the hamming-core lesson applied to the hyperplane family;
-# RECEIPT_SF10 measured 7 fixed planes = 349.8M candidate pairs vs 14
-# derived = 7.1M at 200k vectors). Per-bucket occupancy ≈ N/2^planes
+# RECEIPT_SF10 measured 7 fixed planes = 349.8M candidate pairs vs
+# planes_for(200k)=13 derived = 11.1M at 200k vectors). Per-bucket occupancy ≈ N/2^planes
 # and every bucket self-join pays occupancy², so the plane count must
 # grow with the corpus: planes_for(N) picks the smallest p with
 # N / 2^p <= TARGET_OCCUPANCY, floored at MIN_PLANES (the fixture
@@ -210,6 +210,17 @@ def _bucket_sql_expr(n_planes: int = N_PLANES) -> str:
     return "\n         + ".join(bits)
 
 
+# The derived plane count is a pure function of the raw embeddings
+# row count, which is immutable for a given sf_dir within a session —
+# so the COUNT job runs once per (applicationId, sf_dir) and the
+# integer is served from here afterwards (the _CENTROID_CACHE
+# pattern; round-12 verdict What's-wrong #4: s02/s03/s09/d15 each
+# paid a ~0.2-0.5 s COUNT job per *call*). applicationId, not a
+# Python id(), so a recycled session object can never serve a dead
+# context's count.
+_PLANES_CACHE: dict[tuple[str, str], int] = {}
+
+
 def derived_planes(spark: SparkSession, sf_dir: str) -> int:
     """Corpus-derived plane count: one COUNT() to the driver (the s10
     pattern — a scalar that becomes a plan constant), then
@@ -222,8 +233,17 @@ def derived_planes(spark: SparkSession, sf_dir: str) -> int:
     predicate over the embedding column, a full data scan at corpus
     scale. Raw ≥ filtered only ever rounds the plane count UP (never
     hurts linearity). Callers with a known corpus size pass an
-    explicit ``n_planes`` instead and skip the count job."""
-    return planes_for(table(spark, sf_dir, "embeddings").count())
+    explicit ``n_planes`` instead and skip the count job.
+
+    Cached per (applicationId, sf_dir): the count is immutable for a
+    session's view of a directory, so consumers (s02/s03/s09/d15) pay
+    the COUNT job once per session, not once per query call."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PLANES_CACHE:
+        _PLANES_CACHE[key] = planes_for(
+            table(spark, sf_dir, "embeddings").count()
+        )
+    return _PLANES_CACHE[key]
 
 
 def s02_lsh_buckets(
@@ -1090,9 +1110,9 @@ def s09_knn_graph(
     count scales with the corpus (occupancy N/2^planes held constant),
     so the default is now DERIVED from the corpus count
     (:func:`planes_for`, round-12 — RECEIPT_SF10 measured the fixed-7
-    trap at 349.8M candidate pairs vs 7.1M with occupancy restored at
-    200k vectors; the sf1 probe measured the same at sf1). Pass
-    ``n_planes`` explicitly to pin a layout.
+    trap at 349.8M candidate pairs vs 11.1M at the derived
+    planes_for(200k)=13 at 200k vectors; the sf1 probe measured the
+    same at sf1). Pass ``n_planes`` explicitly to pin a layout.
     Vectors in singleton buckets have no graph edges by construction
     (production raises recall with multi-probe or band repetition,
     same trade s08 measures).

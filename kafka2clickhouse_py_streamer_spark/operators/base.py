@@ -134,58 +134,7 @@ def spread(df: DataFrame) -> DataFrame:
 # asserts the committed list matches the tool and that no query's
 # evidence can age out of the driver window unseen.
 _VERIFY_FIRST = [
-    # green-r08 but file churned since
-    "d17_containment_pairs",
-    "d18_bloom_decontamination",
-    "d19_containment_calibration",
-    "d07_dedup_clusters",
-    "d08_canonical_corpus",
-    "d09_contamination",
-    "m07_phash_neardup",
-    "s12_product_quantize",
-    "s13_pq_adc_topk",
-    "s14_ivfpq_search",
-    "s15_mrl_truncation_recall",
-    "s16_rrf_fusion",
-    "s17_probe_recall_sweep",
-    "s18_knn_label_eval",
-    "t11_readability",
-    "t12_lexical_diversity",
-    "w07_window_topk",
-    "w08_disorder_profile",
-    "t13_zipf_fit",
-    "w09_gap_fill",
-    "w10_rate_anomaly",
-    "t14_bigram_logprob",
-    "w11_rollup_cascade",
-    "q54_histogram",
-    "q55_robust_outliers",
-    "q57_cohort_retention",
-    "q60_linear_trend",
-    "q36_range_frame",
-    "q37_ntile_cume",
-    "q51_skew_profile",
-    "q38_collect_agg",
-    "q62_lateral_topn",
-    "q48_salted_join",
-    "q49_upsert_merge",
-    "q53_funnel",
-    "q56_mom_growth",
-    "q58_scd2_intervals",
-    "q59_concurrency",
-    "q61_gaps_islands",
     # green-r09 but file churned since
-    "m01_media_metadata",
-    "m02_decode_stats",
-    "m08_media_canonical",
-    "s01_cosine_topk",
-    "s02_lsh_buckets",
-    "s03_lsh_topk",
-    "s04_ivf_topk",
-    "s05_trained_ivf",
-    "s06_quantize",
-    "s07_knn_label",
-    "s19_cascade_rerank",
     "s20_index_staleness",
     "s21_filtered_search",
     "s22_khop_expansion",
@@ -327,6 +276,57 @@ _VERIFY_FIRST = [
     "p14_span_scrub_pipeline",
     "p15_dedup_rebalance",
     "p16_pack_efficiency",
+    # green-r12 but file churned since
+    "d17_containment_pairs",
+    "d18_bloom_decontamination",
+    "d19_containment_calibration",
+    "d07_dedup_clusters",
+    "d08_canonical_corpus",
+    "d09_contamination",
+    "s12_product_quantize",
+    "s13_pq_adc_topk",
+    "s14_ivfpq_search",
+    "s15_mrl_truncation_recall",
+    "s16_rrf_fusion",
+    "s17_probe_recall_sweep",
+    "s18_knn_label_eval",
+    "s01_cosine_topk",
+    "s02_lsh_buckets",
+    "s03_lsh_topk",
+    "s04_ivf_topk",
+    "s05_trained_ivf",
+    "s06_quantize",
+    "s07_knn_label",
+    "s19_cascade_rerank",
+    "m07_phash_neardup",
+    "t11_readability",
+    "t12_lexical_diversity",
+    "w07_window_topk",
+    "w08_disorder_profile",
+    "t13_zipf_fit",
+    "w09_gap_fill",
+    "w10_rate_anomaly",
+    "t14_bigram_logprob",
+    "w11_rollup_cascade",
+    "q54_histogram",
+    "q55_robust_outliers",
+    "q57_cohort_retention",
+    "q60_linear_trend",
+    "q36_range_frame",
+    "q37_ntile_cume",
+    "q51_skew_profile",
+    "q38_collect_agg",
+    "q62_lateral_topn",
+    "q48_salted_join",
+    "q49_upsert_merge",
+    "q53_funnel",
+    "q56_mom_growth",
+    "q58_scd2_intervals",
+    "q59_concurrency",
+    "q61_gaps_islands",
+    "m01_media_metadata",
+    "m02_decode_stats",
+    "m08_media_canonical",
 ]
 
 

@@ -366,7 +366,29 @@ def start_streaming_semdedup(
     """Wire ``semdedup_admit_batch`` under writeStream.foreachBatch.
     ``n_planes`` is fixed for the stream's lifetime (see the batch
     fn's contract); size it from the expected corpus via
-    ``planes_for``."""
+    ``planes_for``. Leaving it unset falls back to the fixture floor
+    MIN_PLANES (16 buckets FOREVER — the quadratic occupancy trap the
+    batch d15 path auto-avoids) and therefore WARNS once at stream
+    start: a production stream must pass ``planes_for(expected_n)``
+    explicitly (round-12 ADVICE — the silent default also silently
+    diverges from batch-d15 results past ~512 vectors, because batch
+    d15 derives a larger count from the corpus it scans)."""
+    if n_planes is None:
+        import warnings
+
+        from kafka2clickhouse_py_streamer_spark.llm.similarity import (
+            MIN_PLANES,
+        )
+
+        warnings.warn(
+            "start_streaming_semdedup: n_planes not set — defaulting "
+            f"to the fixture floor MIN_PLANES={MIN_PLANES} "
+            f"({1 << MIN_PLANES} buckets for the stream's LIFETIME). "
+            "Per-bucket occupancy grows with the corpus and the "
+            "candidate join pays occupancy^2; size the stream at "
+            "start with n_planes=planes_for(expected_corpus_size).",
+            stacklevel=2,
+        )
     return (
         stream_df.writeStream.foreachBatch(
             lambda df, bid: semdedup_admit_batch(

@@ -80,3 +80,13 @@ def test_headline_citation_enforced():
     looked better that round."""
     problems = check_doc_metrics.check_headline_citation()
     assert problems == [], "\n".join(problems)
+
+
+def test_baseline_gate_quoted():
+    """Round-12 verdict order 2: once BASELINE_SUBSET.json exists, the
+    latest round note must quote the anchor-normalized baseline-gate
+    ratio (a value tools/baseline_gate.py computes from a recorded
+    anchored sidecar) with the matching PASS/FAIL verdict — the gate
+    as a computed boolean, not an interpretation."""
+    problems = check_doc_metrics.check_baseline_gate()
+    assert problems == [], "\n".join(problems)

@@ -1328,8 +1328,16 @@ def test_d15_streaming_semdedup_matches_batch(spark, tmp_path):
         .option("maxFilesPerTrigger", 1)
         .parquet(str(src))
     )
+    # n_planes passed explicitly: the stream-lifetime sizing decision
+    # is the documented contract (defaulting warns); at fixture scale
+    # planes_for(~500) == MIN_PLANES, matching batch d15's derivation
+    from kafka2clickhouse_py_streamer_spark.llm.similarity import (
+        MIN_PLANES,
+    )
+
     q = start_streaming_semdedup(
-        stream, out, state, str(tmp_path / "ckpt_d15")
+        stream, out, state, str(tmp_path / "ckpt_d15"),
+        n_planes=MIN_PLANES,
     )
     try:
         q.processAllAvailable()
@@ -1347,6 +1355,46 @@ def test_d15_streaming_semdedup_matches_batch(spark, tmp_path):
     assert streamed == all_valid - pruned
     # the vector state carries every SEEN valid vector, admitted or not
     assert spark.read.parquet(state).count() == len(all_valid)
+
+
+def test_d15_streaming_semdedup_default_planes_warns(spark, tmp_path):
+    """Leaving n_planes unset on start_streaming_semdedup must warn:
+    the default (MIN_PLANES → 16 buckets for the stream's lifetime)
+    re-creates the quadratic occupancy trap batch d15 auto-avoids, so
+    the silent default was downgraded to a warned default (round-12
+    ADVICE). The sizing decision is the stream-lifetime contract."""
+    import warnings
+
+    from kafka2clickhouse_py_streamer_spark.operators.base import table
+    from kafka2clickhouse_py_streamer_spark.streaming.corpus_stream import (
+        start_streaming_semdedup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    schema = table(spark, sf, "embeddings").schema
+    src = tmp_path / "warn_src"
+    src.mkdir()
+    table(spark, sf, "embeddings").limit(5).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        q = start_streaming_semdedup(
+            stream,
+            str(tmp_path / "warn_out"),
+            str(tmp_path / "warn_state"),
+            str(tmp_path / "warn_ckpt"),
+        )
+        q.stop()
+    assert any(
+        "n_planes" in str(w.message) and "planes_for" in str(w.message)
+        for w in caught
+    ), [str(w.message) for w in caught]
 
 
 def test_d15_streaming_semdedup_replay_idempotent(spark, tmp_path):

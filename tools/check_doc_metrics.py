@@ -102,12 +102,38 @@ def _load_candidates():
         for k, stages in sf1.get("stage_breakdown", {}).items():
             for v in stages.values():
                 add(k[:3], v)
+        # rep_detail / *_structural (warm-probe receipts, round 13):
+        # every numeric under a query-keyed subtree is a recording
+        def _walk(key, obj):
+            if isinstance(obj, dict):
+                for v in obj.values():
+                    _walk(key, v)
+            elif isinstance(obj, list):
+                for v in obj:
+                    _walk(key, v)
+            else:
+                add(key, obj)
+
+        for section in ("rep_detail",):
+            for k, sub in sf1.get(section, {}).items():
+                _walk(k[:3], sub)
+        for sk, sub in sf1.items():
+            if sk.endswith("_structural"):
+                _walk(sk[:3], sub)
 
     rounds = {}
     spread_glob = glob.glob(os.path.join(REPO, "BENCH_SPREAD*.json"))
+    # BASELINE_SUBSET.json (the anchored r01-subset re-base, round 13)
+    # shares the sidecar shape — its walls/spreads are recordings and
+    # must be quotable (and enter the cross-round ratio grid, so
+    # "q06 1.68x of r01" style quotes resolve)
+    base_glob = glob.glob(os.path.join(REPO, "BASELINE_SUBSET.json"))
     sources: list[tuple[str, dict]] = [
         (p, json.load(open(p)))
-        for p in sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")) + spread_glob)
+        for p in sorted(
+            glob.glob(os.path.join(REPO, "BENCH_r*.json"))
+            + spread_glob + base_glob
+        )
     ]
     # plus every committed historical version of the mutable sidecars —
     # a driver rerun that overwrites the working-tree file must not
@@ -135,6 +161,14 @@ def _load_candidates():
         # the local sidecar additionally records per-rep spreads —
         # quoted band endpoints must be checkable too
         for k, band in (data.get("parsed") or data).get("rep_spread", {}).items():
+            for v in band:
+                add(k[:3], v)
+        # round-13: the sidecar's rotating longitudinal extras
+        # (bench.select_extras) are recordings like any other
+        body = data.get("parsed") or data
+        for k, v in body.get("extra_queries", {}).items():
+            add(k[:3], v)
+        for k, band in body.get("extra_rep_spread", {}).items():
             for v in band:
                 add(k[:3], v)
 
@@ -372,9 +406,11 @@ def check_headline_citation() -> list[str]:
 
     def quoted(v) -> bool:
         # word-boundary match (round-11 advice: a raw substring test
-        # let a short value like 3.8 false-pass against any 3.85)
+        # let a short value like 3.8 false-pass against any 3.85; the
+        # round-12 advice extends the lookahead so an INTEGER value
+        # like 270 can't false-pass inside a longer decimal '270.8')
         return re.search(
-            r"(?<![\d.])" + re.escape(f"{v}") + r"(?![\d])", text
+            r"(?<![\d.])" + re.escape(f"{v}") + r"(?!\d|\.\d)", text
         ) is not None
 
     if not any(quoted(v) for v in sidecar_vals):
@@ -412,9 +448,93 @@ def check_headline_citation() -> list[str]:
     return problems
 
 
+def check_baseline_gate() -> list[str]:
+    """Round-12 verdict order 2: the 2× baseline gate must be a
+    COMPUTED boolean in the round notes, not an interpreted one. Once
+    ``BASELINE_SUBSET.json`` exists (the anchor-carrying re-base,
+    tools/rebase_baseline.py), the latest ROUND note must contain a
+    "baseline gate" line quoting a ratio that tools/baseline_gate.py
+    actually computes for some recorded anchored sidecar, together
+    with the matching PASS/FAIL verdict for that ratio."""
+    base_path = os.path.join(REPO, "BASELINE_SUBSET.json")
+    if not os.path.exists(base_path):
+        return []
+    rounds = sorted(
+        glob.glob(os.path.join(REPO, "ROUND*.md")),
+        key=lambda p: int(re.search(r"(\d+)", os.path.basename(p)).group(1)),
+    )
+    if not rounds or int(
+        re.search(r"(\d+)", os.path.basename(rounds[-1])).group(1)
+    ) < 13:
+        return []
+    note = rounds[-1]
+    sys.path.insert(0, REPO)
+    import importlib.util as _ilu
+
+    spec = _ilu.spec_from_file_location(
+        "baseline_gate", os.path.join(REPO, "tools", "baseline_gate.py")
+    )
+    gate_mod = _ilu.module_from_spec(spec)
+    spec.loader.exec_module(gate_mod)
+    base = json.load(open(base_path))
+    # every recorded anchored sidecar yields a computable ratio — the
+    # note quotes the one for the recording it discusses
+    recordings: list[dict] = []
+    try:
+        recordings.append(
+            json.load(open(os.path.join(REPO, "BENCH_SPREAD.json")))
+        )
+    except Exception:
+        pass
+    recordings += _committed_versions("BENCH_SPREAD.json")
+    verdicts = {}
+    for rec in recordings:
+        v = gate_mod.evaluate(rec, base)
+        if v.get("evaluable"):
+            verdicts[f"{v['ratio']:.2f}"] = v["within_gate"]
+    # the self-ratio of the re-base recording itself is also quotable
+    # (it is 1.00 by construction on the day of the re-base)
+    self_v = gate_mod.evaluate(base, base)
+    if self_v.get("evaluable"):
+        verdicts[f"{self_v['ratio']:.2f}"] = self_v["within_gate"]
+    if not verdicts:
+        return []
+    problems = []
+    lines = [
+        ln for ln in open(note, encoding="utf-8")
+        if "baseline gate" in ln.lower()
+    ]
+    if not lines:
+        return [
+            f"{os.path.basename(note)}: must carry a 'baseline gate' "
+            f"line quoting the computed anchor-normalized ratio "
+            f"(candidates: {sorted(verdicts)}) with its PASS/FAIL "
+            f"verdict (BASELINE.md, tools/baseline_gate.py)"
+        ]
+    found = False
+    for ln in lines:
+        for m in re.finditer(r"(\d+\.\d{2})[x×]?", ln):
+            if m.group(1) in verdicts:
+                found = True
+                want = "PASS" if verdicts[m.group(1)] else "FAIL"
+                if want not in ln.upper():
+                    problems.append(
+                        f"{os.path.basename(note)}: baseline-gate line "
+                        f"quotes ratio {m.group(1)} but lacks the "
+                        f"computed verdict {want}: {ln.strip()[:120]}"
+                    )
+    if not found:
+        problems.append(
+            f"{os.path.basename(note)}: no baseline-gate line quotes a "
+            f"ratio tools/baseline_gate.py computes from a recorded "
+            f"anchored sidecar (candidates: {sorted(verdicts)})"
+        )
+    return problems
+
+
 if __name__ == "__main__":
     probs = (check() + check_counts() + check_window_claims()
-             + check_headline_citation())
+             + check_headline_citation() + check_baseline_gate())
     for p in probs:
         print(p)
     if probs:

@@ -321,13 +321,18 @@ def s09_receipt(spark, sf_dir: str) -> dict:
     from kafka2clickhouse_py_streamer_spark.llm.similarity import (
         _base,
         _bucket_expr,
-        planes_for,
+        derived_planes,
         s09_knn_graph,
     )
 
     base = _base(spark, sf_dir)
     n_vecs = base.count()
-    derived = planes_for(n_vecs)
+    # derived_planes (RAW-count based), not planes_for(n_vecs): the
+    # timed s09_knn_graph call below derives from the raw embeddings
+    # count internally, and at a TARGET_OCCUPANCY boundary
+    # planes_for(filtered) could differ from the count the timed run
+    # actually used (round-12 ADVICE)
+    derived = derived_planes(spark, sf_dir)
     pairs_at = {}
     for planes in sorted({7, 10, 14, 17, derived}):
         pairs_at[f"planes{planes}"] = int(
