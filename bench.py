@@ -219,6 +219,40 @@ def _current_round() -> int:
     return max(rounds, default=0) + 1
 
 
+def gate_fields(times: dict[str, float], host_cal: float) -> dict:
+    """Baseline-gate self-adjudication for the sidecar (round 13):
+    when BASELINE_SUBSET.json exists, every sf0.1 recording carries
+    its own computed anchor-normalized gate verdict — the recording
+    and its adjudication can never be separated again. Delegates to
+    tools/baseline_gate.evaluate (the single implementation the gate
+    contract in BASELINE.md names); returns {} when the re-based
+    baseline is absent or the recording isn't evaluable."""
+    base_path = os.path.join(REPO_DIR, "BASELINE_SUBSET.json")
+    if not os.path.exists(base_path):
+        return {}
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "baseline_gate", os.path.join(REPO_DIR, "tools", "baseline_gate.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    base = json.load(open(base_path))
+    v = mod.evaluate(
+        {"queries": times, "host_calibration_sec": host_cal}, base
+    )
+    if not v.get("evaluable"):
+        return {}
+    return {
+        "baseline_gate": {
+            "ratio": v["ratio"],
+            "normalized": v["normalized"],
+            "base_normalized": v["base_normalized"],
+            "within_gate": v["within_gate"],
+        }
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from kafka2clickhouse_py_streamer_spark.session import get_spark
@@ -275,6 +309,7 @@ def main() -> None:
         sidecar["extra_queries"] = extra_times
         sidecar["extra_rep_spread"] = extra_spreads
         sidecar["extra_round"] = _current_round()
+    sidecar.update(gate_fields(times, host_cal))
     # The sidecar is the TRACKED median-of-3 record at the driver's
     # bench scale (sf0.1) — round notes quote it beside the driver run
     # (checked by tools/check_doc_metrics.py). A smoke run at another

@@ -108,6 +108,22 @@ def test_select_extras_deterministic_disjoint_and_cycling():
     assert covered == set(pool)  # the rotation reaches everything
 
 
+def test_sidecar_gate_fields_self_adjudicate():
+    """bench.gate_fields embeds the computed gate verdict in every
+    sf0.1 sidecar once BASELINE_SUBSET.json exists — recording and
+    adjudication travel together. Uses the committed baseline."""
+    if not os.path.exists(os.path.join(REPO, "BASELINE_SUBSET.json")):
+        pytest.skip("BASELINE_SUBSET.json not yet recorded this round")
+    base = json.load(open(os.path.join(REPO, "BASELINE_SUBSET.json")))
+    fields = bench.gate_fields(dict(base["queries"]),
+                               base["host_calibration_sec"])
+    g = fields["baseline_gate"]
+    assert g["ratio"] == 1.0 and g["within_gate"]
+    assert g["base_normalized"] == base["normalized"]
+    # not evaluable (missing walls) → no fields, never a crash
+    assert bench.gate_fields({"q01_pricing_summary": 1.0}, 1.0) == {}
+
+
 def test_select_extras_on_real_registry():
     from kafka2clickhouse_py_streamer_spark.operators.base import (
         all_queries,
