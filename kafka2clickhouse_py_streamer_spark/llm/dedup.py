@@ -92,6 +92,33 @@ def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", F.explode(F.expr(_SPARK_SHINGLES)).alias("s"))
 
 
+def _shingle_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, n): each document's DISTINCT-shingle count as a
+    ROW-LOCAL projection — ``size()`` of the same shingle array
+    `_shingle_rows` explodes, never the explode→groupBy round-trip
+    consumers used to pay (``sizes = sh.groupBy(doc_id).count()``
+    re-shingled the corpus, exploded it, and shuffled the partials).
+    One scan, one array build per doc, zero exchanges. Taken BEFORE
+    any DF-capping, so capped consumers (d11/d17) keep their own
+    post-filter sizes.
+
+    Two rejected variants, both measured slower at sf0.1 (round 13):
+    carrying ``n`` through the explode via a projected array alias
+    makes InferFiltersFromGenerate add a ``size(arr) > 0`` filter that
+    predicate-pushdown re-inlines as the FULL shingle expression per
+    scan row, and the retained array column rides the Generate into
+    every exploded row (d09 1.0 → 4.1 s); putting ``size(<expr>)``
+    beside ``explode(<expr>)`` in one select lands the size in the
+    post-Generate projection — one array build PER SHINGLE row
+    (d09 → 18.8 s)."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", "source", F.expr(_SPARK_TOKENS).alias("tk")
+    ).select(
+        "doc_id", "source", F.size(F.expr(_SPARK_SHINGLES)).alias("n")
+    )
+
+
 def d01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-groupBy on MD5(text); one canonical doc per
     group (min doc_id), copy count. One shuffle on the 128-bit key —
@@ -1109,7 +1136,14 @@ def d09_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("bench_id"), "s"
     )
     corpus = sh.filter(F.col("source") != "src0").select("doc_id", "s")
-    sizes = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # row-local sizes (round 13): one scan + one array build per doc
+    # replaces the explode→groupBy pass (`_shingle_sizes`), and the
+    # aggregated (doc, bench) candidate frame — bounded by actual
+    # benchmark shingle collisions — broadcasts into the enrich join,
+    # so the sizes side never shuffles
+    sizes = _shingle_sizes(spark, sf_dir).filter(
+        F.col("source") != "src0"
+    ).select("doc_id", "n")
     inter = (
         corpus.join(F.broadcast(bench), "s")
         .groupBy("doc_id", "bench_id")
@@ -1665,6 +1699,82 @@ def _span_scrubbed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))
         ).cast("long").alias("n_removed"),
         F.coalesce("body", F.lit("")).alias("body"),
+    )
+
+
+def _span_scrub_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`_span_scrubbed`'s COUNTS, without the body rebuild: one row per
+    document with ``(doc_id, n_tokens, n_kept, n_removed)`` — exactly
+    the columns p14 consumes. Same policy, same numbers (pinned by
+    ``tests/test_adversarial.py::test_span_scrub_counts_match_scrubbed``),
+    but the token stream never explodes and never shuffles:
+
+    - `_span_scrubbed` materializes every (doc_id, pos, tok) row,
+      anti-joins the covered positions, and re-aggregates tokens per
+      doc — two exchanges carrying one row PER TOKEN (round-13
+      measurement: 38 exchanges / 5.3 s at sf0.1 for p14).
+    - Here the removed-span occurrences are the ONLY rows that move:
+      all positions covered by removed spans form a union of
+      fixed-width intervals ``[i, i+SPAN_W-1]``, whose size per doc is
+      ``SPAN_W + Σ min(i_k − i_{k−1}, SPAN_W)`` over the sorted starts
+      — one window + one agg over |removed occurrences| rows (a small
+      fraction of |tokens|), then ``n_kept = n_tokens − n_covered``
+      row-locally against the spine. Equality holds because every
+      covered position of an eligible doc is a real (non-empty) token:
+      eligible docs (≥ SPAN_W tokens) have non-empty text, and
+      whitespace-split of trimmed non-empty text yields no empty
+      tokens — the same invariant `_span_scrubbed`'s tokens filter
+      relies on. p14 at sf0.1: 5.29 s → (see OPTIMIZATION_r13.md);
+      shuffle payload drops from one row per token to one row per
+      removed span occurrence at every scale."""
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.split(F.trim(F.coalesce("text", F.lit(""))), r"\s+").alias("t"),
+    )
+    eligible = base.filter(F.size("t") >= SPAN_W)
+    spans = eligible.select(
+        "doc_id",
+        F.posexplode(F.expr(SPAN_HASHES_EXPR)).alias("idx", "span"),
+    ).select("doc_id", (F.col("idx") + 1).alias("i"), "span")
+    dup = (
+        spans.groupBy("span")
+        .agg(
+            F.countDistinct("doc_id").alias("nd"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("nd") >= 2)
+        .select("span", "first_doc")
+    )
+    removed = (
+        spans.join(dup, "span")
+        .filter(F.col("doc_id") != F.col("first_doc"))
+        .select("doc_id", "i")
+    )
+    w = Window.partitionBy("doc_id").orderBy("i")
+    prev = F.lag("i").over(w)
+    contrib = F.when(prev.isNull(), F.lit(SPAN_W)).otherwise(
+        F.least(F.col("i") - prev, F.lit(SPAN_W))
+    )
+    covered = (
+        removed.withColumn("c", contrib)
+        .groupBy("doc_id")
+        .agg(F.sum("c").cast("long").alias("n_covered"))
+    )
+    spine = base.select(
+        "doc_id",
+        F.size(
+            F.filter("t", lambda x: F.length(x) > 0)
+        ).cast("long").alias("n_tokens"),
+    )
+    n_cov = F.coalesce("n_covered", F.lit(0))
+    return spine.join(covered, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_tokens") - n_cov).cast("long").alias("n_kept"),
+        n_cov.cast("long").alias("n_removed"),
     )
 
 

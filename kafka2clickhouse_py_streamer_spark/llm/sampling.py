@@ -656,17 +656,29 @@ def p07_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka2clickhouse_py_streamer_spark.llm.dedup import (
         CONTAM_FLAG,
         _shingle_rows,
+        _shingle_sizes,
     )
 
     d = table(spark, sf_dir, "documents")
     kept = _quality_deduped(d).filter(F.col("source") != "src0")
 
+    # round 13: per-doc shingle counts are a row-local projection
+    # (`_shingle_sizes` — size() of the same array the probe explodes)
+    # instead of a second explode→groupBy pass; the aggregated
+    # (doc, bench) candidate frame broadcasts into the enrich join so
+    # the sizes side never shuffles; and the contaminated id set
+    # broadcasts into the anti-join (the decontamination set is
+    # benchmark-bounded — d09's broadcast rationale — where the
+    # unhinted plan shuffled the whole deduped corpus into a
+    # SortMergeJoin LeftAnti).
     sh = _shingle_rows(spark, sf_dir)
     bench = sh.filter(F.col("source") == "src0").select(
         F.col("doc_id").alias("bench_id"), "s"
     )
     corpus_sh = sh.filter(F.col("source") != "src0").select("doc_id", "s")
-    sizes = corpus_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sizes = _shingle_sizes(spark, sf_dir).filter(
+        F.col("source") != "src0"
+    ).select("doc_id", "n")
     contaminated = (
         corpus_sh.join(F.broadcast(bench), "s")
         .groupBy("doc_id", "bench_id")
@@ -1283,10 +1295,18 @@ def p14_span_scrub_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     packing; nothing here adds a driver collect beyond the
     |partitions|-row offsets."""
     from kafka2clickhouse_py_streamer_spark.llm.dedup import (
-        _span_scrubbed,
+        _span_scrub_counts,
     )
 
-    s = _span_scrubbed(spark, sf_dir).filter(F.col("n_kept") > 0)
+    # counts-only scrub core (round 13): p14 never reads the rebuilt
+    # body, so it uses `_span_scrub_counts` — same policy and numbers
+    # as `_span_scrubbed` (equivalence pinned by a direct test) but the
+    # token stream never explodes/shuffles; only removed-span
+    # occurrences move (interval-union arithmetic). Plan: 38 → 22
+    # exchanges at sf0.1; the per-token shuffle payload is gone at
+    # every scale. d16 (which publishes the rebuilt body) keeps the
+    # full `_span_scrubbed` path.
+    s = _span_scrub_counts(spark, sf_dir).filter(F.col("n_kept") > 0)
     b = _bucket(F.col("doc_id"))
     split = (
         F.when(b < TRAIN_END, F.lit("train"))

@@ -3559,6 +3559,21 @@ def s24_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least("src_id", "nbr_id").alias("u"),
         F.greatest("src_id", "nbr_id").alias("w"),
     ).distinct()
+    # Materialize the canonical edge list ONCE (round-13 measurement:
+    # triangle_stats consumes `edges` four ways — deg's two-way union,
+    # the orientation join, and the wedge close — and Catalyst reuses
+    # none of their differing projections, so the s09 subtree (bucket
+    # self-join + cosine + top-k window) re-executed per consumer: the
+    # sf0.1 plan held 52 parquet scans / 106 exchanges. The edge list
+    # is (long, long) rows — the same per-round cut d07/s10 already
+    # make (iter_materialize: localCheckpoint locally, reliable
+    # checkpoint on a cluster). Plan after: 10 scans / 17 exchanges,
+    # wall 2.39 s → 0.66 s at sf0.1.
+    from kafka2clickhouse_py_streamer_spark.functions.graph import (
+        iter_materialize,
+    )
+
+    edges = iter_materialize(edges)
     return triangle_stats(edges)
 
 

@@ -667,3 +667,29 @@ def test_m07_null_payload_never_pairs(spark, adv_dir):
         assert d in clusters
         assert clusters[d].n_members == 1
         assert clusters[d].dup_bytes == 0
+
+
+def test_span_scrub_counts_match_scrubbed(spark, adv_dir):
+    """Round-13 optimization contract: p14's counts-only scrub core
+    (`_span_scrub_counts` — interval-union arithmetic over removed
+    spans, no token explode/rebuild) must report EXACTLY the counts of
+    the full `_span_scrubbed` policy on the hostile fixture (null /
+    empty / whitespace-only / single-token / repeated-word docs) and
+    on the driver fixture. The equivalence relies on one invariant —
+    every covered position of an eligible doc is a non-empty token —
+    which the hostile docs stress from every side (a doc whose text
+    trims to nothing, a doc of exactly one token, 50x-repeated words
+    whose spans overlap heavily)."""
+    from kafka2clickhouse_py_streamer_spark.llm.dedup import (
+        _span_scrub_counts,
+        _span_scrubbed,
+    )
+
+    for d in (adv_dir, SRC):
+        full = _span_scrubbed(spark, d).select(
+            "doc_id", "n_tokens", "n_kept", "n_removed"
+        )
+        fast = _span_scrub_counts(spark, d)
+        assert full.exceptAll(fast).count() == 0
+        assert fast.exceptAll(full).count() == 0
+        assert fast.count() == full.count()
