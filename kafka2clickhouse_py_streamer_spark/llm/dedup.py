@@ -332,6 +332,15 @@ def _minhash_sig_and_candidates(spark: SparkSession, sf_dir: str):
             for j in range(NUM_HASHES)
         ]
     )
+    # Round-13 re-measure: materializing the band-key frame before the
+    # self-join (iter_materialize, the s24 pattern) was tried and is
+    # SLOWER at bench scale — A/B medians d03 1.84→2.46 s,
+    # d24 1.90→2.11 s — the cut job's fixed cost plus losing parallel
+    # stage scheduling outweighs the saved signature recompute, the
+    # same trade the round-8 sig-cache measurement in
+    # `_minhash_sig_and_candidates`' comment records. At 100 TB the
+    # trade flips; a deployment persists the band table (it IS the
+    # LSH index).
     bands = _explode_bands(sig, "doc_id")
     x = bands.alias("x")
     y = bands.alias("y")
@@ -1635,6 +1644,8 @@ def _span_scrubbed(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pos, token) structs ≡ the oracle's string_agg ORDER BY pos).
     Null/empty text follows the dedup-family contract (null ≡ empty →
     zero tokens, body '')."""
+    from pyspark.sql.window import Window
+
     d = table(spark, sf_dir, "documents")
     base = d.select(
         "doc_id",
@@ -1652,18 +1663,18 @@ def _span_scrubbed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.posexplode(F.expr(SPAN_HASHES_EXPR)).alias("idx", "span"),
     ).select("doc_id", (F.col("idx") + 1).alias("i"), "span")
-    dup = (
-        spans.groupBy("span")
-        .agg(
-            F.countDistinct("doc_id").alias("nd"),
-            F.min("doc_id").alias("first_doc"),
-        )
-        .filter(F.col("nd") >= 2)
-        .select("span", "first_doc")
-    )
+    # removed occurrences via ONE span-keyed window instead of
+    # groupBy + join-back — min(doc_id) ≠ max(doc_id) over the span
+    # partition ⟺ "≥2 distinct docs", and first_doc is that min; the
+    # join form evaluated the spans explode twice (round 13, the d14
+    # lesson — same rewrite as `_span_scrub_counts`)
+    ws = Window.partitionBy("span")
     covered = (
-        spans.join(dup, "span")
-        .filter(F.col("doc_id") != F.col("first_doc"))
+        spans.withColumn("mn", F.min("doc_id").over(ws))
+        .withColumn("mx", F.max("doc_id").over(ws))
+        .filter(
+            (F.col("mn") != F.col("mx")) & (F.col("doc_id") != F.col("mn"))
+        )
         .select(
             "doc_id",
             F.explode(
@@ -1739,18 +1750,20 @@ def _span_scrub_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.posexplode(F.expr(SPAN_HASHES_EXPR)).alias("idx", "span"),
     ).select("doc_id", (F.col("idx") + 1).alias("i"), "span")
-    dup = (
-        spans.groupBy("span")
-        .agg(
-            F.countDistinct("doc_id").alias("nd"),
-            F.min("doc_id").alias("first_doc"),
-        )
-        .filter(F.col("nd") >= 2)
-        .select("span", "first_doc")
-    )
+    # removed occurrences via ONE span-keyed window instead of
+    # groupBy + join-back (the join form evaluates the spans explode —
+    # every window md5 — twice, once per side; the d14 lesson).
+    # "duplicated across ≥2 distinct docs" ⟺ min(doc_id) ≠ max(doc_id)
+    # over the span partition, and first_doc is that min — identical
+    # row set, one exchange. Hot-span exposure is unchanged (the join
+    # also moved every occurrence of a span to one task).
+    ws = Window.partitionBy("span")
     removed = (
-        spans.join(dup, "span")
-        .filter(F.col("doc_id") != F.col("first_doc"))
+        spans.withColumn("mn", F.min("doc_id").over(ws))
+        .withColumn("mx", F.max("doc_id").over(ws))
+        .filter(
+            (F.col("mn") != F.col("mx")) & (F.col("doc_id") != F.col("mn"))
+        )
         .select("doc_id", "i")
     )
     w = Window.partitionBy("doc_id").orderBy("i")
@@ -1917,13 +1930,22 @@ def d14_lsh_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames on the bucket key, and a per-doc agg — every step
     equi-keyed and map-side combinable; hot (boilerplate) buckets grow
     a group, never a pair join."""
+    from pyspark.sql.window import Window
+
     d = table(spark, sf_dir, "documents")
     bands = minhash_band_keys(d)
-    bucket_min = bands.groupBy("band_id", "band_key").agg(
-        F.min("doc_id").alias("bmin")
-    )
+    # Round 13: the bucket minimum is a window MIN over the bucket key
+    # instead of a groupBy + self-join — the join form evaluated the
+    # whole band-key subtree (shingle explode + 16 minhash aggs)
+    # TWICE, once per join side, because the two sides' exchanges
+    # differ (one carries the partial agg) and are never reused. One
+    # bucket-keyed exchange replaces two + the join; sf0.1 wall
+    # 2.10 s → 1.31 s, plan 10 → 6 exchanges. Semantics identical:
+    # an unordered window MIN over the full bucket partition is the
+    # joined bmin.
+    wb = Window.partitionBy("band_id", "band_key")
     return (
-        bands.join(bucket_min, ["band_id", "band_key"])
+        bands.withColumn("bmin", F.min("doc_id").over(wb))
         .groupBy("doc_id")
         .agg(
             F.sum(

@@ -205,6 +205,7 @@ def _two_pass_offsets(
     df: DataFrame, group_cols: list[str], val_col: str = "n_tokens",
     order_col: str | list[str] = "doc_id",
     materialize: str | None = None,
+    cut_input: bool = False,
 ) -> DataFrame:
     """Distributed running-sum offsets: for each row, the sum of
     ``val_col`` over all earlier rows (by ``order_col``, one column or
@@ -259,6 +260,24 @@ def _two_pass_offsets(
     mode = materialize or os.environ.get(
         "SPARK_GRAFT_OFFSETS_MAT", "persist"
     )
+    if cut_input:
+        # Round 13: ``repartitionByRange`` executes its child TWICE —
+        # once for the RangePartitioner's bound-sampling pass, once for
+        # the actual shuffle. Callers whose input is itself an
+        # expensive DAG (p07's six-stage clean corpus, p14's span
+        # scrub) pass cut_input=True to materialize the narrow
+        # pre-pack rows first (iter_materialize: localCheckpoint
+        # locally, reliable checkpoint on a cluster — at 100 TB this
+        # is the pre-pack table a deployment writes anyway), so the
+        # sampling pass re-reads cheap blocks instead of re-running
+        # the pipeline. Cheap inputs (p03/p04's scan projections)
+        # keep the default — the cut job would cost more than the
+        # second scan.
+        from kafka2clickhouse_py_streamer_spark.functions.graph import (
+            iter_materialize,
+        )
+
+        df = iter_materialize(df)
     ranged = df.repartitionByRange(
         parts, *group_cols, *order_cols
     ).withColumn("pid", F.spark_partition_id())
@@ -704,7 +723,9 @@ def p07_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(b < VAL_END, F.lit("val"))
         .otherwise(F.lit("test"))
     )
-    packed = _two_pass_offsets(mixed.withColumn("split", split), ["split"])
+    packed = _two_pass_offsets(
+        mixed.withColumn("split", split), ["split"], cut_input=True
+    )
     return (
         packed.select(
             "doc_id",
@@ -1319,7 +1340,7 @@ def p14_span_scrub_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_removed",
         split.alias("split"),
     )
-    packed = _two_pass_offsets(tagged, ["split"])
+    packed = _two_pass_offsets(tagged, ["split"], cut_input=True)
     return (
         packed.select(
             "doc_id",

@@ -1328,12 +1328,26 @@ def w16_profile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact audit leg exists for the oracle and drops out of the
     production stream."""
     d = table(spark, sf_dir, "events")
-    keyed = profile_keyed(d)
+    # Round 13: every downstream consumer is DISTINCT-insensitive —
+    # the HLL registers take a MAX per (scope, register), so duplicate
+    # keys cannot change any register, and both exact legs count
+    # distincts — so all three aggregate the deduplicated (scope, k)
+    # frame instead of re-running the |cols|×|events| stack per
+    # consumer: one distinct exchange (map-side partial distinct
+    # collapses the stack before it moves), then
+    # |distinct-pairs|-sized re-aggregations, and the md5 register
+    # split hashes each distinct key once, not once per occurrence.
+    # sf0.1 A/B: medians within noise (1.22 vs 1.37 s, the new form's
+    # rep band tighter at [1.21, 1.44] vs [1.08, 2.05]) — the win is
+    # the at-scale shape: the profiled columns are low-cardinality, so
+    # |distinct pairs| ≪ |cols|×|events| and the three downstream
+    # passes stop re-scanning the event stack entirely.
+    keyed = profile_keyed(d).distinct()
     est = hll_estimates_from_registers(
         hll_registers(keyed, key_col="k", scope_col="scope")
     )
     exact = keyed.groupBy("scope").agg(
-        F.count_distinct("k").cast("long").alias("n_exact")
+        F.count(F.lit(1)).cast("long").alias("n_exact")
     ).unionByName(
         keyed.agg(
             F.count_distinct("k").cast("long").alias("n_exact")
