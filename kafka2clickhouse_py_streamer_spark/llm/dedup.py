@@ -147,15 +147,21 @@ ORDER BY canonical_id
 NGRAM_JACCARD_THRESHOLD = 0.2
 
 
-def _jaccard_pairs(sh: DataFrame) -> DataFrame:
+def _jaccard_pairs(sh: DataFrame, sizes: DataFrame | None = None) -> DataFrame:
     """Shared pair-join tail of d02/d11: given a (doc_id, s) shingle
     frame, inverted-index-block on the shingle, count intersections,
     and return thresholded (doc_a, doc_b, n_common, jaccard).
 
+    ``sizes`` (doc_id, n) overrides the default explode→groupBy count
+    of ``sh`` — d02 passes the row-local `_shingle_sizes` projection
+    (round 13); d11/d17 keep the default because their sets are
+    DF-capped and the count must be post-filter.
+
     Filters on the RAW ratio (the oracles do too); rounds only for
     display — filtering the rounded value would keep pairs the oracle
     drops when the true jaccard sits within 5e-7 below the threshold."""
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    if sizes is None:
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
     inter = (
@@ -215,7 +221,10 @@ def d02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d03's MinHash bands bound that by construction, d11's DF cap
     removes it at the source.
     """
-    return _jaccard_pairs(_shingle_rows(spark, sf_dir))
+    return _jaccard_pairs(
+        _shingle_rows(spark, sf_dir),
+        sizes=_shingle_sizes(spark, sf_dir).select("doc_id", "n"),
+    )
 
 
 MAX_SHINGLE_DF = 50  # d11: drop shingles present in more docs than this

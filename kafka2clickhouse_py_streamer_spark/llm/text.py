@@ -1305,9 +1305,15 @@ def t18_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingle_rows(spark, sf_dir).select(
         "doc_id", shingle_digest("s").alias("hs")
     )
-    first = sh.groupBy("hs").agg(F.min("doc_id").alias("first_doc"))
+    # first-occurrence as a window MIN over the digest key instead of
+    # groupBy + join-back — the join form evaluated the shingle
+    # explode twice, once per side (round 13, the d14 rewrite); one
+    # digest-keyed exchange, same rows
+    from pyspark.sql.window import Window
+
+    first_doc = F.min("doc_id").over(Window.partitionBy("hs"))
     return (
-        sh.join(first, "hs")
+        sh.withColumn("first_doc", first_doc)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_shingles"),

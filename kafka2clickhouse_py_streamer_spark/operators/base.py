@@ -165,7 +165,6 @@ _VERIFY_FIRST = [
     "w02_sliding",
     "w03_session_window",
     "w04_enriched_windows",
-    "q63_forward_asof",
     "p17_chunk_pack",
     "p18_shard_manifest",
     "p19_chunk_dedup_pack",
@@ -174,6 +173,7 @@ _VERIFY_FIRST = [
     "p22_padding_waste",
     "p23_weighted_sample",
     "p24_shard_balance",
+    "q63_forward_asof",
     # green-r10 but file churned since
     "m03_frame_sample",
     "m04_feature_extract",
@@ -189,38 +189,38 @@ _VERIFY_FIRST = [
     "d12_span_dedup",
     "d13_quality_canonical",
     "d14_lsh_admission",
-    "q01_pricing_summary",
-    "q06_revenue_filter",
-    "q12_distinct_agg",
-    "q13_rollup",
-    "q41_map_fns",
     "p03_sequence_packing",
     "p08_flatten_mix",
     "p09_incremental_refresh",
     "w13_histogram_quantiles",
     "t19_heaps_fit",
     "t20_gopher_funnel",
-    "q64_weighted_quantiles",
     "w14_decayed_rate",
     "w15_hll_distinct",
-    "q65_running_distinct",
     "t21_tfidf_keywords",
-    "q66_table_profile",
     "t22_langid_eval",
     "t23_pmi_collocations",
-    "q67_sequence_match",
     "w16_profile_sketch",
+    "t10_char_entropy",
+    "p10_budget_select",
+    "p11_curriculum_stages",
+    "p12_temperature_mix",
+    "p13_pps_sample",
+    "q01_pricing_summary",
+    "q06_revenue_filter",
+    "q12_distinct_agg",
+    "q13_rollup",
+    "q41_map_fns",
+    "q64_weighted_quantiles",
+    "q65_running_distinct",
+    "q66_table_profile",
+    "q67_sequence_match",
     "q68_interval_coverage",
     "q27_approx_stats",
     "q14_cube",
     "q23_grouping_sets",
     "q24_having",
-    "t10_char_entropy",
     "q28_sessionization",
-    "p10_budget_select",
-    "p11_curriculum_stages",
-    "p12_temperature_mix",
-    "p13_pps_sample",
     "q08_topk_per_group",
     "q09_running_sum",
     "q10_lag_lead",
@@ -239,9 +239,12 @@ _VERIFY_FIRST = [
     "d05_embedding_neardup",
     "d06_simhash_pairs",
     "m06_multimodal_packing",
-    "q44_frame_navigation",
     "w05_attribution",
     "w06_window_distinct",
+    "p14_span_scrub_pipeline",
+    "p15_dedup_rebalance",
+    "p16_pack_efficiency",
+    "q44_frame_navigation",
     "q52_interval_frame",
     "q31_moment_stats",
     "q32_exact_percentiles",
@@ -273,9 +276,6 @@ _VERIFY_FIRST = [
     "q25_theta_join",
     "q26_asof_join",
     "q47_exists_pair",
-    "p14_span_scrub_pipeline",
-    "p15_dedup_rebalance",
-    "p16_pack_efficiency",
     # green-r12 but file churned since
     "d17_containment_pairs",
     "d18_bloom_decontamination",
@@ -298,7 +298,6 @@ _VERIFY_FIRST = [
     "s06_quantize",
     "s07_knn_label",
     "s19_cascade_rerank",
-    "m07_phash_neardup",
     "t11_readability",
     "t12_lexical_diversity",
     "w07_window_topk",
@@ -308,6 +307,7 @@ _VERIFY_FIRST = [
     "w10_rate_anomaly",
     "t14_bigram_logprob",
     "w11_rollup_cascade",
+    "m07_phash_neardup",
     "q54_histogram",
     "q55_robust_outliers",
     "q57_cohort_retention",

@@ -1179,11 +1179,18 @@ def w15_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     under the persisted foreachBatch sketch are the streaming twin
     (sketch_stream.hll_update_batch, twin-tested)."""
     ev = table(spark, sf_dir, "events").select("event_type", "user_id")
-    est = hll_estimates_from_registers(hll_registers(ev))
-    keyed = ev.filter(F.col("user_id").isNotNull())
+    # Round 13 (same rewrite as w16): registers MAX-merge and the
+    # exact legs count distincts, so every consumer is
+    # distinct-insensitive — aggregate the deduplicated
+    # (event_type, user_id) frame once (map-side partial distinct)
+    # instead of re-scanning the event stream per leg; each distinct
+    # key is md5-hashed once, not once per occurrence. NULL event_type
+    # stays a legitimate scope (distinct keeps it).
+    keyed = ev.filter(F.col("user_id").isNotNull()).distinct()
+    est = hll_estimates_from_registers(hll_registers(keyed))
     exact_scope = keyed.groupBy(
         F.col("event_type").alias("scope")
-    ).agg(F.countDistinct("user_id").cast("long").alias("n_exact"))
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
     exact_all = keyed.agg(
         F.countDistinct("user_id").cast("long").alias("n_exact")
     ).select(F.lit("<ALL>").alias("scope"), "n_exact")
