@@ -252,6 +252,11 @@ def d11_ngram_jaccard_capped(
         .filter(F.col("df") <= max_df)
         .select("s")
     )
+    # Round-13 re-measure: the d17-style capped-frame cut was tried
+    # here and measured SLOWER (A/B median 3.59 → 5.18 s at sf0.1) —
+    # d11's tail joins its sizes to the THRESHOLDED pair frame, so the
+    # saved re-derivations are smaller than d17's and the eager cut
+    # job dominates. Reverted; d17 keeps its cut (A/B 3.89 → 3.38 s).
     return _jaccard_pairs(sh.join(df_ok, "s", "left_semi"))
 
 
@@ -1470,6 +1475,18 @@ def d17_containment_pairs(
         .select("s")
     )
     sh = sh.join(df_ok, "s", "left_semi")
+    # Materialize the capped shingle frame once (round 13): sizes and
+    # the two pair-join sides re-derived the whole explode + DF-cap
+    # semi-join per consumer. Unlike the minhash band frame (where the
+    # same cut measured SLOWER — see `_minhash_sig_and_candidates`),
+    # `kept` is expensive enough to flip the trade: A/B medians for
+    # the inter join 3.6–4.1 → 3.0–3.2 s at sf0.1. Same
+    # iter_materialize cut as s24's edge list.
+    from kafka2clickhouse_py_streamer_spark.functions.graph import (
+        iter_materialize,
+    )
+
+    sh = iter_materialize(sh)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))

@@ -2121,6 +2121,11 @@ def p21_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = sh.join(df_ok, "s", "left_semi").select(
         "doc_id", "s", split.alias("split")
     )
+    # Round-13 re-measure: the d17-style capped-frame cut was tried
+    # here and measured MUCH slower (A/B median 0.66 → 2.81 s at
+    # sf0.1) — p21's two consumers are cheap filters over the frame
+    # and the eager cut job serializes what the scheduler otherwise
+    # overlaps. Reverted; only d17 keeps the cut.
     train_sh = (
         kept.filter(F.col("split") == "train").select("s").distinct()
     )
