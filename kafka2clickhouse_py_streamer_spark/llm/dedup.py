@@ -119,6 +119,23 @@ def _shingle_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _capped_shingles(
+    spark: SparkSession, sf_dir: str, max_df: int
+) -> DataFrame:
+    """(doc_id, source, s) shingle rows with hot shingles (document
+    frequency > ``max_df``) semi-joined away — the shared DF-cap front
+    of d11/d17 (and the plan shape the capped-family tests pin: the
+    LeftSemi must run BEFORE any pair join)."""
+    sh = _shingle_rows(spark, sf_dir)
+    df_ok = (
+        sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("s")
+    )
+    return sh.join(df_ok, "s", "left_semi")
+
+
 def d01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-groupBy on MD5(text); one canonical doc per
     group (min doc_id), copy count. One shuffle on the 128-bit key —
@@ -245,19 +262,12 @@ def d11_ngram_jaccard_capped(
     DF-capped approximation, mirrored exactly by the oracle. With
     ``max_df`` above the corpus size this degrades to d02 precisely
     (pinned by test)."""
-    sh = _shingle_rows(spark, sf_dir)
-    df_ok = (
-        sh.groupBy("s")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= max_df)
-        .select("s")
-    )
     # Round-13 re-measure: the d17-style capped-frame cut was tried
     # here and measured SLOWER (A/B median 3.59 → 5.18 s at sf0.1) —
     # d11's tail joins its sizes to the THRESHOLDED pair frame, so the
     # saved re-derivations are smaller than d17's and the eager cut
-    # job dominates. Reverted; d17 keeps its cut (A/B 3.89 → 3.38 s).
-    return _jaccard_pairs(sh.join(df_ok, "s", "left_semi"))
+    # job dominates. Uncut; d17 keeps its cut (A/B 3.89 → 3.38 s).
+    return _jaccard_pairs(_capped_shingles(spark, sf_dir, max_df))
 
 
 def _d11_sql() -> str:
@@ -1467,26 +1477,20 @@ def d17_containment_pairs(
     alternative (d03 band candidates + d19's Broder estimate) is the
     documented at-scale admission path — see SCALE.md §d17; d19's
     calibration decides when its error bound is acceptable."""
-    sh = _shingle_rows(spark, sf_dir)
-    df_ok = (
-        sh.groupBy("s")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= max_df)
-        .select("s")
-    )
-    sh = sh.join(df_ok, "s", "left_semi")
     # Materialize the capped shingle frame once (round 13): sizes and
     # the two pair-join sides re-derived the whole explode + DF-cap
     # semi-join per consumer. Unlike the minhash band frame (where the
     # same cut measured SLOWER — see `_minhash_sig_and_candidates`),
     # `kept` is expensive enough to flip the trade: A/B medians for
     # the inter join 3.6–4.1 → 3.0–3.2 s at sf0.1. Same
-    # iter_materialize cut as s24's edge list.
+    # iter_materialize cut as s24's edge list. The semi-join shape is
+    # pinned on the PRE-CUT frame (`_capped_shingles`) by
+    # tests/test_plans.py — the cut hides it from d17's final plan.
     from kafka2clickhouse_py_streamer_spark.functions.graph import (
         iter_materialize,
     )
 
-    sh = iter_materialize(sh)
+    sh = iter_materialize(_capped_shingles(spark, sf_dir, max_df))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
@@ -1761,9 +1765,11 @@ def _span_scrub_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
       eligible docs (≥ SPAN_W tokens) have non-empty text, and
       whitespace-split of trimmed non-empty text yields no empty
       tokens — the same invariant `_span_scrubbed`'s tokens filter
-      relies on. p14 at sf0.1: 5.29 s → (see OPTIMIZATION_r13.md);
-      shuffle payload drops from one row per token to one row per
-      removed span occurrence at every scale."""
+      relies on. p14 at sf0.1: 5.288 → 2.320 s over the round's three
+      p14 changes (OPTIMIZATION_r13.md §3/§8/§9); at sf1 6.890 →
+      3.229 s (BENCH_sf1.json). The shuffle payload drops from one row
+      per token to one row per removed span occurrence at every
+      scale."""
     from pyspark.sql.window import Window
 
     d = table(spark, sf_dir, "documents")

@@ -1038,6 +1038,8 @@ def test_d17_containment_no_pair_materialization(spark, sf_dir):
     # sized pair, NEVER a second pair join — nothing cartesian or
     # Python anywhere
     from kafka2clickhouse_py_streamer_spark.llm.dedup import (
+        MAX_SHINGLE_DF,
+        _capped_shingles,
         d17_containment_pairs,
     )
 
@@ -1045,8 +1047,14 @@ def test_d17_containment_no_pair_materialization(spark, sf_dir):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "LeftSemi" in plan  # the DF cap is in the physical plan
     assert python_row_ops(df) == 0
+    # the DF cap runs BEFORE the pair join — pinned on the pre-cut
+    # capped frame, because d17's round-13 iter_materialize cut hides
+    # the semi-join behind the checkpoint scan in the final plan (the
+    # final plan must read that materialization, not re-derive shingles)
+    capped = formatted_plan(_capped_shingles(spark, sf_dir, MAX_SHINGLE_DF))
+    assert "LeftSemi" in capped
+    assert "Scan ExistingRDD" in plan
 
 
 def test_t15_buckets_have_no_global_window(spark, sf_dir):
