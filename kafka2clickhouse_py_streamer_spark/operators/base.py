@@ -134,58 +134,7 @@ def spread(df: DataFrame) -> DataFrame:
 # asserts the committed list matches the tool and that no query's
 # evidence can age out of the driver window unseen.
 _VERIFY_FIRST = [
-    # green-r09 but file churned since
-    "s20_index_staleness",
-    "s21_filtered_search",
-    "s22_khop_expansion",
-    "s23_mips_norm_pruned",
-    "s24_triangle_count",
-    "s25_radius_search",
-    "p01_train_test_split",
-    "p02_stratified_sample",
-    "p04_global_shuffle",
-    "p05_clean_corpus",
-    "p06_domain_mix",
-    "p07_corpus_pipeline",
-    "t15_perplexity_buckets",
-    "t16_bm25_topk",
-    "t17_chunk_passages",
-    "t18_ngram_novelty",
-    "t01_token_count",
-    "t02_quality_score",
-    "t03_langid",
-    "t04_fingerprint",
-    "t05_rolling_hash",
-    "t06_repetition",
-    "t07_vocab_idf",
-    "t08_unigram_logprob",
-    "t09_pii_scrub",
-    "w12_countmin_heavyhitters",
-    "w01_tumbling",
-    "w02_sliding",
-    "w03_session_window",
-    "w04_enriched_windows",
-    "p17_chunk_pack",
-    "p18_shard_manifest",
-    "p19_chunk_dedup_pack",
-    "p20_epoch_budget",
-    "p21_split_leakage",
-    "p22_padding_waste",
-    "p23_weighted_sample",
-    "p24_shard_balance",
-    "q63_forward_asof",
     # green-r10 but file churned since
-    "m03_frame_sample",
-    "m04_feature_extract",
-    "m05_media_dedup",
-    "d20_snapshot_diff",
-    "d21_softdedup_weights",
-    "d22_dedup_roi",
-    "d23_removal_propagation",
-    "d24_editdist_neardup",
-    "d25_lsh_layout_tuner",
-    "d10_minhash_calibration",
-    "d11_ngram_jaccard_capped",
     "d12_span_dedup",
     "d13_quality_canonical",
     "d14_lsh_admission",
@@ -327,6 +276,57 @@ _VERIFY_FIRST = [
     "m01_media_metadata",
     "m02_decode_stats",
     "m08_media_canonical",
+    # green-r13
+    "s20_index_staleness",
+    "s21_filtered_search",
+    "s22_khop_expansion",
+    "s23_mips_norm_pruned",
+    "s24_triangle_count",
+    "s25_radius_search",
+    "p01_train_test_split",
+    "p02_stratified_sample",
+    "p04_global_shuffle",
+    "p05_clean_corpus",
+    "p06_domain_mix",
+    "p07_corpus_pipeline",
+    "t15_perplexity_buckets",
+    "t16_bm25_topk",
+    "t17_chunk_passages",
+    "t18_ngram_novelty",
+    "t01_token_count",
+    "t02_quality_score",
+    "t03_langid",
+    "t04_fingerprint",
+    "t05_rolling_hash",
+    "t06_repetition",
+    "t07_vocab_idf",
+    "t08_unigram_logprob",
+    "t09_pii_scrub",
+    "w12_countmin_heavyhitters",
+    "w01_tumbling",
+    "w02_sliding",
+    "w03_session_window",
+    "w04_enriched_windows",
+    "p17_chunk_pack",
+    "p18_shard_manifest",
+    "p19_chunk_dedup_pack",
+    "p20_epoch_budget",
+    "p21_split_leakage",
+    "p22_padding_waste",
+    "p23_weighted_sample",
+    "p24_shard_balance",
+    "q63_forward_asof",
+    "m03_frame_sample",
+    "m04_feature_extract",
+    "m05_media_dedup",
+    "d20_snapshot_diff",
+    "d21_softdedup_weights",
+    "d22_dedup_roi",
+    "d23_removal_propagation",
+    "d24_editdist_neardup",
+    "d25_lsh_layout_tuner",
+    "d10_minhash_calibration",
+    "d11_ngram_jaccard_capped",
 ]
 
 

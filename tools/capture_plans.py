@@ -26,7 +26,9 @@ REPO_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_DIR not in sys.path:
     sys.path.insert(0, REPO_DIR)
 
-PLANS_DIR = os.path.join(REPO_DIR, "plans", "r13")
+PLANS_DIR = os.path.join(
+    REPO_DIR, "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r14")
+)
 
 
 def main() -> None:

@@ -391,9 +391,19 @@ def check_headline_citation() -> list[str]:
     for c in candidates:
         if c.get("sf") == 0.1 and isinstance(c.get("value"), (int, float)):
             sidecar_vals.add(c["value"])
-    # latest driver bench
+    # latest driver bench — MAIN runs only (BENCH_r{NN}.json). Variant
+    # recordings like the round-13 low-core scaling leg
+    # (BENCH_r13_c8.json) are per-query scaling evidence, not the
+    # headline the two-number convention tracks: a suffixed file sorts
+    # AFTER the main run lexically and would silently replace the
+    # 32-core headline the note is required to quote (found when the
+    # r13 driver's post-seal c8 leg broke this check at the r14 open).
     driver_val = None
-    benches = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))
+    benches = sorted(
+        p
+        for p in glob.glob(os.path.join(REPO, "BENCH_r*.json"))
+        if re.fullmatch(r"BENCH_r\d+\.json", os.path.basename(p))
+    )
     for p in reversed(benches):
         parsed = (json.load(open(p)).get("parsed")) or {}
         if isinstance(parsed.get("value"), (int, float)):
