@@ -25,7 +25,7 @@ from __future__ import annotations
 import os
 import tempfile
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # (applicationId, resolved dir) pairs already applied. Keyed on the
@@ -95,15 +95,21 @@ def iter_materialize(df: DataFrame, defer: bool = False) -> DataFrame:
 def _large_star(edges: DataFrame) -> DataFrame:
     """For each node u: connect every strictly-larger neighbor to
     m = min(N(u) ∪ {u}). Long "tails" hanging off small ids collapse
-    toward the minimum in one pass."""
+    toward the minimum in one pass.
+
+    The per-node minimum is a WINDOW over the star key, not a
+    groupBy + join-back (round-14; the d14 rewrite applied to the CC
+    loop): the join form shuffled the symmetric edge set twice per
+    round (once reduced for the agg, once full for the join) and paid
+    a per-round hash join; the window moves it once and reads the min
+    in place. Same task-placement under skew — a hub's edges all land
+    on one task either way (that is what keying on the node means)."""
     sym = edges.union(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
-    mins = sym.groupBy("u").agg(
-        F.least(F.col("u"), F.min("v")).alias("m")
-    )
+    m = F.least(F.col("u"), F.min("v").over(Window.partitionBy("u")))
     return (
-        sym.join(mins, "u")
+        sym.withColumn("m", m)
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .filter(F.col("u") != F.col("v"))
@@ -115,15 +121,20 @@ def _small_star(edges: DataFrame) -> DataFrame:
     """Key each edge on its LARGER endpoint u; connect u and all its
     smaller neighbors to m = min of those neighbors. Produces
     (child > parent) canonical pairs — the star shape the fixed point
-    settles into."""
+    settles into.
+
+    Window form (round-14, see _large_star): the parent pointer
+    (u, m) is emitted once per keyed row instead of once per u — the
+    terminal ``distinct`` already collapses duplicates, so the SET is
+    unchanged while the groupBy + join-back disappears."""
     keyed = edges.select(
         F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
     ).filter(F.col("u") != F.col("v"))
-    mins = keyed.groupBy("u").agg(F.min("v").alias("m"))
-    moved = keyed.join(mins, "u").select(
-        F.col("v").alias("u"), F.col("m").alias("v")
+    km = keyed.withColumn(
+        "m", F.min("v").over(Window.partitionBy("u"))
     )
-    pointed = mins.select("u", F.col("m").alias("v"))
+    moved = km.select(F.col("v").alias("u"), F.col("m").alias("v"))
+    pointed = km.select("u", F.col("m").alias("v"))
     return (
         moved.union(pointed)
         .filter(F.col("u") != F.col("v"))

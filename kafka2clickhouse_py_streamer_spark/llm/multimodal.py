@@ -603,11 +603,22 @@ PHASH_BAND_BITS = PHASH_BITS // PHASH_BANDS
 PHASH_BAND_SPACE = 2 ** PHASH_BAND_BITS  # band-value space (65,536)
 
 
+# The perceptual-hash SIGNATURE TABLE per (applicationId, sf_dir) —
+# the _CENTROID_CACHE / _CC_LABELS_CACHE pattern (round 14): m07 and
+# m08 both start from this frame, it is immutable for a session's
+# view of a directory, and it is already lineage-cut (eager
+# localCheckpoint), so per-call rebuilds bought nothing. A deployment
+# persists it as a table (it IS the media near-dup index).
+_PHASH_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def phash_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, ph_hi, ph_lo): the 64-bit perceptual hash per media
     item, carried as two non-negative 32-bit halves — m07's first
     stage, factored out so the scale-receipt tool
     (tools/receipt_graphs.py) measures the exact production frame.
+    Served from the session-scoped ``_PHASH_CACHE`` (one build per
+    (applicationId, sf_dir)).
 
     Features are the 64 nibbles of sha256 over the payload hex —
     derived from the FULL payload bytes (so, unlike the earlier
@@ -643,49 +654,70 @@ def phash_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     every other at Hamming 0, declaring them mutual duplicates. The
     NULL-payload -> NULL-metadata contract (m01-m05) means NULL media
     carries no content signal; it must not enter the pair graph."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _PHASH_CACHE:
+        return _PHASH_CACHE[key]
     m = media_table(spark, sf_dir).where(F.col("payload").isNotNull())
-    hx = F.sha2(F.hex("payload"), 256)  # 64 lowercase hex chars
-    nibbed = m.select(
-        "doc_id",
-        *[
-            F.conv(F.substring(hx, i + 1, 1), 16, 10)
-            .cast("long")
-            .alias(f"nib{i}")
-            for i in range(PHASH_BITS)
-        ],
-    )
-    mean = sum(
-        (F.col(f"nib{i}") for i in range(1, PHASH_BITS)), F.col("nib0")
-    ) / F.lit(float(PHASH_BITS))
-    with_mean = nibbed.select("*", mean.alias("nib_mean"))
+    # ARRAY form of the 64-nibble feature stage (round 14): the
+    # previous 64 named nib columns + a mean referencing all of them
+    # + 64 threshold branches made a plan whose driver-side
+    # analysis/optimization cost ~1.2-1.8 s PER CONSTRUCTION at any
+    # data size (guide §7.3 — large plans; measured: the words
+    # projection EXECUTES in 0.48 s via noop while a fresh
+    # build-and-count pays 1.67 s, and the eager cut 2.3 s). One
+    # array column + HOF folds keep the tree ~4 expressions wide;
+    # the HOFs are interpreted, but 64 ops × |media| rows is nothing
+    # next to the planning cost they remove. Values are bit-identical
+    # to the column form: same conv per nibble, same left-fold sum
+    # order into the mean, and the word bits are distinct powers of
+    # two (order-insensitive integer sum) — pinned bit-for-bit by the
+    # serial twin
+    # (tests/test_llm_invariants.py::test_m07_hash_stage_matches_serial_reference).
+    # Each stage stays its own projection: aliases referenced more
+    # than once are non-cheap, so CollapseProject keeps them
+    # materialized (the staged-projection lesson of the column form).
     half = PHASH_BITS // 2
+    staged = m.select(
+        "doc_id", F.sha2(F.hex("payload"), 256).alias("sh")
+    )
+    nibbed = staged.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(1, {PHASH_BITS}),"
+            " i -> cast(conv(substring(sh, i, 1), 16, 10) as long))"
+        ).alias("ns"),
+    )
+    with_mean = nibbed.select(
+        "doc_id",
+        "ns",
+        (
+            F.expr("aggregate(ns, cast(0 as long), (a, x) -> a + x)")
+            / F.lit(float(PHASH_BITS))
+        ).alias("nib_mean"),
+    )
 
     def threshold_word(lo_bit: int) -> "F.Column":
-        return sum(
-            (
-                F.when(
-                    F.col(f"nib{lo_bit + i}") >= F.col("nib_mean"),
-                    F.lit(1 << i),
-                )
-                .otherwise(F.lit(0))
-                for i in range(1, half)
-            ),
-            F.when(
-                F.col(f"nib{lo_bit}") >= F.col("nib_mean"), F.lit(1)
-            ).otherwise(F.lit(0)),
-        ).cast("long")
+        return F.expr(
+            f"aggregate(sequence(0, {half - 1}), cast(0 as long),"
+            f" (acc, i) -> acc + IF(element_at(ns, {lo_bit} + i + 1)"
+            " >= nib_mean,"
+            " shiftleft(cast(1 as long), cast(i as int)),"
+            " cast(0 as long)))"
+        )
 
     from kafka2clickhouse_py_streamer_spark.functions.graph import (
         iter_materialize,
     )
 
-    return iter_materialize(
+    out = iter_materialize(
         with_mean.select(
             "doc_id",
             threshold_word(half).alias("ph_hi"),
             threshold_word(0).alias("ph_lo"),
         )
     )
+    _PHASH_CACHE[key] = out
+    return out
 
 
 def phash_banded(hashed: DataFrame) -> DataFrame:
@@ -878,6 +910,33 @@ ORDER BY doc_a, doc_b
 """
 
 
+# Converged media CC labels per (applicationId, sf_dir) — the d07
+# _cc_labels pattern on the m07 pair graph. The cached frame is the
+# contraction output (nodes ⋈ parents over lineage-cut rounds), so
+# reuse re-runs only that cheap join, never the m07 chain.
+_M08_LABELS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _media_cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _M08_LABELS_CACHE:
+        from kafka2clickhouse_py_streamer_spark.functions.graph import (
+            connected_components,
+        )
+        from kafka2clickhouse_py_streamer_spark.llm.dedup import (
+            DEDUP_CC_MAX_ITERS,
+        )
+
+        edges = m07_phash_neardup(spark, sf_dir).select(
+            F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+        )
+        labels, _rounds = connected_components(
+            edges, max_iters=DEDUP_CC_MAX_ITERS
+        )
+        _M08_LABELS_CACHE[key] = labels
+    return _M08_LABELS_CACHE[key]
+
+
 def m08_media_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media near-dup canonicalization — d07/d08's policy step for the
     multimodal corpus: connected components over the m07
@@ -892,21 +951,15 @@ def m08_media_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: only (long, long) edge pairs enter the contraction
     loop (never payloads); isolated media join back in ONE pass with
     their own id as label; the report is a single hash agg on the
-    label. Round count is ~log(diameter) by star contraction."""
-    from kafka2clickhouse_py_streamer_spark.functions.graph import (
-        connected_components,
-    )
-    from kafka2clickhouse_py_streamer_spark.llm.dedup import (
-        DEDUP_CC_MAX_ITERS,
-    )
-
+    label. Round count is ~log(diameter) by star contraction. The
+    converged labels are session-cached (``_M08_LABELS_CACHE``, the
+    d07 ``_cc_labels`` pattern, round 14): the contraction's input cut
+    (connected_components' eager e0) re-ran the whole m07
+    banding/verify chain once per CALL — ~1.3 s of the measured 4.0 s
+    sf0.1 wall — for labels that are immutable per (session,
+    fixture)."""
     m = media_table(spark, sf_dir).select("doc_id", "n_bytes")
-    edges = m07_phash_neardup(spark, sf_dir).select(
-        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
-    )
-    labels, _rounds = connected_components(
-        edges, max_iters=DEDUP_CC_MAX_ITERS
-    )
+    labels = _media_cc_labels(spark, sf_dir)
     lab = m.join(labels, "doc_id", "left").select(
         "doc_id",
         F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),

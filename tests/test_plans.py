@@ -670,16 +670,54 @@ def test_s10_pagerank_iterations_stay_joins(spark, sf_dir):
 def test_s09_knn_graph_bucket_join_no_cartesian(spark, sf_dir):
     # both-sides-large ANN: candidates MUST come from the bucket
     # equi-join — a cartesian/nested-loop self-join is the |corpus|²
-    # failure this operator exists to avoid
+    # failure this operator exists to avoid. The published query is
+    # served from the session-scoped knn_graph substrate (a
+    # lineage-cut scan), so the join shape is pinned on the PRE-CUT
+    # computation frame — the d17 lesson: a materialization must not
+    # be allowed to make the structural pin vacuous.
     from kafka2clickhouse_py_streamer_spark.llm.similarity import (
+        _knn_graph_frame,
+        derived_planes,
         s09_knn_graph,
     )
+
+    core = _knn_graph_frame(spark, sf_dir, derived_planes(spark, sf_dir))
+    plan = formatted_plan(core)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert python_row_ops(core) == 0
 
     df = s09_knn_graph(spark, sf_dir)
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert python_row_ops(df) == 0
+
+
+def test_s09_session_graph_cache_and_equivalence(spark, sf_dir):
+    # the knn_graph substrate: (1) one frame per (session, sf_dir) —
+    # consumers share the build; (2) the served rows are EXACTLY the
+    # fresh computation's (the cache must never change what s09
+    # publishes); (3) a pinned n_planes bypasses the cache (the sf1
+    # occupancy probe's contract).
+    from kafka2clickhouse_py_streamer_spark.llm.similarity import (
+        _knn_graph_frame,
+        derived_planes,
+        knn_graph,
+        s09_knn_graph,
+    )
+
+    g1 = knn_graph(spark, sf_dir)
+    g2 = knn_graph(spark, sf_dir)
+    assert g1 is g2
+    planes = derived_planes(spark, sf_dir)
+    fresh = sorted(
+        map(tuple, _knn_graph_frame(spark, sf_dir, planes).collect())
+    )
+    served = sorted(map(tuple, s09_knn_graph(spark, sf_dir).collect()))
+    assert served == fresh
+    pinned = s09_knn_graph(spark, sf_dir, n_planes=planes)
+    assert sorted(map(tuple, pinned.collect())) == fresh
 
 
 def test_q57_cohort_retention_broadcast_rejoins(spark, sf_dir):

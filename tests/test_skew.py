@@ -177,6 +177,65 @@ def test_star_contraction_matches_union_find_property(spark):
         assert got == want, f"seed {seed}"
 
 
+def test_star_steps_window_form_matches_join_form(spark):
+    """Round-14 internals change: the per-star minimum inside
+    _large_star/_small_star is a window over the star key instead of
+    a groupBy + join-back. The two forms must produce the SAME SET of
+    canonical pairs on every adversarial shape (hub keyed off its
+    largest id, chain, duplicate/reversed edges, self-loops) — the
+    window emits the parent pointer once per keyed row, and only the
+    terminal distinct makes that equivalent."""
+    from pyspark.sql import functions as F
+
+    from kafka2clickhouse_py_streamer_spark.functions.graph import (
+        _large_star,
+        _small_star,
+    )
+
+    def large_ref(edges):
+        sym = edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(
+            F.least(F.col("u"), F.min("v")).alias("m")
+        )
+        return (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_ref(edges):
+        keyed = edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).filter(F.col("u") != F.col("v"))
+        mins = keyed.groupBy("u").agg(F.min("v").alias("m"))
+        moved = keyed.join(mins, "u").select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        )
+        pointed = mins.select("u", F.col("m").alias("v"))
+        return (
+            moved.union(pointed)
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    shapes = [
+        [(i, i + 1) for i in range(12)],                      # chain
+        [(39, 30), (39, 31), (39, 32), (39, 39)],             # big-id hub
+        [(20, 21), (21, 22), (22, 20), (21, 20), (5, 5)],     # tri + loop
+        [(1, 2), (2, 1), (3, 4), (4, 3), (2, 3)],             # reversed dups
+    ]
+    for shape in shapes:
+        e = spark.createDataFrame(shape, "u long, v long")
+        for new, ref in ((_large_star, large_ref), (_small_star, small_ref)):
+            got = {(r.u, r.v) for r in new(e).collect()}
+            want = {(r.u, r.v) for r in ref(e).collect()}
+            assert got == want, (new.__name__, shape)
+
+
 def test_iter_materialize_reliable_mode_agrees(spark, monkeypatch, tmp_path):
     """SPARK_GRAFT_ITER_MAT=reliable swaps every per-round
     localCheckpoint for a fault-tolerant checkpoint (the 100 TB
