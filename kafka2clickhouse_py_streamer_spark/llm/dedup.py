@@ -2167,15 +2167,25 @@ def d21_softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     count cast to DOUBLE — both engines perform the identical
     double/int division before the round."""
     labels = _cc_labels(spark, sf_dir)
-    sizes = labels.groupBy("cluster_id").agg(
-        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    # cluster size as a WINDOW over the label key (round 14, the d14
+    # pattern): the groupBy + join-back form evaluated the labels
+    # frame twice (its nodes ⋈ parents tail is not lineage-cut) and
+    # paid an extra exchange + hash join; the window reads the count
+    # in place off one cluster_id exchange. Every cluster_id present
+    # in labels has its own count, so window ≡ the old inner join.
+    from pyspark.sql.window import Window
+
+    sized = labels.withColumn(
+        "cluster_size",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("cluster_id"))
+        .cast("long"),
     )
     docs = table(spark, sf_dir, "documents").select(
         "doc_id", _ntok_col().alias("ntok")
     )
     return (
-        labels.join(sizes, "cluster_id")
-        .join(docs, "doc_id")
+        sized.join(docs, "doc_id")
         .select(
             "doc_id",
             "cluster_id",

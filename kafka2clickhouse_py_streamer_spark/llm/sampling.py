@@ -683,13 +683,15 @@ def p07_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # round 13: per-doc shingle counts are a row-local projection
     # (`_shingle_sizes` — size() of the same array the probe explodes)
-    # instead of a second explode→groupBy pass; the aggregated
-    # (doc, bench) candidate frame broadcasts into the enrich join so
-    # the sizes side never shuffles; and the contaminated id set
-    # broadcasts into the anti-join (the decontamination set is
-    # benchmark-bounded — d09's broadcast rationale — where the
-    # unhinted plan shuffled the whole deduped corpus into a
-    # SortMergeJoin LeftAnti).
+    # instead of a second explode→groupBy pass. The anti-join below is
+    # deliberately UNHINTED: the contaminated id set is
+    # benchmark-bounded (d09's rationale), and under the session join
+    # defaults (AQE strategy switch + preferSortMergeJoin=false,
+    # session.py) the runtime plan picks the broadcast/hash form by
+    # itself — explicit F.broadcast hint chains through this DAG
+    # measured 2× SLOWER (they serialize the broadcast jobs; r13 §4).
+    # Before those session defaults the static plan was a
+    # SortMergeJoin LeftAnti shuffling the whole deduped corpus.
     sh = _shingle_rows(spark, sf_dir)
     bench = sh.filter(F.col("source") == "src0").select(
         F.col("doc_id").alias("bench_id"), "s"

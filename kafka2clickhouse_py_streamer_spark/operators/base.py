@@ -257,6 +257,9 @@ _VERIFY_FIRST = [
     "t14_bigram_logprob",
     "w11_rollup_cascade",
     "m07_phash_neardup",
+    "m01_media_metadata",
+    "m02_decode_stats",
+    "m08_media_canonical",
     "q54_histogram",
     "q55_robust_outliers",
     "q57_cohort_retention",
@@ -273,10 +276,7 @@ _VERIFY_FIRST = [
     "q58_scd2_intervals",
     "q59_concurrency",
     "q61_gaps_islands",
-    "m01_media_metadata",
-    "m02_decode_stats",
-    "m08_media_canonical",
-    # green-r13
+    # green-r13 but file churned since
     "s20_index_staleness",
     "s21_filtered_search",
     "s22_khop_expansion",
@@ -289,6 +289,25 @@ _VERIFY_FIRST = [
     "p05_clean_corpus",
     "p06_domain_mix",
     "p07_corpus_pipeline",
+    "p17_chunk_pack",
+    "p18_shard_manifest",
+    "p19_chunk_dedup_pack",
+    "p20_epoch_budget",
+    "p21_split_leakage",
+    "p22_padding_waste",
+    "p23_weighted_sample",
+    "p24_shard_balance",
+    "m03_frame_sample",
+    "m04_feature_extract",
+    "m05_media_dedup",
+    "d20_snapshot_diff",
+    "d21_softdedup_weights",
+    "d22_dedup_roi",
+    "d23_removal_propagation",
+    "d24_editdist_neardup",
+    "d25_lsh_layout_tuner",
+    "d10_minhash_calibration",
+    "d11_ngram_jaccard_capped",
     "t15_perplexity_buckets",
     "t16_bm25_topk",
     "t17_chunk_passages",
@@ -307,26 +326,7 @@ _VERIFY_FIRST = [
     "w02_sliding",
     "w03_session_window",
     "w04_enriched_windows",
-    "p17_chunk_pack",
-    "p18_shard_manifest",
-    "p19_chunk_dedup_pack",
-    "p20_epoch_budget",
-    "p21_split_leakage",
-    "p22_padding_waste",
-    "p23_weighted_sample",
-    "p24_shard_balance",
     "q63_forward_asof",
-    "m03_frame_sample",
-    "m04_feature_extract",
-    "m05_media_dedup",
-    "d20_snapshot_diff",
-    "d21_softdedup_weights",
-    "d22_dedup_roi",
-    "d23_removal_propagation",
-    "d24_editdist_neardup",
-    "d25_lsh_layout_tuner",
-    "d10_minhash_calibration",
-    "d11_ngram_jaccard_capped",
 ]
 
 

@@ -69,6 +69,17 @@ def get_spark(
             "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
             os.environ.get("SPARK_GRAFT_SHJ_LOCAL_MAP", str(64 * 1024 * 1024)),
         )
+        # Shuffle codec stays lz4 (the Spark default), measured not
+        # assumed (round-14 A/B at sf1, interleaved sessions, top-5
+        # shuffle-heavy queries): zstd was equal-or-worse everywhere —
+        # d24 5.9-6.5 s lz4 vs 11.8 s zstd (the Levenshtein verify is
+        # CPU-bound; zstd's extra compression CPU competes with it),
+        # d17/p07/d03/p14 within noise. At cluster network volumes the
+        # trade can flip, so the knob is env-overridable.
+        .config(
+            "spark.io.compression.codec",
+            os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

@@ -1095,6 +1095,37 @@ def test_d17_containment_no_pair_materialization(spark, sf_dir):
     assert "Scan ExistingRDD" in plan
 
 
+def test_d17_materialized_input_is_the_capped_frame(
+    spark, sf_dir, monkeypatch
+):
+    # round-13 advice: asserting LeftSemi on a SEPARATELY constructed
+    # _capped_shingles frame plus "Scan ExistingRDD" in d17's plan does
+    # not prove d17's executed plan applies the DF cap — any
+    # materialization satisfies the latter. Spy on iter_materialize:
+    # d17 must cut exactly one frame, and that frame's PRE-CUT plan
+    # must be the capped inverted index (shingle Generate + the DF-cap
+    # LeftSemi), so removing the cap now fails structurally, not just
+    # through the oracle value tests.
+    import kafka2clickhouse_py_streamer_spark.functions.graph as graph
+    from kafka2clickhouse_py_streamer_spark.llm.dedup import (
+        d17_containment_pairs,
+    )
+
+    captured = []
+    orig = graph.iter_materialize
+
+    def spy(df, defer=False):
+        captured.append(df)
+        return orig(df, defer=defer)
+
+    monkeypatch.setattr(graph, "iter_materialize", spy)
+    d17_containment_pairs(spark, sf_dir)  # construction runs the cut
+    assert len(captured) == 1
+    pre_cut = formatted_plan(captured[0])
+    assert "LeftSemi" in pre_cut
+    assert "Generate" in pre_cut
+
+
 def test_t15_buckets_have_no_global_window(spark, sf_dir):
     # CCNet bucketing must be threshold-CASE over broadcast percentile
     # cuts — a global ntile would funnel the corpus through one task.
@@ -1487,9 +1518,12 @@ def test_p20_epoch_budget_scans_corpus_once(spark, sf_dir):
 
 
 def test_d21_softdedup_is_policy_layer_only(spark, sf_dir):
-    # soft weights must ride the d07 labels: one count agg + two
-    # equi-joins on long keys — no pair join, no window, no Python;
-    # the only nested-loop/cartesian shapes allowed are none
+    # soft weights must ride the d07 labels: no pair join, no Python.
+    # Round 14: cluster_size is a window COUNT over the label key (one
+    # cluster_id exchange) instead of groupBy + join-back — the pin
+    # moves from "no window" to "the window stays KEYED": what the old
+    # assertion actually guarded was a partition-less window funnelling
+    # the corpus through one task.
     from kafka2clickhouse_py_streamer_spark.llm.dedup import (
         d21_softdedup_weights,
     )
@@ -1498,7 +1532,8 @@ def test_d21_softdedup_is_policy_layer_only(spark, sf_dir):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "Window" not in plan
+    assert "windowspecdefinition(cluster_id" in plan
+    assert "SinglePartition" not in plan
     assert python_row_ops(df) == 0
 
 

@@ -2,7 +2,7 @@
 """Plan-shape sweep over the FULL registry (round 13): build every
 query at the bench scale and record the physical-plan fingerprint —
 exchange count, parquet-scan count, join strategies, Python row ops —
-to ``plans/r13/SWEEP.json``. The optimization round's
+to ``plans/<round>/SWEEP.json`` (SPARK_GRAFT_PLANS_ROUND, default r14). The optimization round's
 examined-every-operator checklist: a query whose plan holds many scans
 of the same table is re-deriving a subtree per consumer (the s24
 finding); joins/pythons flag strategy and boundary regressions.
@@ -58,7 +58,10 @@ def main() -> None:
             ),
             "single_partition": "SinglePartition" in plan,
         }
-    path = os.path.join(REPO_DIR, "plans", "r13", "SWEEP.json")
+    path = os.path.join(
+        REPO_DIR, "plans",
+        os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r14"), "SWEEP.json",
+    )
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
     flagged = sorted(
