@@ -122,11 +122,36 @@ def _shingle_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _capped_shingles(
     spark: SparkSession, sf_dir: str, max_df: int
 ) -> DataFrame:
-    """(doc_id, source, s) shingle rows with hot shingles (document
-    frequency > ``max_df``) semi-joined away — the shared DF-cap front
-    of d11/d17 (and the plan shape the capped-family tests pin: the
-    LeftSemi must run BEFORE any pair join)."""
-    sh = _shingle_rows(spark, sf_dir)
+    """(doc_id, s) shingle rows with hot shingles (document frequency
+    > ``max_df``) semi-joined away — the shared DF-cap front of d11/d17
+    (and the plan shape the capped-family tests pin: the LeftSemi must
+    run BEFORE any pair join).
+
+    ``s`` is the 60-bit `shingle_digest`, not the raw 3-word string —
+    the d03 trick applied to the capped family (round 14): the DF-cap
+    groupBy, the semi-join, and both pair-join sides key on an 8-byte
+    long instead of a ~25-byte string, and both capped consumers
+    materialize this frame, so the md5 is paid ONCE into checkpoint
+    blocks that are ~18% smaller to re-read. Measured at sf1 (cold
+    single-run REST receipts + interleaved A/B): shuffle write
+    129.9 → 116.1 MB — only ~11%, NOT the naive 3× byte estimate,
+    because lz4 already compresses the low-entropy shingle strings —
+    d17 wall 7.66 → 6.19 s / 5.74 → 5.16 s (two sessions), d11 (with
+    its round-14 cut) 7.28 → 5.71 s. The oracle twins hash identically
+    (`shingle_digest_sql`), so a ~2⁻⁶⁰ digest collision would merge the
+    same two shingles on both sides — mirrored, never a mismatch; the
+    fixtures are collision-free (272 128 distinct shingles = distinct
+    digests at sf1, checked).
+
+    Kept out: p21 (keys its split-leakage joins on the raw string;
+    digest measured FLAT there — its shuffles are doc-keyed aggs, the
+    shingle join is one distinct-projected side) and d02 (uncapped;
+    shuffle bytes measured IDENTICAL 90.48 MB either way — its pair
+    join reuses one exchange for both sides and the remaining shuffles
+    don't carry the shingle)."""
+    sh = _shingle_rows(spark, sf_dir).select(
+        "doc_id", shingle_digest("s").alias("s")
+    )
     df_ok = (
         sh.groupBy("s")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -262,21 +287,37 @@ def d11_ngram_jaccard_capped(
     DF-capped approximation, mirrored exactly by the oracle. With
     ``max_df`` above the corpus size this degrades to d02 precisely
     (pinned by test)."""
-    # Round-13 re-measure: the d17-style capped-frame cut was tried
-    # here and measured SLOWER (A/B median 3.59 → 5.18 s at sf0.1) —
-    # d11's tail joins its sizes to the THRESHOLDED pair frame, so the
-    # saved re-derivations are smaller than d17's and the eager cut
-    # job dominates. Uncut; d17 keeps its cut (A/B 3.89 → 3.38 s).
-    return _jaccard_pairs(_capped_shingles(spark, sf_dir, max_df))
+    # Round-13 rejected the d17-style capped-frame cut here (raw-string
+    # blocks: A/B 3.59 → 5.18 s at sf0.1). Round 14 re-measured it ON
+    # TOP OF the digest key and the trade flips at both scales: the
+    # checkpoint now stores (long, long) rows instead of the shingle
+    # strings, so the cut job is cheap enough that saving the 3×
+    # re-derivation (sizes + both pair sides) wins — interleaved A/B
+    # vs the uncut raw form: 4.94 → 4.59 s at sf0.1, 7.4 → 5.7 s at
+    # sf1. Same iter_materialize cut as d17/s24.
+    from kafka2clickhouse_py_streamer_spark.functions.graph import (
+        iter_materialize,
+    )
+
+    return _jaccard_pairs(
+        iter_materialize(_capped_shingles(spark, sf_dir, max_df))
+    )
 
 
 def _d11_sql() -> str:
+    # `hashed` mirrors `_capped_shingles`' digest key exactly
+    # (shingle_digest_sql ≡ shingle_digest), so DF counts, the cap and
+    # the pair intersection group on the same 60-bit value on both
+    # sides — a digest collision would be mirrored, never a mismatch.
     return f"""
 WITH {_DUCK_SHINGLES_CTE},
+hashed AS (
+  SELECT doc_id, {shingle_digest_sql('s')} AS s FROM shingles
+),
 kept AS (
   SELECT sh.doc_id, sh.s
-  FROM shingles sh
-  JOIN (SELECT s FROM shingles GROUP BY s
+  FROM hashed sh
+  JOIN (SELECT s FROM hashed GROUP BY s
         HAVING COUNT(*) <= {MAX_SHINGLE_DF}) ok USING (s)
 ),
 {_jaccard_tail_sql("kept")}
@@ -1538,12 +1579,16 @@ def d17_containment_pairs(
     )
 
 
+# `hashed` mirrors `_capped_shingles`' digest key (see _d11_sql).
 D17_SQL = f"""
 WITH {_DUCK_SHINGLES_CTE},
+hashed AS (
+  SELECT doc_id, {shingle_digest_sql('s')} AS s FROM shingles
+),
 kept AS (
   SELECT sh.doc_id, sh.s
-  FROM shingles sh
-  JOIN (SELECT s FROM shingles GROUP BY s
+  FROM hashed sh
+  JOIN (SELECT s FROM hashed GROUP BY s
         HAVING COUNT(*) <= {MAX_SHINGLE_DF}) ok USING (s)
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),

@@ -693,3 +693,95 @@ def test_span_scrub_counts_match_scrubbed(spark, adv_dir):
         assert full.exceptAll(fast).count() == 0
         assert fast.exceptAll(full).count() == 0
         assert fast.count() == full.count()
+
+
+def test_capped_family_digest_key_matches_raw_strings(spark, adv_dir):
+    """Round-14 optimization contract: `_capped_shingles` keys the
+    DF cap and the pair joins on the 60-bit `shingle_digest`, not the
+    raw 3-word string. d11/d17 results must be IDENTICAL to a raw-
+    string reference of the same pipeline — on the hostile fixture
+    (null / empty / single-token / 50x-repeated-word docs, where the
+    shingle population is degenerate) and on the driver fixture. The
+    only way they could diverge is a digest collision merging two
+    distinct shingles' DF counts or intersections; the oracle twins
+    hash identically, so even that would be mirrored — this test pins
+    the engine-side rewrite itself."""
+    from pyspark.sql import functions as F
+
+    from kafka2clickhouse_py_streamer_spark.llm.dedup import (
+        MAX_SHINGLE_DF,
+        _jaccard_pairs,
+        _shingle_rows,
+        d11_ngram_jaccard_capped,
+        d17_containment_pairs,
+    )
+
+    def raw_capped(d):
+        sh = _shingle_rows(spark, d).select("doc_id", "s")
+        ok = (
+            sh.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= MAX_SHINGLE_DF)
+            .select("s")
+        )
+        return sh.join(ok, "s", "left_semi")
+
+    for d in (adv_dir, SRC):
+        ref_d11 = [tuple(r) for r in _jaccard_pairs(raw_capped(d)).collect()]
+        got_d11 = [
+            tuple(r) for r in d11_ngram_jaccard_capped(spark, d).collect()
+        ]
+        assert got_d11 == ref_d11
+    got_d17 = [tuple(r) for r in d17_containment_pairs(spark, SRC).collect()]
+    # raw-string d17 reference: containment tail over the raw capped frame
+    sh = raw_capped(SRC)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
+    inter = (
+        a.join(
+            b,
+            (F.col("s_b") == F.col("s_a")) & (F.col("doc_b") > F.col("doc_a")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    from kafka2clickhouse_py_streamer_spark.llm.dedup import (
+        CONTAINMENT_THRESHOLD,
+    )
+
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    sized = inter.join(sa, F.col("doc_a") == F.col("sa.doc_id")).join(
+        sb, F.col("doc_b") == F.col("sb.doc_id")
+    )
+    both = sized.select(
+        "n_common",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("contained"),
+                    F.col("doc_b").alias("container"),
+                    F.col("sa.n").alias("n_contained"),
+                ),
+                F.struct(
+                    F.col("doc_b").alias("contained"),
+                    F.col("doc_a").alias("container"),
+                    F.col("sb.n").alias("n_contained"),
+                ),
+            )
+        ).alias("p"),
+    ).select("p.contained", "p.container", "p.n_contained", "n_common")
+    raw = F.col("n_common") / F.col("n_contained")
+    ref_d17 = [
+        tuple(r)
+        for r in both.filter(raw >= CONTAINMENT_THRESHOLD)
+        .select(
+            "contained",
+            "container",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.round(raw, 6).alias("containment"),
+        )
+        .orderBy("contained", "container")
+        .collect()
+    ]
+    assert got_d17 == ref_d17
