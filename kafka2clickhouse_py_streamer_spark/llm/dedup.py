@@ -1621,11 +1621,27 @@ SPAN_W = 8  # tokens per d12 span window
 # SINGLE SOURCE for the span hash — d16's removal is only correct while
 # its span definition matches d12's detection exactly (same lesson as
 # s12/s13's shared _pq_sub_dist). Spark: array of md5 window hashes
-# over a token-array column ``t``; SQL: the scalar hash of the window
-# starting at 1-based position i over the same ``t``.
+# carried as 16-byte BINARY (``unhex``) over a token-array column
+# ``t``; SQL: the scalar hex hash of the window starting at 1-based
+# position i over the same ``t``.
+#
+# The binary carrier is a round-14 byte cut (guide §2.3): every span
+# consumer shuffles one row per span OCCURRENCE keyed by this value —
+# d12's count-distinct expand and the d16/p14 dup-detect windows — and
+# md5 hex is incompressible to lz4 (random bytes, no matches), so the
+# 32-char string paid its full width on the wire. ``unhex`` is
+# INJECTIVE: grouping/windowing by the binary is exactly grouping by
+# the hex string (no collision risk, unlike a truncated digest), the
+# oracle twins keep hashing the hex scalar, and d12 re-hexes only its
+# post-filter output rows (``lower(hex(x)) ≡ x`` for lowercase-hex x).
+# Measured at sf1 (cold single-run REST receipts): d12 shuffle write
+# 169.1 → 104.5 MB, p14 101.0 → 69.0 MB. Walls: d12 interleaved A/B
+# 2.35 → 2.02 s at sf1 / 1.56 → 1.45 s at sf0.1 (rows bit-identical,
+# 105 330 pairs checked); p14 within its cross-session band (the span
+# window is a minority of its wall). Receipts in OPTIMIZATION_r14.md.
 SPAN_HASHES_EXPR = (
     f"transform(sequence(1, size(t) - {SPAN_W} + 1), "
-    f"i -> md5(concat_ws(' ', slice(t, i, {SPAN_W}))))"
+    f"i -> unhex(md5(concat_ws(' ', slice(t, i, {SPAN_W})))))"
 )
 SPAN_HASH_SQL = f"MD5(array_to_string(t[i : i + {SPAN_W - 1}], ' '))"
 
@@ -1656,6 +1672,12 @@ def d12_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans = toks.select(
         "doc_id", F.explode(F.expr(SPAN_HASHES_EXPR)).alias("span")
     )
+    # group on the 16-byte binary, re-hex only the surviving rows:
+    # lower(hex(unhex(h))) ≡ h for the lowercase hex md5 produces, and
+    # lexicographic order on lowercase hex equals unsigned byte order,
+    # so the output rows AND their sort are bit-identical to grouping
+    # on the hex string — at half the bytes through the count-distinct
+    # expand, the query's only big exchange (SPAN_HASHES_EXPR note).
     return (
         spans.groupBy("span")
         .agg(
@@ -1664,6 +1686,12 @@ def d12_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("first_doc"),
         )
         .filter(F.col("n_docs") >= 2)
+        .select(
+            F.lower(F.hex("span")).alias("span"),
+            "n_docs",
+            "n_occurrences",
+            "first_doc",
+        )
         .orderBy("span")
     )
 
