@@ -403,9 +403,13 @@ def _minhash_sig_and_candidates(spark: SparkSession, sf_dir: str):
     # d24 1.90→2.11 s — the cut job's fixed cost plus losing parallel
     # stage scheduling outweighs the saved signature recompute, the
     # same trade the round-8 sig-cache measurement in
-    # `_minhash_sig_and_candidates`' comment records. At 100 TB the
-    # trade flips; a deployment persists the band table (it IS the
-    # LSH index).
+    # `_minhash_sig_and_candidates`' comment records. Round 14 MEASURED
+    # the flip: at sf1 the sig cut wins (interleaved A/B, rows
+    # identical: d03 3.14→2.62 s) while sf0.1 still loses (1.84→2.39 s,
+    # re-reproduced same session) — the crossover sits between the
+    # bench scale and 10× it, so the bench-scale shape stays uncut and
+    # a deployment persists the signature/band table (it IS the LSH
+    # index).
     bands = _explode_bands(sig, "doc_id")
     x = bands.alias("x")
     y = bands.alias("y")
